@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.core.GraftSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+/** Sources (S1-S4 of SURVEY.md §2.1).
+  *
+  * All reads are plain vectorized parquet scans: Catalyst pushes filters and
+  * prunes columns into the scan automatically, so downstream operators only
+  * pay for what they reference (verify with `.explain`: `PushedFilters`,
+  * `ReadSchema`).
+  */
+object Tables {
+
+  /** S1: schema-inferred parquet scan of one star-schema table. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    GraftSession.applyDefaults(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
+    * long (nanosAsLong). Convert ns → µs → TimestampNTZ here, once, so the
+    * rest of the engine sees a normal NTZ column (the data is µs-resolution;
+    * `div` floors, matching DuckDB/pyarrow's ns→µs handling). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** S3/C5: enumerate `{bucket}/{system}/YYYY/MM/DD.parquet` for each day in
+    * [start, end] (reference `list_files`, `utils_superdesconto.py:62-66`).
+    * Path-encoded time partitioning: the generated list *is* the partition
+    * pruning — Spark never opens a file outside the window, which at
+    * production scale (years of daily files) beats post-scan filtering.
+    */
+  def dayRangePaths(bucket: String, system: String, start: LocalDate, end: LocalDate): Seq[String] = {
+    val fmt = DateTimeFormatter.ofPattern("yyyy/MM/dd")
+    Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(!_.isAfter(end))
+      .map(d => s"$bucket/$system/${d.format(fmt)}.parquet")
+      .toSeq
+  }
+
+  /** S3: one DataFrame over a day-range of files. */
+  def dayRangeScan(spark: SparkSession, bucket: String, system: String,
+                   start: LocalDate, end: LocalDate): DataFrame =
+    spark.read.parquet(dayRangePaths(bucket, system, start, end): _*)
+}
