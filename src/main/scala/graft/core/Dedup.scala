@@ -29,9 +29,13 @@ object Dedup {
     * rows sharing a key, or at minimum all selected payload columns must be
     * functionally determined by the ordered prefix). */
   def top1PerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    // Fresh helper name: an input that already has __graft_rn must not be
+    // silently overwritten and dropped.
+    val rn = Iterator.from(0).map(i => if (i == 0) "__graft_rn" else s"__graft_rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 }

@@ -10,11 +10,9 @@ import org.apache.spark.sql.types.StringType
   * (`utils_ressarcimento.py:7-18`, `utils_superdesconto.py:58-59`):
   *
   *  - `stripNormalize`: trim → accent-fold → collapse runs of spaces → upper.
-  *    The accent table is 50 chars long while the replacement is 49: the
-  *    trailing `Ž` has no counterpart and is therefore *deleted* by
-  *    `translate` (chars beyond the replacement string are dropped). That
-  *    quirk is load-bearing for byte-identical output, so it is reproduced
-  *    verbatim.
+  *    Both accent tables are exactly 49 chars (verified byte-level against
+  *    the reference `utils_ressarcimento.py:9-10`): every accented char maps
+  *    1:1 to its ASCII fold, `Ž`→`Z` included — no char is deleted.
   *  - `cnpjNormalize`: trim → strip non-alphanumerics → left-pad to 15 '0'.
   *  - `etiqueta`: trim → left-pad to 30 '0' (lpad also truncates longer
   *    input, in both Spark and ANSI SQL) → cast string.
@@ -24,8 +22,8 @@ import org.apache.spark.sql.types.StringType
   * scale-friendly.
   */
 object Normalize {
-  /** 50 accented chars; the 49-char ASCII table below means the final `Ž`
-    * is deleted rather than mapped (reference `utils_ressarcimento.py:9-10`). */
+  /** 49-char source/replacement pair, byte-identical to the reference
+    * (`utils_ressarcimento.py:9-10`); `Ž` maps to `Z`. */
   val AccentFrom = "ãäöüẞáäčçďéěíĺľňóôŕšťúůýžÄÖÜẞÁÄČÇĎÉĚÍĹĽŇÓÔŔŠŤÚŮÝŽ"
   val AccentTo = "aaousaaccdeeillnoorstuuyzAOUSAACCDEEILLNOORSTUUYZ"
 

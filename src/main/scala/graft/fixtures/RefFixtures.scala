@@ -46,7 +46,11 @@ object RefFixtures {
   val cosmos = FixtureDef("cosmos", "events", "event_id % 2 = 0", Seq(
     same("cast(user_id % 100 as int) as MVVC_CD_FILIAL_MOV"),
     same("event_id % 1000 as MVVP_NR_PRD"),
-    same("ts as MVVC_DT_MOV"),
+    // Spark side reads via Tables.events (ns-long → µs TIMESTAMP_NTZ);
+    // DuckDB sees raw parquet TIMESTAMP_NS — cast to µs explicitly so both
+    // dialects are self-contained over the same files.
+    Ex(spark = "ts as MVVC_DT_MOV",
+       duck  = "CAST(ts AS TIMESTAMP) as MVVC_DT_MOV"),
     same("concat(' ', cast(event_id % 450 as string), ' ') as NUMERO_AUTORIZ_PAGUEMENOS"),
     same("value * 0.05 as MVVP_PR_DSC_ITE"),
     same("value as MVVP_VL_PRE_VDA"),
@@ -56,7 +60,8 @@ object RefFixtures {
   val preVenda = FixtureDef("pre_venda", "events", "event_id % 2 = 1", Seq(
     same("cast(user_id % 97 as int) as VC_CD_FILIAL"),
     same("event_id % 977 as VD_CD_PRODUTO"),
-    same("ts as VC_DH_VENDA"),
+    Ex(spark = "ts as VC_DH_VENDA",
+       duck  = "CAST(ts AS TIMESTAMP) as VC_DH_VENDA"),
     same("cast(event_id % 450 as string) as VD_COD_ETIQUETA_ULCH"),
     same("value * 0.04 as VD_PERC_DESCONTO"),
     same("value * 1.1 as VD_VL_PRODUTO"),
