@@ -125,13 +125,17 @@ object RefFixtures {
     Ex(spark = "o_orderdate + make_interval(0, 0, 0, 0, cast(o_orderkey % 23 as int)) as rcca_dh_cadastro",
        duck  = "o_orderdate + INTERVAL (o_orderkey % 23) HOUR as rcca_dh_cadastro")))
 
-  /** Losses: collection detail (NULL discounts, depots both sides of 5). */
+  /** Losses: collection detail (NULL discounts, depots both sides of 5).
+    * Measures are integer-valued doubles (floor): the summed `perdas` is then
+    * exactly representable, so the float aggregate is order-independent and
+    * hash-comparable across Spark's partial/final merge order vs DuckDB's.
+    * (l_quantity is integer-valued in the testdata already.) */
   val coletaDet = FixtureDef("coleta_det", "lineitem", "", Seq(
     same("l_orderkey as id_recuperavel_coleta_cab"),
     same("cast(l_linenumber % 5 as bigint) as id_recuperavel_tipo_volume"),
     same("l_quantity as rcde_qt_produto"),
-    same("l_extendedprice as rcde_vl_produto"),
-    same("case when l_discount < 0.03 then cast(null as double) else l_extendedprice * l_discount end as rcde_vl_desconto"),
+    same("cast(floor(l_extendedprice) as double) as rcde_vl_produto"),
+    same("case when l_discount < 0.03 then cast(null as double) else cast(floor(l_extendedprice * l_discount) as double) end as rcde_vl_desconto"),
     same("cast(l_suppkey % 12 as int) as rcde_cd_deposito"),
     same("l_suppkey % 10 as rcde_cd_fornecedor_entrada"),
     same("l_partkey as rcde_cd_produto")))
@@ -157,7 +161,7 @@ object RefFixtures {
     same("o_orderkey * 2 as id_debito_fornecedor"),
     Ex(spark = "o_orderdate + make_interval(0, 0, 0, 0, cast(o_orderkey % 11 as int)) as data_hora_cadastro",
        duck  = "o_orderdate + INTERVAL (o_orderkey % 11) HOUR as data_hora_cadastro"),
-    same("o_totalprice * 0.01 as valor")))
+    same("cast(floor(o_totalprice * 0.01) as double) as valor")))
 
   /** SAP credit feed (flag_credito 0/1, PM/EF, joins fsma_codigo_sap_master). */
   val dimSap = FixtureDef("dim_sap", "orders", "o_orderkey % 5 = 0", Seq(
@@ -165,7 +169,7 @@ object RefFixtures {
     same("cast(o_orderkey % 2 as int) as flag_credito"),
     same("o_orderdate as data_credito"),
     same("case when o_custkey % 2 = 0 then 'PM' else 'EF' end as flag_empresa"),
-    same("o_totalprice * 0.005 as montante")))
+    same("cast(floor(o_totalprice * 0.005) as double) as montante")))
 
   val all: Seq[FixtureDef] = Seq(
     cosmos, preVenda, autorizacao, produto,
