@@ -1,0 +1,64 @@
+package graft.job
+
+import graft.core.SchemaCasts
+import graft.sink.{Sink, WriteMode}
+import graft.sources.{ConfigSources, Tables}
+import graft.views.{Ressarcimento, SuperDesconto}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.time.LocalDate
+
+/** C14 / EP1 / EP2 orchestration (reference `etl_job.py:28-130`), as pure
+  * functions of a clock parameter so the period math and gates are testable.
+  */
+object Runner {
+
+  final case class Period(start: LocalDate, end: LocalDate)
+
+  /** Daily window (`etl_job.py:121-125`): start = first day of the current
+    * month, shifted one month back while the month is ≤ 5 days old. */
+  def period(today: LocalDate): Period = {
+    val firstOfMonth = today.withDayOfMonth(1)
+    val start = if (today.getDayOfMonth <= 5) firstOfMonth.minusMonths(1) else firstOfMonth
+    Period(start, today)
+  }
+
+  /** Day-gate (`etl_job.py:89-91`): ressarcimento refreshes on days 1-5. */
+  def ressarcimentoDue(today: LocalDate): Boolean = today.getDayOfMonth <= 5
+
+  /** Year loop (`etl_job.py:95`): every year since `firstYear`, inclusive. */
+  def ressarcimentoYears(today: LocalDate, firstYear: Int = 2023): Seq[Int] =
+    firstYear to today.getYear
+
+  /** EP1: the daily flagship — day-range scans of both POS feeds, the
+    * broadcast join, keyed upsert on `etiqueta` (`etl_job.py:28-85`). */
+  def runDaily(spark: SparkSession, config: Map[String, String], sink: Sink,
+               today: LocalDate): Long = {
+    val Period(start, end) = period(today)
+    val cosmosFeed = Tables.dayRangeScan(spark, config("bucket"), config("cosmos_system"), start, end)
+    val preVendaFeed = Tables.dayRangeScan(spark, config("bucket"), config("pre_venda_system"), start, end)
+    val cupom = SuperDesconto.cupom(cosmosFeed, preVendaFeed)
+    val autorizador = SuperDesconto.autorizador(Tables.pathScan(spark, config("autorizacao")))
+    val produto = SuperDesconto.produto(Tables.pathScan(spark, config("produto")))
+    val flagship = SuperDesconto.flagship(cupom, autorizador, produto)
+    sink.mergeByKey(flagship, Seq("etiqueta"))
+  }
+
+  /** EP2: the monthly ressarcimento refresh — one job per year since 2023,
+    * replace on the first year then append, skipping empty years
+    * (`etl_job.py:89-114`). Returns rows written per year. */
+  def runRessarcimento(spark: SparkSession, config: Map[String, String], sink: Sink,
+                       today: LocalDate, firstYear: Int = 2023): Map[Int, Long] = {
+    if (!ressarcimentoDue(today)) return Map.empty
+    val sources = ConfigSources.ressarcimento(spark, config)
+    ressarcimentoYears(today, firstYear).flatMap { year =>
+      val df: DataFrame = SchemaCasts.castDecimalDouble(Ressarcimento.mainView(sources, year))
+      // The reference writes nothing for an empty year (etl_job.py:102-114),
+      // and the replace-vs-append choice stays tied to the first year.
+      if (df.isEmpty) None
+      else {
+        val mode = if (year == firstYear) WriteMode.Replace else WriteMode.Append
+        Some(year -> sink.write(df, mode))
+      }
+    }.toMap
+  }
+}

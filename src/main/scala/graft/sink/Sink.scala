@@ -1,0 +1,72 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink contract (K2-K4 of SURVEY.md §2.2).
+  *
+  * The reference collects to the driver and hands pandas frames to an
+  * Athena/Iceberg client (`etl_job.py:68,78-85,104-110`) — its main
+  * scalability anti-pattern. Here the write stays distributed; the trait is
+  * shaped so an Iceberg `MERGE INTO` / `writeTo` implementation slots in
+  * unchanged on a real catalog.
+  */
+sealed trait WriteMode
+object WriteMode {
+  /** K3 `if_exists="replace"`. */ case object Replace extends WriteMode
+  /** K3 `if_exists="append"`. */ case object Append extends WriteMode
+}
+
+trait Sink {
+  /** K2: keyed upsert (Iceberg `MERGE INTO t USING s ON <keys> WHEN MATCHED
+    * UPDATE * WHEN NOT MATCHED INSERT *`, reference predicate
+    * `t.etiqueta = s.etiqueta`, `etl_job.py:83`). Returns the incoming row
+    * count (K4 observability). */
+  def mergeByKey(incoming: DataFrame, keys: Seq[String]): Long
+
+  /** K3: replace or append. Returns the written row count (K4). */
+  def write(incoming: DataFrame, mode: WriteMode): Long
+}
+
+/** Offline parquet-backed sink: merge = anti-join existing on the keys,
+  * union the incoming, atomically swap directories. Distributed end to end
+  * (no driver collect); the anti-join shuffles on the merge keys only.
+  */
+final class ParquetSink(spark: SparkSession, path: String) extends Sink {
+
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists: Boolean = fs.exists(new Path(path))
+
+  def read(): DataFrame = spark.read.parquet(path)
+
+  /** Write `df` to a temp dir next to `path`, then swap — required because
+    * the merge plan reads the same files it replaces. */
+  private def writeSwap(df: DataFrame): Long = {
+    val obs = Observation()
+    val tmp = path + "__graft_tmp"
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(tmp)
+    val p = new Path(path)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(new Path(tmp), p)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  override def mergeByKey(incoming: DataFrame, keys: Seq[String]): Long = {
+    val merged =
+      if (!exists) incoming
+      else read().join(incoming, keys, "left_anti").unionByName(incoming)
+    writeSwap(merged)
+  }
+
+  override def write(incoming: DataFrame, mode: WriteMode): Long = mode match {
+    case WriteMode.Replace => writeSwap(incoming)
+    case WriteMode.Append =>
+      val obs = Observation()
+      incoming.observe(obs, count(lit(1)).as("rows"))
+        .write.mode("append").parquet(path)
+      obs.get("rows").asInstanceOf[Long]
+  }
+}

@@ -21,6 +21,12 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** S1/S4: schema-inferred scan of an arbitrary configured path. */
+  def pathScan(spark: SparkSession, path: String): DataFrame = {
+    GraftSession.applyDefaults(spark)
+    spark.read.parquet(path)
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
     * long (nanosAsLong). Convert ns → µs → TimestampNTZ here, once, so the
     * rest of the engine sees a normal NTZ column (the data is µs-resolution;
