@@ -1,0 +1,151 @@
+package graft.llmdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for corpus curation: exact, n-gram Jaccard
+  * (inverted index), MinHash+LSH, and SimHash. None of them ever builds an
+  * all-pairs product — every candidate generation is a bucket join
+  * (shingle, LSH band, or SimHash chunk), which is the only shape that
+  * survives 100 TB.
+  */
+object DocDedup {
+  import TextPrimitives._
+
+  /** Exact dedup (hash-groupBy): one row per distinct text, keeping the
+    * smallest doc_id as the canonical copy. Single hash-shuffle on the text
+    * (Spark partitions by the string's hash; only group sizes matter, so
+    * skew is bounded by the duplication factor). */
+  def exact(documents: DataFrame): DataFrame =
+    documents.groupBy(col("text"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** Near-dup pairs by exact word-k-gram Jaccard, computed with an inverted
+    * index: explode distinct shingles, self-join on the shingle (bucket
+    * join — only docs sharing a shingle ever meet), count common shingles
+    * per pair, then J = common / (|A| + |B| - common).
+    *
+    * Scale notes: the shuffle key is the shingle; a stopword-like shingle
+    * shared by k docs contributes k² pair rows, so production runs should
+    * cap document frequency (drop shingles with df > ~1e4) — left out here
+    * to keep oracle parity. The per-pair groupBy is the second and last
+    * shuffle. */
+  def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
+      .select(col("doc_id"), col("__sh"))
+    val posting = sh.select(col("doc_id"), explode(col("__sh")).as("shingle"))
+    val sizes = sh.select(col("doc_id"), size(col("__sh")).as("n_sh"))
+    val common = posting.as("a")
+      .join(posting.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "id_a", "n_sh" -> "sz_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "id_b", "n_sh" -> "sz_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash permutation parameters: sig_i(doc) = min over shingle hashes h
+    * of (a_i*h + b_i) mod P. 16 signatures in 4 bands of 4 → candidate
+    * recall ~ J^4 per band; at J=0.7 overall recall ≈ 0.76, at J=0.9 ≈ 0.99.
+    * Constants are arbitrary odd/prime-ish values, fixed so the DuckDB
+    * oracle reproduces the signatures bit-for-bit. */
+  val MinHashAB: Seq[(Long, Long)] = Seq(
+    (387L, 12553L), (1031L, 92837L), (2693L, 5171L), (4621L, 3359L),
+    (6151L, 7699L), (8117L, 263L), (10243L, 90749L), (12289L, 4349L),
+    (14341L, 65537L), (16411L, 11261L), (18427L, 557L), (20483L, 80021L),
+    (22531L, 9619L), (24593L, 36341L), (26641L, 709L), (28657L, 52361L))
+
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** Spark SQL for the 16-slot MinHash signature array over a shingle-hash
+    * array column. */
+  def sparkSignature(hashArr: String): String =
+    MinHashAB.map { case (a, b) =>
+      s"array_min(transform($hashArr, h -> (${a}L * h + ${b}L) % $P))"
+    }.mkString("array(", ", ", ")")
+
+  def duckSignature(hashArr: String): String =
+    MinHashAB.map { case (a, b) =>
+      s"list_min(list_transform($hashArr, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+
+  /** MinHash+LSH near-dup pairs: per-doc signature (pure projection, no
+    * shuffle), explode the 4 band keys, bucket-join on (band, key), then
+    * verify every candidate pair with exact shingle Jaccard and keep
+    * J >= threshold. The verification join is by doc_id against the
+    * pre-computed shingle arrays — candidates are rare, so that join is
+    * cheap; the heavy data (shingle arrays) is never exploded twice. */
+  def minhashLshPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
+      .select(col("doc_id"), col("__sh"))
+    val sig = sh
+      .withColumn("__h", sparkPolyHashArray("__sh"))
+      .withColumn("__sig", expr(sparkSignature("__h")))
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), b -> array_join(transform(slice(__sig, b * $RowsPerBand + 1, $RowsPerBand), x -> CAST(x AS STRING)), '_'))")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash: 32-bit fingerprint — bit j is set when more distinct tokens
+    * have bit j set in their hash than not. Entirely per-row (aggregate
+    * lambdas over the token-hash array — no shuffle), then near-dup pairs
+    * via the pigeonhole bucket join: hamming(a,b) <= 3 implies at least one
+    * of the 4 bytes is identical, so candidates come from joining on
+    * (byte_index, byte_value) and are then exact-filtered on bit_count. */
+  def simhashFingerprints(documents: DataFrame): DataFrame = {
+    val bitsum = (0 until 32).map { j =>
+      s"aggregate(__h, 0L, (s, h) -> s + CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)"
+    }
+    val fp = bitsum.zipWithIndex
+      .map { case (b, j) => s"CASE WHEN ($b) > 0 THEN ${1L << j}L ELSE 0L END" }
+      .mkString(" + ")
+    documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__h", expr(s"array_distinct(${sparkPolyHashArraySql("__words")})"))
+      .select(col("doc_id"), expr(fp).as("simhash"))
+  }
+
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(documents)
+    val chunks = fp.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 8)) & 255)")))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.llmdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document corpus: token counting, quality
+  * scoring, language identification, document fingerprinting.
+  *
+  * All four are single-pass narrow projections (no shuffle, no UDFs — only
+  * codegen'd built-ins and higher-order array functions), so at 100 TB they
+  * cost exactly one scan and parallelize per input split. Column pruning
+  * keeps the parquet reader on `(doc_id, text)`.
+  */
+object TextAnalysis {
+  import TextPrimitives._
+
+  /** BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
+    * marks — the shape GPT-style byte-pair pre-splitting produces. Same
+    * semantics under Java regex (Spark) and RE2 (DuckDB). */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Stopword lists driving [[langId]] and the quality score's stopword
+    * ratio. Deterministic heuristic n-gram/stopword language ID — the
+    * standard cheap first-pass filter in corpus pipelines. */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "zh" -> Seq())
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Per-language token-hit-count SQL (Spark == DuckDB for these exprs,
+    * modulo the size/len alias handled by the caller). `zh` scores CJK
+    * characters instead of stopwords (no whitespace tokenization there). */
+  def langScoreSpark(lang: String, words: String, text: String): String =
+    StopWords.toMap.apply(lang) match {
+      case Seq() => s"size(filter(split($text, ''), ch -> ch >= '一' AND ch <= '鿿'))"
+      case ws    => s"size(filter($words, w -> lower(w) IN ${inList(ws)}))"
+    }
+
+  def langScoreDuck(lang: String, words: String, text: String): String =
+    StopWords.toMap.apply(lang) match {
+      case Seq() => s"len(list_filter(string_split($text, ''), ch -> ch >= '一' AND ch <= '鿿'))"
+      case ws    => s"len(list_filter($words, w -> lower(w) IN ${inList(ws)}))"
+    }
+
+  /** Token statistics: whitespace token count, BPE-ish subword count, chars
+    * per token. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("__words", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("__words")).cast("bigint").as("ws_tokens"),
+        regexp_count(col("text"), lit(BpePattern)).cast("bigint").as("bpe_tokens"),
+        round(length(col("text")).cast("double") / size(col("__words")), 6).as("chars_per_token"))
+
+  /** Quality signals: length, punctuation density, stopword ratio, mean word
+    * length, and a composite score in [0,1] — the usual cheap pre-filter for
+    * corpus curation (drop too-short / too-punctuated / stopword-free junk). */
+  def quality(documents: DataFrame): DataFrame = {
+    val en = StopWords.toMap.apply("en")
+    documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("n_tokens", size(col("__words")).cast("bigint"))
+      .withColumn("punct_ratio",
+        round(regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / greatest(length(col("text")), lit(1)), 6))
+      .withColumn("stop_ratio",
+        round(expr(s"size(filter(__words, w -> lower(w) IN ${inList(en)}))").cast("double") / greatest(col("n_tokens"), lit(1)), 6))
+      .withColumn("mean_word_len",
+        round(expr("aggregate(__words, 0L, (s, w) -> s + length(w))").cast("double") / greatest(col("n_tokens"), lit(1)), 6))
+      .withColumn("quality_score",
+        round(
+          least(col("n_tokens").cast("double") / lit(64.0), lit(1.0)) * lit(0.4)
+            + least(col("stop_ratio") * lit(4.0), lit(1.0)) * lit(0.3)
+            + (lit(1.0) - least(col("punct_ratio") * lit(5.0), lit(1.0))) * lit(0.3), 6))
+      .select("doc_id", "n_tokens", "punct_ratio", "stop_ratio", "mean_word_len", "quality_score")
+  }
+
+  /** Language ID: argmax of per-language stopword/CJK hit counts, ties
+    * broken by fixed language order (en, de, es, fr, zh), `und` when no
+    * signal at all. */
+  def langId(documents: DataFrame): DataFrame = {
+    val scored = documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumns(StopWords.map { case (l, _) =>
+        s"s_$l" -> expr(langScoreSpark(l, "__words", "text"))
+      }.toMap)
+    val best = greatest(StopWords.map { case (l, _) => col(s"s_$l") }: _*)
+    // First language (in declared order) hitting the max wins — mirrors the
+    // oracle's CASE chain exactly.
+    val ordered = StopWords.foldRight(lit("und")) { case ((l, _), e) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(e)
+    }
+    scored
+      .withColumn("lang_guess", ordered)
+      .select(col("doc_id"), col("lang").as("lang_label"), col("lang_guess"),
+        when(col("lang") === col("lang_guess"), lit(1)).otherwise(lit(0)).as("agree"))
+  }
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over the
+    * token hashes — a compact per-doc identity for exact-dup detection and
+    * incremental re-crawl diffing. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__th", sparkPolyHashArray("__words"))
+      .select(col("doc_id"),
+        expr(s"aggregate(__th, 0L, (h, c) -> (h * 37 + c) % $P)").as("fingerprint"))
+}

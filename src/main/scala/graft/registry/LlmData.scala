@@ -1,0 +1,186 @@
+package graft.registry
+
+import graft.llmdata.{DocDedup, Multimodal, Similarity, TextAnalysis, TextPrimitives}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Harness registration for the LLM-training-data operators over the
+  * `documents` / `embeddings` fixture tables.
+  *
+  * Every oracle below recomputes the SAME deterministic math (polynomial
+  * hashes, MinHash permutations, LSH planes, cosine formulas) in DuckDB
+  * SQL, so even the sketch-based operators get full hash-compared
+  * correctness rows — except `e_lsh_topk`, whose candidate set is
+  * approximate by design and is graded by recall against `e_topk` in the
+  * test suite instead (registered rows-only).
+  */
+object LlmData {
+  import TextPrimitives._
+  import TextAnalysis.{langScoreDuck, BpePattern, StopWords}
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---- Spark side --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_tokens" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
+    "t_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
+    "t_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
+    "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "d_exact" -> ((s, d) => DocDedup.exact(docs(s, d))),
+    "d_ngram" -> ((s, d) => DocDedup.ngramJaccardPairs(docs(s, d))),
+    "d_minhash" -> ((s, d) => DocDedup.minhashLshPairs(docs(s, d))),
+    "d_simhash" -> ((s, d) => DocDedup.simhashPairs(docs(s, d))),
+    "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
+    "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
+    "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
+    "m_meta" -> ((s, d) => Multimodal.decodeMeta(s, docs(s, d)).toDF()),
+    "m_frames" -> ((s, d) => Multimodal.sampleFrames(s, docs(s, d))))
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private val words = duckWords("text")
+  private val wordsCte = s"w AS (SELECT doc_id, lang, text, $words AS words FROM documents)"
+  private val shinglesCte =
+    s"sh AS (SELECT doc_id, ${duckShingles("words", "text", 3)} AS s FROM w)"
+
+  private def enList = StopWords.toMap.apply("en").map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val tokensSql =
+    s"""WITH $wordsCte
+       |SELECT doc_id,
+       |  len(words) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(length(text) AS DOUBLE) / len(words), 6) AS chars_per_token
+       |FROM w""".stripMargin
+
+  private val qualitySql =
+    s"""WITH $wordsCte,
+       |q1 AS (SELECT doc_id, text, words, len(words) AS n_tokens FROM w),
+       |q2 AS (SELECT doc_id, n_tokens,
+       |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+       |  round(CAST(len(list_filter(words, x -> lower(x) IN $enList)) AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio,
+       |  round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(words, x -> CAST(length(x) AS BIGINT))), (s, c) -> s + c) AS DOUBLE) / greatest(n_tokens, 1), 6) AS mean_word_len
+       |FROM q1)
+       |SELECT doc_id, n_tokens, punct_ratio, stop_ratio, mean_word_len,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+       |      + least(stop_ratio * 4.0, 1.0) * 0.3
+       |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3, 6) AS quality_score
+       |FROM q2""".stripMargin
+
+  private val langidSql = {
+    val scores = StopWords.map { case (l, _) =>
+      s"${langScoreDuck(l, "words", "text")} AS s_$l"
+    }.mkString(", ")
+    val best = StopWords.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = StopWords.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH $wordsCte,
+       |sc AS (SELECT doc_id, lang, $scores FROM w),
+       |b AS (SELECT *, $best AS best FROM sc)
+       |SELECT doc_id, lang AS lang_label,
+       |  CASE $cases ELSE 'und' END AS lang_guess,
+       |  CASE WHEN lang = (CASE $cases ELSE 'und' END) THEN 1 ELSE 0 END AS agree
+       |FROM b""".stripMargin
+  }
+
+  private val fingerprintSql =
+    s"""WITH $wordsCte
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), ${duckPolyHashArray("words")}), (h, c) -> (h * 37 + c) % $P) AS fingerprint
+       |FROM w""".stripMargin
+
+  private val exactSql =
+    """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+
+  private val ngramSql =
+    s"""WITH $wordsCte, $shinglesCte,
+       |posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS common
+       |  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+       |FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id JOIN sizes sb ON pairs.id_b = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5""".stripMargin
+
+  private val minhashSql = {
+    val bandKey = s"array_to_string(list_slice(sig, band * ${DocDedup.RowsPerBand} + 1, band * ${DocDedup.RowsPerBand} + ${DocDedup.RowsPerBand}), '_')"
+    s"""WITH $wordsCte, $shinglesCte,
+       |sig AS (SELECT doc_id, s, ${DocDedup.duckSignature(duckPolyHashArray("s"))} AS sig FROM sh),
+       |bands AS (SELECT doc_id, band, $bandKey AS band_key
+       |          FROM sig, (SELECT unnest(range(0, ${DocDedup.Bands})) AS band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+       |      / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 6) AS jaccard
+       |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  private val simhashSql = {
+    val bitsum = (j: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), hs), (s, h) -> s + CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)"
+    val fp = (0 until 32)
+      .map(j => s"CASE WHEN (${bitsum(j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $wordsCte,
+       |h AS (SELECT doc_id, list_distinct(${duckPolyHashArray("words")}) AS hs FROM w),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM h),
+       |chunks AS (SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 8)) & 255 AS chunk_val
+       |           FROM fp, (SELECT unnest(range(0, 4)) AS c)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+       |         FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
+  }
+
+  private val topkSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |s AS (SELECT query_id, e.vec_id AS nn_id, ${Similarity.duckCosine("qv", "e.embedding")} AS cos
+       |      FROM q, embeddings e WHERE e.vec_id != query_id),
+       |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM s)
+       |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
+
+  private val neardupSql =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${Similarity.duckCosine("a.embedding", "b.embedding")} >= 0.4""".stripMargin
+
+  private val metaSql =
+    """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
+      |SELECT doc_id, 'image/fake' AS media_type, n AS byte_len,
+      |  1 + n % 640 AS width, 1 + (n * 7) % 480 AS height, CAST(3 AS BIGINT) AS channels,
+      |  (n * 2654435761) % 4294967296 AS checksum
+      |FROM b""".stripMargin
+
+  private val framesSql =
+    """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+      |m AS (SELECT doc_id, n, (n * 2654435761) % 4294967296 AS checksum FROM b)
+      |SELECT doc_id, CAST(frame_off AS INT) AS frame_off,
+      |  (frame_off * 31 + checksum) % 4294967296 AS frame_sig
+      |FROM (SELECT doc_id, checksum, unnest(range(0, greatest(n, 1), 64)) AS frame_off FROM m) x""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "t_tokens" -> tokensSql,
+    "t_quality" -> qualitySql,
+    "t_langid" -> langidSql,
+    "t_fingerprint" -> fingerprintSql,
+    "d_exact" -> exactSql,
+    "d_ngram" -> ngramSql,
+    "d_minhash" -> minhashSql,
+    "d_simhash" -> simhashSql,
+    "e_topk" -> topkSql,
+    "e_neardup" -> neardupSql,
+    "m_meta" -> metaSql,
+    "m_frames" -> framesSql)
+}

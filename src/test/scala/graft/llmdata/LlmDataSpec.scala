@@ -1,0 +1,103 @@
+package graft.llmdata
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs: DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    d.cache(); d
+  }
+  private lazy val embs: DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    e.cache(); e
+  }
+
+  test("exact dedup keeps one row per distinct text, min doc_id") {
+    val in = Seq((1L, "a b"), (5L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = DocDedup.exact(in).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard finds identical docs with J=1 and no self/dup pairs") {
+    val in = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val rows = DocDedup.ngramJaccardPairs(in, 3, 0.5).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(1) == 2L)
+    assert(rows.head.getDouble(2) == 1.0)
+  }
+
+  test("minhash-LSH candidates contain every ngram-jaccard pair at J>=0.7 (fixture)") {
+    // At J>=0.7, 4 bands x 4 rows gives ~87% per-pair recall; on this
+    // fixture every high-J pair must survive (checked exactly).
+    val exact = DocDedup.ngramJaccardPairs(docs, 3, 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DocDedup.minhashLshPairs(docs, 3, 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (exact=${exact.size}, lsh=${lsh.size})")
+    assert(lsh.subsetOf(exact), "verified LSH pairs must all satisfy the exact threshold")
+  }
+
+  test("simhash identical docs collide, disjoint docs differ") {
+    val in = Seq((1L, "p q r s t"), (2L, "p q r s t"), (3L, "completely other vocabulary set"))
+      .toDF("doc_id", "text")
+    val fp = DocDedup.simhashFingerprints(in).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("LSH top-k recall vs brute force >= 0.5 at k=10") {
+    val exact = Similarity.bruteForceTopK(embs, 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(embs, 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // Near-random embeddings are the worst case for hyperplane LSH; the
+    // bucketed candidate set still has to recover a useful fraction.
+    assert(recall >= 0.5, s"LSH top-k recall $recall")
+  }
+
+  test("brute-force top-k is symmetric-safe: k rows per query, no self") {
+    val rows = Similarity.bruteForceTopK(embs, 4, 5).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    val ranks = rows.groupBy(_.getLong(0)).values.map(_.map(_.getLong(1)).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("langId picks declared-order language on ties and und on no signal") {
+    val in = Seq((1L, "the der xyzzy", "en"), (2L, "qqq www eee", "zh")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(in).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "en") // en ties de at 1 hit; declared order wins
+    assert(out(2L) == "und")
+  }
+
+  test("fingerprint is order-sensitive and whitespace-insensitive") {
+    val in = Seq((1L, "a b c"), (2L, "c b a"), (3L, "  a  b   c ")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(in).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) != fp(2L))
+    assert(fp(1L) == fp(3L))
+  }
+
+  test("multimodal decode plumbing: schema, determinism, frame sampling shape") {
+    val meta = Multimodal.decodeMeta(spark, docs).toDF()
+    assert(meta.columns.toSeq ==
+      Seq("doc_id", "media_type", "byte_len", "width", "height", "channels", "checksum"))
+    val m = meta.filter(col("doc_id") === 0).head()
+    val n = m.getAs[Long]("byte_len")
+    assert(m.getAs[Long]("width") == 1L + n % 640L)
+    assert(m.getAs[Long]("checksum") == (n * 2654435761L) % 4294967296L)
+    val frames = Multimodal.sampleFrames(spark, docs, 64)
+    val f0 = frames.filter(col("doc_id") === 0).count()
+    assert(f0 == (n - 1) / 64 + 1)
+  }
+}
