@@ -36,7 +36,12 @@ object DocDedup {
       .withColumn("__words", tokens(col("text")))
       .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
       .select(col("doc_id"), col("__sh"))
-    val posting = sh.select(col("doc_id"), explode(col("__sh")).as("shingle"))
+    // Join on the shingle's polynomial hash (BIGINT) instead of the string:
+    // far less shuffle volume at corpus scale. A cross-doc hash collision
+    // would overcount `common` by 1 — probability ~(shingles²/2)/1e9, and
+    // the oracle hashes identically so parity always holds.
+    val posting = sh
+      .select(col("doc_id"), explode(sparkPolyHashArray("__sh")).as("shingle"))
     val sizes = sh.select(col("doc_id"), size(col("__sh")).as("n_sh"))
     val common = posting.as("a")
       .join(posting.as("b"),
@@ -119,17 +124,26 @@ object DocDedup {
     * of the 4 bytes is identical, so candidates come from joining on
     * (byte_index, byte_value) and are then exact-filtered on bit_count. */
   def simhashFingerprints(documents: DataFrame): DataFrame = {
-    val bitsum = (0 until 32).map { j =>
-      s"aggregate(__h, 0L, (s, h) -> s + CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)"
-    }
-    val fp = bitsum.zipWithIndex
-      .map { case (b, j) => s"CASE WHEN ($b) > 0 THEN ${1L << j}L ELSE 0L END" }
-      .mkString(" + ")
+    // One-pass codegen'd fingerprint (graft.functions.ArraySimhash32) —
+    // semantically identical to 32 per-bit aggregate() lambdas, ~30× less
+    // array traversal per row.
+    graft.functions.VectorExprs.register(documents.sparkSession)
     documents
       .withColumn("__words", tokens(col("text")))
       .withColumn("__h", expr(s"array_distinct(${sparkPolyHashArraySql("__words")})"))
-      .select(col("doc_id"), expr(fp).as("simhash"))
+      .select(col("doc_id"), expr("simhash32(__h)").as("simhash"))
   }
+
+  /** SimHash dedup groups: exact-fingerprint buckets with a canonical doc
+    * (min id) — the linear-output curation product. Use [[simhashPairs]]
+    * for the hamming-window pair form; on corpora with a tiny shared
+    * vocabulary (like the synthetic fixture) the pair set is quadratically
+    * degenerate (~5M pairs from 5k docs), while groups stay O(docs). */
+  def simhashGroups(documents: DataFrame): DataFrame =
+    simhashFingerprints(documents)
+      .groupBy(col("simhash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_docs"))
+      .select("doc_id", "simhash", "n_docs")
 
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = simhashFingerprints(documents)
@@ -137,15 +151,16 @@ object DocDedup {
       col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 8)) & 255)")))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    // Hamming-filter BEFORE the distinct: the bucket join can emit the same
+    // candidate pair up to 4×, and far more non-pairs — filtering first
+    // keeps the distinct's shuffle to the (small) result set.
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 }

@@ -33,7 +33,7 @@ object LlmData {
     "d_exact" -> ((s, d) => DocDedup.exact(docs(s, d))),
     "d_ngram" -> ((s, d) => DocDedup.ngramJaccardPairs(docs(s, d))),
     "d_minhash" -> ((s, d) => DocDedup.minhashLshPairs(docs(s, d))),
-    "d_simhash" -> ((s, d) => DocDedup.simhashPairs(docs(s, d))),
+    "d_simhash" -> ((s, d) => DocDedup.simhashGroups(docs(s, d))),
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
@@ -100,7 +100,7 @@ object LlmData {
 
   private val ngramSql =
     s"""WITH $wordsCte, $shinglesCte,
-       |posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |posting AS (SELECT doc_id, unnest(${duckPolyHashArray("s")}) AS shingle FROM sh),
        |sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS common
@@ -135,26 +135,28 @@ object LlmData {
       .mkString(" + ")
     s"""WITH $wordsCte,
        |h AS (SELECT doc_id, list_distinct(${duckPolyHashArray("words")}) AS hs FROM w),
-       |fp AS (SELECT doc_id, $fp AS simhash FROM h),
-       |chunks AS (SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 8)) & 255 AS chunk_val
-       |           FROM fp, (SELECT unnest(range(0, 4)) AS c)),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
-       |         FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
+       |fp AS (SELECT doc_id, $fp AS simhash FROM h)
+       |SELECT min(doc_id) AS doc_id, simhash, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM fp GROUP BY simhash""".stripMargin
   }
 
+  private val normCte =
+    """n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings),
+      |n2 AS (SELECT vec_id, ed, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ed, v -> v * v)), (s, v) -> s + v)) AS nrm FROM n)""".stripMargin
+
   private val topkSql =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-       |s AS (SELECT query_id, e.vec_id AS nn_id, ${Similarity.duckCosine("qv", "e.embedding")} AS cos
-       |      FROM q, embeddings e WHERE e.vec_id != query_id),
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS query_id, ed AS qv, nrm AS qn FROM n2 WHERE vec_id < 8),
+       |s AS (SELECT query_id, e.vec_id AS nn_id, ${Similarity.duckCosPre("qv", "e.ed", "qn", "e.nrm")} AS cos
+       |      FROM q, n2 e WHERE e.vec_id != query_id),
        |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM s)
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
 
   private val neardupSql =
-    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       |WHERE ${Similarity.duckCosine("a.embedding", "b.embedding")} >= 0.4""".stripMargin
+    s"""WITH $normCte
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+       |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
 
   private val metaSql =
     """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
