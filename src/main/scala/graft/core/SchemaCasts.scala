@@ -35,11 +35,20 @@ object SchemaCasts {
   }
 
   /** Exact, order-independent sum of a floating-point measure: accumulate in
-    * DECIMAL(38,6) (exact, associative) and surface as Double. A raw
+    * DECIMAL(38,12) (exact, associative) and surface as Double. A raw
     * `sum(double)` depends on partition/merge order, which breaks
     * reproducibility across runs, cluster sizes, and engines; at 1000
     * executors the reduction order is never the same twice. Costs one extra
     * cast inside the (still hash-based, partial+final) aggregate.
+    *
+    * Trade-offs (documented, not hidden): inputs are rounded to 12
+    * fractional digits (HALF_UP) before accumulating, and the integer part
+    * caps at 1e26 before overflow-to-null — both far beyond any monetary
+    * measure. This is an opt-in alternative to the reference's raw
+    * `sum(double)` (`utils_ressarcimento.py:125,183`): the registered
+    * pipeline queries keep raw sums for reference parity (the fixture
+    * measures are integer-valued, so both forms agree there); use this when
+    * run-to-run byte-stability matters more than the last float ulp.
     */
-  def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+  def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
 }

@@ -1,0 +1,61 @@
+package graft.core
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("top1PerKey keeps exactly the argmax row, deterministically on ties") {
+    val df = Seq(
+      ("k1", 1, "a"), ("k1", 3, "b"), ("k1", 3, "a"),
+      ("k2", 7, "z")).toDF("k", "v", "p")
+    val out = Dedup.top1PerKey(df, Seq("k"), Seq(col("v").desc, col("p").asc))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(out == Set(("k1", 3, "a"), ("k2", 7, "z")))
+  }
+
+  test("top1PerKey does not clobber a pre-existing __graft_rn column") {
+    val df = Seq(("k", 1, 99L), ("k", 2, 98L)).toDF("k", "v", "__graft_rn")
+    val out = Dedup.top1PerKey(df, Seq("k"), Seq(col("v").desc))
+    assert(out.columns.toSeq == Seq("k", "v", "__graft_rn"))
+    assert(out.head().getLong(2) == 98L)
+  }
+
+  test("castDecimalDouble converts every decimal column and leaves others") {
+    val df = Seq((1L, BigDecimal("12.34"), "s")).toDF("id", "d", "s")
+    val out = SchemaCasts.castDecimalDouble(df)
+    assert(out.schema("d").dataType == DoubleType)
+    assert(out.schema("id").dataType == LongType)
+    assert(out.head().getDouble(1) == 12.34)
+  }
+
+  test("fillFloatNulls zeroes only float/double nulls") {
+    val df = Seq((1L, Some(1.5), Some("x")), (2L, None, None))
+      .toDF("id", "d", "s")
+    val out = SchemaCasts.fillFloatNulls(df).orderBy("id").collect()
+    assert(out(1).getDouble(1) == 0.0)
+    assert(out(1).isNullAt(2)) // strings untouched
+  }
+
+  test("exactSum is exact and order-independent for monetary values") {
+    val vals = Seq(0.1, 0.2, 0.3, 1e10, -1e10, 0.4)
+    val a = vals.toDF("v").repartition(7).agg(SchemaCasts.exactSum(col("v"))).head().getDouble(0)
+    val b = vals.reverse.toDF("v").repartition(3).agg(SchemaCasts.exactSum(col("v"))).head().getDouble(0)
+    assert(a == b)
+    assert(a == 1.0)
+  }
+
+  test("session pins are effective after applyDefaults") {
+    GraftSession.Pins.foreach { case (k, v) =>
+      assert(spark.conf.get(k) == v, s"pin $k")
+    }
+    // non-ANSI /0 -> NULL (all numeric types) is what the pro-rata
+    // expression relies on (utils_ressarcimento.py:250-254)
+    assert(Seq(1.0).toDF("x").select(col("x") / lit(0.0)).head().isNullAt(0))
+    assert(Seq(1).toDF("x").select(col("x") / lit(0)).head().isNullAt(0))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.job
+
+import graft.TestSpark
+import graft.sink.{ParquetSink, WriteMode}
+import java.nio.file.Files
+import java.time.LocalDate
+import org.scalatest.funsuite.AnyFunSuite
+
+class JobSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Runner period math (reference etl_job.py:89-95,121-125) ----------
+
+  test("period: first of month normally, previous month in the first 5 days") {
+    assert(Runner.period(LocalDate.of(2026, 8, 12)) ==
+      Runner.Period(LocalDate.of(2026, 8, 1), LocalDate.of(2026, 8, 12)))
+    assert(Runner.period(LocalDate.of(2026, 8, 5)) ==
+      Runner.Period(LocalDate.of(2026, 7, 1), LocalDate.of(2026, 8, 5)))
+    // year boundary
+    assert(Runner.period(LocalDate.of(2026, 1, 3)) ==
+      Runner.Period(LocalDate.of(2025, 12, 1), LocalDate.of(2026, 1, 3)))
+  }
+
+  test("ressarcimento gate and year loop") {
+    assert(Runner.ressarcimentoDue(LocalDate.of(2026, 8, 5)))
+    assert(!Runner.ressarcimentoDue(LocalDate.of(2026, 8, 6)))
+    assert(Runner.ressarcimentoYears(LocalDate.of(2026, 8, 1)) == (2023 to 2026))
+  }
+
+  // ---- ParquetSink (K2/K3/K4, reference etl_job.py:78-85,104-110) -------
+
+  private def freshPath(): String =
+    Files.createTempDirectory("graft_sink").resolve("t").toString
+
+  test("mergeByKey inserts then upserts; second identical merge is idempotent") {
+    val path = freshPath()
+    val sink = new ParquetSink(spark, path)
+    val day1 = Seq(("e1", 10.0), ("e2", 20.0)).toDF("etiqueta", "v")
+    assert(sink.mergeByKey(day1, Seq("etiqueta")) == 2L)
+    // overlapping second batch: e2 updated, e3 inserted
+    val day2 = Seq(("e2", 25.0), ("e3", 30.0)).toDF("etiqueta", "v")
+    sink.mergeByKey(day2, Seq("etiqueta"))
+    val got = sink.read().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("e1" -> 10.0, "e2" -> 25.0, "e3" -> 30.0))
+    // idempotence
+    sink.mergeByKey(day2, Seq("etiqueta"))
+    assert(sink.read().count() == 3L)
+  }
+
+  test("write replace then append accumulates") {
+    val path = freshPath()
+    val sink = new ParquetSink(spark, path)
+    assert(sink.write(Seq((2023, 1.0)).toDF("ano", "v"), WriteMode.Replace) == 1L)
+    assert(sink.write(Seq((2024, 2.0)).toDF("ano", "v"), WriteMode.Append) == 1L)
+    assert(sink.read().count() == 2L)
+    assert(sink.write(Seq((2023, 9.0)).toDF("ano", "v"), WriteMode.Replace) == 1L)
+    assert(sink.read().count() == 1L)
+  }
+}
