@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd dot product over two `array<double>` columns.
   *
@@ -130,6 +131,126 @@ case class ArraySimhash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static hash kernels shared by the expressions below and callable from
+  * generated code (codegen emits fully-qualified static calls). */
+object HashKernels {
+  final val P = 1000000007L
+
+  /** Polynomial rolling hash over Unicode code points:
+    * `h := (h*31 + cp) mod P` — bit-identical to the SQL lambda form
+    * (`aggregate(transform(sequence(1, length(w)), i -> ascii(substring(w, i, 1))), ...)`)
+    * and to DuckDB's `list_reduce` twin for all BMP+ text. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** MinHash permutation parameters (16 signatures). Referenced by both the
+    * [[MinHashSigs]] expression and the DuckDB oracle builder so the two
+    * engines always agree. */
+  val MinHashA: Array[Long] = Array(
+    387L, 1031L, 2693L, 4621L, 6151L, 8117L, 10243L, 12289L,
+    14341L, 16411L, 18427L, 20483L, 22531L, 24593L, 26641L, 28657L)
+  val MinHashB: Array[Long] = Array(
+    12553L, 92837L, 5171L, 3359L, 7699L, 263L, 90749L, 4349L,
+    65537L, 11261L, 557L, 80021L, 9619L, 36341L, 709L, 52361L)
+
+  /** 16-slot MinHash signature over an array of shingle hashes, one pass:
+    * sig_i = min over h of (a_i*h + b_i) mod P. Empty input → all-P
+    * sentinel (matches `list_min` over empty → NULL never occurs because
+    * shingle arrays are non-empty by construction). */
+  def minhashSigs(hashes: ArrayData): Array[Long] = {
+    val n = hashes.numElements()
+    val sig = Array.fill(16)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var p = 0
+      while (p < 16) {
+        val v = (MinHashA(p) * h + MinHashB(p)) % P
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+/** Codegen'd per-element polynomial hash: `array<string>` → `array<bigint>`.
+  * Replaces the interpreted nested `transform(w, aggregate(...))` lambdas
+  * that every text operator (shingling, fingerprint, simhash, minhash) runs
+  * per token. */
+case class ArrayPolyHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"poly_hash_array requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poly_hash_array"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = HashKernels.polyHash(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $out = new long[$arr.numElements()];
+         |for (int $i = 0; $i < $out.length; $i++) {
+         |  $out[$i] = graft.functions.HashKernels.polyHash($arr.getUTF8String($i));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass 16-slot MinHash signature: `array<bigint>` →
+  * `array<bigint>`. Replaces 16 interpreted `array_min(transform(...))`
+  * lambdas (16 passes over the shingle hashes per row). */
+case class MinHashSigs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sigs requires array<bigint>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(HashKernels.minhashSigs(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashKernels.minhashSigs($arr));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Registers `array_dot` in the session's function registry so plans can
     * use it via `expr("array_dot(a, b)")`. Idempotent. */
@@ -142,5 +263,13 @@ object VectorExprs {
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[ArraySimhash32].getName, "simhash32"),
       (children: Seq[Expression]) => ArraySimhash32(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("poly_hash_array"),
+      new ExpressionInfo(classOf[ArrayPolyHash].getName, "poly_hash_array"),
+      (children: Seq[Expression]) => ArrayPolyHash(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => MinHashSigs(children.head))
   }
 }

@@ -32,6 +32,7 @@ object DocDedup {
     * to keep oracle parity. The per-pair groupBy is the second and last
     * shuffle. */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    graft.functions.VectorExprs.register(documents.sparkSession)
     val sh = documents
       .withColumn("__words", tokens(col("text")))
       .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
@@ -60,23 +61,18 @@ object DocDedup {
   /** MinHash permutation parameters: sig_i(doc) = min over shingle hashes h
     * of (a_i*h + b_i) mod P. 16 signatures in 4 bands of 4 → candidate
     * recall ~ J^4 per band; at J=0.7 overall recall ≈ 0.76, at J=0.9 ≈ 0.99.
-    * Constants are arbitrary odd/prime-ish values, fixed so the DuckDB
-    * oracle reproduces the signatures bit-for-bit. */
-  val MinHashAB: Seq[(Long, Long)] = Seq(
-    (387L, 12553L), (1031L, 92837L), (2693L, 5171L), (4621L, 3359L),
-    (6151L, 7699L), (8117L, 263L), (10243L, 90749L), (12289L, 4349L),
-    (14341L, 65537L), (16411L, 11261L), (18427L, 557L), (20483L, 80021L),
-    (22531L, 9619L), (24593L, 36341L), (26641L, 709L), (28657L, 52361L))
+    * Constants live in [[graft.functions.HashKernels]] (shared with the
+    * codegen'd signature expression) so the DuckDB oracle reproduces the
+    * signatures bit-for-bit. */
+  def MinHashAB: Seq[(Long, Long)] =
+    graft.functions.HashKernels.MinHashA.zip(graft.functions.HashKernels.MinHashB).toSeq
 
   val Bands = 4
   val RowsPerBand = 4
 
   /** Spark SQL for the 16-slot MinHash signature array over a shingle-hash
-    * array column. */
-  def sparkSignature(hashArr: String): String =
-    MinHashAB.map { case (a, b) =>
-      s"array_min(transform($hashArr, h -> (${a}L * h + ${b}L) % $P))"
-    }.mkString("array(", ", ", ")")
+    * array column (codegen'd one-pass [[graft.functions.MinHashSigs]]). */
+  def sparkSignature(hashArr: String): String = s"minhash_sigs($hashArr)"
 
   def duckSignature(hashArr: String): String =
     MinHashAB.map { case (a, b) =>
@@ -90,6 +86,7 @@ object DocDedup {
     * pre-computed shingle arrays — candidates are rare, so that join is
     * cheap; the heavy data (shingle arrays) is never exploded twice. */
   def minhashLshPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    graft.functions.VectorExprs.register(documents.sparkSession)
     val sh = documents
       .withColumn("__words", tokens(col("text")))
       .withColumn("__sh", expr(sparkShingles("__words", "text", k)))

@@ -104,10 +104,12 @@ object TextAnalysis {
   /** Document fingerprint: order-sensitive polynomial rolling hash over the
     * token hashes — a compact per-doc identity for exact-dup detection and
     * incremental re-crawl diffing. */
-  def fingerprint(documents: DataFrame): DataFrame =
+  def fingerprint(documents: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(documents.sparkSession)
     documents
       .withColumn("__words", tokens(col("text")))
       .withColumn("__th", sparkPolyHashArray("__words"))
       .select(col("doc_id"),
         expr(s"aggregate(__th, 0L, (h, c) -> (h * 37 + c) % $P)").as("fingerprint"))
+  }
 }

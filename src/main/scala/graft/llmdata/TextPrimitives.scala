@@ -39,9 +39,12 @@ object TextPrimitives {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($e) + 1), i -> CAST(ord($e[i]) AS BIGINT))), (h, c) -> (h * 31 + c) % $P)"
 
   /** Polynomial hash of each element of a string-array column, as
-    * `array<bigint>` (SQL string so callers can nest it). */
+    * `array<bigint>` (SQL string so callers can nest it). Uses the
+    * codegen'd [[graft.functions.ArrayPolyHash]] — callers must have run
+    * `VectorExprs.register` on the session; semantics are identical to the
+    * lambda form `transform(arr, w -> ${sparkPolyHash("w")})`. */
   def sparkPolyHashArraySql(arrCol: String): String =
-    s"transform($arrCol, w -> ${sparkPolyHash("w")})"
+    s"poly_hash_array($arrCol)"
 
   def sparkPolyHashArray(arrCol: String): Column = expr(sparkPolyHashArraySql(arrCol))
 
