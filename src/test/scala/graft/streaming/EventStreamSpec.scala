@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.TestSpark
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed revenue aggregates by tumbling window and type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.windowedRevenue(df)
+      .writeStream.format("memory").queryName("win_rev")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        (1L, ts(1), 1L, "buy", 10.0),
+        (2L, ts(4), 2L, "buy", 5.0),
+        (3L, ts(12), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_rev").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(rows == Set(
+        ("2026-01-01 10:00:00.0", "buy", 2L, 15.0),
+        ("2026-01-01 10:10:00.0", "view", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization closes a session after the gap and counts its events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.sessionize(spark, df)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 5 min apart (one session), then silence
+      mem.addData((1L, ts(0), 1L, "buy", 1.0), (2L, ts(5), 1L, "buy", 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the session gap so the timeout fires
+      mem.addData((9L, Timestamp.valueOf("2026-01-01 12:00:00"), 2L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData((10L, Timestamp.valueOf("2026-01-01 13:00:00"), 2L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      assert(rows.contains((1L, 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+}
