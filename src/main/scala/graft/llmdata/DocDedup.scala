@@ -27,11 +27,13 @@ object DocDedup {
     * per pair, then J = common / (|A| + |B| - common).
     *
     * Scale notes: the shuffle key is the shingle; a stopword-like shingle
-    * shared by k docs contributes k² pair rows, so production runs should
-    * cap document frequency (drop shingles with df > ~1e4) — left out here
-    * to keep oracle parity. The per-pair groupBy is the second and last
-    * shuffle. */
-  def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    * shared by k docs contributes k² pair rows. `maxDocFreq` caps that —
+    * shingles appearing in more docs are dropped from the index (they carry
+    * ~no discriminative signal but dominate pair volume). The default (0 =
+    * no cap) keeps exact oracle parity; production corpora should set it
+    * (~1e4). The per-pair groupBy is the second and last shuffle. */
+  def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Long = 0L): DataFrame = {
     graft.functions.VectorExprs.register(documents.sparkSession)
     val sh = documents
       .withColumn("__words", tokens(col("text")))
@@ -41,8 +43,19 @@ object DocDedup {
     // far less shuffle volume at corpus scale. A cross-doc hash collision
     // would overcount `common` by 1 — probability ~(shingles²/2)/1e9, and
     // the oracle hashes identically so parity always holds.
-    val posting = sh
+    val postingAll = sh
       .select(col("doc_id"), explode(sparkPolyHashArray("__sh")).as("shingle"))
+    val posting =
+      if (maxDocFreq <= 0L) postingAll
+      else {
+        // df-filter = one extra agg on the same shuffle key; note Jaccard
+        // then under-counts `common` for pairs sharing only capped shingles
+        // (sizes stay exact) — the standard recall/cost trade.
+        val frequent = postingAll.groupBy("shingle")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDocFreq)
+          .select("shingle")
+        postingAll.join(frequent, Seq("shingle"), "left_anti")
+      }
     val sizes = sh.select(col("doc_id"), size(col("__sh")).as("n_sh"))
     val common = posting.as("a")
       .join(posting.as("b"),
