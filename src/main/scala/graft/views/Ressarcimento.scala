@@ -179,14 +179,27 @@ object Ressarcimento {
     * requires non-ANSI mode, pinned in [[graft.core.GraftSession]]), then the
     * hand-rolled full-outer assembly: inner ⊎ anti ⊎ anti on `cnpj_forn_pai`
     * via `unionByName(allowMissingColumns=true)` (J6/O3), and a final
-    * null-fill of every float column (P8). */
-  def mainView(s: Sources, filterYear: Int): DataFrame = {
+    * null-fill of every float column (P8).
+    *
+    * `reuse` (default on) persists the diamond-shaped intermediates
+    * (`fornecedores`, the loss view, the credit view) with
+    * MEMORY_AND_DISK. The 3-branch assembly consumes each of them 2-3
+    * times, and Catalyst performs no common-subplan reuse across joins —
+    * unpersisted, the supplier-master multi-join re-executes ~6× (measured:
+    * 21 supplier scans, 0 reused exchanges in the final AQE plan). At 100 TB
+    * the cached views are orders of magnitude smaller than their inputs
+    * (year-filtered aggregates and a dim), so this is the right default;
+    * pass `reuse = false` for a purely declarative plan. */
+  def mainView(s: Sources, filterYear: Int, reuse: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def shared(df: DataFrame): DataFrame =
+      if (reuse) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     val dim = dimNamed(s.dimProduto)
-    val fornV = fornecedores(s.forn, s.aporteCab, s.aporteDet, s.dimProduto)
+    val fornV = shared(fornecedores(s.forn, s.aporteCab, s.aporteDet, s.dimProduto))
     val coleta = coletas(s.coletaCab, s.coletaDet, s.volumeTipo, filterYear)
     val cred = credito(s.negociacao, s.debito, s.pagamento, s.dimSap, s.forn, filterYear)
 
-    val colsView = coleta.as("c")
+    val colsView = shared(coleta.as("c")
       .join(dim.as("d"), col("c.cod_prod") === col("d.codigo_produto"))
       .join(fornV, Seq("cod_forn"))
       .selectExpr(
@@ -195,12 +208,12 @@ object Ressarcimento {
         "forn_nm",
         "cnpj_forn_pai",
         "d.fornecedor_comercial as forn_comercial",
-        "sum(perdas) over(partition by cnpj_forn_pai) as grupo_perda")
+        "sum(perdas) over(partition by cnpj_forn_pai) as grupo_perda"))
 
-    val credsView = cred
+    val credsView = shared(cred
       .join(fornV, Seq("cod_forn"))
       .groupBy("periodo", "empresa", "cod_forn", "forn_nm", "cnpj_forn_pai", "forn_comercial")
-      .agg(sum("credito").as("credito"))
+      .agg(sum("credito").as("credito")))
 
     val credsGroup = credsView.groupBy("cnpj_forn_pai").agg(sum("credito").as("credito"))
 

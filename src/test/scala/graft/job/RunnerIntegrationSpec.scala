@@ -1,0 +1,65 @@
+package graft.job
+
+import graft.TestSpark
+import graft.fixtures.RefFixtures
+import graft.sink.ParquetSink
+import java.nio.file.Files
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end EP1/EP2: config map → day-range/path scans → views → sink,
+  * exactly the production wiring (`etl_job.py:28-114`), over temp copies of
+  * the sf0.001 fixtures laid out as the reference expects them.
+  */
+class RunnerIntegrationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("runDaily: day-range scan of both POS feeds through flagship into keyed merge, idempotent") {
+    val root = Files.createTempDirectory("graft_daily").toString
+    val today = LocalDate.of(2026, 8, 6)
+    val Runner.Period(start, end) = Runner.period(today)
+    // lay the two POS feeds out as {bucket}/{system}/YYYY/MM/DD.parquet
+    for ((sys, fix) <- Seq("cosmos" -> RefFixtures.cosmos, "pre_venda" -> RefFixtures.preVenda)) {
+      val feed = fix.df(spark, sfDir).cache()
+      val days = Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end)).toSeq
+      days.zipWithIndex.foreach { case (d, i) =>
+        feed.filter(abs(hash(col(feed.columns.head))) % days.length === i)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(f"$root/$sys/${d.getYear}%04d/${d.getMonthValue}%02d/${d.getDayOfMonth}%02d.parquet")
+      }
+      feed.unpersist()
+    }
+    RefFixtures.autorizacao.df(spark, sfDir).write.mode("overwrite").parquet(s"$root/autorizacao")
+    RefFixtures.produto.df(spark, sfDir).write.mode("overwrite").parquet(s"$root/produto")
+    val config = Map(
+      "bucket" -> root, "cosmos_system" -> "cosmos", "pre_venda_system" -> "pre_venda",
+      "autorizacao" -> s"$root/autorizacao", "produto" -> s"$root/produto")
+    val sink = new ParquetSink(spark, s"$root/sink_flagship")
+    val n1 = Runner.runDaily(spark, config, sink, today)
+    assert(n1 > 0)
+    assert(sink.read().count() == n1)
+    // same day re-run merges the same keys: no growth
+    Runner.runDaily(spark, config, sink, today)
+    assert(sink.read().count() == n1)
+  }
+
+  test("runRessarcimento: gated, per-year replace/append through config sources") {
+    val root = Files.createTempDirectory("graft_monthly").toString
+    val keys = Seq("fornecedor", "aporte_cab", "aporte_det", "dim_produto", "coleta_cab",
+      "coleta_det", "volume_tipo", "negociacao", "debito", "pagamento", "dim_sap")
+    keys.foreach { k =>
+      RefFixtures.byName(k).df(spark, sfDir).write.mode("overwrite").parquet(s"$root/$k")
+    }
+    val config = keys.map(k => k -> s"$root/$k").toMap
+    val sink = new ParquetSink(spark, s"$root/sink_rst")
+    // gate: nothing happens past day 5
+    assert(Runner.runRessarcimento(spark, config, sink, LocalDate.of(2026, 8, 12)).isEmpty)
+    // fixture years are 1995-2001: run 1997..1998 (1997 = replace, 1998 = append)
+    val written = Runner.runRessarcimento(spark, config, sink, LocalDate.of(1998, 8, 3), firstYear = 1997)
+    assert(written.keySet == Set(1997, 1998))
+    assert(written.values.forall(_ > 0))
+    assert(sink.read().count() == written.values.sum)
+  }
+}
