@@ -69,6 +69,59 @@ object Multimodal {
       }
   }
 
+  /** Typed row of the resize stage: payload replaced by the (fake)
+    * re-encoded bytes plus the new dimensions. */
+  final case class ResizedMedia(
+    doc_id: Long,
+    media_type: String,
+    width: Long,
+    height: Long,
+    byte_len: Long)
+
+  /** STUB resize: "re-encode" to a bounded box by truncating the payload
+    * proportionally — the real batch shape (binary in → binary out, new
+    * metadata) with a placeholder codec. Output payload length is
+    * deterministic: ceil(len * min(1, maxSide/max(w,h))). */
+  def resize(spark: SparkSession, documents: DataFrame, maxSide: Long = 64L): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    withPayload(documents)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, mt, bytes) =>
+          val m = FakeCodec.decode(id, mt, bytes)
+          val side = math.max(m.width, m.height)
+          val scale = if (side <= maxSide) 1.0 else maxSide.toDouble / side
+          val newLen = math.ceil(bytes.length * scale).toLong
+          ResizedMedia(id, mt,
+            math.max(1L, math.round(m.width * scale)),
+            math.max(1L, math.round(m.height * scale)),
+            newLen)
+        }
+      }
+  }
+
+  /** STUB feature extraction: an 8-dim deterministic "embedding" of the
+    * payload (polynomial byte-window hashes scaled to [0,1)) — the schema
+    * and batch shape a real vision encoder would produce, feeding directly
+    * into [[Similarity]] operators. */
+  def featurize(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    withPayload(documents)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, _, bytes) =>
+          val feat = Array.tabulate(8) { j =>
+            var h = 0L
+            var i = j
+            while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 8 }
+            h.toDouble / 1000000007.0
+          }
+          (id, feat)
+        }
+      }
+      .toDF("doc_id", "feature")
+  }
+
   /** Frame-sampling plumbing: explode a fake per-media frame index (every
     * Nth "frame" by byte offset) — the batch shape video pipelines need
     * (media row → many frame rows), again without a real decoder. */

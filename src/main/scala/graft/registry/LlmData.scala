@@ -8,10 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Every oracle below recomputes the SAME deterministic math (polynomial
   * hashes, MinHash permutations, LSH planes, cosine formulas) in DuckDB
-  * SQL, so even the sketch-based operators get full hash-compared
-  * correctness rows — except `e_lsh_topk`, whose candidate set is
-  * approximate by design and is graded by recall against `e_topk` in the
-  * test suite instead (registered rows-only).
+  * SQL, so every operator — including the approximate sketches — gets a
+  * full hash-compared correctness row; `e_lsh_topk` is additionally graded
+  * by recall against `e_topk` in the test suite (approximation quality,
+  * which a same-math oracle can't measure).
   */
 object LlmData {
   import TextPrimitives._
@@ -38,7 +38,14 @@ object LlmData {
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
     "m_meta" -> ((s, d) => Multimodal.decodeMeta(s, docs(s, d)).toDF()),
-    "m_frames" -> ((s, d) => Multimodal.sampleFrames(s, docs(s, d))))
+    "m_frames" -> ((s, d) => Multimodal.sampleFrames(s, docs(s, d))),
+    "m_resize" -> ((s, d) => Multimodal.resize(s, docs(s, d)).toDF()),
+    "m_features" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.featurize(s, docs(s, d))
+        .select(col("doc_id"), posexplode(col("feature")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("dim"), col("col").as("value"))
+    }))
 
   // ---- DuckDB oracles ----------------------------------------------------
 
@@ -158,6 +165,28 @@ object LlmData {
        |FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
        |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
 
+  /** DuckDB twin of Similarity.lshTopK — same LCG plane weights, same
+    * signature bits, same band buckets, same re-rank; the only freedom left
+    * is double ulps, and both engines compute identical IEEE sequences. */
+  private val lshTopkSql = {
+    val sigTerms = (0 until Similarity.LshPlanes).map { p =>
+      val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> ed[i] * ${Similarity.planeWeightSql(p.toString, "(i - 1)")})), (s, v) -> s + v)"
+      s"CASE WHEN ($dot) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    val mask = (1 << Similarity.LshBandBits) - 1
+    s"""WITH $normCte,
+       |sig AS (SELECT vec_id, ed, nrm, $sigTerms AS s FROM n2),
+       |bands AS (SELECT vec_id, ed, nrm, c AS band, (s >> (c * ${Similarity.LshBandBits})) & $mask AS band_val
+       |          FROM sig, (SELECT unnest(range(0, ${Similarity.LshBands})) AS c)),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS nn_id
+       |         FROM bands q JOIN bands e ON q.band = e.band AND q.band_val = e.band_val
+       |         WHERE q.vec_id < 8 AND q.vec_id != e.vec_id),
+       |scored AS (SELECT query_id, nn_id, ${Similarity.duckCosPre("q.ed", "e.ed", "q.nrm", "e.nrm")} AS cos
+       |           FROM cand JOIN n2 q ON cand.query_id = q.vec_id JOIN n2 e ON cand.nn_id = e.vec_id),
+       |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM scored)
+       |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
+  }
+
   private val metaSql =
     """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
       |SELECT doc_id, 'image/fake' AS media_type, n AS byte_len,
@@ -172,6 +201,21 @@ object LlmData {
       |  (frame_off * 31 + checksum) % 4294967296 AS frame_sig
       |FROM (SELECT doc_id, checksum, unnest(range(0, greatest(n, 1), 64)) AS frame_off FROM m) x""".stripMargin
 
+  private val resizeSql =
+    """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+      |d AS (SELECT doc_id, 'image/fake' AS media_type, 1 + n % 640 AS w, 1 + (n * 7) % 480 AS h, n FROM b),
+      |s AS (SELECT *, CASE WHEN greatest(w, h) <= 64 THEN 1.0 ELSE 64.0 / greatest(w, h) END AS scale FROM d)
+      |SELECT doc_id, media_type,
+      |  greatest(1, CAST(round(w * scale) AS BIGINT)) AS width,
+      |  greatest(1, CAST(round(h * scale) AS BIGINT)) AS height,
+      |  CAST(ceil(n * scale) AS BIGINT) AS byte_len
+      |FROM s""".stripMargin
+
+  private val featuresSql =
+    s"""SELECT doc_id, j AS dim,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(j + 1, length(text) + 1, 8), i -> CAST(ord(text[i]) AS BIGINT))), (h, c) -> (h * 31 + c) % ${P}) AS DOUBLE) / ${P}.0 AS value
+       |FROM documents, (SELECT unnest(range(0, 8)) AS j)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "t_tokens" -> tokensSql,
     "t_quality" -> qualitySql,
@@ -183,6 +227,9 @@ object LlmData {
     "d_simhash" -> simhashSql,
     "e_topk" -> topkSql,
     "e_neardup" -> neardupSql,
+    "e_lsh_topk" -> lshTopkSql,
     "m_meta" -> metaSql,
-    "m_frames" -> framesSql)
+    "m_frames" -> framesSql,
+    "m_resize" -> resizeSql,
+    "m_features" -> featuresSql)
 }
