@@ -28,13 +28,9 @@ object TextPrimitives {
   def tokens(text: Column): Column =
     filter(split(trim(text), " +"), w => length(w) > 0)
 
-  /** SQL fragment: polynomial hash of one string expression `e` (Spark
-    * dialect). Uses substring/ascii instead of split-to-chars because Java
-    * and DuckDB disagree on trailing empties of zero-width splits. */
-  def sparkPolyHash(e: String): String =
-    s"aggregate(transform(sequence(1, length($e)), i -> CAST(ascii(substring($e, i, 1)) AS BIGINT)), 0L, (h, c) -> (h * 31 + c) % $P)"
-
-  /** DuckDB twin of [[sparkPolyHash]]. */
+  /** DuckDB polynomial hash of one string expression `e` — the oracle twin
+    * of [[graft.functions.HashKernels.polyHash]] (fold over code points,
+    * `h := (h*31 + cp) mod P`). */
   def duckPolyHash(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($e) + 1), i -> CAST(ord($e[i]) AS BIGINT))), (h, c) -> (h * 31 + c) % $P)"
 
@@ -42,7 +38,8 @@ object TextPrimitives {
     * `array<bigint>` (SQL string so callers can nest it). Uses the
     * codegen'd [[graft.functions.ArrayPolyHash]] — callers must have run
     * `VectorExprs.register` on the session; semantics are identical to the
-    * lambda form `transform(arr, w -> ${sparkPolyHash("w")})`. */
+    * HOF lambda form
+    * `transform(arr, w -> aggregate(transform(sequence(1, length(w)), i -> ascii(substring(w, i, 1))), 0L, (h, c) -> (h*31 + c) % P))`. */
   def sparkPolyHashArraySql(arrCol: String): String =
     s"poly_hash_array($arrCol)"
 
@@ -66,11 +63,7 @@ object TextPrimitives {
        | THEN list_distinct(list_transform(range(1, len($words) - ${k - 2}), i -> array_to_string($words[i:i + ${k - 1}], ' ')))
        | ELSE [trim($text)] END""".stripMargin.replace("\n", " ")
 
-  /** Spark SQL for the whitespace token array (twin of [[tokens]]). */
-  def sparkWords(text: String): String =
-    s"filter(split(trim($text), ' +'), w -> length(w) > 0)"
-
-  /** DuckDB twin of [[sparkWords]]. */
+  /** DuckDB twin of [[tokens]] (whitespace token array, empties dropped). */
   def duckWords(text: String): String =
     s"list_filter(string_split_regex(trim($text), ' +'), w -> length(w) > 0)"
 }
