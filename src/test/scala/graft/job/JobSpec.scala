@@ -28,6 +28,17 @@ class JobSpec extends AnyFunSuite {
     assert(Runner.ressarcimentoYears(LocalDate.of(2026, 8, 1)) == (2023 to 2026))
   }
 
+  test("dayRangePaths enumerates inclusive day windows with zero padding") {
+    import graft.sources.Tables
+    val paths = Tables.dayRangePaths("b", "sys", LocalDate.of(2026, 1, 30), LocalDate.of(2026, 2, 2))
+    assert(paths == Seq(
+      "b/sys/2026/01/30.parquet", "b/sys/2026/01/31.parquet",
+      "b/sys/2026/02/01.parquet", "b/sys/2026/02/02.parquet"))
+    // degenerate windows
+    assert(Tables.dayRangePaths("b", "s", LocalDate.of(2026, 3, 3), LocalDate.of(2026, 3, 3)).size == 1)
+    assert(Tables.dayRangePaths("b", "s", LocalDate.of(2026, 3, 4), LocalDate.of(2026, 3, 3)).isEmpty)
+  }
+
   // ---- ParquetSink (K2/K3/K4, reference etl_job.py:78-85,104-110) -------
 
   private def freshPath(): String =
