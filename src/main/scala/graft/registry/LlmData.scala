@@ -40,6 +40,14 @@ object LlmData {
     "m_meta" -> ((s, d) => Multimodal.decodeMeta(s, docs(s, d)).toDF()),
     "m_frames" -> ((s, d) => Multimodal.sampleFrames(s, docs(s, d))),
     "m_resize" -> ((s, d) => Multimodal.resize(s, docs(s, d)).toDF()),
+    // composition: multimodal feature extraction feeding similarity search
+    "m_embed_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.cosineNearDupPairs(
+        Multimodal.featurize(s, docs(s, d))
+          .select(col("doc_id").as("vec_id"), col("feature").as("embedding")),
+        threshold = 0.99)
+    }),
     "m_features" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Multimodal.featurize(s, docs(s, d))
@@ -216,6 +224,15 @@ object LlmData {
        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(j + 1, length(text) + 1, 8), i -> CAST(ord(text[i]) AS BIGINT))), (h, c) -> (h * 31 + c) % ${P}) AS DOUBLE) / ${P}.0 AS value
        |FROM documents, (SELECT unnest(range(0, 8)) AS j)""".stripMargin
 
+  private val embedNeardupSql =
+    s"""WITH f AS (SELECT doc_id AS vec_id,
+       |  list_transform(range(0, 8), j -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(j + 1, length(text) + 1, 8), i -> CAST(ord(text[i]) AS BIGINT))), (h, c) -> (h * 31 + c) % ${P}) AS DOUBLE) / ${P}.0) AS ed
+       |FROM documents),
+       |n2 AS (SELECT vec_id, ed, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ed, v -> v * v)), (s, v) -> s + v)) AS nrm FROM f)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+       |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.99""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "t_tokens" -> tokensSql,
     "t_quality" -> qualitySql,
@@ -231,5 +248,6 @@ object LlmData {
     "m_meta" -> metaSql,
     "m_frames" -> framesSql,
     "m_resize" -> resizeSql,
-    "m_features" -> featuresSql)
+    "m_features" -> featuresSql,
+    "m_embed_neardup" -> embedNeardupSql)
 }
