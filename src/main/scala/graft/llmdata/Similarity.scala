@@ -93,6 +93,51 @@ object Similarity {
     * candidate set is approximate by design). Expected candidate fraction
     * per query is 1-(1-2^-4)^8 ≈ 40% on uniform data and far lower on real
     * clustered embeddings — the knob is (planes, band bits) per corpus. */
+  /** IVF (inverted-file) top-k — the third ANN tier: partition the corpus
+    * into cells around coarse centroids, probe only the query's nearest
+    * cells, exact-rerank inside them.
+    *
+    * Build: centroids = every (N/nCells)-th vector by id (deterministic
+    * stand-in for k-means — real pipelines would train centroids offline);
+    * each vector joins the broadcast centroid set and keeps its argmax-cosine
+    * cell (window, ties by centroid id). Probe: each query keeps its
+    * `nProbe` best cells, then scores only vectors in those cells.
+    *
+    * Scale shape: the corpus is scanned once for assignment (broadcast join
+    * + per-key window), and queries touch ~nProbe/nCells of the corpus —
+    * the standard recall/cost knob pair (nCells ↑ = cheaper probes, nProbe
+    * ↑ = better recall). All deterministic, so the DuckDB oracle replicates
+    * it exactly. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val n = withNorm(embeddings)
+    val total = embeddings.count()
+    val stride = math.max(1L, total / nCells)
+    val centroids = n.filter(col("vec_id") % stride === 0 && col("vec_id") / stride < nCells)
+      .select((col("vec_id") / stride).cast("int").as("cell"),
+        col("ed").as("ced"), col("nrm").as("cnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+    def bestCells(side: DataFrame, idCol: String, keep: Int): DataFrame =
+      side.join(broadcast(centroids))
+        .withColumn("ccos", expr(sparkCosPre("ed", "ced", "nrm", "cnrm")))
+        .withColumn("__r", row_number().over(
+          w.partitionBy(idCol).orderBy(col("ccos").desc, col("cell").asc)))
+        .filter(col("__r") <= keep)
+        .drop("ced", "cnrm", "ccos", "__r")
+    val assigned = bestCells(n, "vec_id", 1)
+    val queries = bestCells(n.filter(col("vec_id") < nQueries), "vec_id", nProbe)
+      .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"), col("cell"))
+    broadcast(queries)
+      .join(assigned.select(col("vec_id").as("nn_id"), col("ed").as("e"), col("nrm").as("en"), col("cell")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", expr(sparkCosPre("q", "e", "qn", "en")))
+      .withColumn("rank",
+        row_number().over(w.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
+  }
+
   /** Plane weight (p, d), computed host-side with the identical integer
     * math as [[planeWeightSql]] (Long == BIGINT, exact). */
   def planeWeight(p: Int, d: Int): Double =

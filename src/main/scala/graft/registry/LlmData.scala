@@ -37,6 +37,7 @@ object LlmData {
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
+    "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     "m_meta" -> ((s, d) => Multimodal.decodeMeta(s, docs(s, d)).toDF()),
     "m_frames" -> ((s, d) => Multimodal.sampleFrames(s, docs(s, d))),
     "m_resize" -> ((s, d) => Multimodal.resize(s, docs(s, d)).toDF()),
@@ -195,6 +196,26 @@ object LlmData {
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** DuckDB twin of Similarity.ivfTopK: same deterministic centroids
+    * (every stride-th vector), same argmax cell assignment, same 2-cell
+    * probe and exact re-rank. */
+  private val ivfTopkSql = {
+    val cellCos = Similarity.duckCosPre("v.ed", "c.ced", "v.nrm", "c.cnrm")
+    s"""WITH $normCte,
+       |st AS (SELECT greatest(1, CAST(count(*) // 16 AS BIGINT)) AS stride FROM n2),
+       |cent AS (SELECT CAST(vec_id // stride AS INT) AS cell, ed AS ced, nrm AS cnrm
+       |         FROM n2, st WHERE vec_id % stride = 0 AND vec_id // stride < 16),
+       |ranked AS (SELECT v.vec_id, v.ed, v.nrm, c.cell,
+       |             row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, c.cell ASC) AS r
+       |           FROM n2 v, cent c),
+       |assign AS (SELECT vec_id, ed, nrm, cell FROM ranked WHERE r = 1),
+       |probe AS (SELECT vec_id AS query_id, ed AS q, nrm AS qn, cell FROM ranked WHERE vec_id < 8 AND r <= 2),
+       |scored AS (SELECT p.query_id, a.vec_id AS nn_id, ${Similarity.duckCosPre("p.q", "a.ed", "p.qn", "a.nrm")} AS cos
+       |           FROM probe p JOIN assign a USING (cell) WHERE a.vec_id != p.query_id),
+       |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM scored)
+       |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
+  }
+
   private val metaSql =
     """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
       |SELECT doc_id, 'image/fake' AS media_type, n AS byte_len,
@@ -245,6 +266,7 @@ object LlmData {
     "e_topk" -> topkSql,
     "e_neardup" -> neardupSql,
     "e_lsh_topk" -> lshTopkSql,
+    "e_ivf_topk" -> ivfTopkSql,
     "m_meta" -> metaSql,
     "m_frames" -> framesSql,
     "m_resize" -> resizeSql,

@@ -66,6 +66,18 @@ class LlmDataSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH top-k recall $recall")
   }
 
+  test("IVF top-k probes cells only, returns k-rows-per-query shape") {
+    val out = Similarity.ivfTopK(embs, 4, 5).collect()
+    assert(out.length == 20)
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)))
+    // sanity: on near-random vectors even 2-probe IVF must recover SOME
+    // true neighbors (structural check, not a recall bar)
+    val exact = Similarity.bruteForceTopK(embs, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((exact & got).nonEmpty)
+  }
+
   test("brute-force top-k is symmetric-safe: k rows per query, no self") {
     val rows = Similarity.bruteForceTopK(embs, 4, 5).collect()
     assert(rows.length == 20)
