@@ -54,11 +54,16 @@ object Runner {
       val df: DataFrame = SchemaCasts.castDecimalDouble(Ressarcimento.mainView(sources, year))
       // The reference writes nothing for an empty year (etl_job.py:102-114),
       // and the replace-vs-append choice stays tied to the first year.
-      if (df.isEmpty) None
-      else {
-        val mode = if (year == firstYear) WriteMode.Replace else WriteMode.Append
-        Some(year -> sink.write(df, mode))
-      }
+      val written =
+        if (df.isEmpty) None
+        else {
+          val mode = if (year == firstYear) WriteMode.Replace else WriteMode.Append
+          Some(year -> sink.write(df, mode))
+        }
+      // mainView persists its diamond intermediates per year; free them
+      // before the next year's job or an N-year loop holds N×3 cached views.
+      spark.sharedState.cacheManager.clearCache()
+      written
     }.toMap
   }
 }

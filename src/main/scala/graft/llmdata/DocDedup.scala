@@ -35,10 +35,14 @@ object DocDedup {
   def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Long = 0L): DataFrame = {
     graft.functions.VectorExprs.register(documents.sparkSession)
+    // Persisted: consumed by both the posting explode and the sizes side —
+    // Catalyst has no cross-join subplan reuse, so without this the corpus
+    // is scanned and shingled twice (see SCALING.md on diamond plans).
     val sh = documents
       .withColumn("__words", tokens(col("text")))
       .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
       .select(col("doc_id"), col("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Join on the shingle's polynomial hash (BIGINT) instead of the string:
     // far less shuffle volume at corpus scale. A cross-doc hash collision
     // would overcount `common` by 1 — probability ~(shingles²/2)/1e9, and
@@ -100,10 +104,13 @@ object DocDedup {
     * cheap; the heavy data (shingle arrays) is never exploded twice. */
   def minhashLshPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     graft.functions.VectorExprs.register(documents.sparkSession)
+    // Persisted: consumed three times (signatures + both verification
+    // joins); unpersisted the corpus would be re-shingled per consumer.
     val sh = documents
       .withColumn("__words", tokens(col("text")))
       .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
       .select(col("doc_id"), col("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh
       .withColumn("__h", sparkPolyHashArray("__sh"))
       .withColumn("__sig", expr(sparkSignature("__h")))
