@@ -42,15 +42,21 @@ final class ParquetSink(spark: SparkSession, path: String) extends Sink {
   def read(): DataFrame = spark.read.parquet(path)
 
   /** Write `df` to a temp dir next to `path`, then swap — required because
-    * the merge plan reads the same files it replaces. */
+    * the merge plan reads the same files it replaces. Swap order is
+    * rename-away-then-rename-in (not delete-then-rename): every crash
+    * window leaves either the original or the fully-written temp on disk,
+    * never neither. */
   private def writeSwap(df: DataFrame): Long = {
     val obs = Observation()
-    val tmp = path + "__graft_tmp"
+    val tmp = new Path(path + "__graft_tmp")
     df.observe(obs, count(lit(1)).as("rows"))
-      .write.mode("overwrite").parquet(tmp)
+      .write.mode("overwrite").parquet(tmp.toString)
     val p = new Path(path)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(new Path(tmp), p)
+    val backup = new Path(path + "__graft_old")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(p)) fs.rename(p, backup)
+    fs.rename(tmp, p)
+    fs.delete(backup, true)
     obs.get("rows").asInstanceOf[Long]
   }
 

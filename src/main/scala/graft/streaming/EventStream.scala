@@ -93,8 +93,13 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              // Close the session via timeout once the watermark passes gap
-              state.setTimeoutTimestamp(s.lastSeen + SessionGapMs)
+              // Close via timeout once the watermark passes the gap. Spark
+              // rejects timeouts at/below the current watermark (possible
+              // when a batch carries events older than watermark - gap), so
+              // clamp just above it — the session then closes on the next
+              // watermark advance, which is the earliest legal moment.
+              state.setTimeoutTimestamp(
+                math.max(s.lastSeen + SessionGapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }
