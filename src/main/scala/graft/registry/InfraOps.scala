@@ -1,0 +1,69 @@
+package graft.registry
+
+import graft.sink.ParquetSink
+import graft.sources.Tables
+import java.time.LocalDate
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CORRECTNESS rows for the infrastructure operators that aren't plain
+  * queries: the keyed-merge sink (K2) and the day-range scan (S3/C5).
+  *
+  * Each registered fn materializes its scaffolding under a per-SF temp dir
+  * (fresh every run), exercises the real operator, and returns the final
+  * state as a DataFrame; the oracle recomputes the expected state purely
+  * from the fixture parquet in DuckDB. Side-effecting by design — the
+  * side effects are the operators under test.
+  */
+object InfraOps {
+
+  private def scratch(spark: SparkSession, sfDir: String, name: String): String = {
+    val dir = new Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_${Integer.toHexString(sfDir.hashCode)}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    dir.toString
+  }
+
+  /** K2 round-trip: merge two overlapping keyed batches; final state =
+    * batch2 rows + batch1 rows whose key batch2 didn't touch. */
+  def mergeRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_name", "p_retailprice")
+    val batch1 = part.filter(col("p_partkey") % 3 =!= 0).withColumn("src", lit(1))
+    val batch2 = part.filter(col("p_partkey") % 2 === 0).withColumn("src", lit(2))
+    val sink = new ParquetSink(spark, scratch(spark, sfDir, "k_merge") + "/t")
+    sink.mergeByKey(batch1, Seq("p_partkey"))
+    sink.mergeByKey(batch2, Seq("p_partkey"))
+    sink.read()
+  }
+
+  /** S3/C5 round-trip: lay a week of events out as
+    * `{bucket}/ev/YYYY/MM/DD.parquet` (slice d holds `event_id % 7 = d-1`),
+    * then day-range-scan days 2-4 — asserting the path enumeration reads
+    * exactly the in-window files. */
+  def dayRangeRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = scratch(spark, sfDir, "s3_range")
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    (1 to 7).foreach { d =>
+      ev.filter(col("event_id") % 7 === (d - 1))
+        .write.mode("overwrite").parquet(f"$bucket/ev/2026/01/$d%02d.parquet")
+    }
+    Tables.dayRangeScan(spark, bucket, "ev",
+      LocalDate.of(2026, 1, 2), LocalDate.of(2026, 1, 4))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_merge" -> (mergeRoundTrip _),
+    "s3_dayrange" -> (dayRangeRoundTrip _))
+
+  def oracleSql: Map[String, String] = Map(
+    "k_merge" ->
+      """SELECT p_partkey, p_name, p_retailprice, 2 AS src FROM part WHERE p_partkey % 2 = 0
+        |UNION ALL
+        |SELECT p_partkey, p_name, p_retailprice, 1 AS src FROM part WHERE p_partkey % 3 != 0 AND p_partkey % 2 != 0""".stripMargin,
+    "s3_dayrange" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_id % 7 IN (1, 2, 3)")
+}
