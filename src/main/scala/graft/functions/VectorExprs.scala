@@ -252,24 +252,21 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
 }
 
 object VectorExprs {
-  /** Registers `array_dot` in the session's function registry so plans can
-    * use it via `expr("array_dot(a, b)")`. Idempotent. */
+  /** Registers the custom expressions in the session's function registry so
+    * plans can use them via `expr("array_dot(a, b)")` etc. Idempotent:
+    * already-registered names are skipped (re-registering is harmless but
+    * logs a "replaced a previously registered function" warning per call). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("array_dot"),
-      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDot(children(0), children(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("simhash32"),
-      new ExpressionInfo(classOf[ArraySimhash32].getName, "simhash32"),
-      (children: Seq[Expression]) => ArraySimhash32(children.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("poly_hash_array"),
-      new ExpressionInfo(classOf[ArrayPolyHash].getName, "poly_hash_array"),
-      (children: Seq[Expression]) => ArrayPolyHash(children.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("minhash_sigs"),
-      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
-      (children: Seq[Expression]) => MinHashSigs(children.head))
+    def reg(name: String, clazz: Class[_], builder: Seq[Expression] => Expression): Unit = {
+      val id = FunctionIdentifier(name)
+      if (!spark.sessionState.functionRegistry.functionExists(id)) {
+        spark.sessionState.functionRegistry.registerFunction(
+          id, new ExpressionInfo(clazz.getName, name), builder)
+      }
+    }
+    reg("array_dot", classOf[ArrayDot], c => ArrayDot(c(0), c(1)))
+    reg("simhash32", classOf[ArraySimhash32], c => ArraySimhash32(c.head))
+    reg("poly_hash_array", classOf[ArrayPolyHash], c => ArrayPolyHash(c.head))
+    reg("minhash_sigs", classOf[MinHashSigs], c => MinHashSigs(c.head))
   }
 }

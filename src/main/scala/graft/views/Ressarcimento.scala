@@ -174,22 +174,39 @@ object Ressarcimento {
     negociacao: DataFrame, debito: DataFrame, pagamento: DataFrame, dimSap: DataFrame)
 
   /** C13 main_view_ressarcimento (`utils_ressarcimento.py:187-278`): losses ×
-    * product dim × supplier master, per-parent-CNPJ loss total (W2 window),
-    * pro-rata credit split (E13: `/0 → NULL` feeds the coalesce fallback —
-    * requires non-ANSI mode, pinned in [[graft.core.GraftSession]]), then the
-    * hand-rolled full-outer assembly: inner ⊎ anti ⊎ anti on `cnpj_forn_pai`
-    * via `unionByName(allowMissingColumns=true)` (J6/O3), and a final
-    * null-fill of every float column (P8).
+    * product dim × supplier master, per-parent-CNPJ loss total (W2), pro-rata
+    * credit split (E13: `/0 → NULL` feeds the coalesce fallback — requires
+    * non-ANSI mode, pinned in [[graft.core.GraftSession]]), then the
+    * reference's hand-rolled full outer: inner ⊎ anti ⊎ anti on
+    * `cnpj_forn_pai` (J6/O3), and a final null-fill of every float column
+    * (P8).
+    *
+    * Two deliberate physical deviations from the reference's logical shape,
+    * both value-identical (oracle-checked) and both load-bearing at 100 TB:
+    *
+    *  1. **W2 as aggregate+broadcast, not a window.** The reference computes
+    *     `sum(perdas) over (partition by cnpj_forn_pai)`. A window partitions
+    *     ALL loss rows by parent CNPJ — a low-cardinality, skew-prone key
+    *     (one task per corporate group; the biggest group's rows land on one
+    *     executor). Instead: groupBy(cnpj).sum — partial aggregation combines
+    *     map-side, so skew never concentrates rows — then broadcast the tiny
+    *     per-parent totals (one row per corporate group) back onto the loss
+    *     rows. No sort, no skewed exchange, same values.
+    *  2. **Branches 1+3 as ONE left join.** inner-join ⊎ left-anti on the
+    *     same key equals a left outer join; the branch-3 rows are exactly the
+    *     NULL-extended ones, and the pro-rata expression degrades to the same
+    *     values the anti branch + final null-fill produced (NULL credito →
+    *     coalesce(NULL, NULL, 0) = 0 = filled NULL). One pass over the loss
+    *     rows instead of two, one fewer shuffle-sized join. Branch 2 (credits
+    *     with no losses) stays an explicit anti join — against the broadcast
+    *     per-parent loss keys, so the credit rows never shuffle either.
     *
     * `reuse` (default on) persists the diamond-shaped intermediates
-    * (`fornecedores`, the loss view, the credit view) with
-    * MEMORY_AND_DISK. The 3-branch assembly consumes each of them 2-3
-    * times, and Catalyst performs no common-subplan reuse across joins —
-    * unpersisted, the supplier-master multi-join re-executes ~6× (measured:
-    * 21 supplier scans, 0 reused exchanges in the final AQE plan). At 100 TB
-    * the cached views are orders of magnitude smaller than their inputs
-    * (year-filtered aggregates and a dim), so this is the right default;
-    * pass `reuse = false` for a purely declarative plan. */
+    * (`fornecedores`, the loss rows, the credit view) with MEMORY_AND_DISK —
+    * the assembly consumes each 2-3 times and Catalyst has no cross-join
+    * common-subplan reuse. At 100 TB the cached views are orders of magnitude
+    * smaller than their inputs (year-filtered aggregates and a dim); pass
+    * `reuse = false` for a purely declarative plan. */
   def mainView(s: Sources, filterYear: Int, reuse: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     def shared(df: DataFrame): DataFrame =
@@ -199,7 +216,9 @@ object Ressarcimento {
     val coleta = coletas(s.coletaCab, s.coletaDet, s.volumeTipo, filterYear)
     val cred = credito(s.negociacao, s.debito, s.pagamento, s.dimSap, s.forn, filterYear)
 
-    val colsView = shared(coleta.as("c")
+    // Loss rows enriched with dims — the reference's cols_view minus its
+    // window column (see deviation 1 above).
+    val colsBase = shared(coleta.as("c")
       .join(dim.as("d"), col("c.cod_prod") === col("d.codigo_produto"))
       .join(fornV, Seq("cod_forn"))
       .selectExpr(
@@ -207,8 +226,13 @@ object Ressarcimento {
         "d.nome_produto",
         "forn_nm",
         "cnpj_forn_pai",
-        "d.fornecedor_comercial as forn_comercial",
-        "sum(perdas) over(partition by cnpj_forn_pai) as grupo_perda"))
+        "d.fornecedor_comercial as forn_comercial"))
+
+    // W2 rewrite: per-parent loss totals, broadcast back onto the loss rows.
+    // Left join (not inner) preserves window-exact NULL semantics: a parent
+    // whose every perdas is NULL gets grupo_perda NULL, never a dropped row.
+    val grupoPerda = colsBase.groupBy("cnpj_forn_pai").agg(sum("perdas").as("grupo_perda"))
+    val colsView = colsBase.join(broadcast(grupoPerda), Seq("cnpj_forn_pai"), "left")
 
     val credsView = shared(cred
       .join(fornV, Seq("cod_forn"))
@@ -222,16 +246,22 @@ object Ressarcimento {
       col("credito"),
       lit(0))
 
-    val rstView = colsView
-      .join(credsGroup, Seq("cnpj_forn_pai"))
+    // Branches 1+3 fused (deviation 2): left join against the broadcast
+    // per-parent credit totals; matched rows pro-rate, unmatched get
+    // coalesce's 0 terminal — bit-identical to anti-branch + null-fill.
+    val lossBranches = colsView
+      .join(broadcast(credsGroup), Seq("cnpj_forn_pai"), "left")
       .withColumn("ressarcimento", totalRessarcimento)
-      .unionByName(
-        credsView.join(colsView, Seq("cnpj_forn_pai"), "left_anti")
-          .withColumn("ressarcimento", col("credito")),
-        allowMissingColumns = true)
-      .unionByName(
-        colsView.join(credsGroup, Seq("cnpj_forn_pai"), "left_anti"),
-        allowMissingColumns = true)
+
+    // Branch 2: credits whose parent has no losses at all. The anti side only
+    // needs the loss rows' parent keys — broadcast them so the credit rows
+    // never shuffle.
+    val creditOnly = credsView
+      .join(broadcast(colsBase.select("cnpj_forn_pai")), Seq("cnpj_forn_pai"), "left_anti")
+      .withColumn("ressarcimento", col("credito"))
+
+    val rstView = lossBranches
+      .unionByName(creditOnly, allowMissingColumns = true)
       .drop("credito", "grupo_perda")
 
     SchemaCasts.fillFloatNulls(rstView)
