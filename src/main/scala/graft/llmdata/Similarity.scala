@@ -143,20 +143,27 @@ object Similarity {
   def planeWeight(p: Int, d: Int): Double =
     ((1103515245L * (p * 64L + d) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
 
-  def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
-    val n = withNorm(embeddings)
-    // Literal plane vectors fed to the codegen'd array_dot — constant-folded
-    // once, then 32 tight dot products per row instead of 32 interpreted
-    // 64-element lambdas. Double.toString round-trips exactly.
-    val sigExpr = (0 until LshPlanes).map { p =>
+  /** 32-bit hyperplane signature as a SQL expression over the `ed` column.
+    * Literal plane vectors fed to the codegen'd array_dot — constant-folded
+    * once, then 32 tight dot products per row instead of 32 interpreted
+    * 64-element lambdas. Double.toString round-trips exactly. */
+  private def lshSigExpr: String =
+    (0 until LshPlanes).map { p =>
       val plane = (0 until 64).map(d => s"${planeWeight(p, d)}D").mkString("array(", ", ", ")")
       s"CASE WHEN array_dot(ed, $plane) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
-    val sig = n.withColumn("__sig", expr(sigExpr))
-    val bands = sig.select(
-      col("vec_id"), col("ed"), col("nrm"),
-      posexplode(expr(s"transform(sequence(0, ${LshBands - 1}), c -> (__sig >> (c * $LshBandBits)) & ${(1 << LshBandBits) - 1})")))
+
+  /** Explode a signature column into (band, band_val) bucket keys. */
+  private def explodeBands(sig: DataFrame, extraCols: Seq[String]): DataFrame =
+    sig.select(
+      (extraCols.map(col) :+
+        posexplode(expr(s"transform(sequence(0, ${LshBands - 1}), c -> (__sig >> (c * $LshBandBits)) & ${(1 << LshBandBits) - 1})"))): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val n = withNorm(embeddings)
+    val sig = n.withColumn("__sig", expr(lshSigExpr))
+    val bands = explodeBands(sig, Seq("vec_id", "ed", "nrm"))
     val qBands = bands.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"),
         col("band"), col("band_val"))
@@ -178,5 +185,33 @@ object Similarity {
           .partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
+  }
+
+  /** LSH-bucketed near-duplicate pairs — the 100 TB replacement for
+    * [[cosineNearDupPairs]]'s all-pairs product: candidates are only pairs
+    * sharing at least one signature band (bucket join on (band, band_val)),
+    * each verified with the exact cosine. Near-identical vectors agree on
+    * every plane, so recall at high thresholds is ~1 (a pair at cos θ
+    * collides on a given 4-bit band with prob (1 - θ_angle/π)^4; across 8
+    * bands misses are rare and vanish as cos → 1 — the standard banding
+    * trade, tested against the exact baseline in the suite).
+    *
+    * The bucket join carries only (vec_id, band, band_val); vectors are
+    * re-attached to the (rare) deduped candidate ids afterwards, so the wide
+    * embedding arrays never enter the candidate shuffle. */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val n = withNorm(embeddings).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = explodeBands(n.withColumn("__sig", expr(lshSigExpr)), Seq("vec_id"))
+    val candIds = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    candIds
+      .join(n.select(col("vec_id").as("id_a"), col("ed").as("ea"), col("nrm").as("na")), "id_a")
+      .join(n.select(col("vec_id").as("id_b"), col("ed").as("eb"), col("nrm").as("nb")), "id_b")
+      .filter(expr(sparkCosPre("ea", "eb", "na", "nb")) >= threshold)
+      .select("id_a", "id_b")
   }
 }

@@ -1,7 +1,8 @@
 package graft.registry
 
-import graft.sink.ParquetSink
+import graft.sink.{ParquetSink, WriteMode}
 import graft.sources.Tables
+import graft.streaming.EventStream
 import java.time.LocalDate
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -55,15 +56,52 @@ object InfraOps {
       LocalDate.of(2026, 1, 2), LocalDate.of(2026, 1, 4))
   }
 
+  /** K3 round-trip: pre-seed stale rows, Replace (must drop them), then
+    * Append; final state = the two post-replace batches only. */
+  def replaceAppendRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_name", "p_retailprice")
+    val stale = part.filter(col("p_partkey") % 5 === 0).withColumn("yr", lit(1999))
+    val b2023 = part.filter(col("p_partkey") % 3 === 0).withColumn("yr", lit(2023))
+    val b2024 = part.filter(col("p_partkey") % 3 === 1).withColumn("yr", lit(2024))
+    val sink = new ParquetSink(spark, scratch(spark, sfDir, "k_replace") + "/t")
+    sink.write(stale, WriteMode.Append)
+    sink.write(b2023, WriteMode.Replace)
+    sink.write(b2024, WriteMode.Append)
+    sink.read()
+  }
+
+  /** Batch twin of the streaming windowed aggregation (see
+    * [[EventStream.windowedRevenueBatch]]): identical `window()` bucketing,
+    * oracle-checked against DuckDB `time_bucket`. The measure is floored
+    * per-row before summing — like every float measure in the fixtures — so
+    * the double aggregate is exact and order-independent in both engines. */
+  def windowAggBatch(spark: SparkSession, sfDir: String): DataFrame =
+    EventStream.windowedRevenueBatch(
+      Tables.events(spark, sfDir)
+        .withColumn("value", expr("cast(floor(value) as double)")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_merge" -> (mergeRoundTrip _),
-    "s3_dayrange" -> (dayRangeRoundTrip _))
+    "k_replace" -> (replaceAppendRoundTrip _),
+    "s3_dayrange" -> (dayRangeRoundTrip _),
+    "st_window" -> (windowAggBatch _))
 
   def oracleSql: Map[String, String] = Map(
     "k_merge" ->
       """SELECT p_partkey, p_name, p_retailprice, 2 AS src FROM part WHERE p_partkey % 2 = 0
         |UNION ALL
         |SELECT p_partkey, p_name, p_retailprice, 1 AS src FROM part WHERE p_partkey % 3 != 0 AND p_partkey % 2 != 0""".stripMargin,
+    "k_replace" ->
+      """SELECT p_partkey, p_name, p_retailprice, 2023 AS yr FROM part WHERE p_partkey % 3 = 0
+        |UNION ALL
+        |SELECT p_partkey, p_name, p_retailprice, 2024 AS yr FROM part WHERE p_partkey % 3 = 1""".stripMargin,
     "s3_dayrange" ->
-      "SELECT event_id, user_id, value FROM events WHERE event_id % 7 IN (1, 2, 3)")
+      "SELECT event_id, user_id, value FROM events WHERE event_id % 7 IN (1, 2, 3)",
+    "st_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, CAST(floor(value) AS DOUBLE) AS value FROM events)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+        |       event_type, CAST(count(*) AS BIGINT) AS n_events, SUM(value) AS revenue
+        |FROM e GROUP BY 1, 2, 3""".stripMargin)
 }

@@ -36,6 +36,7 @@ object LlmData {
     "d_simhash" -> ((s, d) => DocDedup.simhashGroups(docs(s, d))),
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
+    "e_lsh_neardup" -> ((s, d) => Similarity.lshNearDupPairs(embs(s, d))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     "m_meta" -> ((s, d) => Multimodal.decodeMeta(s, docs(s, d)).toDF()),
@@ -174,14 +175,18 @@ object LlmData {
        |FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
        |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
 
+  /** The 32-plane signature expression over `ed` — shared by every LSH
+    * oracle so Spark and DuckDB always hash with identical planes. */
+  private val lshSigTerms: String = (0 until Similarity.LshPlanes).map { p =>
+    val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> ed[i] * ${Similarity.planeWeightSql(p.toString, "(i - 1)")})), (s, v) -> s + v)"
+    s"CASE WHEN ($dot) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+  }.mkString(" + ")
+
   /** DuckDB twin of Similarity.lshTopK — same LCG plane weights, same
     * signature bits, same band buckets, same re-rank; the only freedom left
     * is double ulps, and both engines compute identical IEEE sequences. */
   private val lshTopkSql = {
-    val sigTerms = (0 until Similarity.LshPlanes).map { p =>
-      val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> ed[i] * ${Similarity.planeWeightSql(p.toString, "(i - 1)")})), (s, v) -> s + v)"
-      s"CASE WHEN ($dot) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-    }.mkString(" + ")
+    val sigTerms = lshSigTerms
     val mask = (1 << Similarity.LshBandBits) - 1
     s"""WITH $normCte,
        |sig AS (SELECT vec_id, ed, nrm, $sigTerms AS s FROM n2),
@@ -194,6 +199,22 @@ object LlmData {
        |           FROM cand JOIN n2 q ON cand.query_id = q.vec_id JOIN n2 e ON cand.nn_id = e.vec_id),
        |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM scored)
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** DuckDB twin of Similarity.lshNearDupPairs: same planes/bands as the
+    * top-k oracle, pair candidates instead of query candidates, exact
+    * cosine verification. */
+  private val lshNeardupSql = {
+    val mask = (1 << Similarity.LshBandBits) - 1
+    s"""WITH $normCte,
+       |sig AS (SELECT vec_id, $lshSigTerms AS s FROM n2),
+       |bands AS (SELECT vec_id, c AS band, (s >> (c * ${Similarity.LshBandBits})) & $mask AS band_val
+       |          FROM sig, (SELECT unnest(range(0, ${Similarity.LshBands})) AS c)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b
+       |FROM cand JOIN n2 a ON cand.id_a = a.vec_id JOIN n2 b ON cand.id_b = b.vec_id
+       |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
   }
 
   /** DuckDB twin of Similarity.ivfTopK: same deterministic centroids
@@ -265,6 +286,7 @@ object LlmData {
     "d_simhash" -> simhashSql,
     "e_topk" -> topkSql,
     "e_neardup" -> neardupSql,
+    "e_lsh_neardup" -> lshNeardupSql,
     "e_lsh_topk" -> lshTopkSql,
     "e_ivf_topk" -> ivfTopkSql,
     "m_meta" -> metaSql,

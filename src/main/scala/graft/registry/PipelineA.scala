@@ -17,6 +17,9 @@ object PipelineA {
 
   // ---- Spark side --------------------------------------------------------
 
+  def preVendaDf(s: SparkSession, dir: String): DataFrame =
+    SuperDesconto.preVenda(RefFixtures.cosmos.df(s, dir), SuperDesconto.colsCosmos)
+
   def cupomDf(s: SparkSession, dir: String): DataFrame =
     SuperDesconto.cupom(RefFixtures.cosmos.df(s, dir), RefFixtures.preVenda.df(s, dir))
 
@@ -70,12 +73,16 @@ object PipelineA {
   // ---- Registration ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_pre_venda" -> (preVendaDf _),
     "a_cupom" -> (cupomDf _),
     "a_autorizador" -> (autorizadorDf _),
     "a_produto" -> (produtoDf _),
     "a_flagship" -> (flagshipDf _))
 
   def oracleSql: Map[String, String] = Map(
+    "a_pre_venda" ->
+      (withClause("cosmos") +
+        "\nSELECT MVVC_CD_FILIAL_MOV AS filial, MVVP_NR_PRD AS cod_prod, MVVC_DT_MOV AS periodo, CAST(lpad(trim(NUMERO_AUTORIZ_PAGUEMENOS), 30, '0') AS STRING) AS etiqueta, MVVP_PR_DSC_ITE AS perc_dsc_cupom, MVVP_VL_PRE_VDA AS venda, MVVP_VL_PRD_VEN AS venda_desconto FROM cosmos"),
     "a_cupom" ->
       (withClause("cosmos", "pre_venda") + s",\n$canonCte,\n$cupomCte\nSELECT * FROM cupom"),
     "a_autorizador" ->

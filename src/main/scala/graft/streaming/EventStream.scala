@@ -41,6 +41,19 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n_events"), col("revenue"))
 
+  /** Batch twin of [[windowedRevenue]]: identical tumbling-window bucketing
+    * and aggregate over a bounded DataFrame (no watermark — batch input is
+    * complete by definition). The same `window()` expression drives both, so
+    * the streaming operator's event-time semantics are oracle-checkable in
+    * batch (`st_window` row; DuckDB `time_bucket` aligns hour buckets to the
+    * same epoch boundaries). Operates directly on the NTZ event time. */
+  def windowedRevenueBatch(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("revenue"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("revenue"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
