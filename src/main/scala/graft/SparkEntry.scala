@@ -1,5 +1,5 @@
 package graft
-import graft.registry.{InfraOps, LlmData, PipelineA, PipelineB}
+import graft.registry.{Corpus, InfraOps, LlmData, PipelineA, PipelineB}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,8 +14,8 @@ object SparkEntry {
     PipelineA.flagshipDf(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PipelineA.queries ++ PipelineB.queries ++ LlmData.queries ++ InfraOps.queries
+    PipelineA.queries ++ PipelineB.queries ++ LlmData.queries ++ Corpus.queries ++ InfraOps.queries
 
   def oracleSql: Map[String, String] =
-    PipelineA.oracleSql ++ PipelineB.oracleSql ++ LlmData.oracleSql ++ InfraOps.oracleSql
+    PipelineA.oracleSql ++ PipelineB.oracleSql ++ LlmData.oracleSql ++ Corpus.oracleSql ++ InfraOps.oracleSql
 }

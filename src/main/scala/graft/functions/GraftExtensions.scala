@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point for the engine's codegen'd expressions.
+  *
+  * The idiomatic production wiring: either
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`. Injected
+  * functions live in the session's *built-in-like* registry slot, so every
+  * derived session (cloned states, `newSession()`) sees them without the
+  * per-query defensive `VectorExprs.register` call (which remains available
+  * for driver-handed sessions we didn't build — same builders, same names).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  /** (name, info, builder) triples for all custom expressions — single
+    * source of truth shared with [[VectorExprs.register]]. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (c: Seq[Expression]) => ArrayDot(c(0), c(1))),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[ArraySimhash32].getName, "simhash32"),
+      (c: Seq[Expression]) => ArraySimhash32(c.head)),
+    (FunctionIdentifier("poly_hash_array"),
+      new ExpressionInfo(classOf[ArrayPolyHash].getName, "poly_hash_array"),
+      (c: Seq[Expression]) => ArrayPolyHash(c.head)),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (c: Seq[Expression]) => MinHashSigs(c.head)))
+}

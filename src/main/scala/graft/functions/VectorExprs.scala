@@ -253,20 +253,13 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
 
 object VectorExprs {
   /** Registers the custom expressions in the session's function registry so
-    * plans can use them via `expr("array_dot(a, b)")` etc. Idempotent:
-    * already-registered names are skipped (re-registering is harmless but
-    * logs a "replaced a previously registered function" warning per call). */
-  def register(spark: SparkSession): Unit = {
-    def reg(name: String, clazz: Class[_], builder: Seq[Expression] => Expression): Unit = {
-      val id = FunctionIdentifier(name)
+    * plans can use them via `expr("array_dot(a, b)")` etc. — the defensive
+    * path for sessions built without [[GraftExtensions]]. Idempotent:
+    * already-registered names are skipped. */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(id)) {
-        spark.sessionState.functionRegistry.registerFunction(
-          id, new ExpressionInfo(clazz.getName, name), builder)
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
     }
-    reg("array_dot", classOf[ArrayDot], c => ArrayDot(c(0), c(1)))
-    reg("simhash32", classOf[ArraySimhash32], c => ArraySimhash32(c.head))
-    reg("poly_hash_array", classOf[ArrayPolyHash], c => ArrayPolyHash(c.head))
-    reg("minhash_sigs", classOf[MinHashSigs], c => MinHashSigs(c.head))
-  }
 }

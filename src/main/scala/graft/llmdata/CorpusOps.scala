@@ -1,0 +1,204 @@
+package graft.llmdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators that sit above the per-document primitives:
+  * deterministic sampling, benchmark decontamination, dedup-cluster
+  * assignment, and the composed end-to-end cleaning pipeline.
+  *
+  * Everything here follows the same two rules as the rest of the llmdata
+  * package: (1) no operation whose cost is quadratic in the corpus —
+  * candidate generation is always a bucket join; (2) every random-looking
+  * choice is a deterministic integer formula both engines (Spark + the
+  * DuckDB oracle) can reproduce bit-for-bit — `rand()` and `sample` are
+  * banned because a 100 TB pipeline must be re-runnable to the same output
+  * (idempotent re-crawls, reproducible ablations, audit).
+  */
+object CorpusOps {
+  import TextPrimitives._
+
+  // ---- Deterministic stratified sampling ---------------------------------
+
+  /** LCG parameters for the sampling hash. `doc_id` is reduced mod a prime
+    * first so the multiply never overflows Long (DuckDB raises on BIGINT
+    * overflow; Spark would silently wrap — the reduction keeps both engines
+    * in the exact-agreement range). */
+  val SampleIdMod = 1000003L
+  val SampleMulA = 1103515245L
+  val SampleAddB = 12345L
+
+  /** Per-mille sampling bucket in [0, 1000) as a SQL expression — identical
+    * text works in Spark and DuckDB (pure BIGINT arithmetic). */
+  def bucketSql(idCol: String): String =
+    s"((($idCol % $SampleIdMod) * $SampleMulA + $SampleAddB) % ${P}) % 1000"
+
+  /** Deterministic stratified sample: keep a document iff its hash bucket
+    * falls under its stratum's per-mille rate. The standard corpus-mixing
+    * primitive (downsample the dominant language / source); hash-gated
+    * rather than `rand()`-gated so membership is a pure function of
+    * `doc_id` — stable across runs, executors, and retries, and the
+    * complement (`bucket >= rate`) is exactly the held-out set.
+    *
+    * Scale shape: narrow projection + filter, no shuffle, fully pushed into
+    * the scan's WholeStageCodegen span. */
+  def stratifiedSample(documents: DataFrame, ratesPerMille: Map[String, Int],
+                       defaultPerMille: Int = 1000): DataFrame = {
+    val rate = ratesPerMille.foldRight(lit(defaultPerMille): org.apache.spark.sql.Column) {
+      case ((lang, r), e) => when(col("lang") === lang, lit(r)).otherwise(e)
+    }
+    documents
+      .withColumn("bucket", expr(bucketSql("doc_id")))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
+  // ---- Benchmark decontamination -----------------------------------------
+
+  /** Benchmark-contamination scan: flag every training document sharing at
+    * least one word-k-shingle with the benchmark set, with hit counts.
+    * This is the standard eval-decontamination pass (exact n-gram overlap)
+    * run before training-set release.
+    *
+    * `benchmark` is typically tiny (eval suites, not corpora) — its posting
+    * list is broadcast, so the scan over the training corpus is a map-side
+    * join: one pass, no shuffle of the big side. The returned counts are
+    * `n_bench_docs` (distinct benchmark documents hit) and `n_hits`
+    * (shingle × benchmark-doc matches).
+    *
+    * `k` trades recall for precision: production decontamination uses 8-13
+    * word n-grams; the registered fixture query uses k=4 because the
+    * synthetic corpus' vocabulary is too small for 8-grams to collide at
+    * all. Shingling matches [[DocDedup]] exactly (distinct shingles,
+    * whole-text fallback below k words, polynomial hash). */
+  def decontaminate(documents: DataFrame, benchmark: DataFrame, k: Int = 8): DataFrame = {
+    graft.functions.VectorExprs.register(documents.sparkSession)
+    def posting(df: DataFrame, idAs: String): DataFrame = df
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
+      .select(col("doc_id").as(idAs), explode(sparkPolyHashArray("__sh")).as("shingle"))
+    posting(documents, "doc_id")
+      .join(broadcast(posting(benchmark, "bench_id")), "shingle")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("bench_id")).as("n_bench_docs"),
+        count(lit(1)).as("n_hits"))
+      .select("doc_id", "n_bench_docs", "n_hits")
+  }
+
+  /** The fixture's stand-in benchmark set: every 97th document. */
+  def fixtureBenchmark(documents: DataFrame): DataFrame =
+    documents.filter(col("doc_id") % 97 === 0)
+
+  def fixtureTraining(documents: DataFrame): DataFrame =
+    documents.filter(col("doc_id") % 97 =!= 0)
+
+  // ---- Dedup-cluster assignment ------------------------------------------
+
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation: every node starts labeled with its own id; each round
+    * replaces a node's label with the minimum over itself and its
+    * neighbors. After `iterations` rounds every node holds the minimum id
+    * within `iterations` hops — with enough rounds, the canonical id of its
+    * component (the curation product: keep one doc per cluster).
+    *
+    * A FIXED iteration count keeps the operator a pure, oracle-checkable
+    * function of its input (the DuckDB twin unrolls the same rounds). Near-
+    * dup graphs are overwhelmingly tiny cliques + short chains, so small
+    * counts converge; [[clusterLabelsConverged]] is the production variant
+    * that detects the fixpoint. Each round is two shuffles (join + groupBy)
+    * over the EDGE set — not the corpus — and the edge set is the (rare)
+    * near-dup pairs, so the loop runs on a graph orders of magnitude
+    * smaller than the input. */
+  def clusterLabels(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+    for (_ <- 1 to iterations) labels = propagateOnce(edges, labels)
+    labels.select("doc_id", "cluster")
+  }
+
+  /** One min-label round: label := min(label, min over neighbors' labels). */
+  private def propagateOnce(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = edges
+      .join(labels.withColumnsRenamed(Map("doc_id" -> "dst", "cluster" -> "nbr")), "dst")
+      .groupBy(col("src").as("doc_id"))
+      .agg(min("nbr").as("nbr"))
+    labels.join(nbrMin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+  }
+
+  /** Production variant: propagate until no label changes, checkpointing
+    * each round. `localCheckpoint` truncates the lineage — without it the
+    * plan doubles per round and Catalyst re-analysis becomes the bottleneck
+    * long before the data does. The convergence probe is one count per
+    * round on the (small) label set. Worst-case rounds = graph diameter;
+    * near-dup components are shallow, so this terminates in a handful. */
+  def clusterLabelsConverged(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var changed = true
+    var i = 0
+    while (changed && i < maxIterations) {
+      val next = propagateOnce(edges, labels).localCheckpoint()
+      changed = next.join(labels.withColumnsRenamed(Map("cluster" -> "prev")), "doc_id")
+        .filter(col("cluster") =!= col("prev")).limit(1).count() > 0
+      labels = next
+      i += 1
+    }
+    labels.select("doc_id", "cluster")
+  }
+
+  /** Dedup clusters of the fixture corpus: MinHash-LSH near-dup pairs →
+    * 3-round min-label propagation (the fixture graph's components are
+    * cliques of exact/near copies, diameter ≤ 2, so 3 rounds is past the
+    * fixpoint — asserted in the test suite with [[clusterLabelsConverged]]). */
+  def dedupClusters(documents: DataFrame): DataFrame =
+    clusterLabels(DocDedup.minhashLshPairs(documents), iterations = 3)
+
+  // ---- Composed cleaning pipeline ----------------------------------------
+
+  /** End-to-end corpus cleaning — the composition a training-data pipeline
+    * actually runs, as one declarative plan:
+    *
+    *   1. language filter: keep documents language-ID'd as `keepLang`;
+    *   2. quality filter: composite score ≥ `minQuality`;
+    *   3. exact dedup: keep the min-id document per distinct text;
+    *   4. near-dup removal: MinHash-LSH pairs among survivors, greedily
+    *      dropping the larger id of each pair (keep-canonical).
+    *
+    * Output: (doc_id, n_tokens, quality_score) of the retained corpus.
+    *
+    * Scale shape: steps 1-2 are ONE narrow scan-local pass (tokens are
+    * derived once and feed both the language scores and the quality
+    * signals — no self-joins), step 3 shuffles once on text, step 4 runs
+    * LSH on the already-reduced survivor set and anti-joins a pair-derived
+    * id list that is tiny by construction. */
+  def cleanCorpus(documents: DataFrame, keepLang: String = "en",
+                  minQuality: Double = 0.6): DataFrame = {
+    val kept = TextAnalysis.withLangGuess(
+        TextAnalysis.withQuality(documents.withColumn("__words", tokens(col("text")))))
+      .filter(col("lang_guess") === keepLang && col("quality_score") >= minQuality)
+      .select("doc_id", "text", "n_tokens", "quality_score")
+    // Exact dedup among survivors (min id per text). Persisted: consumed by
+    // the LSH pair generation (3 consumers inside) AND the final output.
+    // n_tokens/quality_score are functions of the group key (text), so
+    // min() just picks the one shared value deterministically.
+    val deduped = kept
+      .groupBy(col("text"))
+      .agg(min("doc_id").as("doc_id"),
+        min("n_tokens").as("n_tokens"), min("quality_score").as("quality_score"))
+      .select("doc_id", "text", "n_tokens", "quality_score")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropIds = DocDedup.minhashLshPairs(deduped.select("doc_id", "text"))
+      .select(col("id_b").as("doc_id")).distinct()
+    deduped.join(dropIds, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_tokens", "quality_score")
+  }
+}

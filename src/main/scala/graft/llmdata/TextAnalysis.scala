@@ -58,13 +58,14 @@ object TextAnalysis {
         regexp_count(col("text"), lit(BpePattern)).cast("bigint").as("bpe_tokens"),
         round(length(col("text")).cast("double") / size(col("__words")), 6).as("chars_per_token"))
 
-  /** Quality signals: length, punctuation density, stopword ratio, mean word
-    * length, and a composite score in [0,1] — the usual cheap pre-filter for
-    * corpus curation (drop too-short / too-punctuated / stopword-free junk). */
-  def quality(documents: DataFrame): DataFrame = {
+  /** Adds the quality columns (n_tokens, punct_ratio, stop_ratio,
+    * mean_word_len, quality_score) to a frame that already carries
+    * `__words`. Exposed package-private so composed pipelines
+    * ([[CorpusOps.cleanCorpus]]) can score in the same single pass instead
+    * of re-deriving tokens per signal. */
+  private[llmdata] def withQuality(df: DataFrame): DataFrame = {
     val en = StopWords.toMap.apply("en")
-    documents
-      .withColumn("__words", tokens(col("text")))
+    df
       .withColumn("n_tokens", size(col("__words")).cast("bigint"))
       .withColumn("punct_ratio",
         round(regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / greatest(length(col("text")), lit(1)), 6))
@@ -77,29 +78,40 @@ object TextAnalysis {
           least(col("n_tokens").cast("double") / lit(64.0), lit(1.0)) * lit(0.4)
             + least(col("stop_ratio") * lit(4.0), lit(1.0)) * lit(0.3)
             + (lit(1.0) - least(col("punct_ratio") * lit(5.0), lit(1.0))) * lit(0.3), 6))
+  }
+
+  /** Quality signals: length, punctuation density, stopword ratio, mean word
+    * length, and a composite score in [0,1] — the usual cheap pre-filter for
+    * corpus curation (drop too-short / too-punctuated / stopword-free junk). */
+  def quality(documents: DataFrame): DataFrame =
+    withQuality(documents.withColumn("__words", tokens(col("text"))))
       .select("doc_id", "n_tokens", "punct_ratio", "stop_ratio", "mean_word_len", "quality_score")
+
+  /** Adds `lang_guess` (argmax of per-language scores, first-language
+    * tie-break, `und` when no signal) to a frame carrying `__words` +
+    * `text`. Package-private building block shared with composed
+    * pipelines. */
+  private[llmdata] def withLangGuess(df: DataFrame): DataFrame = {
+    val scored = df.withColumns(StopWords.map { case (l, _) =>
+      s"s_$l" -> expr(langScoreSpark(l, "__words", "text"))
+    }.toMap)
+    val best = greatest(StopWords.map { case (l, _) => col(s"s_$l") }: _*)
+    val ordered = StopWords.foldRight(lit("und")) { case ((l, _), e) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(e)
+    }
+    scored.withColumn("lang_guess", ordered)
+      .drop(StopWords.map { case (l, _) => s"s_$l" }: _*)
   }
 
   /** Language ID: argmax of per-language stopword/CJK hit counts, ties
     * broken by fixed language order (en, de, es, fr, zh), `und` when no
     * signal at all. */
-  def langId(documents: DataFrame): DataFrame = {
-    val scored = documents
-      .withColumn("__words", tokens(col("text")))
-      .withColumns(StopWords.map { case (l, _) =>
-        s"s_$l" -> expr(langScoreSpark(l, "__words", "text"))
-      }.toMap)
-    val best = greatest(StopWords.map { case (l, _) => col(s"s_$l") }: _*)
+  def langId(documents: DataFrame): DataFrame =
     // First language (in declared order) hitting the max wins — mirrors the
     // oracle's CASE chain exactly.
-    val ordered = StopWords.foldRight(lit("und")) { case ((l, _), e) =>
-      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(e)
-    }
-    scored
-      .withColumn("lang_guess", ordered)
+    withLangGuess(documents.withColumn("__words", tokens(col("text"))))
       .select(col("doc_id"), col("lang").as("lang_label"), col("lang_guess"),
         when(col("lang") === col("lang_guess"), lit(1)).otherwise(lit(0)).as("agree"))
-  }
 
   /** Document fingerprint: order-sensitive polynomial rolling hash over the
     * token hashes — a compact per-doc identity for exact-dup detection and

@@ -1,0 +1,145 @@
+package graft.registry
+
+import graft.llmdata.{CorpusOps, DocDedup, TextAnalysis, TextPrimitives}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Harness registration for the corpus-curation operators
+  * ([[graft.llmdata.CorpusOps]]): deterministic stratified sampling,
+  * benchmark decontamination, dedup-cluster assignment, and the composed
+  * cleaning pipeline. Every oracle reproduces the exact integer/float math
+  * in DuckDB, so even the composed pipeline is hash-compared end to end.
+  */
+object Corpus {
+  import TextPrimitives._
+  import TextAnalysis.{langScoreDuck, StopWords}
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Registered sampling rates: downsample the dominant language (en) to
+    * 50%, zh to 75%, keep the rest — the classic language-mix rebalance. */
+  val SampleRates: Map[String, Int] = Map("en" -> 500, "zh" -> 750)
+
+  /** Fixture decontamination shingle size (see
+    * [[CorpusOps.decontaminate]] — production uses 8-13; the synthetic
+    * vocabulary is too small for 8-grams to ever collide). */
+  val DecontamK = 4
+
+  // ---- Spark side --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_sample" -> ((s, d) => CorpusOps.stratifiedSample(docs(s, d), SampleRates)),
+    "c_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      CorpusOps.decontaminate(
+        CorpusOps.fixtureTraining(all), CorpusOps.fixtureBenchmark(all), DecontamK)
+    }),
+    "c_clusters" -> ((s, d) => CorpusOps.dedupClusters(docs(s, d))),
+    "c_corpus" -> ((s, d) => CorpusOps.cleanCorpus(docs(s, d))))
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private val sampleSql = {
+    val rate = SampleRates.foldRight("1000") { case ((l, r), e) =>
+      s"CASE WHEN lang = '$l' THEN $r ELSE $e END"
+    }
+    s"""WITH b AS (SELECT doc_id, lang, ${CorpusOps.bucketSql("doc_id")} AS bucket FROM documents)
+       |SELECT doc_id, lang, bucket FROM b WHERE bucket < ($rate)""".stripMargin
+  }
+
+  /** Shingle posting list (doc_id, shingle-hash) over relation `src`, CTE
+    * names prefixed with `p` — shared by the decontamination and minhash
+    * oracles so both engines always shingle and hash identically. */
+  private def postingCtes(src: String, p: String, k: Int): String =
+    s"""${p}w AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM $src),
+       |${p}sh AS (SELECT doc_id, ${duckShingles("words", "text", k)} AS s FROM ${p}w),
+       |${p}post AS (SELECT doc_id, unnest(${duckPolyHashArray("s")}) AS shingle FROM ${p}sh)""".stripMargin
+
+  private val decontamSql =
+    s"""WITH ${postingCtes("documents", "", DecontamK)},
+       |bench AS (SELECT doc_id AS bench_id, shingle FROM post WHERE doc_id % 97 = 0),
+       |train AS (SELECT doc_id, shingle FROM post WHERE doc_id % 97 != 0)
+       |SELECT t.doc_id,
+       |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
+       |  CAST(count(*) AS BIGINT) AS n_hits
+       |FROM train t JOIN bench b ON t.shingle = b.shingle
+       |GROUP BY t.doc_id""".stripMargin
+
+  /** MinHash-LSH verified near-dup pairs over relation `src` (k=3,
+    * J >= 0.5), ending in CTE `${p}pairs(id_a, id_b)` — the DuckDB twin of
+    * [[DocDedup.minhashLshPairs]], parameterized so the cluster and
+    * composed-pipeline oracles can run it over different inputs. */
+  private def minhashPairCtes(src: String, p: String): String = {
+    val bandKey = s"array_to_string(list_slice(sig, band * ${DocDedup.RowsPerBand} + 1, band * ${DocDedup.RowsPerBand} + ${DocDedup.RowsPerBand}), '_')"
+    s"""${p}w AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM $src),
+       |${p}sh AS (SELECT doc_id, ${duckShingles("words", "text", 3)} AS s FROM ${p}w),
+       |${p}sig AS (SELECT doc_id, s, ${DocDedup.duckSignature(duckPolyHashArray("s"))} AS sig FROM ${p}sh),
+       |${p}bands AS (SELECT doc_id, band, $bandKey AS band_key
+       |              FROM ${p}sig, (SELECT unnest(range(0, ${DocDedup.Bands})) AS band)),
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |             FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |${p}pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM ${p}cand JOIN ${p}sh sa ON ${p}cand.id_a = sa.doc_id JOIN ${p}sh sb ON ${p}cand.id_b = sb.doc_id
+       |  WHERE CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+       |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) >= 0.5)""".stripMargin
+  }
+
+  /** Unrolled min-label propagation (3 rounds — same fixed count as
+    * [[CorpusOps.dedupClusters]]). */
+  private val clustersSql = {
+    val rounds = (1 to 3).map { i =>
+      s"""m$i AS (SELECT e.src AS doc_id, min(x.cluster) AS nbr
+         |        FROM edges e JOIN l${i - 1} x ON e.dst = x.doc_id GROUP BY e.src),
+         |l$i AS (SELECT l.doc_id, least(l.cluster, coalesce(m.nbr, l.cluster)) AS cluster
+         |        FROM l${i - 1} l LEFT JOIN m$i m USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes("documents", "")},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster FROM edges),
+       |$rounds
+       |SELECT doc_id, cluster FROM l3""".stripMargin
+  }
+
+  /** End-to-end cleaning oracle: language-ID + quality in one pass over the
+    * token lists, survivor exact-dedup, then the minhash pair chain over the
+    * deduped survivors, anti-joined away. */
+  private val corpusSql = {
+    val enList = StopWords.toMap.apply("en").map(w => s"'$w'").mkString("(", ", ", ")")
+    val scores = StopWords.map { case (l, _) =>
+      s"${langScoreDuck(l, "words", "text")} AS s_$l"
+    }.mkString(", ")
+    val best = StopWords.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = StopWords.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH w0 AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
+       |sc AS (SELECT doc_id, text, words, len(words) AS n_tokens, $scores FROM w0),
+       |b AS (SELECT *, $best AS best FROM sc),
+       |q AS (SELECT doc_id, text, n_tokens,
+       |  CASE $cases ELSE 'und' END AS lang_guess,
+       |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+       |  round(CAST(len(list_filter(words, x -> lower(x) IN $enList)) AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio
+       |FROM b),
+       |scored AS (SELECT doc_id, text, n_tokens, lang_guess,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+       |      + least(stop_ratio * 4.0, 1.0) * 0.3
+       |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3, 6) AS quality_score
+       |FROM q),
+       |kept AS (SELECT doc_id, text, n_tokens, quality_score FROM scored
+       |         WHERE lang_guess = 'en' AND quality_score >= 0.6),
+       |dd AS (SELECT min(doc_id) AS doc_id, text, min(n_tokens) AS n_tokens,
+       |              min(quality_score) AS quality_score
+       |       FROM kept GROUP BY text),
+       |${minhashPairCtes("dd", "x")}
+       |SELECT doc_id, n_tokens, quality_score FROM dd
+       |WHERE doc_id NOT IN (SELECT id_b FROM xpairs)""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "c_sample" -> sampleSql,
+    "c_decontam" -> decontamSql,
+    "c_clusters" -> clustersSql,
+    "c_corpus" -> corpusSql)
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions hook is exercised session-free: tests build each injected
+  * function via its registered builder and eval the expression directly.
+  * (An in-JVM `withExtensions` integration test is impossible here — the
+  * suite JVM shares one SparkContext, and `getOrCreate` ignores extensions
+  * once any session exists.) The same builder list backs
+  * `VectorExprs.register`, which the full query suite runs end-to-end. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private def builder(name: String) =
+    GraftExtensions.functions.find(_._1.funcName == name).get._3
+
+  private def arr(dt: org.apache.spark.sql.types.DataType, vs: Any*) =
+    Literal.create(ArrayData.toArrayData(vs.toArray), ArrayType(dt))
+
+  test("extension builders cover all four custom functions") {
+    assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
+      Seq("array_dot", "minhash_sigs", "poly_hash_array", "simhash32"))
+  }
+
+  test("array_dot builder evals the codegen expression's semantics") {
+    val e = builder("array_dot")(Seq(arr(DoubleType, 1.0, 2.0), arr(DoubleType, 3.0, 4.0)))
+    assert(e.eval() == 11.0)
+  }
+
+  test("simhash32 builder: single hash is its own fingerprint") {
+    val e = builder("simhash32")(Seq(arr(LongType, 5L)))
+    assert(e.eval() == 5L)
+  }
+
+  test("poly_hash_array builder matches the polynomial hash kernel") {
+    val e = builder("poly_hash_array")(Seq(arr(StringType, UTF8String.fromString("ab"))))
+    val expected = HashKernels.polyHash(UTF8String.fromString("ab"))
+    assert(e.eval().asInstanceOf[ArrayData].toLongArray.toSeq == Seq(expected))
+    assert(expected == (97L * 31 + 98) % HashKernels.P)
+  }
+
+  test("minhash_sigs builder returns the 16-slot signature") {
+    val e = builder("minhash_sigs")(Seq(arr(LongType, 7L)))
+    val sigs = e.eval().asInstanceOf[ArrayData].toLongArray.toSeq
+    val expected = HashKernels.MinHashA.zip(HashKernels.MinHashB)
+      .map { case (a, b) => (a * 7L + b) % HashKernels.P }.toSeq
+    assert(sigs == expected)
+  }
+}

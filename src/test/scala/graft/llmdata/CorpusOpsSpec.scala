@@ -1,0 +1,92 @@
+package graft.llmdata
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs: DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    d.cache(); d
+  }
+
+  test("stratified sample is deterministic and its complement is exact") {
+    val rates = Map("en" -> 500)
+    val a = CorpusOps.stratifiedSample(docs, rates).collect().map(_.getLong(0)).toSet
+    val b = CorpusOps.stratifiedSample(docs, rates).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // complement: docs NOT sampled are exactly those with bucket >= rate
+    val all = docs.withColumn("bucket", expr(CorpusOps.bucketSql("doc_id")))
+      .select("doc_id", "lang", "bucket").collect()
+    val expected = all.filter { r =>
+      r.getLong(2) < (if (r.getString(1) == "en") 500 else 1000)
+    }.map(_.getLong(0)).toSet
+    assert(a == expected)
+  }
+
+  test("sample rate lands near the nominal per-mille for the stratum") {
+    val en = docs.filter($"lang" === "en").count().toDouble
+    val kept = CorpusOps.stratifiedSample(docs, Map("en" -> 500))
+      .filter($"lang" === "en").count().toDouble
+    assert(math.abs(kept / en - 0.5) < 0.15, s"en keep ratio ${kept / en}")
+  }
+
+  test("decontaminate flags exactly the docs sharing a k-shingle with the benchmark") {
+    val bench = Seq((1000L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta zeta"),   // shares 4-shingle "alpha beta gamma delta"
+      (2L, "zeta eta theta iota kappa"),     // no overlap
+      (3L, "x alpha beta gamma delta epsilon y")) // shares two 4-shingles
+      .toDF("doc_id", "text")
+    val out = CorpusOps.decontaminate(train, bench, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("min-label propagation resolves a 3-hop chain in 3 rounds") {
+    // path 1-2-3-4: min label 1 needs 3 hops to reach node 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val r3 = CorpusOps.clusterLabels(pairs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // 1 round is not enough for the far node
+    val r1 = CorpusOps.clusterLabels(pairs, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(4L) == 3L)
+  }
+
+  test("fixture dedup clusters: 3 fixed rounds reach the converged fixpoint") {
+    val pairs = DocDedup.minhashLshPairs(docs)
+    pairs.persist()
+    val fixedRounds = CorpusOps.clusterLabels(pairs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val converged = CorpusOps.clusterLabelsConverged(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixedRounds == converged)
+    // every cluster label is the min doc_id of its members
+    val byCluster = fixedRounds.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    byCluster.foreach { case (label, minMember) => assert(label == minMember) }
+    pairs.unpersist()
+  }
+
+  test("cleanCorpus output: only en/quality survivors, no duplicate texts, no near-dup pairs") {
+    val out = CorpusOps.cleanCorpus(docs)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    assert(out.count() == ids.size)
+    // all output rows satisfy the filters
+    val checked = out.join(TextAnalysis.langId(docs), "doc_id")
+      .join(TextAnalysis.quality(docs).select($"doc_id", $"quality_score".as("q2")), "doc_id")
+    assert(checked.filter($"lang_guess" =!= "en" || $"q2" < 0.6).count() == 0)
+    // no two output docs share a text
+    val kept = docs.join(out.select("doc_id"), "doc_id")
+    assert(kept.groupBy("text").count().filter($"count" > 1).count() == 0)
+    // no remaining near-dup pair at the removal threshold
+    assert(DocDedup.minhashLshPairs(kept).count() == 0)
+  }
+}
