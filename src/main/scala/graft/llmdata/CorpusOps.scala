@@ -162,6 +162,30 @@ object CorpusOps {
   def dedupClusters(documents: DataFrame): DataFrame =
     clusterLabels(DocDedup.minhashLshPairs(documents), iterations = 3)
 
+  // ---- Document chunking ---------------------------------------------------
+
+  /** Split each document into fixed-token-budget chunks (the pre-packing
+    * step of sequence assembly for training): chunk i carries tokens
+    * [i*maxTokens, (i+1)*maxTokens). Every document yields at least one
+    * chunk (an empty text yields one empty chunk) so no row silently
+    * disappears between pipeline stages.
+    *
+    * Scale shape: a narrow per-row explode — output rows ≈ corpus tokens /
+    * maxTokens, no shuffle; downstream packing (grouping chunks into
+    * sequences) is a separate keyed stage. */
+  def chunk(documents: DataFrame, maxTokens: Int = 16): DataFrame =
+    documents
+      .withColumn("__words", tokens(col("text")))
+      .select(col("doc_id"), col("__words"), posexplode(expr(
+        s"""transform(sequence(0, (greatest(size(__words), 1) - 1) div $maxTokens),
+           | i -> concat_ws(' ', slice(__words, i * $maxTokens + 1, $maxTokens)))""".stripMargin.replace("\n", " "))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("bigint").as("chunk_id"),
+        greatest(least(lit(maxTokens), size(col("__words")) - col("pos") * maxTokens), lit(0))
+          .cast("bigint").as("n_tokens"),
+        col("col").as("chunk_text"))
+
   // ---- Composed cleaning pipeline ----------------------------------------
 
   /** End-to-end corpus cleaning — the composition a training-data pipeline

@@ -124,4 +124,49 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr(s"aggregate(__th, 0L, (h, c) -> (h * 37 + c) % $P)").as("fingerprint"))
   }
+
+  /** Within-document repetition signals (the Gopher-style repetition
+    * filter): fraction of duplicate word 2-grams / 3-grams per document.
+    * Heavily templated or looping text scores high and is dropped before
+    * training. Single-pass narrow projection like the other signals. */
+  def repetition(documents: DataFrame): DataFrame = {
+    def dupRatio(n: Int) = {
+      val ng = expr(TextPrimitives.sparkNgrams("__words", "text", n))
+      round(lit(1.0) - size(array_distinct(ng)).cast("double") / greatest(size(ng), lit(1)), 6)
+    }
+    documents
+      .withColumn("__words", tokens(col("text")))
+      .select(col("doc_id"),
+        dupRatio(2).as("dup_2gram_ratio"),
+        dupRatio(3).as("dup_3gram_ratio"))
+  }
+
+  /** Email pattern for [[scrub]]. Same match semantics under Java regex
+    * (Spark, backtracking) and RE2 (DuckDB oracle, automaton): RE2
+    * guarantees leftmost-first PCRE-compatible results for these shapes. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** PII / link scrubbing: count and mask emails and URLs (emails first —
+    * a masked URL can't contain one). The standard pre-release redaction
+    * pass; per-row regex projection, no shuffle. */
+  def scrub(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("bigint").as("n_emails"),
+      regexp_count(col("text"), lit(UrlRe)).cast("bigint").as("n_urls"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+        .as("clean_text"))
+
+  /** Corpus vocabulary: term frequency + document frequency per
+    * lower-cased whitespace token. One explode + one hash aggregation —
+    * partial (map-side) aggregation absorbs stopword skew before the
+    * shuffle, so the exchange carries one row per (partition, token), not
+    * per occurrence; output cardinality is the vocabulary, not the corpus. */
+  def vocabulary(documents: DataFrame, minDf: Int = 1): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(lower(col("token")).as("token"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
 }

@@ -66,4 +66,18 @@ object TextPrimitives {
   /** DuckDB twin of [[tokens]] (whitespace token array, empties dropped). */
   def duckWords(text: String): String =
     s"list_filter(string_split_regex(trim($text), ' +'), w -> length(w) > 0)"
+
+  /** Word n-grams WITH duplicates (order-preserving) — the multiset the
+    * repetition signals need ([[TextAnalysis.repetition]]); [[sparkShingles]]
+    * is the distinct-set variant used by dedup. Same short-doc fallback. */
+  def sparkNgrams(words: String, text: String, n: Int): String =
+    s"""CASE WHEN size($words) >= $n
+       | THEN transform(sequence(0, size($words) - $n), i -> concat_ws(' ', slice($words, i + 1, $n)))
+       | ELSE array(trim($text)) END""".stripMargin.replace("\n", " ")
+
+  /** DuckDB twin of [[sparkNgrams]]. */
+  def duckNgrams(words: String, text: String, n: Int): String =
+    s"""CASE WHEN len($words) >= $n
+       | THEN list_transform(range(1, len($words) - ${n - 2}), i -> array_to_string($words[i:i + ${n - 1}], ' '))
+       | ELSE [trim($text)] END""".stripMargin.replace("\n", " ")
 }

@@ -35,6 +35,7 @@ object Corpus {
         CorpusOps.fixtureTraining(all), CorpusOps.fixtureBenchmark(all), DecontamK)
     }),
     "c_clusters" -> ((s, d) => CorpusOps.dedupClusters(docs(s, d))),
+    "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_corpus" -> ((s, d) => CorpusOps.cleanCorpus(docs(s, d))))
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -137,8 +138,18 @@ object Corpus {
        |WHERE doc_id NOT IN (SELECT id_b FROM xpairs)""".stripMargin
   }
 
+  /** Chunking oracle — same fixed 16-token budget as the registered query
+    * (documents are ~50 words, so ~3-4 chunks each). */
+  private val chunksSql =
+    s"""WITH w0 AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents)
+       |SELECT doc_id, i AS chunk_id,
+       |  CAST(greatest(least(16, len(words) - i * 16), 0) AS BIGINT) AS n_tokens,
+       |  array_to_string(words[i * 16 + 1 : i * 16 + 16], ' ') AS chunk_text
+       |FROM w0, unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "c_sample" -> sampleSql,
+    "c_chunks" -> chunksSql,
     "c_decontam" -> decontamSql,
     "c_clusters" -> clustersSql,
     "c_corpus" -> corpusSql)

@@ -25,9 +25,22 @@ object LlmData {
 
   // ---- Spark side --------------------------------------------------------
 
+  /** Deterministic synthetic-PII augmentation for the scrub query: the
+    * fixture corpus contains no emails/URLs at all, so without injection the
+    * scrub oracle would vacuously pass on unchanged text. Spark dialect;
+    * [[scrubAugDuck]] is the byte-equivalent DuckDB form. */
+  private val scrubAugSpark =
+    "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' reach user', CAST(doc_id AS STRING), " +
+      "'@mail.example.com or https://ex.example.org/d/', CAST(doc_id AS STRING)) ELSE text END"
+  private val scrubAugDuck = scrubAugSpark.replace("AS STRING", "AS VARCHAR")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_tokens" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
     "t_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
+    "t_repeat" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
+    "t_scrub" -> ((s, d) => TextAnalysis.scrub(
+      docs(s, d).withColumn("text", org.apache.spark.sql.functions.expr(scrubAugSpark)))),
+    "t_vocab" -> ((s, d) => TextAnalysis.vocabulary(docs(s, d))),
     "t_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "d_exact" -> ((s, d) => DocDedup.exact(docs(s, d))),
@@ -110,6 +123,31 @@ object LlmData {
        |SELECT doc_id,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), ${duckPolyHashArray("words")}), (h, c) -> (h * 37 + c) % $P) AS fingerprint
        |FROM w""".stripMargin
+
+  private val repeatSql = {
+    def dup(n: Int) = {
+      val ng = duckNgrams("words", "text", n)
+      s"round(1.0 - CAST(len(list_distinct($ng)) AS DOUBLE) / greatest(len($ng), 1), 6)"
+    }
+    s"""WITH $wordsCte
+       |SELECT doc_id, ${dup(2)} AS dup_2gram_ratio, ${dup(3)} AS dup_3gram_ratio
+       |FROM w""".stripMargin
+  }
+
+  private val scrubSql =
+    s"""WITH aug AS (SELECT doc_id, $scrubAugDuck AS text FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlRe}')) AS BIGINT) AS n_urls,
+       |  regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), '${TextAnalysis.UrlRe}', '<URL>', 'g') AS clean_text
+       |FROM aug""".stripMargin
+
+  private val vocabSql =
+    s"""WITH $wordsCte,
+       |t AS (SELECT doc_id, unnest(words) AS token FROM w)
+       |SELECT lower(token) AS token, CAST(count(*) AS BIGINT) AS tf,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |FROM t GROUP BY 1""".stripMargin
 
   private val exactSql =
     """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
@@ -278,6 +316,9 @@ object LlmData {
   def oracleSql: Map[String, String] = Map(
     "t_tokens" -> tokensSql,
     "t_quality" -> qualitySql,
+    "t_repeat" -> repeatSql,
+    "t_scrub" -> scrubSql,
+    "t_vocab" -> vocabSql,
     "t_langid" -> langidSql,
     "t_fingerprint" -> fingerprintSql,
     "d_exact" -> exactSql,

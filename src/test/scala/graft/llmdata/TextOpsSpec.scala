@@ -1,0 +1,62 @@
+package graft.llmdata
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 text operators: repetition signals, PII scrub, vocabulary,
+  * chunking. */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("repetition: fully repeated text scores high, unique text scores 0") {
+    val in = Seq(
+      (1L, "spam spam spam spam spam spam"), // 5 bigrams, 1 distinct
+      (2L, "one two three four five six"),   // all bigrams distinct
+      (3L, "ab"))                            // shorter than n: fallback, ratio 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(in).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((0.8, 0.75)))   // 1 - 1/5, 1 - 1/4
+    assert(out(2L) == ((0.0, 0.0)))
+    assert(out(3L) == ((0.0, 0.0)))
+  }
+
+  test("scrub masks emails and urls and counts them") {
+    val in = Seq(
+      (1L, "mail a.b+c@sub.example.com now"),
+      (2L, "see https://x.org/p?q=1 and http://y.io today"),
+      (3L, "nothing here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scrub(in).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 0L, "mail <EMAIL> now")))
+    assert(out(2L) == ((0L, 2L, "see <URL> and <URL> today")))
+    assert(out(3L) == ((0L, 0L, "nothing here")))
+  }
+
+  test("vocabulary: tf counts occurrences, df counts documents, case-folded") {
+    val in = Seq((1L, "The the cat"), (2L, "the dog"), (3L, "cat")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(in).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("the" -> ((3L, 2L)), "cat" -> ((2L, 2L)), "dog" -> ((1L, 1L))))
+  }
+
+  test("chunk: fixed token budget, last chunk short, empty doc yields one empty chunk") {
+    val in = Seq(
+      (1L, (1 to 35).map(i => s"w$i").mkString(" ")), // 35 tokens -> 16,16,3
+      (2L, "a b"),                                    // 2 tokens -> 1 chunk
+      (3L, "  "))                                     // empty -> 1 empty chunk
+      .toDF("doc_id", "text")
+    val rows = CorpusOps.chunk(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc(1L).sortBy(_._2).map(_._3).toSeq == Seq(16L, 16L, 3L))
+    assert(byDoc(1L).sortBy(_._2).last._4 == "w33 w34 w35")
+    assert(byDoc(2L).toSeq == Seq((2L, 0L, 2L, "a b")))
+    assert(byDoc(3L).toSeq == Seq((3L, 0L, 0L, "")))
+    // no token lost or duplicated across chunks
+    val reassembled = byDoc(1L).sortBy(_._2).map(_._4).mkString(" ")
+    assert(reassembled == (1 to 35).map(i => s"w$i").mkString(" "))
+  }
+}
