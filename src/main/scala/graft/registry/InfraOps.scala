@@ -2,7 +2,7 @@ package graft.registry
 
 import graft.sink.{ParquetSink, WriteMode}
 import graft.sources.Tables
-import graft.streaming.EventStream
+import graft.streaming.{DocStream, EventStream}
 import java.time.LocalDate
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -81,11 +81,18 @@ object InfraOps {
       Tables.events(spark, sfDir)
         .withColumn("value", expr("cast(floor(value) as double)")))
 
+  /** Batch twin of the streaming ingest dedup (see
+    * [[DocStream.dedupBatchTwin]]): first-arriving copy per content
+    * fingerprint, with doc_id as arrival order. */
+  def streamDedupBatch(spark: SparkSession, sfDir: String): DataFrame =
+    DocStream.dedupBatchTwin(spark.read.parquet(s"$sfDir/documents.parquet"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_merge" -> (mergeRoundTrip _),
     "k_replace" -> (replaceAppendRoundTrip _),
     "s3_dayrange" -> (dayRangeRoundTrip _),
-    "st_window" -> (windowAggBatch _))
+    "st_window" -> (windowAggBatch _),
+    "st_dedup" -> (streamDedupBatch _))
 
   def oracleSql: Map[String, String] = Map(
     "k_merge" ->
@@ -103,5 +110,14 @@ object InfraOps {
         |SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
         |       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
         |       event_type, CAST(count(*) AS BIGINT) AS n_events, SUM(value) AS revenue
-        |FROM e GROUP BY 1, 2, 3""".stripMargin)
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    "st_dedup" -> {
+      import graft.llmdata.TextPrimitives.{duckPolyHashArray, duckWords, P}
+      s"""WITH w AS (SELECT doc_id, ${duckWords("text")} AS words FROM documents),
+         |fp AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), ${duckPolyHashArray("words")}), (h, c) -> (h * 37 + c) % $P) AS fingerprint
+         |FROM w)
+         |SELECT min(doc_id) AS doc_id, fingerprint, CAST(count(*) AS BIGINT) AS n_copies
+         |FROM fp GROUP BY fingerprint""".stripMargin
+    })
 }

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.core.Dedup
+import graft.llmdata.TextPrimitives
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest for a document corpus: continuous exact dedup at crawl
+  * time, so duplicates are dropped before they ever land in the corpus
+  * store (vs. the batch [[graft.llmdata.DocDedup]] passes that clean an
+  * already-landed corpus).
+  *
+  * The dedup key is the order-sensitive polynomial content fingerprint
+  * (same math as [[graft.llmdata.TextAnalysis.fingerprint]], shared via
+  * [[withFingerprint]]) rather than the raw text: the state store then
+  * keys on a fixed-width BIGINT instead of arbitrary-length documents —
+  * at 100 TB/day that is the difference between a state store of hashes
+  * and one holding the corpus itself.
+  *
+  * State is bounded by `dropDuplicatesWithinWatermark`: a fingerprint is
+  * remembered only until the watermark passes its event time + the
+  * watermark delay, so state size ≈ ingest rate × watermark horizon.
+  * (Exactly-once *forever* dedup needs a keyed external store — that is
+  * the [[graft.sink.ParquetSink.mergeByKey]] path, Iceberg MERGE in
+  * production.)
+  */
+object DocStream {
+
+  /** Adds the BIGINT content fingerprint column (rolling polynomial hash
+    * over token hashes — order-sensitive, whitespace-insensitive). Works on
+    * batch and streaming frames alike; pure per-row projection. */
+  def withFingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .withColumn("__th", TextPrimitives.sparkPolyHashArray(
+        s"filter(split(trim(text), ' +'), w -> length(w) > 0)"))
+      .withColumn("fingerprint",
+        expr(s"aggregate(__th, 0L, (h, c) -> (h * 37 + c) % ${TextPrimitives.P})"))
+      .drop("__th")
+  }
+
+  /** Streaming exact dedup: emit only the first-arriving copy of each
+    * fingerprint within the watermark horizon. Input schema:
+    * (doc_id BIGINT, ts TIMESTAMP, text STRING) as a streaming frame. */
+  def dedupedIngest(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    withFingerprint(docs)
+      .withColumn("ts_tz", col("ts").cast("timestamp"))
+      .withWatermark("ts_tz", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col("doc_id"), col("ts"), col("text"), col("fingerprint"))
+
+  /** Batch twin of [[dedupedIngest]] over a bounded corpus where `doc_id`
+    * is the arrival order: keep the first-arriving copy per fingerprint
+    * (deterministic argmin via the window rewrite, [[Dedup.top1PerKey]]),
+    * plus how many copies it absorbed. Oracle-checked (`st_dedup`). */
+  def dedupBatchTwin(docs: DataFrame): DataFrame = {
+    val fp = withFingerprint(docs)
+    val counts = fp.groupBy("fingerprint").agg(count(lit(1)).as("n_copies"))
+    Dedup.top1PerKey(fp, Seq("fingerprint"), Seq(col("doc_id").asc))
+      .join(counts, Seq("fingerprint"))
+      .select("doc_id", "fingerprint", "n_copies")
+  }
+}

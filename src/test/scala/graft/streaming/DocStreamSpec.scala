@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.TestSpark
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class DocStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 09:$minute%02d:00")
+
+  test("streaming ingest drops same-content duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = DocStream.dedupedIngest(df)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, ts(0), "alpha beta gamma"),
+        (2L, ts(1), " alpha  beta gamma "), // same tokens -> same fingerprint
+        (3L, ts(2), "delta epsilon"))
+      q.processAllAvailable()
+      // duplicate arriving in a later micro-batch, still within watermark
+      mem.addData((4L, ts(3), "alpha beta gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("ingest").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("batch twin keeps the first-arriving copy per fingerprint with counts") {
+    import spark.implicits._
+    val in = Seq(
+      (10L, "a b c"), (11L, "a  b  c"), (12L, "a b c"),
+      (20L, "x y"))
+      .toDF("doc_id", "text")
+    val out = DocStream.dedupBatchTwin(in).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out == Set((10L, 3L), (20L, 1L)))
+  }
+
+  test("fingerprint is order-sensitive (not a bag hash)") {
+    import spark.implicits._
+    val fp = DocStream.withFingerprint(
+      Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text"))
+      .select("fingerprint").collect().map(_.getLong(0))
+    assert(fp(0) != fp(1))
+  }
+}
