@@ -1,0 +1,80 @@
+package graft
+
+import graft.core.{Dedup, Normalize, SchemaCasts}
+import graft.llmdata.{CorpusOps, DocDedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** User-facing syntax: one import gives DataFrame-method access to the
+  * whole operator library, so pipeline code reads left-to-right like the
+  * reference's PySpark chains.
+  *
+  * {{{
+  * import graft.api._
+  *
+  * val clean = docs.cleanCorpus()                  // langID+quality → dedup
+  * val latest = df.top1PerKey(Seq("k"), Seq($"ts".desc, $"id".asc))
+  * val chunks = docs.chunkTokens(512)
+  * }}}
+  *
+  * Everything here delegates 1:1 to the package objects (which remain the
+  * canonical, individually documented API); this facade adds no logic.
+  */
+package object api {
+
+  /** Core relational/cleansing operators (SURVEY.md §2: C1-C4, D1-D3, P7-P8). */
+  implicit class GraftCoreOps(private val df: DataFrame) {
+    /** Deterministic keep-one-per-key (window argmax; supply a total order). */
+    def top1PerKey(keys: Seq[String], order: Seq[Column]): DataFrame =
+      Dedup.top1PerKey(df, keys, order)
+    /** Schema-driven Decimal→Double (+ named cols → TIMESTAMP_NTZ) cast. */
+    def castDecimalDouble(tsCols: String*): DataFrame =
+      SchemaCasts.castDecimalDouble(df, tsCols: _*)
+    /** Null-fill every float/double column with 0. */
+    def fillFloatNulls: DataFrame = SchemaCasts.fillFloatNulls(df)
+  }
+
+  /** Corpus curation over a `(doc_id, text, …)` document frame. */
+  implicit class GraftCorpusOps(private val docs: DataFrame) {
+    def tokenStats: DataFrame = TextAnalysis.tokenStats(docs)
+    def qualitySignals: DataFrame = TextAnalysis.quality(docs)
+    def langId: DataFrame = TextAnalysis.langId(docs)
+    def contentFingerprint: DataFrame = TextAnalysis.fingerprint(docs)
+    def repetitionSignals: DataFrame = TextAnalysis.repetition(docs)
+    def scrubPii: DataFrame = TextAnalysis.scrub(docs)
+    def vocabulary(minDf: Int = 1): DataFrame = TextAnalysis.vocabulary(docs, minDf)
+
+    def dedupExact: DataFrame = DocDedup.exact(docs)
+    def ngramNearDupPairs(k: Int = 3, threshold: Double = 0.5, maxDocFreq: Long = 0L): DataFrame =
+      DocDedup.ngramJaccardPairs(docs, k, threshold, maxDocFreq)
+    def minhashNearDupPairs(k: Int = 3, threshold: Double = 0.5): DataFrame =
+      DocDedup.minhashLshPairs(docs, k, threshold)
+    def simhashGroups: DataFrame = DocDedup.simhashGroups(docs)
+
+    def stratifiedSample(ratesPerMille: Map[String, Int], defaultPerMille: Int = 1000): DataFrame =
+      CorpusOps.stratifiedSample(docs, ratesPerMille, defaultPerMille)
+    def decontaminateAgainst(benchmark: DataFrame, k: Int = 8): DataFrame =
+      CorpusOps.decontaminate(docs, benchmark, k)
+    def dedupClusters: DataFrame = CorpusOps.dedupClusters(docs)
+    def chunkTokens(maxTokens: Int = 16): DataFrame = CorpusOps.chunk(docs, maxTokens)
+    def cleanCorpus(keepLang: String = "en", minQuality: Double = 0.6): DataFrame =
+      CorpusOps.cleanCorpus(docs, keepLang, minQuality)
+  }
+
+  /** Similarity search over an `(id, vec: array<float>, …)` embedding frame
+    * (query set = the first `nQueries` ids, as in the registered queries). */
+  implicit class GraftEmbeddingOps(private val embs: DataFrame) {
+    def cosineTopK(nQueries: Int = 8, k: Int = 10): DataFrame =
+      Similarity.bruteForceTopK(embs, nQueries, k)
+    def cosineNearDupPairs(threshold: Double = 0.4): DataFrame =
+      Similarity.cosineNearDupPairs(embs, threshold)
+    def lshTopK(nQueries: Int = 8, k: Int = 10): DataFrame =
+      Similarity.lshTopK(embs, nQueries, k)
+    def ivfTopK(nQueries: Int = 8, k: Int = 10): DataFrame =
+      Similarity.ivfTopK(embs, nQueries, k)
+  }
+
+  /** Column-level normalization functions (C1-C3). */
+  def stripNormalize(c: Column): Column = Normalize.stripNormalize(c)
+  def cnpjNormalize(c: Column): Column = Normalize.cnpjNormalize(c)
+  def etiqueta(c: Column): Column = Normalize.etiqueta(c)
+}
