@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.sink.{ParquetSink, WriteMode}
+import graft.sink.{Layouts, ParquetSink, WriteMode}
 import graft.sources.Tables
 import graft.streaming.{DocStream, EventStream}
 import java.time.LocalDate
@@ -87,7 +87,49 @@ object InfraOps {
   def streamDedupBatch(spark: SparkSession, sfDir: String): DataFrame =
     DocStream.dedupBatchTwin(spark.read.parquet(s"$sfDir/documents.parquet"))
 
+  /** Bucketed co-located join round-trip: bucket lineitem and orders on
+    * their join key at write time, then join + aggregate the catalog
+    * tables. The join runs with NO exchange on either side (asserted in
+    * the plan-shape test); the oracle checks the values against a plain
+    * join of the raw fixtures. */
+  def bucketedJoinRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, sfDir, "k_bucket")
+    Layouts.writeBucketedTable(
+      spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey", "l_quantity"),
+      "graft_li_bkt", s"$base/li", "l_orderkey", 8)
+    Layouts.writeBucketedTable(
+      spark.read.parquet(s"$sfDir/orders.parquet").select("o_orderkey", "o_custkey"),
+      "graft_ord_bkt", s"$base/ord", "o_orderkey", 8)
+    bucketedJoinAgg(spark)
+  }
+
+  /** The join+agg over the bucketed catalog tables (split out so tests can
+    * assert the exchange-free plan shape on exactly the shipped query). */
+  def bucketedJoinAgg(spark: SparkSession): DataFrame =
+    spark.table("graft_li_bkt")
+      .join(spark.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("l_quantity").cast("double").as("sum_qty"))
+
+  /** Hive-partitioned write + partition-pruned read round-trip: events land
+    * day-partitioned, the read filters on the partition column — the scan
+    * shows `PartitionFilters` and never opens out-of-range directories
+    * (asserted in the plan-shape test). Catalog-native twin of the
+    * reference's path-enumeration pruning (S3/C5). */
+  def partitionPruneRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, sfDir, "s_partprune")
+    Layouts.writePartitioned(
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          dayofmonth(col("ts")).as("dd")),
+      s"$base/ev", "dd")
+    spark.read.parquet(s"$base/ev").filter(col("dd").between(10, 12))
+      .select("event_id", "user_id", "value", "dd")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_bucket" -> (bucketedJoinRoundTrip _),
+    "s_partprune" -> (partitionPruneRoundTrip _),
     "k_merge" -> (mergeRoundTrip _),
     "k_replace" -> (replaceAppendRoundTrip _),
     "s3_dayrange" -> (dayRangeRoundTrip _),
@@ -95,6 +137,14 @@ object InfraOps {
     "st_dedup" -> (streamDedupBatch _))
 
   def oracleSql: Map[String, String] = Map(
+    "k_bucket" ->
+      """SELECT o_custkey, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "s_partprune" ->
+      """SELECT event_id, user_id, value, CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS dd
+        |FROM events
+        |WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 10 AND 12""".stripMargin,
     "k_merge" ->
       """SELECT p_partkey, p_name, p_retailprice, 2 AS src FROM part WHERE p_partkey % 2 = 0
         |UNION ALL

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.core.Dedup
 import graft.llmdata.TextPrimitives
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -51,13 +50,13 @@ object DocStream {
 
   /** Batch twin of [[dedupedIngest]] over a bounded corpus where `doc_id`
     * is the arrival order: keep the first-arriving copy per fingerprint
-    * (deterministic argmin via the window rewrite, [[Dedup.top1PerKey]]),
-    * plus how many copies it absorbed. Oracle-checked (`st_dedup`). */
-  def dedupBatchTwin(docs: DataFrame): DataFrame = {
-    val fp = withFingerprint(docs)
-    val counts = fp.groupBy("fingerprint").agg(count(lit(1)).as("n_copies"))
-    Dedup.top1PerKey(fp, Seq("fingerprint"), Seq(col("doc_id").asc))
-      .join(counts, Seq("fingerprint"))
+    * (min doc_id — since only the id survives, the aggregate form needs one
+    * corpus scan and one partial+final shuffle, vs two scans for a window
+    * argmax joined with counts), plus how many copies it absorbed.
+    * Oracle-checked (`st_dedup`). */
+  def dedupBatchTwin(docs: DataFrame): DataFrame =
+    withFingerprint(docs)
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "fingerprint", "n_copies")
-  }
 }
