@@ -186,6 +186,29 @@ object CorpusOps {
           .cast("bigint").as("n_tokens"),
         col("col").as("chunk_text"))
 
+  /** Pack chunks into fixed-token-budget training sequences, shard-locally:
+    * chunks are sharded by doc (all of a document's chunks stay together),
+    * laid out contiguously within the shard in (doc_id, chunk_id) order,
+    * and cut into sequences every `budget` tokens. A chunk whose start
+    * offset lands in sequence s belongs to s, so a sequence can overflow by
+    * at most maxTokens-1 — the standard streaming-packing trade (no
+    * bin-packing search, fully deterministic).
+    *
+    * Scale shape: ONE shuffle on the shard key; each shard is an
+    * independent sort + running sum, so parallelism = `shards` and no
+    * global ordering is ever materialized (a global cumsum would serialize
+    * the corpus through one partition — the non-scalable formulation this
+    * operator exists to avoid). */
+  def packChunks(chunks: DataFrame, budget: Int = 64, shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id", "chunk_id")
+    chunks
+      .withColumn("shard", (col("doc_id") % shards).cast("int"))
+      .withColumn("tok_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"tok_offset div $budget"))
+      .select("doc_id", "chunk_id", "shard", "seq_id", "tok_offset")
+  }
+
   // ---- Composed cleaning pipeline ----------------------------------------
 
   /** End-to-end corpus cleaning — the composition a training-data pipeline

@@ -36,6 +36,7 @@ object Corpus {
     }),
     "c_clusters" -> ((s, d) => CorpusOps.dedupClusters(docs(s, d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
+    "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
     "c_corpus" -> ((s, d) => CorpusOps.cleanCorpus(docs(s, d))))
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -147,9 +148,24 @@ object Corpus {
        |  array_to_string(words[i * 16 + 1 : i * 16 + 16], ' ') AS chunk_text
        |FROM w0, unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)""".stripMargin
 
+  /** Packing oracle: the chunk CTE cut into 64-token sequences within 8
+    * doc-sharded partitions (HUGEINT window sum cast back to BIGINT). */
+  private val packSql =
+    s"""WITH w0 AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
+       |ch AS (
+       |SELECT doc_id, i AS chunk_id,
+       |  CAST(greatest(least(16, len(words) - i * 16), 0) AS BIGINT) AS n_tokens
+       |FROM w0, unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)),
+       |o AS (
+       |SELECT doc_id, chunk_id, CAST(doc_id % 8 AS INT) AS shard,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id) - n_tokens AS BIGINT) AS tok_offset
+       |FROM ch)
+       |SELECT doc_id, chunk_id, shard, tok_offset // 64 AS seq_id, tok_offset FROM o""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "c_sample" -> sampleSql,
     "c_chunks" -> chunksSql,
+    "c_pack" -> packSql,
     "c_decontam" -> decontamSql,
     "c_clusters" -> clustersSql,
     "c_corpus" -> corpusSql)

@@ -127,7 +127,22 @@ object InfraOps {
       .select("event_id", "user_id", "value", "dd")
   }
 
+  /** Salted-join round-trip: lineitem keyed on an artificially hot key
+    * (l_suppkey % 10 — every row lands on 10 keys), dim replicated per
+    * salt. Values must equal the plain join exactly (the oracle is the
+    * UNsalted formulation); the aggregate keeps the dump small. */
+  def saltedJoinRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), (col("l_suppkey") % 10).as("k"), col("l_quantity"))
+    val dim = spark.read.parquet(s"$sfDir/region.parquet")
+      .select(col("r_regionkey").as("k"), col("r_name"))
+    graft.core.SkewJoin.saltedJoin(big, dim, Seq("k"), saltFactor = 16)
+      .groupBy("k", "r_name")
+      .agg(count(lit(1)).as("n_rows"), sum("l_quantity").cast("double").as("sum_qty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_salted" -> (saltedJoinRoundTrip _),
     "k_bucket" -> (bucketedJoinRoundTrip _),
     "s_partprune" -> (partitionPruneRoundTrip _),
     "k_merge" -> (mergeRoundTrip _),
@@ -137,6 +152,11 @@ object InfraOps {
     "st_dedup" -> (streamDedupBatch _))
 
   def oracleSql: Map[String, String] = Map(
+    "j_salted" ->
+      """SELECT k, r_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM (SELECT l_suppkey % 10 AS k, l_quantity FROM lineitem) b
+        |JOIN (SELECT r_regionkey AS k, r_name FROM region) d USING (k)
+        |GROUP BY 1, 2""".stripMargin,
     "k_bucket" ->
       """SELECT o_custkey, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

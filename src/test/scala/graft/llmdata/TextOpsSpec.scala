@@ -59,4 +59,30 @@ class TextOpsSpec extends AnyFunSuite {
     val reassembled = byDoc(1L).sortBy(_._2).map(_._4).mkString(" ")
     assert(reassembled == (1 to 35).map(i => s"w$i").mkString(" "))
   }
+
+  test("packChunks: contiguous shard-local sequences, bounded overflow, all chunks kept") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 40L).map(i => (i, (1 to 20).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text") // 20 tokens -> 2 chunks (16, 4) each
+    val chunks = CorpusOps.chunk(docs)
+    val packed = CorpusOps.packChunks(chunks, budget = 64, shards = 4)
+    assert(packed.count() == chunks.count()) // every chunk assigned
+    val rows = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // a doc's chunks never cross shards
+    assert(rows.groupBy(_._1).values.forall(_.map(_._3).distinct.size == 1))
+    // offsets within a shard are strictly increasing in (doc_id, chunk_id) order
+    rows.groupBy(_._3).values.foreach { shard =>
+      val ordered = shard.sortBy(r => (r._1, r._2)).map(_._5)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a < b })
+    }
+    // seq_id = offset div budget (the packing invariant)
+    assert(rows.forall { case (_, _, _, seqId, offset) => seqId == offset / 64 })
+    // every sequence's total fits budget + maxTokens - 1
+    val chunkTokens = chunks.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.groupBy(r => (r._3, r._4)).values.foreach { seq =>
+      val total = seq.map(r => chunkTokens((r._1, r._2))).sum
+      assert(total <= 64 + 16 - 1, s"sequence overflows: $total")
+    }
+  }
 }
