@@ -1,18 +1,22 @@
-package tmpsmoke
+package graft
 
-import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
+/** Plan-audit main: print the formatted physical plan of any registered
+  * queries (`runMain graft.Plans q1 q2 …`) — the `.explain("formatted")`
+  * loop the build brief asks for, kept as a tool so every round can re-audit
+  * pushdown/pruning/shuffle shapes without scratch code. */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.01"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { name =>
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
