@@ -141,7 +141,26 @@ object InfraOps {
       .agg(count(lit(1)).as("n_rows"), sum("l_quantity").cast("double").as("sum_qty"))
   }
 
+  /** As-of join: each event is enriched with the latest "snapshot" (every
+    * 31st event, with a synthetic strictly-unique timestamp) at or before
+    * its event time, per key group. The oracle is DuckDB's NATIVE
+    * `ASOF LEFT JOIN` — an independent engine running an independent
+    * algorithm over the same semantics, cross-checking the union-window
+    * implementation in [[graft.core.AsofJoin]]. */
+  def asofRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val left = ev.selectExpr(
+      "event_id", "cast(user_id % 50 as bigint) as k", "ts as evt_ts")
+    val right = ev.where("event_id % 31 = 0").selectExpr(
+      "cast(user_id % 50 as bigint) as k",
+      "TIMESTAMP_NTZ'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, event_id) as snap_ts",
+      "event_id as snap_id")
+    graft.core.AsofJoin.asofBackward(left, right, Seq("k"), "evt_ts", "snap_ts",
+      Seq("snap_id", "snap_ts"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_asof" -> (asofRoundTrip _),
     "j_salted" -> (saltedJoinRoundTrip _),
     "k_bucket" -> (bucketedJoinRoundTrip _),
     "s_partprune" -> (partitionPruneRoundTrip _),
@@ -152,6 +171,14 @@ object InfraOps {
     "st_dedup" -> (streamDedupBatch _))
 
   def oracleSql: Map[String, String] = Map(
+    "j_asof" ->
+      """WITH l AS (SELECT event_id, CAST(user_id % 50 AS BIGINT) AS k, CAST(ts AS TIMESTAMP) AS evt_ts FROM events),
+        |r AS (SELECT CAST(user_id % 50 AS BIGINT) AS k,
+        |             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (event_id) SECOND AS snap_ts,
+        |             event_id AS snap_id
+        |      FROM events WHERE event_id % 31 = 0)
+        |SELECT l.event_id, l.k, l.evt_ts, r.snap_id, r.snap_ts
+        |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.evt_ts >= r.snap_ts""".stripMargin,
     "j_salted" ->
       """SELECT k, r_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
         |FROM (SELECT l_suppkey % 10 AS k, l_quantity FROM lineitem) b

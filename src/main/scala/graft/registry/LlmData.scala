@@ -41,6 +41,15 @@ object LlmData {
     "t_scrub" -> ((s, d) => TextAnalysis.scrub(
       docs(s, d).withColumn("text", org.apache.spark.sql.functions.expr(scrubAugSpark)))),
     "t_vocab" -> ((s, d) => TextAnalysis.vocabulary(docs(s, d))),
+    "v_kmv" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr, round, udaf}
+      graft.functions.VectorExprs.register(s)
+      val kmv = udaf(new graft.functions.KmvDistinct(KmvK))
+      docs(s, d)
+        .select(col("lang"), expr("element_at(poly_hash_array(array(text)), 1)").as("h"))
+        .groupBy("lang")
+        .agg(round(kmv(col("h")), 6).as("est_distinct"))
+    }),
     "t_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "d_exact" -> ((s, d) => DocDedup.exact(docs(s, d))),
@@ -148,6 +157,18 @@ object LlmData {
        |SELECT lower(token) AS token, CAST(count(*) AS BIGINT) AS tf,
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
        |FROM t GROUP BY 1""".stripMargin
+
+  /** KMV sketch width for `v_kmv` (small groups take the exact path, the
+    * en stratum exercises the estimator). */
+  val KmvK = 32
+
+  private val kmvSql =
+    s"""WITH h AS (SELECT lang, ${duckPolyHash("text")} AS h FROM documents),
+       |g AS (SELECT lang, list_sort(list(DISTINCT h)) AS l FROM h GROUP BY 1)
+       |SELECT lang,
+       |  round(CASE WHEN len(l) < $KmvK THEN CAST(len(l) AS DOUBLE)
+       |             ELSE CAST(${KmvK - 1} AS DOUBLE) * $P / l[$KmvK] END, 6) AS est_distinct
+       |FROM g""".stripMargin
 
   private val exactSql =
     """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
@@ -319,6 +340,7 @@ object LlmData {
     "t_repeat" -> repeatSql,
     "t_scrub" -> scrubSql,
     "t_vocab" -> vocabSql,
+    "v_kmv" -> kmvSql,
     "t_langid" -> langidSql,
     "t_fingerprint" -> fingerprintSql,
     "d_exact" -> exactSql,

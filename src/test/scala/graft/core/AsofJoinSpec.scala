@@ -1,0 +1,52 @@
+package graft.core
+
+import graft.TestSpark
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (1L, "a", t("2026-01-01 10:00:00")),
+    (2L, "a", t("2026-01-01 12:00:00")),
+    (3L, "a", t("2026-01-01 09:00:00")), // before any snapshot
+    (4L, "b", t("2026-01-01 12:00:00"))) // key with no snapshots
+    .toDF("id", "k", "ts")
+
+  private val right = Seq(
+    ("a", t("2026-01-01 10:00:00"), 100L), // same instant as left id=1
+    ("a", t("2026-01-01 11:30:00"), 200L))
+    .toDF("k", "snap_ts", "snap_id")
+
+  test("backward as-of: latest snapshot at-or-before, NULL when none") {
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "snap_ts",
+      Seq("snap_id", "snap_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out == Map(
+      1L -> Some(100L), // same-instant snapshot visible (>= semantics)
+      2L -> Some(200L),
+      3L -> None,
+      4L -> None))
+  }
+
+  test("forward as-of: earliest snapshot at-or-after") {
+    val out = AsofJoin.asofForward(left, right, Seq("k"), "ts", "snap_ts",
+      Seq("snap_id", "snap_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out == Map(
+      1L -> Some(100L),
+      2L -> None,      // nothing after 12:00
+      3L -> Some(100L),
+      4L -> None))
+  }
+
+  test("output keeps every left row exactly once and all left columns") {
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "snap_ts", Seq("snap_id"))
+    assert(out.count() == left.count())
+    assert(out.columns.toSeq == Seq("id", "k", "ts", "snap_id"))
+  }
+}
