@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Dedup, Normalize, SchemaCasts}
+import graft.core.{AsofJoin, Dedup, Normalize, RangeJoin, SchemaCasts, SkewJoin}
 import graft.llmdata.{CorpusOps, DocDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -31,6 +31,18 @@ package object api {
       SchemaCasts.castDecimalDouble(df, tsCols: _*)
     /** Null-fill every float/double column with 0. */
     def fillFloatNulls: DataFrame = SchemaCasts.fillFloatNulls(df)
+    /** Skew-safe join: scatter hot keys across `saltFactor` sub-keys. */
+    def saltedJoin(small: DataFrame, keys: Seq[String], saltFactor: Int,
+                   joinType: String = "inner"): DataFrame =
+      SkewJoin.saltedJoin(df, small, keys, saltFactor, joinType)
+    /** Latest right row at-or-before each left timestamp, per key. */
+    def asofJoin(right: DataFrame, keys: Seq[String], leftTs: String,
+                 rightTs: String, payload: Seq[String]): DataFrame =
+      AsofJoin.asofBackward(df, right, keys, leftTs, rightTs, payload)
+    /** Point-in-interval join via time-bucketized equi-join. */
+    def rangeJoin(intervals: DataFrame, pointTs: String, startCol: String,
+                  endCol: String, bucketSeconds: Long, keys: Seq[String] = Nil): DataFrame =
+      RangeJoin.pointInInterval(df, intervals, pointTs, startCol, endCol, bucketSeconds, keys)
   }
 
   /** Corpus curation over a `(doc_id, text, …)` document frame. */
@@ -56,6 +68,8 @@ package object api {
       CorpusOps.decontaminate(docs, benchmark, k)
     def dedupClusters: DataFrame = CorpusOps.dedupClusters(docs)
     def chunkTokens(maxTokens: Int = 16): DataFrame = CorpusOps.chunk(docs, maxTokens)
+    def packChunks(budget: Int = 64, shards: Int = 8): DataFrame =
+      CorpusOps.packChunks(docs, budget, shards)
     def cleanCorpus(keepLang: String = "en", minQuality: Double = 0.6): DataFrame =
       CorpusOps.cleanCorpus(docs, keepLang, minQuality)
   }

@@ -159,7 +159,26 @@ object InfraOps {
       Seq("snap_id", "snap_ts"))
   }
 
+  /** Range-join round-trip: events against derived per-key "maintenance
+    * windows" (every 41st event opens a 1-5 hour window). The bucketized
+    * equi-join must equal the plain inequality join the DuckDB oracle
+    * runs. */
+  def rangeJoinRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val points = ev.selectExpr(
+      "event_id", "cast(user_id % 20 as bigint) as k", "ts as evt_ts")
+    val windows = ev.where("event_id % 41 = 0").selectExpr(
+      "cast(user_id % 20 as bigint) as k",
+      "event_id as win_id",
+      "date_trunc('hour', ts) as win_start",
+      "date_trunc('hour', ts) + make_interval(0, 0, 0, 0, cast(1 + event_id % 5 as int)) as win_end")
+    graft.core.RangeJoin.pointInInterval(
+      points, windows, "evt_ts", "win_start", "win_end",
+      bucketSeconds = 3600L, keys = Seq("k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_range" -> (rangeJoinRoundTrip _),
     "j_asof" -> (asofRoundTrip _),
     "j_salted" -> (saltedJoinRoundTrip _),
     "k_bucket" -> (bucketedJoinRoundTrip _),
@@ -171,6 +190,14 @@ object InfraOps {
     "st_dedup" -> (streamDedupBatch _))
 
   def oracleSql: Map[String, String] = Map(
+    "j_range" ->
+      """WITH p AS (SELECT event_id, CAST(user_id % 20 AS BIGINT) AS k, CAST(ts AS TIMESTAMP) AS evt_ts FROM events),
+        |w AS (SELECT CAST(user_id % 20 AS BIGINT) AS k, event_id AS win_id,
+        |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+        |             date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL (1 + event_id % 5) HOUR AS win_end
+        |      FROM events WHERE event_id % 41 = 0)
+        |SELECT p.event_id, p.k, p.evt_ts, w.win_id, w.win_start, w.win_end
+        |FROM p JOIN w ON p.k = w.k AND p.evt_ts >= w.win_start AND p.evt_ts < w.win_end""".stripMargin,
     "j_asof" ->
       """WITH l AS (SELECT event_id, CAST(user_id % 50 AS BIGINT) AS k, CAST(ts AS TIMESTAMP) AS evt_ts FROM events),
         |r AS (SELECT CAST(user_id % 50 AS BIGINT) AS k,
