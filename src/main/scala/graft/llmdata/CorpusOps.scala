@@ -206,7 +206,22 @@ object CorpusOps {
       .withColumn("shard", (col("doc_id") % shards).cast("int"))
       .withColumn("tok_offset", sum("n_tokens").over(w) - col("n_tokens"))
       .withColumn("seq_id", expr(s"tok_offset div $budget"))
-      .select("doc_id", "chunk_id", "shard", "seq_id", "tok_offset")
+      .select("doc_id", "chunk_id", "n_tokens", "shard", "seq_id", "tok_offset")
+  }
+
+  /** The full training-data assembly in ONE declarative plan: clean the
+    * corpus ([[cleanCorpus]]), chunk the survivors ([[chunk]]), pack the
+    * chunks into sequences ([[packChunks]]), and report per-sequence
+    * totals — the shape a dataloader manifest needs. Oracle-checked end to
+    * end (`c_e2e`), which pins the COMPOSITION, not just the stages: a
+    * schema drift between any two stages fails the hash compare. */
+  def trainingSequences(documents: DataFrame, budget: Int = 64, shards: Int = 8,
+                        maxTokens: Int = 16): DataFrame = {
+    val keptIds = cleanCorpus(documents).select("doc_id")
+    val chunks = chunk(documents.join(keptIds, "doc_id"), maxTokens)
+    packChunks(chunks, budget, shards)
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("seq_tokens"))
   }
 
   // ---- Composed cleaning pipeline ----------------------------------------

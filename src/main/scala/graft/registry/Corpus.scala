@@ -37,7 +37,8 @@ object Corpus {
     "c_clusters" -> ((s, d) => CorpusOps.dedupClusters(docs(s, d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
-    "c_corpus" -> ((s, d) => CorpusOps.cleanCorpus(docs(s, d))))
+    "c_corpus" -> ((s, d) => CorpusOps.cleanCorpus(docs(s, d))),
+    "c_e2e" -> ((s, d) => CorpusOps.trainingSequences(docs(s, d))))
 
   // ---- DuckDB oracles ----------------------------------------------------
 
@@ -104,10 +105,11 @@ object Corpus {
        |SELECT doc_id, cluster FROM l3""".stripMargin
   }
 
-  /** End-to-end cleaning oracle: language-ID + quality in one pass over the
-    * token lists, survivor exact-dedup, then the minhash pair chain over the
-    * deduped survivors, anti-joined away. */
-  private val corpusSql = {
+  /** End-to-end cleaning CTE chain (language-ID + quality in one pass over
+    * the token lists, survivor exact-dedup, minhash pair chain, anti-join),
+    * ending in `final_kept(doc_id, n_tokens, quality_score)` — shared by
+    * the `c_corpus` and `c_e2e` oracles. */
+  private val corpusCtes = {
     val enList = StopWords.toMap.apply("en").map(w => s"'$w'").mkString("(", ", ", ")")
     val scores = StopWords.map { case (l, _) =>
       s"${langScoreDuck(l, "words", "text")} AS s_$l"
@@ -116,7 +118,7 @@ object Corpus {
     val cases = StopWords.map { case (l, _) =>
       s"WHEN s_$l = best AND best > 0 THEN '$l'"
     }.mkString(" ")
-    s"""WITH w0 AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
+    s"""w0 AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
        |sc AS (SELECT doc_id, text, words, len(words) AS n_tokens, $scores FROM w0),
        |b AS (SELECT *, $best AS best FROM sc),
        |q AS (SELECT doc_id, text, n_tokens,
@@ -134,10 +136,31 @@ object Corpus {
        |dd AS (SELECT min(doc_id) AS doc_id, text, min(n_tokens) AS n_tokens,
        |              min(quality_score) AS quality_score
        |       FROM kept GROUP BY text),
-       |${minhashPairCtes("dd", "x")}
-       |SELECT doc_id, n_tokens, quality_score FROM dd
-       |WHERE doc_id NOT IN (SELECT id_b FROM xpairs)""".stripMargin
+       |${minhashPairCtes("dd", "x")},
+       |final_kept AS (SELECT doc_id, n_tokens, quality_score FROM dd
+       |               WHERE doc_id NOT IN (SELECT id_b FROM xpairs))""".stripMargin
   }
+
+  private val corpusSql =
+    s"WITH $corpusCtes\nSELECT doc_id, n_tokens, quality_score FROM final_kept"
+
+  /** c_e2e oracle: chunk + pack the cleaned survivors, aggregate per
+    * sequence — same math as the c_chunks/c_pack oracles over `final_kept`
+    * instead of the raw corpus. */
+  private val e2eSql =
+    s"""WITH $corpusCtes,
+       |ech AS (
+       |SELECT w0.doc_id, i AS chunk_id,
+       |  CAST(greatest(least(16, len(words) - i * 16), 0) AS BIGINT) AS n_tokens
+       |FROM w0 JOIN (SELECT doc_id FROM final_kept) fk USING (doc_id),
+       |     unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)),
+       |eo AS (
+       |SELECT doc_id, chunk_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id) - n_tokens AS BIGINT) AS tok_offset
+       |FROM ech)
+       |SELECT shard, tok_offset // 64 AS seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+       |FROM eo GROUP BY 1, 2""".stripMargin
 
   /** Chunking oracle — same fixed 16-token budget as the registered query
     * (documents are ~50 words, so ~3-4 chunks each). */
@@ -157,10 +180,10 @@ object Corpus {
        |  CAST(greatest(least(16, len(words) - i * 16), 0) AS BIGINT) AS n_tokens
        |FROM w0, unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)),
        |o AS (
-       |SELECT doc_id, chunk_id, CAST(doc_id % 8 AS INT) AS shard,
+       |SELECT doc_id, chunk_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,
        |  CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id) - n_tokens AS BIGINT) AS tok_offset
        |FROM ch)
-       |SELECT doc_id, chunk_id, shard, tok_offset // 64 AS seq_id, tok_offset FROM o""".stripMargin
+       |SELECT doc_id, chunk_id, n_tokens, shard, tok_offset // 64 AS seq_id, tok_offset FROM o""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "c_sample" -> sampleSql,
@@ -168,5 +191,6 @@ object Corpus {
     "c_pack" -> packSql,
     "c_decontam" -> decontamSql,
     "c_clusters" -> clustersSql,
-    "c_corpus" -> corpusSql)
+    "c_corpus" -> corpusSql,
+    "c_e2e" -> e2eSql)
 }

@@ -68,7 +68,7 @@ class TextOpsSpec extends AnyFunSuite {
     val packed = CorpusOps.packChunks(chunks, budget = 64, shards = 4)
     assert(packed.count() == chunks.count()) // every chunk assigned
     val rows = packed.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getLong(4), r.getLong(5)))
     // a doc's chunks never cross shards
     assert(rows.groupBy(_._1).values.forall(_.map(_._3).distinct.size == 1))
     // offsets within a shard are strictly increasing in (doc_id, chunk_id) order
