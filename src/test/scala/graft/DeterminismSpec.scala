@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance: the number of shuffle partitions is the one
+  * physical knob guaranteed to differ between local[32] and a 1000-executor
+  * cluster, so every registered query must produce the identical multiset
+  * of rows under different values. Catches hidden order-dependence
+  * (dropDuplicates-style nondeterminism, float reduction order, rand()). */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** One representative per operator family (full coverage would re-run the
+    * whole registry twice; the oracle gate already covers single-config
+    * correctness). */
+  private val representative = Seq(
+    "a_flagship",      // day-range union + windows + broadcast join
+    "b_ressarcimento", // the full pipeline-B assembly
+    "c_pack",          // shard-local window packing
+    "c_corpus",        // composed cleaning pipeline
+    "d_minhash",       // LSH bucket join
+    "j_asof",          // union-window as-of join
+    "j_salted",        // deterministic salting
+    "v_kmv")           // sketch aggregate (merge-order sensitivity)
+
+  private def run(name: String, parts: Int): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+  }
+
+  representative.foreach { name =>
+    test(s"$name is invariant under shuffle-partition count (3 vs 17)") {
+      assert(run(name, 3) == run(name, 17))
+    }
+  }
+}
