@@ -60,6 +60,9 @@ object AsofJoin {
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                   leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(payload.forall(right.columns.contains), s"payload must be right columns")
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload names must not collide with left columns: ${payload.intersect(leftCols)}")
     val ts = "__graft_asof_ts"
     val side = "__graft_asof_side"
     val lTagged = left.withColumn(ts, col(leftTs)).withColumn(side, lit(1))

@@ -34,7 +34,11 @@ object RangeJoin {
     val b = Iterator.from(0).map(i => s"__graft_bucket$i")
       .find(n => !points.columns.contains(n) && !intervals.columns.contains(n)).get
     val ptsB = points.withColumn(b, bucket(col(pointTs), bucketSeconds))
+    // Degenerate intervals (end <= start) contain no point under half-open
+    // semantics — drop them BEFORE the explode: sequence() would otherwise
+    // happily emit a DESCENDING bucket range for them.
     val ivB = intervals
+      .where(col(endCol) > col(startCol))
       .withColumn(b, explode(sequence(
         bucket(col(startCol), bucketSeconds), bucket(col(endCol), bucketSeconds))))
     ptsB.join(ivB, keys :+ b)

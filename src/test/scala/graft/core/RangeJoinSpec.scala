@@ -32,6 +32,15 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(plain.exceptAll(fast).count() == 0)
   }
 
+  test("degenerate intervals (end <= start) match nothing and do not error") {
+    val points = Seq((1L, t("2026-01-01 05:00:00"))).toDF("pid", "ts")
+    val intervals = Seq(
+      (9L, t("2026-01-01 05:00:00"), t("2026-01-01 05:00:00")),  // empty
+      (10L, t("2026-01-01 08:00:00"), t("2026-01-01 01:00:00"))) // inverted
+      .toDF("win_id", "s", "e")
+    assert(RangeJoin.pointInInterval(points, intervals, "ts", "s", "e", 3600L).count() == 0)
+  }
+
   test("half-open semantics: end boundary excluded, start included") {
     val points = Seq((1L, t("2026-01-01 05:00:00")), (2L, t("2026-01-01 06:00:00")))
       .toDF("pid", "ts")
