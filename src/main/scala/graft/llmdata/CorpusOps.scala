@@ -162,6 +162,62 @@ object CorpusOps {
   def dedupClusters(documents: DataFrame): DataFrame =
     clusterLabels(DocDedup.minhashLshPairs(documents), iterations = 3)
 
+  // ---- Incremental (cross-batch) dedup -----------------------------------
+
+  /** Dedup a NEW batch against an EXISTING corpus — the incremental
+    * ingestion path: a re-crawl must not re-pair the corpus against itself
+    * (that work is already done), only the new batch against the corpus and
+    * itself. Survivors = new docs with (1) no exact text match in the
+    * corpus, (2) no MinHash-LSH near-dup in the corpus, and (3) not a
+    * near-dup of a smaller-id surviving batch doc.
+    *
+    * Scale shape: the corpus side contributes one pass to build its band
+    * keys (in production these are precomputed at ingest and stored — the
+    * operator takes DataFrames so either binding works); the candidate join
+    * is bucket-local (band, key) between batch and corpus bands — never
+    * |batch| × |corpus|. */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    graft.functions.VectorExprs.register(newDocs.sparkSession)
+    import org.apache.spark.storage.StorageLevel
+    def shingled(df: DataFrame) = df
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
+      .select(col("doc_id"), col("text"), col("__sh"))
+    def bands(sh: DataFrame, idAs: String) = sh
+      .withColumn("__h", sparkPolyHashArray("__sh"))
+      .withColumn("__sig", expr(DocDedup.sparkSignature("__h")))
+      .select(col("doc_id").as(idAs),
+        posexplode(expr(s"transform(sequence(0, ${DocDedup.Bands - 1}), b -> array_join(transform(slice(__sig, b * ${DocDedup.RowsPerBand} + 1, ${DocDedup.RowsPerBand}), x -> CAST(x AS STRING)), '_'))")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+
+    // (1) exact: drop batch docs whose text already exists in the corpus
+    val exactKept = shingled(
+      newDocs.join(corpus.select(col("text")), Seq("text"), "left_anti"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusSh = shingled(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // (2) near-dup vs corpus: bucket join between band sets, exact verify
+    val candidates = bands(exactKept, "new_id")
+      .join(bands(corpusSh, "old_id"), Seq("band", "band_key"))
+      .select("new_id", "old_id").distinct()
+    val vsCorpus = candidates
+      .join(exactKept.select(col("doc_id").as("new_id"), col("__sh").as("sh_a")), "new_id")
+      .join(corpusSh.select(col("doc_id").as("old_id"), col("__sh").as("sh_b")), "old_id")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        / size(array_union(col("sh_a"), col("sh_b"))) >= threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+
+    // (3) near-dup inside the batch itself: keep the smaller id
+    val intraDrop = DocDedup.minhashLshPairs(
+        exactKept.select("doc_id", "text"), k, threshold)
+      .select(col("id_b").as("doc_id")).distinct()
+
+    exactKept.select("doc_id")
+      .join(vsCorpus, Seq("doc_id"), "left_anti")
+      .join(intraDrop, Seq("doc_id"), "left_anti")
+  }
+
   // ---- Document chunking ---------------------------------------------------
 
   /** Split each document into fixed-token-budget chunks (the pre-packing

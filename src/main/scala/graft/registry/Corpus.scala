@@ -38,7 +38,13 @@ object Corpus {
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
     "c_corpus" -> ((s, d) => CorpusOps.cleanCorpus(docs(s, d))),
-    "c_e2e" -> ((s, d) => CorpusOps.trainingSequences(docs(s, d))))
+    "c_e2e" -> ((s, d) => CorpusOps.trainingSequences(docs(s, d))),
+    "c_incr" -> ((s, d) => {
+      val all = docs(s, d)
+      CorpusOps.dedupAgainstCorpus(
+        all.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0),
+        all.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0))
+    }))
 
   // ---- DuckDB oracles ----------------------------------------------------
 
@@ -72,13 +78,20 @@ object Corpus {
     * J >= 0.5), ending in CTE `${p}pairs(id_a, id_b)` — the DuckDB twin of
     * [[DocDedup.minhashLshPairs]], parameterized so the cluster and
     * composed-pipeline oracles can run it over different inputs. */
-  private def minhashPairCtes(src: String, p: String): String = {
+  /** Shingle → signature → LSH-band CTE chain for one relation, prefixed
+    * `p` — the shared building block of the same-set and cross-set pair
+    * oracles. */
+  private def sigBandCtes(src: String, p: String): String = {
     val bandKey = s"array_to_string(list_slice(sig, band * ${DocDedup.RowsPerBand} + 1, band * ${DocDedup.RowsPerBand} + ${DocDedup.RowsPerBand}), '_')"
     s"""${p}w AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM $src),
        |${p}sh AS (SELECT doc_id, ${duckShingles("words", "text", 3)} AS s FROM ${p}w),
        |${p}sig AS (SELECT doc_id, s, ${DocDedup.duckSignature(duckPolyHashArray("s"))} AS sig FROM ${p}sh),
        |${p}bands AS (SELECT doc_id, band, $bandKey AS band_key
-       |              FROM ${p}sig, (SELECT unnest(range(0, ${DocDedup.Bands})) AS band)),
+       |              FROM ${p}sig, (SELECT unnest(range(0, ${DocDedup.Bands})) AS band))""".stripMargin
+  }
+
+  private def minhashPairCtes(src: String, p: String): String =
+    s"""${sigBandCtes(src, p)},
        |${p}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |             FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
        |${p}pairs AS (
@@ -86,7 +99,6 @@ object Corpus {
        |  FROM ${p}cand JOIN ${p}sh sa ON ${p}cand.id_a = sa.doc_id JOIN ${p}sh sb ON ${p}cand.id_b = sb.doc_id
        |  WHERE CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
        |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) >= 0.5)""".stripMargin
-  }
 
   /** Unrolled min-label propagation (3 rounds — same fixed count as
     * [[CorpusOps.dedupClusters]]). */
@@ -185,7 +197,28 @@ object Corpus {
        |FROM ch)
        |SELECT doc_id, chunk_id, n_tokens, shard, tok_offset // 64 AS seq_id, tok_offset FROM o""".stripMargin
 
+  /** Incremental-dedup oracle: every-5th-doc batch vs the rest as corpus;
+    * exact anti-join, cross-set LSH flag, intra-batch pair drop. */
+  private val incrSql =
+    s"""WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |cp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+       |ek AS (SELECT n.doc_id, n.text FROM nd n
+       |       WHERE NOT EXISTS (SELECT 1 FROM cp c WHERE c.text = n.text)),
+       |${sigBandCtes("ek", "a")},
+       |${sigBandCtes("cp", "b")},
+       |xcand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+       |          FROM abands a JOIN bbands b ON a.band = b.band AND a.band_key = b.band_key),
+       |xflag AS (SELECT DISTINCT xcand.new_id AS doc_id
+       |  FROM xcand JOIN ash sa ON xcand.new_id = sa.doc_id JOIN bsh sb ON xcand.old_id = sb.doc_id
+       |  WHERE CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+       |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) >= 0.5),
+       |${minhashPairCtes("ek", "i")}
+       |SELECT doc_id FROM ek
+       |WHERE doc_id NOT IN (SELECT doc_id FROM xflag)
+       |  AND doc_id NOT IN (SELECT id_b FROM ipairs)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "c_incr" -> incrSql,
     "c_sample" -> sampleSql,
     "c_chunks" -> chunksSql,
     "c_pack" -> packSql,

@@ -74,6 +74,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("dedupAgainstCorpus: exact, cross-set near-dup, and intra-batch dups all dropped") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated corpus text about spark plans"))
+      .toDF("doc_id", "text")
+    // Near-dups are whitespace variants: same token set -> identical MinHash
+    // signature -> guaranteed band collision (recall 1), so the test is
+    // deterministic; lower-J pairs are caught only probabilistically (the
+    // standard LSH recall curve, same in the oracle).
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of corpus
+      (11L, "the quick  brown fox jumps over the  lazy dog today"), // near-dup of corpus (J=1)
+      (12L, "a genuinely new document with fresh original words"),
+      (13L, "a genuinely  new document with fresh  original words"), // intra near-dup of 12
+      (14L, "another survivor text entirely distinct from everything"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.dedupAgainstCorpus(batch, corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(12L, 14L))
+  }
+
   test("cleanCorpus output: only en/quality survivors, no duplicate texts, no near-dup pairs") {
     val out = CorpusOps.cleanCorpus(docs)
     val ids = out.select("doc_id").as[Long].collect().toSet
