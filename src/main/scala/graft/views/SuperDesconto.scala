@@ -2,7 +2,7 @@ package graft.views
 
 import graft.core.{Dedup, Normalize, SchemaCasts}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import java.time.LocalDate
 
@@ -126,4 +126,32 @@ object SuperDesconto {
         aut("ulch_fl_tipo_produto"))
     SchemaCasts.castDecimalDouble(joined, "ulch_dt_vencimento")
   }
+
+  /** Typed row of [[flagship]]'s 15-column output — the `Dataset[T]`
+    * surface for consumers that want compile-time column safety (the
+    * DataFrame form stays canonical: the sink and oracle paths are
+    * schema-dynamic). Key/measure fields are non-nullable by construction
+    * (join keys and arithmetic over non-null fixture columns). */
+  final case class FlagshipRow(
+    ulch_sq_autorizacao: Long,
+    ulch_sq_produto: Long,
+    xxxx_dh_cad: java.time.LocalDateTime,
+    dt_venda: java.time.LocalDateTime,
+    filial: Int,
+    cod_prod: Long,
+    ulch_lote: String,
+    ulch_dt_vencimento: java.time.LocalDateTime,
+    etiqueta: String,
+    perc_dsc_cupom: Double,
+    venda: Double,
+    venda_desconto: Double,
+    ulch_preco_venda: Double,
+    ulch_percentual_desconto: Double,
+    ulch_fl_tipo_produto: String)
+
+  /** [[flagship]] as a typed Dataset. */
+  def flagshipTyped(cupomDf: DataFrame, autorizadorDf: DataFrame,
+                    produtoDf: DataFrame): Dataset[FlagshipRow] =
+    flagship(cupomDf, autorizadorDf, produtoDf)
+      .as[FlagshipRow](org.apache.spark.sql.Encoders.product[FlagshipRow])
 }

@@ -24,4 +24,20 @@ class PipelineASpec extends AnyFunSuite {
   test("entry() runs the real flagship (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("typed flagship Dataset agrees with the DataFrame form") {
+    val dir = "/root/testdata/sf0.001"
+    val df = PipelineA.flagshipDf(spark, dir)
+    val ds = SuperDesconto.flagshipTyped(
+      PipelineA.cupomDf(spark, dir),
+      PipelineA.autorizadorDf(spark, dir),
+      PipelineA.produtoDf(spark, dir))
+    assert(ds.count() == df.count())
+    // typed access compiles and round-trips values
+    val typedSum = ds.collect().map(_.venda).sum
+    val dfSum = df.agg(org.apache.spark.sql.functions.sum("venda"))
+      .head().getDouble(0)
+    assert(math.abs(typedSum - dfSum) < 1e-6)
+    assert(ds.collect().forall(_.etiqueta.length == 30)) // C3 lpad-30 invariant
+  }
 }
