@@ -70,6 +70,10 @@ package object api {
     def chunkTokens(maxTokens: Int = 16): DataFrame = CorpusOps.chunk(docs, maxTokens)
     def packChunks(budget: Int = 64, shards: Int = 8): DataFrame =
       CorpusOps.packChunks(docs, budget, shards)
+    def trainingSequences(budget: Int = 64, shards: Int = 8, maxTokens: Int = 16): DataFrame =
+      CorpusOps.trainingSequences(docs, budget, shards, maxTokens)
+    def dedupAgainst(corpus: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
+      CorpusOps.dedupAgainstCorpus(docs, corpus, k, threshold)
     def cleanCorpus(keepLang: String = "en", minQuality: Double = 0.6): DataFrame =
       CorpusOps.cleanCorpus(docs, keepLang, minQuality)
   }
