@@ -11,16 +11,24 @@ import org.apache.spark.sql.functions._
   * and feature-store pipelines).
   *
   * Implementation is the union-window form, NOT a range join: tag both
-  * sides, union them, and run `last(payload, ignoreNulls) over (partition
-  * by key order by ts, side rows unbounded preceding..current)`. One
-  * shuffle on the key, one per-partition sort — cost identical to a
-  * sort-merge join. A theta/range join formulation would explode to
-  * |left|×|right| per key before filtering; this never materializes more
-  * than left+right rows. Right rows sort BEFORE left rows at equal
-  * timestamps (side 0 < 1), so a same-instant snapshot is visible —
-  * matching DuckDB's native `ASOF JOIN ... ON l.ts >= r.ts` semantics,
-  * which the `asof` CORRECTNESS row cross-checks against this exact
-  * implementation (two independent engines, two independent algorithms).
+  * sides, union them, and propagate the latest right-side payload with
+  * `last(..., ignoreNulls) over (partition by key order by ts, side rows
+  * unbounded preceding..current)`. One shuffle on the key, one
+  * per-partition sort — cost identical to a sort-merge join. A theta/range
+  * join formulation would explode to |left|×|right| per key before
+  * filtering; this never materializes more than left+right rows. Right
+  * rows sort BEFORE left rows at equal timestamps (side 0 < 1), so a
+  * same-instant snapshot is visible — matching DuckDB's native
+  * `ASOF JOIN ... ON l.ts >= r.ts` semantics, which the `j_asof`
+  * CORRECTNESS row cross-checks against this exact implementation (two
+  * independent engines, two independent algorithms).
+  *
+  * NULL semantics match the native form too: the payload columns are
+  * carried as ONE struct (non-null for every right row), so the window
+  * fill always takes the whole latest snapshot — a snapshot whose payload
+  * VALUES are NULL yields NULLs rather than leaking an older snapshot, and
+  * multi-column payloads can never mix rows. Right rows with a NULL
+  * timestamp are excluded (a NULL never satisfies `l.ts >= r.ts`).
   *
   * Requirement: `right` must be unique per (keys, rightTs) — with
   * duplicates, "the" as-of row is ill-defined in any engine; pre-dedup
@@ -28,56 +36,53 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  private def freeName(base: String, taken: Set[String]): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !taken.contains(n)).get
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, payload: Seq[String],
+                   forward: Boolean): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payload.forall(right.columns.contains), s"payload must be right columns")
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload names must not collide with left columns: ${payload.intersect(leftCols)}")
+    val taken = (leftCols ++ right.columns).toSet
+    val ts = freeName("__graft_asof_ts", taken)
+    val side = freeName("__graft_asof_side", taken)
+    val pl = freeName("__graft_asof_payload", taken)
+    // Left sorts before right at equal ts in forward mode (sees the
+    // same-instant snapshot ahead of it); after in backward mode (sees it
+    // behind). side values chosen so ascending order does both.
+    val lTagged = left.withColumn(ts, col(leftTs)).withColumn(side, lit(1))
+    val rTagged = right
+      .filter(col(rightTs).isNotNull)
+      .select((keys.map(col) :+ col(rightTs).as(ts))
+        :+ struct(payload.map(col): _*).as(pl): _*)
+      .withColumn(side, lit(if (forward) 2 else 0))
+    val unified = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val ordered = Window.partitionBy(keys.map(col): _*).orderBy(col(ts).asc, col(side).asc)
+    val fill =
+      if (forward)
+        first(col(pl), ignoreNulls = true).over(
+          ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col(pl), ignoreNulls = true).over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    unified
+      .withColumn(pl, fill)
+      .filter(col(side) === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(pl).getField(p).as(p)): _*)
+  }
+
   /** Left rows + `payload` columns of the latest right row at-or-before
     * the left timestamp (NULL-extended when no right row precedes). */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-                   leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    require(payload.forall(right.columns.contains), s"payload must be right columns")
-    require(payload.intersect(leftCols).isEmpty,
-      s"payload names must not collide with left columns: ${payload.intersect(leftCols)}")
-    val ts = "__graft_asof_ts"
-    val side = "__graft_asof_side"
-    val lTagged = left
-      .withColumn(ts, col(leftTs))
-      .withColumn(side, lit(1))
-    val rTagged = right
-      .select((keys.map(col) :+ col(rightTs).as(ts)) ++ payload.map(col): _*)
-      .withColumn(side, lit(0))
-    val unified = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(side).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unified) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled
-      .filter(col(side) === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
-  }
+                   leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, payload, forward = false)
 
   /** Forward variant: earliest right row at-or-after the left timestamp. */
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
-                  leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    require(payload.forall(right.columns.contains), s"payload must be right columns")
-    require(payload.intersect(leftCols).isEmpty,
-      s"payload names must not collide with left columns: ${payload.intersect(leftCols)}")
-    val ts = "__graft_asof_ts"
-    val side = "__graft_asof_side"
-    val lTagged = left.withColumn(ts, col(leftTs)).withColumn(side, lit(1))
-    val rTagged = right
-      .select((keys.map(col) :+ col(rightTs).as(ts)) ++ payload.map(col): _*)
-      .withColumn(side, lit(2))
-    val unified = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(side).asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = payload.foldLeft(unified) { (df, p) =>
-      df.withColumn(p, first(col(p), ignoreNulls = true).over(w))
-    }
-    filled
-      .filter(col(side) === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
-  }
+                  leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, payload, forward = true)
 }

@@ -113,6 +113,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("lang_label"), col("lang_guess"),
         when(col("lang") === col("lang_guess"), lit(1)).otherwise(lit(0)).as("agree"))
 
+  /** Rolling-hash fingerprint expression over a token-hash array column —
+    * the single definition shared by [[fingerprint]] and the streaming
+    * dedup key ([[graft.streaming.DocStream]]), so batch and stream can
+    * never hash differently. */
+  private[graft] def fingerprintOf(thCol: String) =
+    expr(s"aggregate($thCol, 0L, (h, c) -> (h * 37 + c) % $P)")
+
   /** Document fingerprint: order-sensitive polynomial rolling hash over the
     * token hashes — a compact per-doc identity for exact-dup detection and
     * incremental re-crawl diffing. */
@@ -121,8 +128,7 @@ object TextAnalysis {
     documents
       .withColumn("__words", tokens(col("text")))
       .withColumn("__th", sparkPolyHashArray("__words"))
-      .select(col("doc_id"),
-        expr(s"aggregate(__th, 0L, (h, c) -> (h * 37 + c) % $P)").as("fingerprint"))
+      .select(col("doc_id"), fingerprintOf("__th").as("fingerprint"))
   }
 
   /** Within-document repetition signals (the Gopher-style repetition

@@ -27,15 +27,17 @@ object DocStream {
 
   /** Adds the BIGINT content fingerprint column (rolling polynomial hash
     * over token hashes — order-sensitive, whitespace-insensitive). Works on
-    * batch and streaming frames alike; pure per-row projection. */
+    * batch and streaming frames alike; pure per-row projection. Delegates
+    * to the canonical tokenizer + hash ([[TextPrimitives.tokens]],
+    * [[graft.llmdata.TextAnalysis.fingerprintOf]]) so the streaming dedup
+    * key can never drift from the batch fingerprint or its oracle. */
   def withFingerprint(docs: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
     docs
-      .withColumn("__th", TextPrimitives.sparkPolyHashArray(
-        s"filter(split(trim(text), ' +'), w -> length(w) > 0)"))
-      .withColumn("fingerprint",
-        expr(s"aggregate(__th, 0L, (h, c) -> (h * 37 + c) % ${TextPrimitives.P})"))
-      .drop("__th")
+      .withColumn("__w", TextPrimitives.tokens(col("text")))
+      .withColumn("__th", TextPrimitives.sparkPolyHashArray("__w"))
+      .withColumn("fingerprint", graft.llmdata.TextAnalysis.fingerprintOf("__th"))
+      .drop("__w", "__th")
   }
 
   /** Streaming exact dedup: emit only the first-arriving copy of each

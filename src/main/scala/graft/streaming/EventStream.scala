@@ -27,32 +27,36 @@ object EventStream {
       .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE")
       .parquet(dir)
 
+  /** The ONE tumbling-window aggregate both forms share — streaming and
+    * batch differ only in watermarking and which time column drives the
+    * bucket, so an edit here changes both in lockstep (the property the
+    * st_window oracle relies on). */
+  private def windowAgg(df: DataFrame, tsCol: String, window_ : String): DataFrame =
+    df.groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("revenue"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("revenue"))
+
   /** Watermarked sliding-window revenue: per 10-minute tumbling event-time
     * window and event_type, count + sum(value). Late events beyond the
     * 30-minute watermark are dropped (bounded state). */
   def windowedRevenue(events: DataFrame,
                       window_ : String = "10 minutes",
                       watermark: String = "30 minutes"): DataFrame =
-    events
-      .withColumn("ts_tz", col("ts").cast("timestamp"))
-      .withWatermark("ts_tz", watermark)
-      .groupBy(window(col("ts_tz"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("revenue"))
-      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
-        col("event_type"), col("n_events"), col("revenue"))
+    windowAgg(
+      events
+        .withColumn("ts_tz", col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark),
+      "ts_tz", window_)
 
   /** Batch twin of [[windowedRevenue]]: identical tumbling-window bucketing
     * and aggregate over a bounded DataFrame (no watermark — batch input is
-    * complete by definition). The same `window()` expression drives both, so
-    * the streaming operator's event-time semantics are oracle-checkable in
-    * batch (`st_window` row; DuckDB `time_bucket` aligns hour buckets to the
-    * same epoch boundaries). Operates directly on the NTZ event time. */
+    * complete by definition), shared via [[windowAgg]] so the streaming
+    * operator's event-time semantics are oracle-checkable in batch
+    * (`st_window` row; DuckDB `time_bucket` aligns hour buckets to the same
+    * epoch boundaries). Operates directly on the NTZ event time. */
   def windowedRevenueBatch(events: DataFrame, window_ : String = "1 hour"): DataFrame =
-    events
-      .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("revenue"))
-      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
-        col("event_type"), col("n_events"), col("revenue"))
+    windowAgg(events, "ts", window_)
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)

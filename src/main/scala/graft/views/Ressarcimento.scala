@@ -254,10 +254,11 @@ object Ressarcimento {
       .withColumn("ressarcimento", totalRessarcimento)
 
     // Branch 2: credits whose parent has no losses at all. The anti side only
-    // needs the loss rows' parent keys — broadcast them so the credit rows
-    // never shuffle.
+    // needs the DISTINCT loss parent keys — grupoPerda already materializes
+    // exactly those (one row per parent), so broadcast it rather than the
+    // per-loss-row key column, whose size grows with the fact table.
     val creditOnly = credsView
-      .join(broadcast(colsBase.select("cnpj_forn_pai")), Seq("cnpj_forn_pai"), "left_anti")
+      .join(broadcast(grupoPerda.select("cnpj_forn_pai")), Seq("cnpj_forn_pai"), "left_anti")
       .withColumn("ressarcimento", col("credito"))
 
     val rstView = lossBranches

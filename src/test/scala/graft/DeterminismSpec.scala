@@ -25,6 +25,12 @@ class DeterminismSpec extends AnyFunSuite {
     "v_kmv")           // sketch aggregate (merge-order sensitivity)
 
   private def run(name: String, parts: Int): Seq[String] = {
+    // Drop blocks persisted by the previous run: CacheManager substitutes
+    // cached data for identical subplans, which would let the second run
+    // silently reuse stages executed under the FIRST partition count —
+    // exactly the vacuity this spec must avoid.
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     try SparkEntry.queries(name)(spark, sfDir)
       .collect().map(_.toString).sorted.toSeq

@@ -44,6 +44,40 @@ class AsofJoinSpec extends AnyFunSuite {
       4L -> None))
   }
 
+  test("a NULL-payload snapshot yields NULL, never an older snapshot's value") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // snapshots: ts=10:00 snap=100; ts=11:00 snap=NULL (the latest)
+    val snaps = right.withColumn("snap_id",
+      when(col("snap_ts") === t("2026-01-01 11:30:00"), lit(null).cast("long"))
+        .otherwise(col("snap_id")))
+    val out = AsofJoin.asofBackward(left, snaps, Seq("k"), "ts", "snap_ts",
+      Seq("snap_id", "snap_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // left id=2 (12:00): latest snapshot is the 11:30 one whose snap_id is
+    // NULL — must NOT leak 100 from 10:00
+    assert(out(2L) == None)
+    assert(out(1L) == Some(100L))
+  }
+
+  test("multi-column payload never mixes rows; NULL right timestamps never match") {
+    import spark.implicits._
+    val snaps = Seq(
+      ("a", Some(t("2026-01-01 10:00:00")), Some(100L), "v1"),
+      ("a", Some(t("2026-01-01 11:00:00")), None, "v2"),      // latest: NULL id, v2
+      ("a", Option.empty[Timestamp], Some(999L), "ghost"))    // NULL ts: excluded
+      .toDF("k", "snap_ts", "snap_id", "tag")
+    val out = AsofJoin.asofBackward(
+      Seq((1L, "a", t("2026-01-01 12:00:00")), (2L, "b", t("2026-01-01 12:00:00")))
+        .toDF("id", "k", "ts"),
+      snaps, Seq("k"), "ts", "snap_ts", Seq("snap_id", "tag"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4))))).toMap
+    // whole latest snapshot (NULL, v2) — not the torn mix (100, v2)
+    assert(out(1L) == ((None, Some("v2"))))
+    // key b has only the NULL-ts ghost -> no match at all
+    assert(out(2L) == ((None, None)))
+  }
+
   test("output keeps every left row exactly once and all left columns") {
     val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "snap_ts", Seq("snap_id"))
     assert(out.count() == left.count())
