@@ -151,10 +151,14 @@ object InfraOps {
     val ev = Tables.events(spark, sfDir)
     val left = ev.selectExpr(
       "event_id", "cast(user_id % 50 as bigint) as k", "ts as evt_ts")
-    val right = ev.where("event_id % 31 = 0").selectExpr(
+    // Deliberate NULL coverage: every 7th snapshot has a NULL payload value
+    // (must NOT leak an older snapshot's id), and keys 40-49 have no
+    // snapshots at all (must NULL-extend) — the NULL paths DuckDB's native
+    // ASOF JOIN then cross-checks independently.
+    val right = ev.where("event_id % 31 = 0 and user_id % 50 < 40").selectExpr(
       "cast(user_id % 50 as bigint) as k",
       "TIMESTAMP_NTZ'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, event_id) as snap_ts",
-      "event_id as snap_id")
+      "case when event_id % 7 = 0 then cast(null as bigint) else event_id end as snap_id")
     graft.core.AsofJoin.asofBackward(left, right, Seq("k"), "evt_ts", "snap_ts",
       Seq("snap_id", "snap_ts"))
   }
@@ -202,8 +206,8 @@ object InfraOps {
       """WITH l AS (SELECT event_id, CAST(user_id % 50 AS BIGINT) AS k, CAST(ts AS TIMESTAMP) AS evt_ts FROM events),
         |r AS (SELECT CAST(user_id % 50 AS BIGINT) AS k,
         |             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (event_id) SECOND AS snap_ts,
-        |             event_id AS snap_id
-        |      FROM events WHERE event_id % 31 = 0)
+        |             CASE WHEN event_id % 7 = 0 THEN CAST(NULL AS BIGINT) ELSE event_id END AS snap_id
+        |      FROM events WHERE event_id % 31 = 0 AND user_id % 50 < 40)
         |SELECT l.event_id, l.k, l.evt_ts, r.snap_id, r.snap_ts
         |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.evt_ts >= r.snap_ts""".stripMargin,
     "j_salted" ->
