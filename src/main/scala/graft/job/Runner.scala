@@ -44,25 +44,37 @@ object Runner {
   }
 
   /** EP2: the monthly ressarcimento refresh — one job per year since 2023,
-    * replace on the first year then append, skipping empty years
-    * (`etl_job.py:89-114`). Returns rows written per year. */
+    * replace on the first WRITTEN year then append, skipping empty years
+    * (`etl_job.py:89-114`). Returns rows written per year.
+    *
+    * Documented deviation: the reference ties Replace to the literal first
+    * year (2023); if that year's view were empty, every later year would
+    * append onto the PREVIOUS run's rows — up to 5 duplicate copies per
+    * month under the day-1-to-5 gate. Replace-on-first-written keeps the
+    * refresh idempotent regardless of which years are empty. */
   def runRessarcimento(spark: SparkSession, config: Map[String, String], sink: Sink,
                        today: LocalDate, firstYear: Int = 2023): Map[Int, Long] = {
     if (!ressarcimentoDue(today)) return Map.empty
     val sources = ConfigSources.ressarcimento(spark, config)
+    var replaced = false
     ressarcimentoYears(today, firstYear).flatMap { year =>
-      val df: DataFrame = SchemaCasts.castDecimalDouble(Ressarcimento.mainView(sources, year))
-      // The reference writes nothing for an empty year (etl_job.py:102-114),
-      // and the replace-vs-append choice stays tied to the first year.
+      // Track mainView's diamond intermediates so exactly these — not the
+      // whole session cache — are freed once the year's write completes.
+      val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+      val df: DataFrame = SchemaCasts.castDecimalDouble(
+        Ressarcimento.mainView(sources, year, track = persisted))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += df
+      // The reference writes nothing for an empty year (etl_job.py:102-114).
+      // The emptiness probe and the write share df's cached result — without
+      // the persist above, isEmpty would run the whole year plan twice.
       val written =
         if (df.isEmpty) None
         else {
-          val mode = if (year == firstYear) WriteMode.Replace else WriteMode.Append
+          val mode = if (!replaced) { replaced = true; WriteMode.Replace } else WriteMode.Append
           Some(year -> sink.write(df, mode))
         }
-      // mainView persists its diamond intermediates per year; free them
-      // before the next year's job or an N-year loop holds N×3 cached views.
-      spark.sharedState.cacheManager.clearCache()
+      persisted.foreach(_.unpersist(blocking = false))
       written
     }.toMap
   }

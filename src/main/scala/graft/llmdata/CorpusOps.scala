@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle) can reproduce bit-for-bit — `rand()` and `sample` are
   * banned because a 100 TB pipeline must be re-runnable to the same output
   * (idempotent re-crawls, reproducible ablations, audit).
+  *
+  * Cache lifetime contract: operators persist diamond-shaped intermediates
+  * (consumed 2-3× inside one returned plan) and hand the lazy result to
+  * the caller — which therefore owns the release. Long-lived sessions must
+  * free blocks between operator runs (as the Verify/Bench harness and the
+  * year-loop orchestrator do); nothing here can unpersist before its
+  * result is consumed.
   */
 object CorpusOps {
   import TextPrimitives._
@@ -168,8 +175,10 @@ object CorpusOps {
     * ingestion path: a re-crawl must not re-pair the corpus against itself
     * (that work is already done), only the new batch against the corpus and
     * itself. Survivors = new docs with (1) no exact text match in the
-    * corpus, (2) no MinHash-LSH near-dup in the corpus, and (3) not a
-    * near-dup of a smaller-id surviving batch doc.
+    * corpus, (2) no MinHash-LSH near-dup in the corpus, and (3) not the
+    * larger id of any intra-batch near-dup pair (the same keep-canonical
+    * greedy rule [[cleanCorpus]] uses — a doc paired only with dropped
+    * docs is still dropped, deterministically).
     *
     * Scale shape: the corpus side contributes one pass to build its band
     * keys (in production these are precomputed at ingest and stored — the
@@ -188,7 +197,7 @@ object CorpusOps {
       .withColumn("__h", sparkPolyHashArray("__sh"))
       .withColumn("__sig", expr(DocDedup.sparkSignature("__h")))
       .select(col("doc_id").as(idAs),
-        posexplode(expr(s"transform(sequence(0, ${DocDedup.Bands - 1}), b -> array_join(transform(slice(__sig, b * ${DocDedup.RowsPerBand} + 1, ${DocDedup.RowsPerBand}), x -> CAST(x AS STRING)), '_'))")))
+        posexplode(expr(DocDedup.bandExplodeSql("__sig"))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
 
     // (1) exact: drop batch docs whose text already exists in the corpus
@@ -201,11 +210,13 @@ object CorpusOps {
     val candidates = bands(exactKept, "new_id")
       .join(bands(corpusSh, "old_id"), Seq("band", "band_key"))
       .select("new_id", "old_id").distinct()
+    // round(…, 6) matches DocDedup.minhashLshPairs' thresholding exactly, so
+    // steps (2) and (3) can never disagree on a borderline pair.
     val vsCorpus = candidates
       .join(exactKept.select(col("doc_id").as("new_id"), col("__sh").as("sh_a")), "new_id")
       .join(corpusSh.select(col("doc_id").as("old_id"), col("__sh").as("sh_b")), "old_id")
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-        / size(array_union(col("sh_a"), col("sh_b"))) >= threshold)
+      .filter(round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        / size(array_union(col("sh_a"), col("sh_b"))), 6) >= threshold)
       .select(col("new_id").as("doc_id")).distinct()
 
     // (3) near-dup inside the batch itself: keep the smaller id

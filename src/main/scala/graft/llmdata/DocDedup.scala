@@ -91,6 +91,13 @@ object DocDedup {
     * array column (codegen'd one-pass [[graft.functions.MinHashSigs]]). */
   def sparkSignature(hashArr: String): String = s"minhash_sigs($hashArr)"
 
+  /** Spark SQL exploding a signature column into its band key strings —
+    * the ONE banding definition; intra-set ([[minhashLshPairs]]) and
+    * cross-set ([[CorpusOps.dedupAgainstCorpus]]) candidates must bucket
+    * identically or cross-batch dedup silently finds no candidates. */
+  def bandExplodeSql(sigCol: String): String =
+    s"transform(sequence(0, ${Bands - 1}), b -> array_join(transform(slice($sigCol, b * $RowsPerBand + 1, $RowsPerBand), x -> CAST(x AS STRING)), '_'))"
+
   def duckSignature(hashArr: String): String =
     MinHashAB.map { case (a, b) =>
       s"list_min(list_transform($hashArr, h -> ($a * h + $b) % $P))"
@@ -116,7 +123,7 @@ object DocDedup {
       .withColumn("__sig", expr(sparkSignature("__h")))
     val bands = sig.select(
       col("doc_id"),
-      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), b -> array_join(transform(slice(__sig, b * $RowsPerBand + 1, $RowsPerBand), x -> CAST(x AS STRING)), '_'))")))
+      posexplode(expr(bandExplodeSql("__sig"))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
     val candidates = bands.as("a")
       .join(bands.as("b"),

@@ -97,8 +97,8 @@ object Corpus {
        |${p}pairs AS (
        |  SELECT id_a, id_b
        |  FROM ${p}cand JOIN ${p}sh sa ON ${p}cand.id_a = sa.doc_id JOIN ${p}sh sb ON ${p}cand.id_b = sb.doc_id
-       |  WHERE CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
-       |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) >= 0.5)""".stripMargin
+       |  WHERE round(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+       |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 6) >= 0.5)""".stripMargin
 
   /** Unrolled min-label propagation (3 rounds — same fixed count as
     * [[CorpusOps.dedupClusters]]). */
@@ -210,8 +210,8 @@ object Corpus {
        |          FROM abands a JOIN bbands b ON a.band = b.band AND a.band_key = b.band_key),
        |xflag AS (SELECT DISTINCT xcand.new_id AS doc_id
        |  FROM xcand JOIN ash sa ON xcand.new_id = sa.doc_id JOIN bsh sb ON xcand.old_id = sb.doc_id
-       |  WHERE CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
-       |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) >= 0.5),
+       |  WHERE round(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+       |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 6) >= 0.5),
        |${minhashPairCtes("ek", "i")}
        |SELECT doc_id FROM ek
        |WHERE doc_id NOT IN (SELECT doc_id FROM xflag)

@@ -37,15 +37,30 @@ final class ParquetSink(spark: SparkSession, path: String) extends Sink {
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def exists: Boolean = fs.exists(new Path(path))
+  /** A swap interrupted between its two renames leaves the data ONLY at
+    * the backup path; restore it before any read/exists decision so the
+    * history is never silently mistaken for an empty sink (which would let
+    * the next merge rebuild the table from one increment). */
+  private def recoverIfNeeded(): Unit = {
+    val p = new Path(path)
+    val backup = new Path(path + "__graft_old")
+    if (!fs.exists(p) && fs.exists(backup) && !fs.rename(backup, p))
+      throw new java.io.IOException(
+        s"sink recovery: failed to restore $backup to $p")
+  }
 
-  def read(): DataFrame = spark.read.parquet(path)
+  private def exists: Boolean = { recoverIfNeeded(); fs.exists(new Path(path)) }
+
+  def read(): DataFrame = { recoverIfNeeded(); spark.read.parquet(path) }
 
   /** Write `df` to a temp dir next to `path`, then swap — required because
     * the merge plan reads the same files it replaces. Swap order is
     * rename-away-then-rename-in (not delete-then-rename): every crash
     * window leaves either the original or the fully-written temp on disk,
-    * never neither. */
+    * never neither ([[recoverIfNeeded]] heals the only-backup window).
+    * Hadoop `rename` reports failure by returning false, not throwing —
+    * each step is checked so a failed publish can never reach the backup
+    * delete below it. */
   private def writeSwap(df: DataFrame): Long = {
     val obs = Observation()
     val tmp = new Path(path + "__graft_tmp")
@@ -54,8 +69,11 @@ final class ParquetSink(spark: SparkSession, path: String) extends Sink {
     val p = new Path(path)
     val backup = new Path(path + "__graft_old")
     if (fs.exists(backup)) fs.delete(backup, true)
-    if (fs.exists(p)) fs.rename(p, backup)
-    fs.rename(tmp, p)
+    if (fs.exists(p) && !fs.rename(p, backup))
+      throw new java.io.IOException(s"sink swap: failed to move $p aside to $backup")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(
+        s"sink swap: failed to publish $tmp to $p (original retained at $backup)")
     fs.delete(backup, true)
     obs.get("rows").asInstanceOf[Long]
   }
@@ -70,6 +88,7 @@ final class ParquetSink(spark: SparkSession, path: String) extends Sink {
   override def write(incoming: DataFrame, mode: WriteMode): Long = mode match {
     case WriteMode.Replace => writeSwap(incoming)
     case WriteMode.Append =>
+      recoverIfNeeded()
       val obs = Observation()
       incoming.observe(obs, count(lit(1)).as("rows"))
         .write.mode("append").parquet(path)

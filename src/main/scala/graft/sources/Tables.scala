@@ -59,8 +59,20 @@ object Tables {
       .toSeq
   }
 
-  /** S3: one DataFrame over a day-range of files. */
+  /** S3: one DataFrame over a day-range of files. Days with no file are
+    * skipped (today's feed may not have landed yet; holidays/outages leave
+    * gaps) — `spark.read.parquet` would otherwise fail the whole job on the
+    * first absent path. The existence probe is driver-side and bounded by
+    * the day count, not data size. Fails loudly when NO day in the window
+    * exists (an empty scan would silently produce an empty merge). */
   def dayRangeScan(spark: SparkSession, bucket: String, system: String,
-                   start: LocalDate, end: LocalDate): DataFrame =
-    spark.read.parquet(dayRangePaths(bucket, system, start, end): _*)
+                   start: LocalDate, end: LocalDate): DataFrame = {
+    val paths = dayRangePaths(bucket, system, start, end)
+    val fs = new org.apache.hadoop.fs.Path(bucket)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = paths.filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    require(existing.nonEmpty,
+      s"no day files exist under $bucket/$system in [$start, $end]")
+    spark.read.parquet(existing: _*)
+  }
 }

@@ -207,10 +207,19 @@ object Ressarcimento {
     * common-subplan reuse. At 100 TB the cached views are orders of magnitude
     * smaller than their inputs (year-filtered aggregates and a dim); pass
     * `reuse = false` for a purely declarative plan. */
-  def mainView(s: Sources, filterYear: Int, reuse: Boolean = true): DataFrame = {
+  def mainView(s: Sources, filterYear: Int, reuse: Boolean = true,
+               track: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // `track` (optional) collects the persisted intermediates so callers
+    // like the year-loop orchestrator can unpersist exactly these — not the
+    // whole session cache — once the year's write completes.
     def shared(df: DataFrame): DataFrame =
-      if (reuse) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+      if (!reuse) df
+      else {
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if (track != null) track += cached
+        cached
+      }
     val dim = dimNamed(s.dimProduto)
     val fornV = shared(fornecedores(s.forn, s.aporteCab, s.aporteDet, s.dimProduto))
     val coleta = coletas(s.coletaCab, s.coletaDet, s.volumeTipo, filterYear)
