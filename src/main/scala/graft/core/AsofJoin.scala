@@ -55,8 +55,12 @@ object AsofJoin {
     // same-instant snapshot ahead of it); after in backward mode (sees it
     // behind). side values chosen so ascending order does both.
     val lTagged = left.withColumn(ts, col(leftTs)).withColumn(side, lit(1))
+    // SQL join semantics: a NULL key or NULL timestamp on the right matches
+    // nothing — exclude those rows up front (NULL left keys then fall into
+    // a partition with no right rows and NULL-extend naturally).
+    val rightValid = keys.foldLeft(col(rightTs).isNotNull) { (c, k) => c && col(k).isNotNull }
     val rTagged = right
-      .filter(col(rightTs).isNotNull)
+      .filter(rightValid)
       .select((keys.map(col) :+ col(rightTs).as(ts))
         :+ struct(payload.map(col): _*).as(pl): _*)
       .withColumn(side, lit(if (forward) 2 else 0))
@@ -72,7 +76,12 @@ object AsofJoin {
     unified
       .withColumn(pl, fill)
       .filter(col(side) === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(pl).getField(p).as(p)): _*)
+      // A left row with NULL timestamp satisfies no ts predicate in either
+      // direction — NULL-extend it explicitly (ordering alone would leak
+      // the earliest snapshot in forward mode, where NULLS FIRST puts the
+      // row ahead of every right row).
+      .select(leftCols.map(col) ++
+        payload.map(p => when(col(ts).isNotNull, col(pl).getField(p)).as(p)): _*)
   }
 
   /** Left rows + `payload` columns of the latest right row at-or-before

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Session-level semantic pins the engine depends on (SURVEY.md §4).
   *
   * Applied defensively at query-construction time too, because the driver
-  * may hand us a session we didn't build. All four are runtime-settable.
+  * may hand us a session we didn't build. All three are runtime-settable.
   */
 object GraftSession {
   /** The three semantic pins and their required values. */

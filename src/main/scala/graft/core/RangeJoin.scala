@@ -31,6 +31,10 @@ object RangeJoin {
                       pointTs: String, startCol: String, endCol: String,
                       bucketSeconds: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucketSeconds > 0)
+    val overlap = points.columns.intersect(intervals.columns).filterNot(keys.contains)
+    require(overlap.isEmpty,
+      s"points and intervals share non-key columns ${overlap.mkString(", ")} — " +
+        "the post-join predicate would be ambiguous; rename one side")
     val b = Iterator.from(0).map(i => s"__graft_bucket$i")
       .find(n => !points.columns.contains(n) && !intervals.columns.contains(n)).get
     val ptsB = points.withColumn(b, bucket(col(pointTs), bucketSeconds))

@@ -22,17 +22,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** (name, info, builder) triples for all custom expressions — single
     * source of truth shared with [[VectorExprs.register]]. */
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    c => {
+      require(c.length == n, s"$name expects $n argument(s), got ${c.length}")
+      b(c)
+    }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (c: Seq[Expression]) => ArrayDot(c(0), c(1))),
+      arity("array_dot", 2)(c => ArrayDot(c(0), c(1)))),
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[ArraySimhash32].getName, "simhash32"),
-      (c: Seq[Expression]) => ArraySimhash32(c.head)),
+      arity("simhash32", 1)(c => ArraySimhash32(c.head))),
     (FunctionIdentifier("poly_hash_array"),
       new ExpressionInfo(classOf[ArrayPolyHash].getName, "poly_hash_array"),
-      (c: Seq[Expression]) => ArrayPolyHash(c.head)),
+      arity("poly_hash_array", 1)(c => ArrayPolyHash(c.head))),
     (FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
-      (c: Seq[Expression]) => MinHashSigs(c.head)))
+      arity("minhash_sigs", 1)(c => MinHashSigs(c.head))))
 }

@@ -19,7 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB oracle (`list_reduce(list_prepend(0, list_transform(...)))`), so
   * results stay bit-for-bit identical while running ~10× faster.
   *
-  * Null contract: null input array → null; null *elements* are read as 0.0
+  * Null contract (matches the lambda form exactly): null input array →
+  * null; MISMATCHED lengths → null (`zip_with` NULL-pads the short side,
+  * which nulls the aggregate — a ragged/corrupt embedding must surface as
+  * NULL, not a plausible partial sum); null *elements* are read as 0.0
   * (embeddings never carry null elements; documented rather than checked to
   * keep the loop branch-free).
   */
@@ -38,16 +41,21 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "array_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -56,12 +64,16 @@ case class ArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -163,9 +175,10 @@ object HashKernels {
     65537L, 11261L, 557L, 80021L, 9619L, 36341L, 709L, 52361L)
 
   /** 16-slot MinHash signature over an array of shingle hashes, one pass:
-    * sig_i = min over h of (a_i*h + b_i) mod P. Empty input → all-P
-    * sentinel (matches `list_min` over empty → NULL never occurs because
-    * shingle arrays are non-empty by construction). */
+    * sig_i = min over h of (a_i*h + b_i) mod P. Empty input → all slots
+    * Long.MaxValue (a sentinel no real hash reaches; in practice shingle
+    * arrays are non-empty by construction — short texts fall back to the
+    * whole-text shingle — so the sentinel never escapes). */
   def minhashSigs(hashes: ArrayData): Array[Long] = {
     val n = hashes.numElements()
     val sig = Array.fill(16)(Long.MaxValue)
@@ -187,7 +200,12 @@ object HashKernels {
 /** Codegen'd per-element polynomial hash: `array<string>` → `array<bigint>`.
   * Replaces the interpreted nested `transform(w, aggregate(...))` lambdas
   * that every text operator (shingling, fingerprint, simhash, minhash) runs
-  * per token. */
+  * per token.
+  *
+  * Null elements map to null elements (like `list_transform` in the DuckDB
+  * oracle). The null check only exists when the child's type says elements
+  * CAN be null — the library's own token arrays are containsNull=false, so
+  * their loop stays primitive and branch-free. */
 case class ArrayPolyHash(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -195,31 +213,56 @@ case class ArrayPolyHash(child: Expression) extends UnaryExpression {
     case t => TypeCheckResult.TypeCheckFailure(s"poly_hash_array requires array<string>, got ${t.sql}")
   }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = elementsNullable)
   override def prettyName: String = "poly_hash_array"
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val out = new Array[Long](arr.numElements())
-    var i = 0
-    while (i < out.length) {
-      out(i) = HashKernels.polyHash(arr.getUTF8String(i))
-      i += 1
+    if (elementsNullable) {
+      val out = new Array[Any](arr.numElements())
+      var i = 0
+      while (i < out.length) {
+        out(i) = if (arr.isNullAt(i)) null else HashKernels.polyHash(arr.getUTF8String(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Long](arr.numElements())
+      var i = 0
+      while (i < out.length) {
+        out(i) = HashKernels.polyHash(arr.getUTF8String(i))
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
-      s"""
-         |long[] $out = new long[$arr.numElements()];
-         |for (int $i = 0; $i < $out.length; $i++) {
-         |  $out[$i] = graft.functions.HashKernels.polyHash($arr.getUTF8String($i));
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
+      if (elementsNullable)
+        s"""
+           |Object[] $out = new Object[$arr.numElements()];
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  $out[$i] = $arr.isNullAt($i) ? null
+           |    : (Object) java.lang.Long.valueOf(graft.functions.HashKernels.polyHash($arr.getUTF8String($i)));
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      else
+        s"""
+           |long[] $out = new long[$arr.numElements()];
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  $out[$i] = graft.functions.HashKernels.polyHash($arr.getUTF8String($i));
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -78,6 +78,25 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(2L) == ((None, None)))
   }
 
+  test("NULL left timestamps and NULL keys never match, in both directions") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, Option("a"), Option(t("2026-01-01 12:00:00"))),
+      (2L, Option("a"), Option.empty[Timestamp]),   // NULL ts
+      (3L, Option.empty[String], Option(t("2026-01-01 12:00:00")))) // NULL key
+      .toDF("id", "k", "ts")
+    val r = Seq(
+      (Option("a"), t("2026-01-01 10:00:00"), 100L),
+      (Option.empty[String], t("2026-01-01 09:00:00"), 666L)) // NULL-key snapshot: inert
+      .toDF("k", "snap_ts", "snap_id")
+    def ids(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(x => x.getLong(0) -> Option(x.get(3)).map(_.asInstanceOf[Long])).toMap
+    val back = ids(AsofJoin.asofBackward(l, r, Seq("k"), "ts", "snap_ts", Seq("snap_id", "snap_ts")))
+    assert(back == Map(1L -> Some(100L), 2L -> None, 3L -> None))
+    val fwd = ids(AsofJoin.asofForward(l, r, Seq("k"), "ts", "snap_ts", Seq("snap_id", "snap_ts")))
+    assert(fwd == Map(1L -> None, 2L -> None, 3L -> None))
+  }
+
   test("output keeps every left row exactly once and all left columns") {
     val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "snap_ts", Seq("snap_id"))
     assert(out.count() == left.count())
