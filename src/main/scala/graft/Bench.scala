@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Same semantic pins as Verify — results must not depend on which
+    // query's table accessor applied them first.
+    graft.core.GraftSession.applyDefaults(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: absorb session/codegen/JIT startup so the first timed query
     // isn't charged ~5s of one-time cost; then run in stable name order.
@@ -16,8 +19,10 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // A failed query must be visible in the JSON (-1 sentinel), not
+      // recorded as a fast success of elapsed-until-crash seconds.
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // Each query is measured standalone: drop its persisted intermediates
       // (operators persist diamond-shaped subplans and leave lifetime to the
       // caller) so later queries don't compete with dead blocks for the
@@ -28,7 +33,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Semantic pins (non-ANSI, nanosAsLong, UTC) must hold for EVERY query,
+    // not only those whose first table access routes through Tables — query
+    // map iteration order must never decide whether a pin is in effect.
+    graft.core.GraftSession.applyDefaults(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

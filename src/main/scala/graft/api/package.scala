@@ -85,6 +85,8 @@ package object api {
       Similarity.bruteForceTopK(embs, nQueries, k)
     def cosineNearDupPairs(threshold: Double = 0.4): DataFrame =
       Similarity.cosineNearDupPairs(embs, threshold)
+    def lshNearDupPairs(threshold: Double = 0.4): DataFrame =
+      Similarity.lshNearDupPairs(embs, threshold)
     def lshTopK(nQueries: Int = 8, k: Int = 10): DataFrame =
       Similarity.lshTopK(embs, nQueries, k)
     def ivfTopK(nQueries: Int = 8, k: Int = 10): DataFrame =

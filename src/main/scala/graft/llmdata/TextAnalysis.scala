@@ -116,9 +116,11 @@ object TextAnalysis {
   /** Rolling-hash fingerprint expression over a token-hash array column —
     * the single definition shared by [[fingerprint]] and the streaming
     * dedup key ([[graft.streaming.DocStream]]), so batch and stream can
-    * never hash differently. */
-  private[graft] def fingerprintOf(thCol: String) =
-    expr(s"aggregate($thCol, 0L, (h, c) -> (h * 37 + c) % $P)")
+    * never hash differently. `mult`/`mod` parameterize a SECOND independent
+    * fingerprint (dedup keys pair two so the joint collision space is
+    * ~2^60, not ~2^30). */
+  private[graft] def fingerprintOf(thCol: String, mult: Long = 37L, mod: Long = P) =
+    expr(s"aggregate($thCol, 0L, (h, c) -> (h * $mult + c) % $mod)")
 
   /** Document fingerprint: order-sensitive polynomial rolling hash over the
     * token hashes — a compact per-doc identity for exact-dup detection and

@@ -74,10 +74,6 @@ object Corpus {
        |FROM train t JOIN bench b ON t.shingle = b.shingle
        |GROUP BY t.doc_id""".stripMargin
 
-  /** MinHash-LSH verified near-dup pairs over relation `src` (k=3,
-    * J >= 0.5), ending in CTE `${p}pairs(id_a, id_b)` — the DuckDB twin of
-    * [[DocDedup.minhashLshPairs]], parameterized so the cluster and
-    * composed-pipeline oracles can run it over different inputs. */
   /** Shingle → signature → LSH-band CTE chain for one relation, prefixed
     * `p` — the shared building block of the same-set and cross-set pair
     * oracles. */
@@ -90,6 +86,10 @@ object Corpus {
        |              FROM ${p}sig, (SELECT unnest(range(0, ${DocDedup.Bands})) AS band))""".stripMargin
   }
 
+  /** MinHash-LSH verified near-dup pairs over relation `src` (k=3,
+    * J >= 0.5), ending in CTE `${p}pairs(id_a, id_b)` — the DuckDB twin of
+    * [[DocDedup.minhashLshPairs]], parameterized so the cluster and
+    * composed-pipeline oracles can run it over different inputs. */
   private def minhashPairCtes(src: String, p: String): String =
     s"""${sigBandCtes(src, p)},
        |${p}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

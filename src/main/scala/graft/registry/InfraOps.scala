@@ -241,11 +241,13 @@ object InfraOps {
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
     "st_dedup" -> {
       import graft.llmdata.TextPrimitives.{duckPolyHashArray, duckWords, P}
-      s"""WITH w AS (SELECT doc_id, ${duckWords("text")} AS words FROM documents),
+      import graft.streaming.DocStream.{Fp2Mult, Fp2Mod}
+      s"""WITH w AS (SELECT doc_id, ${duckPolyHashArray(duckWords("text"))} AS th FROM documents),
          |fp AS (SELECT doc_id,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), ${duckPolyHashArray("words")}), (h, c) -> (h * 37 + c) % $P) AS fingerprint
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), th), (h, c) -> (h * 37 + c) % $P) AS fingerprint,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), th), (h, c) -> (h * $Fp2Mult + c) % $Fp2Mod) AS fingerprint2
          |FROM w)
-         |SELECT min(doc_id) AS doc_id, fingerprint, CAST(count(*) AS BIGINT) AS n_copies
-         |FROM fp GROUP BY fingerprint""".stripMargin
+         |SELECT min(doc_id) AS doc_id, fingerprint, fingerprint2, CAST(count(*) AS BIGINT) AS n_copies
+         |FROM fp GROUP BY fingerprint, fingerprint2""".stripMargin
     })
 }

@@ -31,12 +31,22 @@ object DocStream {
     * to the canonical tokenizer + hash ([[TextPrimitives.tokens]],
     * [[graft.llmdata.TextAnalysis.fingerprintOf]]) so the streaming dedup
     * key can never drift from the batch fingerprint or its oracle. */
+  /** Second-fingerprint parameters — an independent multiplier/modulus so
+    * pairing (fingerprint, fingerprint2) gives a ~2^60 joint key space: a
+    * single mod-1e9+7 key would birthday-collide within a large watermark
+    * horizon (~37k docs for 50% odds) and silently DROP distinct documents
+    * as duplicates. */
+  val Fp2Mult = 131L
+  val Fp2Mod = 1000000009L
+
   def withFingerprint(docs: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
     docs
       .withColumn("__w", TextPrimitives.tokens(col("text")))
       .withColumn("__th", TextPrimitives.sparkPolyHashArray("__w"))
       .withColumn("fingerprint", graft.llmdata.TextAnalysis.fingerprintOf("__th"))
+      .withColumn("fingerprint2",
+        graft.llmdata.TextAnalysis.fingerprintOf("__th", Fp2Mult, Fp2Mod))
       .drop("__w", "__th")
   }
 
@@ -47,7 +57,7 @@ object DocStream {
     withFingerprint(docs)
       .withColumn("ts_tz", col("ts").cast("timestamp"))
       .withWatermark("ts_tz", watermark)
-      .dropDuplicatesWithinWatermark("fingerprint")
+      .dropDuplicatesWithinWatermark("fingerprint", "fingerprint2")
       .select(col("doc_id"), col("ts"), col("text"), col("fingerprint"))
 
   /** Batch twin of [[dedupedIngest]] over a bounded corpus where `doc_id`
@@ -58,7 +68,7 @@ object DocStream {
     * Oracle-checked (`st_dedup`). */
   def dedupBatchTwin(docs: DataFrame): DataFrame =
     withFingerprint(docs)
-      .groupBy("fingerprint")
+      .groupBy("fingerprint", "fingerprint2")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-      .select("doc_id", "fingerprint", "n_copies")
+      .select("doc_id", "fingerprint", "fingerprint2", "n_copies")
 }

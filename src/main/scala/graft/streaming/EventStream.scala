@@ -20,12 +20,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** Source schema of the streaming events feed (matches
-    * `events.parquet`: event_id, ts (ntz), user_id, event_type, value). */
+  /** Source of the streaming events feed over the repo's `events.parquet`
+    * layout: the file stores ts as TIMESTAMP(NANOS), which Spark 4 only
+    * reads as BIGINT (nanosAsLong pin) — declare it so and apply the same
+    * ns → µs → NTZ conversion as the batch reader (`Tables.events`), so
+    * stream and batch see identical event times. */
   def fileSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE")
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
       .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
 
   /** The ONE tumbling-window aggregate both forms share — streaming and
     * batch differ only in watermarking and which time column drives the
@@ -97,9 +102,21 @@ object EventStream {
             events.sortBy(_.ts.getTime).foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastSeen <= SessionGapMs =>
-                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                // Within gap of the session INTERVAL [start, lastSeen] —
+                // the signed `t - lastSeen` test alone would merge a late
+                // event arbitrarily far BEFORE the session (any negative
+                // distance passes), and never extend `start` backwards.
+                case Some(s) if t >= s.start - SessionGapMs && t - s.lastSeen <= SessionGapMs =>
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    lastSeen = math.max(s.lastSeen, t),
                     nEvents = s.nEvents + 1, total = s.total + e.value))
+                // Late event more than a gap BEFORE the current session:
+                // a stand-alone past session (anything mergeable with it
+                // would already have arrived — batch events are sorted, so
+                // only cross-batch lateness reaches here). Emit directly.
+                case Some(s) if t < s.start - SessionGapMs =>
+                  closed += UserSession(userId, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1, e.value)
                 case Some(s) =>
                   closed += UserSession(userId, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.lastSeen), s.nEvents, s.total)

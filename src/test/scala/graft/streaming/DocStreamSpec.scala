@@ -40,8 +40,18 @@ class DocStreamSpec extends AnyFunSuite {
       (20L, "x y"))
       .toDF("doc_id", "text")
     val out = DocStream.dedupBatchTwin(in).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(out == Set((10L, 3L), (20L, 1L)))
+  }
+
+  test("paired fingerprints disagree on different texts (widened key space)") {
+    import spark.implicits._
+    val fp = DocStream.withFingerprint(
+      Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(fp(0) != fp(1))
+    // the two fingerprints are genuinely different functions
+    assert(fp(0)._1 != fp(0)._2)
   }
 
   test("fingerprint is order-sensitive (not a bag hash)") {

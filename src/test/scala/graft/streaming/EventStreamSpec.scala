@@ -33,6 +33,32 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late-but-in-watermark event extends the session start backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.sessionize(spark, df, watermark = "2 hours")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(50), 1L, "buy", 1.0)) // 10:50
+      q.processAllAvailable()
+      // late event 25 min EARLIER — within gap of the session interval, so
+      // it must merge and pull session_start back (not report start=10:50)
+      mem.addData((2L, ts(25), 1L, "buy", 2.0)) // 10:25
+      q.processAllAvailable()
+      // advance watermark far past the gap so the session closes
+      mem.addData((9L, Timestamp.valueOf("2026-01-01 16:00:00"), 2L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData((10L, Timestamp.valueOf("2026-01-01 17:00:00"), 2L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4))).toSet
+      assert(rows.contains((1L, "2026-01-01 10:25:00.0", 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionization closes a session after the gap and counts its events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
