@@ -64,6 +64,8 @@ package object api {
 
     def stratifiedSample(ratesPerMille: Map[String, Int], defaultPerMille: Int = 1000): DataFrame =
       CorpusOps.stratifiedSample(docs, ratesPerMille, defaultPerMille)
+    def tokenBudgetSample(budgets: Map[String, Long], defaultBudget: Long = Long.MaxValue): DataFrame =
+      CorpusOps.tokenBudgetSample(docs, budgets, defaultBudget)
     def decontaminateAgainst(benchmark: DataFrame, k: Int = 8): DataFrame =
       CorpusOps.decontaminate(docs, benchmark, k)
     def dedupClusters: DataFrame = CorpusOps.dedupClusters(docs)

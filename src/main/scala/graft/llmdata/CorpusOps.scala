@@ -60,6 +60,44 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
 
+  /** Deterministic TOKEN-budget mixing: cap each stratum (language/source)
+    * at a token budget rather than a row rate — the unit training mixtures
+    * are actually specified in. Two-phase so it scales:
+    *
+    *   1. aggregate token counts per (stratum, sampling bucket) — ONE
+    *      corpus-wide shuffle onto ≤ 1000 rows per stratum;
+    *   2. running-sum those tiny per-stratum frames to find each stratum's
+    *      cutoff bucket, then keep documents whose bucket falls at or
+    *      before it (broadcast semi-join).
+    *
+    * A per-document running sum would give exact budgets but serializes
+    * each stratum through one partition — the global-cumsum trap. The
+    * bucket granularity bounds the overshoot to one bucket ≈ 0.1% of the
+    * stratum's tokens, and membership stays a pure function of doc_id
+    * (same hash as [[stratifiedSample]]): re-runs, ablations and audits
+    * see the same corpus. */
+  def tokenBudgetSample(documents: DataFrame, budgets: Map[String, Long],
+                        defaultBudget: Long = Long.MaxValue): DataFrame = {
+    val budget = budgets.foldRight(lit(defaultBudget): org.apache.spark.sql.Column) {
+      case ((lang, b), e) => when(col("lang") === lang, lit(b)).otherwise(e)
+    }
+    val docs = documents
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
+      .withColumn("bucket", expr(bucketSql("doc_id")))
+    val perBucket = docs.groupBy("lang", "bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("bucket")
+    val cutoffs = perBucket
+      .withColumn("cum_tokens", sum("bucket_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .groupBy("lang").agg(max("bucket").as("cutoff"))
+    docs
+      .join(broadcast(cutoffs), Seq("lang"))
+      .filter(col("bucket") <= col("cutoff"))
+      .select("doc_id", "lang", "bucket", "n_tokens")
+  }
+
   // ---- Benchmark decontamination -----------------------------------------
 
   /** Benchmark-contamination scan: flag every training document sharing at

@@ -20,6 +20,10 @@ object Corpus {
     * 50%, zh to 75%, keep the rest — the classic language-mix rebalance. */
   val SampleRates: Map[String, Int] = Map("en" -> 500, "zh" -> 750)
 
+  /** Token budgets for the mixing query: cap the dominant stratum (en) at
+    * 5000 tokens; other languages keep everything. */
+  val TokenBudgets: Map[String, Long] = Map("en" -> 5000L)
+
   /** Fixture decontamination shingle size (see
     * [[CorpusOps.decontaminate]] — production uses 8-13; the synthetic
     * vocabulary is too small for 8-grams to ever collide). */
@@ -29,6 +33,7 @@ object Corpus {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_sample" -> ((s, d) => CorpusOps.stratifiedSample(docs(s, d), SampleRates)),
+    "c_budget" -> ((s, d) => CorpusOps.tokenBudgetSample(docs(s, d), TokenBudgets)),
     "c_decontam" -> ((s, d) => {
       val all = docs(s, d)
       CorpusOps.decontaminate(
@@ -54,6 +59,19 @@ object Corpus {
     }
     s"""WITH b AS (SELECT doc_id, lang, ${CorpusOps.bucketSql("doc_id")} AS bucket FROM documents)
        |SELECT doc_id, lang, bucket FROM b WHERE bucket < ($rate)""".stripMargin
+  }
+
+  private val budgetSql = {
+    val budget = TokenBudgets.foldRight(Long.MaxValue.toString) { case ((l, b), e) =>
+      s"CASE WHEN lang = '$l' THEN $b ELSE $e END"
+    }
+    s"""WITH d AS (SELECT doc_id, lang, CAST(len(${duckWords("text")}) AS BIGINT) AS n_tokens,
+       |                  ${CorpusOps.bucketSql("doc_id")} AS bucket FROM documents),
+       |pb AS (SELECT lang, bucket, SUM(n_tokens) AS bucket_tokens FROM d GROUP BY 1, 2),
+       |cm AS (SELECT lang, bucket, SUM(bucket_tokens) OVER (PARTITION BY lang ORDER BY bucket) AS cum_tokens FROM pb),
+       |ct AS (SELECT lang, max(bucket) AS cutoff FROM cm WHERE cum_tokens <= ($budget) GROUP BY 1)
+       |SELECT d.doc_id, d.lang, d.bucket, d.n_tokens
+       |FROM d JOIN ct USING (lang) WHERE d.bucket <= ct.cutoff""".stripMargin
   }
 
   /** Shingle posting list (doc_id, shingle-hash) over relation `src`, CTE
@@ -220,6 +238,7 @@ object Corpus {
   def oracleSql: Map[String, String] = Map(
     "c_incr" -> incrSql,
     "c_sample" -> sampleSql,
+    "c_budget" -> budgetSql,
     "c_chunks" -> chunksSql,
     "c_pack" -> packSql,
     "c_decontam" -> decontamSql,

@@ -36,6 +36,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(kept / en - 0.5) < 0.15, s"en keep ratio ${kept / en}")
   }
 
+  test("tokenBudgetSample: capped stratum stays within budget + one bucket; others keep all") {
+    val budget = 3000L
+    val out = CorpusOps.tokenBudgetSample(docs, Map("en" -> budget))
+    val perLang = out.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"),
+        org.apache.spark.sql.functions.count_distinct($"bucket").as("nb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en is capped: total within budget (cutoff-bucket granularity means
+    // the kept total can't exceed the budget — cutoff is the last bucket
+    // whose cumulative total still fits)
+    assert(perLang("en") <= budget, s"en tokens ${perLang("en")}")
+    assert(perLang("en") > 0)
+    // uncapped strata keep every document
+    val inTotals = docs.withColumn("n", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(org.apache.spark.sql.functions.trim($"text"), " +")))
+      .groupBy("lang").agg(org.apache.spark.sql.functions.count($"doc_id").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outCounts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inTotals.filterNot(_._1 == "en").foreach { case (l, c) =>
+      assert(outCounts.getOrElse(l, 0L) == c, s"stratum $l lost rows")
+    }
+    // deterministic
+    assert(CorpusOps.tokenBudgetSample(docs, Map("en" -> budget))
+      .collect().map(_.getLong(0)).toSet == out.collect().map(_.getLong(0)).toSet)
+  }
+
   test("decontaminate flags exactly the docs sharing a k-shingle with the benchmark") {
     val bench = Seq((1000L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(
