@@ -329,6 +329,28 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("seq_tokens"))
   }
 
+  /** Materialize the packed sequences' TEXT — the artifact a dataloader
+    * actually reads. Chunk order inside a sequence is recovered with a
+    * deterministic ordered aggregation: `collect_list` has no intrinsic
+    * order (it sees shuffle arrival order), so elements are collected as
+    * (doc_id, chunk_id, text) structs and `array_sort`ed before joining —
+    * the same total order the packing window used, independent of
+    * partitioning. One extra shuffle on (shard, seq_id); sequence text
+    * size is bounded by budget + maxTokens - 1 tokens. */
+  def packedSequenceText(documents: DataFrame, budget: Int = 64, shards: Int = 8,
+                         maxTokens: Int = 16): DataFrame = {
+    val chunks = chunk(documents, maxTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    packChunks(chunks, budget, shards)
+      .join(chunks.select("doc_id", "chunk_id", "chunk_text"), Seq("doc_id", "chunk_id"))
+      .groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("seq_tokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(doc_id, chunk_id, chunk_text))), x -> x.chunk_text), ' ')")
+          .as("seq_text"))
+  }
+
   // ---- Composed cleaning pipeline ----------------------------------------
 
   /** End-to-end corpus cleaning — the composition a training-data pipeline

@@ -42,6 +42,7 @@ object Corpus {
     "c_clusters" -> ((s, d) => CorpusOps.dedupClusters(docs(s, d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
+    "c_seqtext" -> ((s, d) => CorpusOps.packedSequenceText(docs(s, d))),
     "c_corpus" -> ((s, d) => CorpusOps.cleanCorpus(docs(s, d))),
     "c_e2e" -> ((s, d) => CorpusOps.trainingSequences(docs(s, d))),
     "c_incr" -> ((s, d) => {
@@ -235,8 +236,29 @@ object Corpus {
        |WHERE doc_id NOT IN (SELECT doc_id FROM xflag)
        |  AND doc_id NOT IN (SELECT id_b FROM ipairs)""".stripMargin
 
+  /** Sequence-text oracle: the chunk/pack CTEs with the chunk text carried
+    * through, assembled per sequence with an ORDER BY inside the string
+    * aggregate (DuckDB's ordered-aggregation form of Spark's
+    * sort-structs-then-join). */
+  private val seqtextSql =
+    s"""WITH w0 AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
+       |ch AS (
+       |SELECT doc_id, i AS chunk_id,
+       |  CAST(greatest(least(16, len(words) - i * 16), 0) AS BIGINT) AS n_tokens,
+       |  array_to_string(words[i * 16 + 1 : i * 16 + 16], ' ') AS chunk_text
+       |FROM w0, unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)),
+       |o AS (
+       |SELECT doc_id, chunk_id, n_tokens, chunk_text, CAST(doc_id % 8 AS INT) AS shard,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id) - n_tokens AS BIGINT) AS tok_offset
+       |FROM ch)
+       |SELECT shard, tok_offset // 64 AS seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       |  string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_id) AS seq_text
+       |FROM o GROUP BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "c_incr" -> incrSql,
+    "c_seqtext" -> seqtextSql,
     "c_sample" -> sampleSql,
     "c_budget" -> budgetSql,
     "c_chunks" -> chunksSql,

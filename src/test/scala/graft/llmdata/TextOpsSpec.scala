@@ -60,6 +60,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(reassembled == (1 to 35).map(i => s"w$i").mkString(" "))
   }
 
+  test("packedSequenceText: reassembled text carries exactly seq_tokens tokens, order-deterministic") {
+    val docs = (1L to 30L).map(i => (i, (1 to 20).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.packedSequenceText(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getString(4)))
+    out.foreach { case (_, _, seqTokens, text) =>
+      val n = text.split(" +").count(_.nonEmpty)
+      assert(n == seqTokens, s"text carries $n tokens, manifest says $seqTokens")
+    }
+    // deterministic across runs
+    val again = CorpusOps.packedSequenceText(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(4))).toSet
+    assert(again == out.map(r => (r._1, r._2, r._4)).toSet)
+  }
+
   test("packChunks: contiguous shard-local sequences, bounded overflow, all chunks kept") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 40L).map(i => (i, (1 to 20).map(j => s"t$j").mkString(" ")))
