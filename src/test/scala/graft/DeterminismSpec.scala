@@ -22,6 +22,8 @@ class DeterminismSpec extends AnyFunSuite {
     "d_minhash",       // LSH bucket join
     "j_asof",          // union-window as-of join
     "j_salted",        // deterministic salting
+    "c_seqtext",       // ordered aggregation (collect_list arrival order)
+    "c_incr",          // cross-batch LSH dedup
     "v_kmv")           // sketch aggregate (merge-order sensitivity)
 
   private def run(name: String, parts: Int): Seq[String] = {
