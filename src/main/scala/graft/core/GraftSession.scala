@@ -19,6 +19,33 @@ object GraftSession {
     // TimestampNTZ reproducibility (SURVEY.md §4 pin 4).
     "spark.sql.session.timeZone" -> "UTC")
 
+  /** Spill-aware sizing guidance (the brief's "size shuffle partitions and
+    * maxPartitionBytes so partitions fit executor memory"), as a PURE
+    * function of the cluster shape so it is testable and auditable:
+    *
+    *  - scan splits ≤ 256 MB and ≤ executorMem/(4·cores) — four concurrent
+    *    tasks per core's memory share leaves headroom for join/agg state;
+    *  - shuffle partitions = max(2·totalCores, inputBytes/targetSplit) —
+    *    at least two waves for scheduler balance, and no partition larger
+    *    than a scan split even if AQE were off;
+    *  - AQE left on to coalesce/split at runtime (skew-join included).
+    */
+  def scaleProfile(totalInputBytes: Long, executors: Int, coresPerExecutor: Int,
+                   executorMemoryBytes: Long): Map[String, String] = {
+    require(executors > 0 && coresPerExecutor > 0 && executorMemoryBytes > 0)
+    val totalCores = executors.toLong * coresPerExecutor
+    val targetSplit = math.max(16L << 20,
+      math.min(256L << 20, executorMemoryBytes / (4L * coresPerExecutor)))
+    val shufflePartitions = math.max(2L * totalCores,
+      (totalInputBytes + targetSplit - 1) / targetSplit)
+    Map(
+      "spark.sql.files.maxPartitionBytes" -> targetSplit.toString,
+      "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true")
+  }
+
   def applyDefaults(spark: SparkSession): SparkSession = {
     Pins.foreach { case (k, v) =>
       try spark.conf.set(k, v)

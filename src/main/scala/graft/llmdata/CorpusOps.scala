@@ -60,6 +60,19 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
 
+  /** Quality-PROPORTIONAL sampling: keep each document with probability
+    * equal to its quality score — the soft alternative to a hard
+    * `score >= cutoff` filter (keeps a calibrated share of mid-quality
+    * text instead of a cliff at the threshold). Deterministic like every
+    * sampler here: the per-mille hash bucket plays the role of the random
+    * draw, so membership is a pure function of doc_id and the score.
+    * Single narrow pass (token derivation + score + filter), no shuffle. */
+  def qualityGatedSample(documents: DataFrame): DataFrame =
+    TextAnalysis.withQuality(documents.withColumn("__words", tokens(col("text"))))
+      .withColumn("bucket", expr(bucketSql("doc_id")))
+      .filter(col("bucket") < col("quality_score") * 1000)
+      .select("doc_id", "quality_score", "bucket")
+
   /** Deterministic TOKEN-budget mixing: cap each stratum (language/source)
     * at a token budget rather than a row rate — the unit training mixtures
     * are actually specified in. Two-phase so it scales:

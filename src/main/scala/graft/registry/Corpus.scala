@@ -34,6 +34,7 @@ object Corpus {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_sample" -> ((s, d) => CorpusOps.stratifiedSample(docs(s, d), SampleRates)),
     "c_budget" -> ((s, d) => CorpusOps.tokenBudgetSample(docs(s, d), TokenBudgets)),
+    "c_qsample" -> ((s, d) => CorpusOps.qualityGatedSample(docs(s, d))),
     "c_decontam" -> ((s, d) => {
       val all = docs(s, d)
       CorpusOps.decontaminate(
@@ -256,9 +257,17 @@ object Corpus {
        |  string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_id) AS seq_text
        |FROM o GROUP BY 1, 2""".stripMargin
 
+  /** Quality-gated sampling oracle: reuses the corpus chain's `scored` CTE
+    * (unreferenced CTEs in the chain stay unevaluated). */
+  private val qsampleSql =
+    s"""WITH $corpusCtes,
+       |qs AS (SELECT doc_id, quality_score, ${CorpusOps.bucketSql("doc_id")} AS bucket FROM scored)
+       |SELECT doc_id, quality_score, bucket FROM qs WHERE bucket < quality_score * 1000""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "c_incr" -> incrSql,
     "c_seqtext" -> seqtextSql,
+    "c_qsample" -> qsampleSql,
     "c_sample" -> sampleSql,
     "c_budget" -> budgetSql,
     "c_chunks" -> chunksSql,

@@ -58,4 +58,22 @@ class CoreSpec extends AnyFunSuite {
     assert(Seq(1.0).toDF("x").select(col("x") / lit(0.0)).head().isNullAt(0))
     assert(Seq(1).toDF("x").select(col("x") / lit(0)).head().isNullAt(0))
   }
+
+  test("scaleProfile: 100 TB / 1000-executor shape yields spill-safe sizing") {
+    val conf = GraftSession.scaleProfile(
+      totalInputBytes = 100L << 40,      // 100 TB
+      executors = 1000, coresPerExecutor = 8,
+      executorMemoryBytes = 32L << 30)   // 32 GiB
+    val split = conf("spark.sql.files.maxPartitionBytes").toLong
+    val parts = conf("spark.sql.shuffle.partitions").toLong
+    assert(split <= (256L << 20))                       // never above 256 MB
+    assert(split * 4 * 8 <= (32L << 30))                // 4 tasks/core fit memory
+    assert(parts >= 2L * 1000 * 8)                    // at least two waves
+    assert(parts * split >= (100L << 40))               // covers the input
+    assert(conf("spark.sql.adaptive.skewJoin.enabled") == "true")
+    // degenerate tiny cluster still sane
+    val small = GraftSession.scaleProfile(1L << 30, 1, 4, 4L << 30)
+    assert(small("spark.sql.shuffle.partitions").toLong >= 8)
+    assert(small("spark.sql.files.maxPartitionBytes").toLong >= (16L << 20))
+  }
 }
