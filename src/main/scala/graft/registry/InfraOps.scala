@@ -181,7 +181,15 @@ object InfraOps {
       bucketSeconds = 3600L, keys = Seq("k"))
   }
 
+  /** Batch twin of the stateful sessionization (gaps-and-islands): floored
+    * measure like st_window so the float sum is exact in both engines. */
+  def sessionsBatch(spark: SparkSession, sfDir: String): DataFrame =
+    EventStream.sessionizeBatch(
+      Tables.events(spark, sfDir)
+        .withColumn("value", expr("cast(floor(value) as double)")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_sessions" -> (sessionsBatch _),
     "j_range" -> (rangeJoinRoundTrip _),
     "j_asof" -> (asofRoundTrip _),
     "j_salted" -> (saltedJoinRoundTrip _),
@@ -194,6 +202,17 @@ object InfraOps {
     "st_dedup" -> (streamDedupBatch _))
 
   def oracleSql: Map[String, String] = Map(
+    "st_sessions" ->
+      s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |                  CAST(floor(value) AS DOUBLE) AS value FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+        |n AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |                       OR epoch_us(ts) - epoch_us(prev_ts) > ${EventStream.SessionGapMs} * 1000 THEN 1 ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM n)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events, SUM(value) AS total
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "j_range" ->
       """WITH p AS (SELECT event_id, CAST(user_id % 20 AS BIGINT) AS k, CAST(ts AS TIMESTAMP) AS evt_ts FROM events),
         |w AS (SELECT CAST(user_id % 20 AS BIGINT) AS k, event_id AS win_id,

@@ -63,6 +63,29 @@ object EventStream {
   def windowedRevenueBatch(events: DataFrame, window_ : String = "1 hour"): DataFrame =
     windowAgg(events, "ts", window_)
 
+  /** Batch twin of [[sessionize]]: gaps-and-islands — a session boundary
+    * wherever the gap to the previous event (per user, event-time order,
+    * event_id tie-break) exceeds `gapMs`; the running count of boundaries
+    * is the session id. Two window passes over ONE shuffle on user_id
+    * (same partitioning, Spark reuses the exchange and sort), then the
+    * per-session aggregate. Oracle-checked (`st_sessions`), which pins the
+    * session semantics the streaming state machine implements. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = SessionGapMs): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(col("ts").cast("timestamp")) - unix_micros(col("__prev").cast("timestamp")) > gapMs * 1000L, 1L)
+        .otherwise(0L))
+      .withColumn("sess_id",
+        sum("__new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), sum("value").as("total"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

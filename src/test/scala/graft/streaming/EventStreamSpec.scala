@@ -33,6 +33,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch sessionization splits on gaps and agrees with the streaming state machine") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (1L, ts(0), 1L, "a", 1.0), (2L, ts(10), 1L, "a", 2.0),  // session 1 (gap 10m)
+      (3L, ts(45), 1L, "a", 4.0),                             // session 2 (gap 35m > 30m)
+      (4L, ts(5), 2L, "b", 8.0))                              // other user
+    val batch = EventStream.sessionizeBatch(
+        events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString, r.getLong(4), r.getDouble(5))).toSet
+    assert(batch == Set(
+      (1L, "2026-01-01 10:00:00.0", 2L, 3.0),
+      (1L, "2026-01-01 10:45:00.0", 1L, 4.0),
+      (2L, "2026-01-01 10:05:00.0", 1L, 8.0)))
+    // the streaming state machine produces the same closed sessions
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventStream.sessionize(spark,
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("batch_vs_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // push the watermark far ahead so every session times out and closes
+      mem.addData((9L, Timestamp.valueOf("2026-01-02 00:00:00"), 99L, "x", 0.0))
+      q.processAllAvailable()
+      mem.addData((10L, Timestamp.valueOf("2026-01-03 00:00:00"), 99L, "x", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("batch_vs_stream").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4)))
+        .filter(_._1 != 99L).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("late-but-in-watermark event extends the session start backwards") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
