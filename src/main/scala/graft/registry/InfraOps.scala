@@ -171,11 +171,15 @@ object InfraOps {
     val ev = Tables.events(spark, sfDir)
     val points = ev.selectExpr(
       "event_id", "cast(user_id % 20 as bigint) as k", "ts as evt_ts")
+    // Deliberate edge coverage: every 3rd window is DEGENERATE (end <=
+    // start — must match nothing, not explode a descending bucket range)
+    // and every 5th has a NULL key (equi-join semantics: matches nothing).
     val windows = ev.where("event_id % 41 = 0").selectExpr(
-      "cast(user_id % 20 as bigint) as k",
+      "case when event_id % 205 = 0 then cast(null as bigint) else cast(user_id % 20 as bigint) end as k",
       "event_id as win_id",
       "date_trunc('hour', ts) as win_start",
-      "date_trunc('hour', ts) + make_interval(0, 0, 0, 0, cast(1 + event_id % 5 as int)) as win_end")
+      "case when event_id % 123 = 0 then date_trunc('hour', ts) " +
+        "else date_trunc('hour', ts) + make_interval(0, 0, 0, 0, cast(1 + event_id % 5 as int)) end as win_end")
     graft.core.RangeJoin.pointInInterval(
       points, windows, "evt_ts", "win_start", "win_end",
       bucketSeconds = 3600L, keys = Seq("k"))
@@ -215,9 +219,11 @@ object InfraOps {
         |FROM s GROUP BY 1, 2""".stripMargin,
     "j_range" ->
       """WITH p AS (SELECT event_id, CAST(user_id % 20 AS BIGINT) AS k, CAST(ts AS TIMESTAMP) AS evt_ts FROM events),
-        |w AS (SELECT CAST(user_id % 20 AS BIGINT) AS k, event_id AS win_id,
+        |w AS (SELECT CASE WHEN event_id % 205 = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(user_id % 20 AS BIGINT) END AS k,
+        |             event_id AS win_id,
         |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
-        |             date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL (1 + event_id % 5) HOUR AS win_end
+        |             CASE WHEN event_id % 123 = 0 THEN date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |                  ELSE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL (1 + event_id % 5) HOUR END AS win_end
         |      FROM events WHERE event_id % 41 = 0)
         |SELECT p.event_id, p.k, p.evt_ts, w.win_id, w.win_start, w.win_end
         |FROM p JOIN w ON p.k = w.k AND p.evt_ts >= w.win_start AND p.evt_ts < w.win_end""".stripMargin,
