@@ -132,8 +132,12 @@ object InfraOps {
     * salt. Values must equal the plain join exactly (the oracle is the
     * UNsalted formulation); the aggregate keeps the dump small. */
   def saltedJoinRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    // NULL keys every 97th row: an equi-join (salted or not) must drop them
+    // identically in both engines.
     val big = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_orderkey"), (col("l_suppkey") % 10).as("k"), col("l_quantity"))
+      .select(col("l_orderkey"),
+        expr("case when l_orderkey % 97 = 0 then cast(null as bigint) else l_suppkey % 10 end").as("k"),
+        col("l_quantity"))
     val dim = spark.read.parquet(s"$sfDir/region.parquet")
       .select(col("r_regionkey").as("k"), col("r_name"))
     graft.core.SkewJoin.saltedJoin(big, dim, Seq("k"), saltFactor = 16)
@@ -237,7 +241,7 @@ object InfraOps {
         |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.evt_ts >= r.snap_ts""".stripMargin,
     "j_salted" ->
       """SELECT k, r_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
-        |FROM (SELECT l_suppkey % 10 AS k, l_quantity FROM lineitem) b
+        |FROM (SELECT CASE WHEN l_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT) ELSE l_suppkey % 10 END AS k, l_quantity FROM lineitem) b
         |JOIN (SELECT r_regionkey AS k, r_name FROM region) d USING (k)
         |GROUP BY 1, 2""".stripMargin,
     "k_bucket" ->
