@@ -93,6 +93,7 @@ package object api {
       Similarity.lshTopK(embs, nQueries, k)
     def ivfTopK(nQueries: Int = 8, k: Int = 10): DataFrame =
       Similarity.ivfTopK(embs, nQueries, k)
+    def labelCentroids: DataFrame = Similarity.labelCentroids(embs)
   }
 
   /** Column-level normalization functions (C1-C3). */

@@ -214,4 +214,28 @@ object Similarity {
       .filter(expr(sparkCosPre("ea", "eb", "na", "nb")) >= threshold)
       .select("id_a", "id_b")
   }
+
+  /** Per-label centroid coordinates — the vector-mean building block of
+    * IVF/k-means index training, one row per (label, dimension).
+    *
+    * The per-group sum folds over the SORTED value list, not a plain
+    * `sum()`: float addition is non-associative, so a hash-aggregate's
+    * partial/final reduction order — which differs on every run and every
+    * partitioning — would make centroids run-unstable and un-oracle-able.
+    * Sorting first fixes one canonical order, so the result is bit-stable
+    * across partitionings (determinism sweep) and engines (DuckDB twin
+    * sorts and folds identically). Cost: the values of each (label, dim)
+    * group are collected and sorted — group size = rows per label, bounded
+    * and explicitly paid for auditability; use a plain `avg` when
+    * last-bit stability is not required. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      .groupBy("label", "pos")
+      .agg(
+        expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (s, x) -> s + x)").as("__s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        round(col("__s") / col("n"), 6).as("c"), col("n"))
 }

@@ -61,6 +61,7 @@ object LlmData {
     "e_lsh_neardup" -> ((s, d) => Similarity.lshNearDupPairs(embs(s, d))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
+    "e_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))),
     "m_meta" -> ((s, d) => Multimodal.decodeMeta(s, docs(s, d)).toDF()),
     "m_frames" -> ((s, d) => Multimodal.sampleFrames(s, docs(s, d))),
     "m_resize" -> ((s, d) => Multimodal.resize(s, docs(s, d)).toDF()),
@@ -169,6 +170,21 @@ object LlmData {
        |  round(CASE WHEN len(l) < $KmvK THEN CAST(len(l) AS DOUBLE)
        |             ELSE CAST(${KmvK - 1} AS DOUBLE) * $P / l[$KmvK] END, 6) AS est_distinct
        |FROM g""".stripMargin
+
+  /** Centroid oracle: positions via a struct-list unnest (this DuckDB has
+    * no WITH ORDINALITY), same sorted fold over doubles. */
+  private val centroidsSql =
+    """WITH x AS (
+      |SELECT label, CAST(u.pos AS INT) AS pos, CAST(u.v AS DOUBLE) AS v
+      |FROM (SELECT label,
+      |        unnest(list_transform(range(1, len(embedding) + 1),
+      |                              i -> {'pos': i - 1, 'v': embedding[i]})) AS u
+      |      FROM embeddings))
+      |SELECT label, pos,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(v))), (s, y) -> s + y)
+      |        / count(*), 6) AS c,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM x GROUP BY 1, 2""".stripMargin
 
   private val exactSql =
     """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
@@ -352,6 +368,7 @@ object LlmData {
     "e_lsh_neardup" -> lshNeardupSql,
     "e_lsh_topk" -> lshTopkSql,
     "e_ivf_topk" -> ivfTopkSql,
+    "e_centroids" -> centroidsSql,
     "m_meta" -> metaSql,
     "m_frames" -> framesSql,
     "m_resize" -> resizeSql,

@@ -23,6 +23,7 @@ class DeterminismSpec extends AnyFunSuite {
     "j_asof",          // union-window as-of join
     "j_salted",        // deterministic salting
     "c_seqtext",       // ordered aggregation (collect_list arrival order)
+    "e_centroids",     // sorted-fold float sums (reduction-order sensitivity)
     "c_incr",          // cross-batch LSH dedup
     "v_kmv")           // sketch aggregate (merge-order sensitivity)
 
