@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // 54 one-shot queries generate well over the default 100 cached
+      // codegen classes; eviction then recompiles shared projections and
+      // orderings mid-bench, smearing a flat ~0.3 s over every query.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     // Same semantic pins as Verify — results must not depend on which
     // query's table accessor applied them first.
@@ -17,7 +21,13 @@ object Bench {
     // isn't charged ~5s of one-time cost; then run in stable name order.
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args = query-name filter, so a regression can be re-measured
+    // in an isolated JVM (`runMain graft.Bench d_simhash`) without the other
+    // 50+ queries' catalog/GC pressure. No args (the driver's call) = all.
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       // A failed query must be visible in the JSON (-1 sentinel), not
@@ -29,6 +39,13 @@ object Bench {
       // storage pool. Cleanup happens outside the timed window.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // ContextCleaner reaps dead broadcasts/shuffles only when their refs
+      // are GC'd; 50+ queries in one JVM otherwise accumulate pinned
+      // blocks until later queries pay the memory pressure (r3: identical
+      // queries measured up to 9× their isolated-JVM times). One explicit
+      // GC per query, outside the timed window, keeps measurements
+      // independent.
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

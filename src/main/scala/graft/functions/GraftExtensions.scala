@@ -40,5 +40,20 @@ object GraftExtensions {
       arity("poly_hash_array", 1)(c => ArrayPolyHash(c.head))),
     (FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
-      arity("minhash_sigs", 1)(c => MinHashSigs(c.head))))
+      arity("minhash_sigs", 1)(c => MinHashSigs(c.head))),
+    (FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[ArrayHyperplaneSig].getName, "hyperplane_sig"),
+      arity("hyperplane_sig", 2) { c =>
+        val planes = c(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"hyperplane_sig planes must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "hyperplane_sig planes must be a literal")
+        }
+        ArrayHyperplaneSig(c.head, planes)
+      }))
 }

@@ -195,6 +195,43 @@ object HashKernels {
     }
     sig
   }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane p, dim d):
+    * an LCG step mapped to [-0.5, 0.5). The SAME integer math as the
+    * DuckDB oracle's `planeWeightSql` (Long == BIGINT, exact), so both
+    * engines project onto bit-identical planes. */
+  def planeWeight(p: Int, d: Int): Double =
+    ((1103515245L * (p * 64L + d) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+
+  /** Plane table precomputed once per JVM (64 planes × 64 dims) so the
+    * per-row signature loop reads a double[] instead of re-running the LCG
+    * 64×planes times per vector. */
+  private val PlaneTable: Array[Array[Double]] =
+    Array.tabulate(64, 64)(planeWeight)
+
+  /** Random-hyperplane LSH signature: bit p set iff dot(v, plane_p) >= 0.
+    * One pass per plane in dim-ascending order — the identical IEEE add
+    * sequence as the literal-plane `array_dot` form this replaces and as
+    * the DuckDB `list_reduce` twin, so signatures are bit-equal. Dims
+    * beyond the precomputed table (64) fall back to the LCG formula. */
+  def hyperplaneSig(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val row = PlaneTable(p)
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val w = if (d < 64) row(d) else planeWeight(p, d)
+        s += v.getDouble(d) * w
+        d += 1
+      }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
 }
 
 /** Codegen'd per-element polynomial hash: `array<string>` → `array<bigint>`.
@@ -289,6 +326,41 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, arr => {
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashKernels.minhashSigs($arr));"
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature over an `array<double>` embedding: bit
+  * p (0 ≤ p < planes) of the result is set iff dot(v, plane_p) >= 0, with
+  * the deterministic LCG planes of [[HashKernels.planeWeight]].
+  *
+  * Exists for codegen WEIGHT, not just speed: the literal-plane form this
+  * replaces embedded planes×64 double literals in every LSH query's
+  * generated code — ~2 s of janino compile billed to each cold run. This
+  * compiles once (the kernel is a static JVM method) and the generated
+  * call site is three lines. Same dim-ascending add order, so signatures
+  * are bit-identical to the literal form and the DuckDB oracle.
+  *
+  * Null contract (as [[ArrayDot]]): null array → null; null elements are
+  * read as 0.0 (embeddings never carry null elements). */
+case class ArrayHyperplaneSig(child: Expression, planes: Int) extends UnaryExpression {
+  require(planes >= 1 && planes <= 63, s"hyperplane_sig planes must be in [1, 63], got $planes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_sig requires array<double>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.hyperplaneSig(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.HashKernels.hyperplaneSig($arr, $planes);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

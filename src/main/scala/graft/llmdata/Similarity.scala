@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   *    top-k, which shuffles k rows per partition after partial ranking).
   *  - [[cosineNearDupPairs]] — exact all-pairs cosine >= threshold; kept as
   *    the correctness baseline, quadratic, only for small verification inputs.
-  *  - [[lshTopK]] — random-hyperplane LSH: 16-bit signatures via fixed
-  *    deterministic pseudo-random planes, candidates from same-bucket
-  *    (multi-probe over 4-bit bands), exact cosine re-rank of candidates.
-  *    This is the 100 TB path: bucket join instead of cross product.
+  *  - [[lshTopK]] — random-hyperplane LSH: [[LshPlanes]]-bit (default 32)
+  *    signatures via fixed deterministic pseudo-random planes, candidates
+  *    from same-bucket (multi-probe over [[LshBandBits]]-bit bands), exact
+  *    cosine re-rank of candidates. This is the 100 TB path: bucket join
+  *    instead of cross product. Both knobs are per-call parameters (more
+  *    band bits = fewer candidates, lower recall); the registered oracle
+  *    queries pin the defaults.
   *
   * The dot products run as higher-order-function lambdas over the float
   * arrays, cast to double element-wise so Spark and the DuckDB oracle agree
@@ -86,46 +89,79 @@ object Similarity {
   val LshBandBits = 4
   val LshBands: Int = LshPlanes / LshBandBits
 
-  /** Random-hyperplane LSH top-k: 32-bit signature per vector (projection
-    * only), candidates = vectors sharing any of the 8 4-bit bands with the
-    * query (bucket join), exact cosine re-rank of candidates, top-k. Recall
-    * is graded against [[bruteForceTopK]] rather than oracle-checked (the
-    * candidate set is approximate by design). Expected candidate fraction
-    * per query is 1-(1-2^-4)^8 ≈ 40% on uniform data and far lower on real
-    * clustered embeddings — the knob is (planes, band bits) per corpus. */
+  /** Keep each row's `keep` best cells by centroid cosine: broadcast the
+    * (≤ nCells)-row centroid set against the side, rank per id. Shared by
+    * k-means training (keep=1 assignment) and IVF probing (keep=nProbe). */
+  private def nearestCells(side: DataFrame, centroids: DataFrame,
+                           idCol: String, keep: Int): DataFrame =
+    side.join(broadcast(centroids))
+      .withColumn("ccos", expr(sparkCosPre("ed", "ced", "nrm", "cnrm")))
+      .withColumn("__r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("ccos").desc, col("cell").asc)))
+      .filter(col("__r") <= keep)
+      .drop("ced", "cnrm", "ccos", "__r")
+
+  /** Deterministic spherical k-means: seeds = the first `nCells` vectors by
+    * id (no driver action — plan-build touches no data), then `iters`
+    * rounds of (argmax-cosine assignment → per-cell mean). Returns
+    * (cell, ced: array<double>, cnrm).
+    *
+    * The per-(cell, dim) mean folds over the SORTED value list (same
+    * rationale as [[labelCentroids]]): float addition is non-associative, so
+    * a hash-aggregate's run-dependent reduction order would make trained
+    * centroids un-oracle-able. Sorting pins one canonical order, so both
+    * engines produce bit-identical doubles. Cost: each (cell, dim) group
+    * collects its members' values — fine for nCells×64 groups of
+    * corpus/nCells values at verification scale; at 100 TB train on a
+    * sample (IVF centroids never need the full corpus) or swap the fold
+    * for a plain `avg` when last-bit reproducibility isn't required.
+    *
+    * A cell that captures no vectors in an iteration drops out (both
+    * engines agree: empty groups produce no row). */
+  def kmeansCentroids(embeddings: DataFrame, nCells: Int = 16, iters: Int = 1): DataFrame = {
+    val n = withNorm(embeddings)
+    val seeds = n.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("ed").as("ced"), col("nrm").as("cnrm"))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      nearestCells(n, cents, "vec_id", 1)
+        .select(col("cell"), posexplode(col("ed")))
+        .select(col("cell"), col("pos"), col("col").as("v"))
+        .groupBy("cell", "pos")
+        .agg(
+          expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (s, x) -> s + x)").as("__s"),
+          count(lit(1)).as("__n"))
+        .withColumn("m", col("__s") / col("__n"))
+        .groupBy("cell")
+        // array_sort on (pos, m) structs orders by pos (distinct), so the
+        // rebuilt vector is positionally exact.
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ced"))
+        .withColumn("cnrm", expr("sqrt(array_dot(ced, ced))"))
+        .select("cell", "ced", "cnrm")
+    }
+  }
+
   /** IVF (inverted-file) top-k — the third ANN tier: partition the corpus
     * into cells around coarse centroids, probe only the query's nearest
     * cells, exact-rerank inside them.
     *
-    * Build: centroids = every (N/nCells)-th vector by id (deterministic
-    * stand-in for k-means — real pipelines would train centroids offline);
-    * each vector joins the broadcast centroid set and keeps its argmax-cosine
-    * cell (window, ties by centroid id). Probe: each query keeps its
-    * `nProbe` best cells, then scores only vectors in those cells.
+    * Build: centroids trained by [[kmeansCentroids]] (deterministic seeds +
+    * `kmeansIters` Lloyd rounds — no driver-side action anywhere, the whole
+    * operator is one lazy plan); each vector keeps its argmax-cosine cell.
+    * Probe: each query keeps its `nProbe` best cells, then scores only
+    * vectors in those cells.
     *
-    * Scale shape: the corpus is scanned once for assignment (broadcast join
-    * + per-key window), and queries touch ~nProbe/nCells of the corpus —
-    * the standard recall/cost knob pair (nCells ↑ = cheaper probes, nProbe
-    * ↑ = better recall). All deterministic, so the DuckDB oracle replicates
-    * it exactly. */
+    * Scale shape: the corpus is scanned once per training round plus once
+    * for assignment (broadcast join + per-key window), and queries touch
+    * ~nProbe/nCells of the corpus — the standard recall/cost knob pair
+    * (nCells ↑ = cheaper probes, nProbe ↑ = better recall). All
+    * deterministic, so the DuckDB oracle replicates it exactly. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
-              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 2, kmeansIters: Int = 1): DataFrame = {
     val n = withNorm(embeddings)
-    val total = embeddings.count()
-    val stride = math.max(1L, total / nCells)
-    val centroids = n.filter(col("vec_id") % stride === 0 && col("vec_id") / stride < nCells)
-      .select((col("vec_id") / stride).cast("int").as("cell"),
-        col("ed").as("ced"), col("nrm").as("cnrm"))
+    val centroids = kmeansCentroids(embeddings, nCells, kmeansIters)
     val w = org.apache.spark.sql.expressions.Window
-    def bestCells(side: DataFrame, idCol: String, keep: Int): DataFrame =
-      side.join(broadcast(centroids))
-        .withColumn("ccos", expr(sparkCosPre("ed", "ced", "nrm", "cnrm")))
-        .withColumn("__r", row_number().over(
-          w.partitionBy(idCol).orderBy(col("ccos").desc, col("cell").asc)))
-        .filter(col("__r") <= keep)
-        .drop("ced", "cnrm", "ccos", "__r")
-    val assigned = bestCells(n, "vec_id", 1)
-    val queries = bestCells(n.filter(col("vec_id") < nQueries), "vec_id", nProbe)
+    val assigned = nearestCells(n, centroids, "vec_id", 1)
+    val queries = nearestCells(n.filter(col("vec_id") < nQueries), centroids, "vec_id", nProbe)
       .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"), col("cell"))
     broadcast(queries)
       .join(assigned.select(col("vec_id").as("nn_id"), col("ed").as("e"), col("nrm").as("en"), col("cell")),
@@ -138,44 +174,53 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
   }
 
-  /** Plane weight (p, d), computed host-side with the identical integer
-    * math as [[planeWeightSql]] (Long == BIGINT, exact). */
+  /** Plane weight (p, d) — delegates to the shared kernel
+    * ([[graft.functions.HashKernels.planeWeight]]) so the expression, this
+    * builder, and the oracle all use one definition. */
   def planeWeight(p: Int, d: Int): Double =
-    ((1103515245L * (p * 64L + d) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+    graft.functions.HashKernels.planeWeight(p, d)
 
-  /** 32-bit hyperplane signature as a SQL expression over the `ed` column.
-    * Literal plane vectors fed to the codegen'd array_dot — constant-folded
-    * once, then 32 tight dot products per row instead of 32 interpreted
-    * 64-element lambdas. Double.toString round-trips exactly. */
-  private def lshSigExpr: String =
-    (0 until LshPlanes).map { p =>
-      val plane = (0 until 64).map(d => s"${planeWeight(p, d)}D").mkString("array(", ", ", ")")
-      s"CASE WHEN array_dot(ed, $plane) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-    }.mkString(" + ")
+  /** `planes`-bit hyperplane signature over the `ed` column — the codegen'd
+    * [[graft.functions.ArrayHyperplaneSig]] kernel (one static call in the
+    * generated code; the literal-plane form it replaced inlined planes×64
+    * double literals and cost ~2 s of janino compile per cold query). */
+  private def lshSigExpr(planes: Int): String = s"hyperplane_sig(ed, $planes)"
 
   /** Explode a signature column into (band, band_val) bucket keys. */
-  private def explodeBands(sig: DataFrame, extraCols: Seq[String]): DataFrame =
+  private def explodeBands(sig: DataFrame, extraCols: Seq[String],
+                           planes: Int, bandBits: Int): DataFrame = {
+    require(planes % bandBits == 0, s"planes $planes not divisible by bandBits $bandBits")
+    val bands = planes / bandBits
     sig.select(
       (extraCols.map(col) :+
-        posexplode(expr(s"transform(sequence(0, ${LshBands - 1}), c -> (__sig >> (c * $LshBandBits)) & ${(1 << LshBandBits) - 1})"))): _*)
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), c -> (__sig >> (c * $bandBits)) & ${(1 << bandBits) - 1})"))): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+  }
 
-  def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+  /** Deduped (query_id, nn_id) LSH candidate pairs — the bucket join that
+    * replaces the brute-force cross product. Public so the banding
+    * knob's cost (candidate fraction) can be graded directly. */
+  def lshCandidates(embeddings: DataFrame, nQueries: Int = 8,
+                    planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
     val n = withNorm(embeddings)
-    val sig = n.withColumn("__sig", expr(lshSigExpr))
-    val bands = explodeBands(sig, Seq("vec_id", "ed", "nrm"))
+    val sig = n.withColumn("__sig", expr(lshSigExpr(planes)))
+    val bands = explodeBands(sig, Seq("vec_id"), planes, bandBits)
     val qBands = bands.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"),
-        col("band"), col("band_val"))
+      .select(col("vec_id").as("query_id"), col("band"), col("band_val"))
     // Dedup candidates on ids BEFORE re-attaching vectors: the distinct
     // then shuffles 16-byte pairs, not 512-byte embedding arrays.
-    val candIds = broadcast(qBands.select("query_id", "band", "band_val"))
+    broadcast(qBands)
       .join(bands.select(col("vec_id").as("nn_id"), col("band"), col("band_val")),
         Seq("band", "band_val"))
       .filter(col("query_id") =!= col("nn_id"))
       .select("query_id", "nn_id")
       .distinct()
-    val candidates = candIds
+  }
+
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+              planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
+    val n = withNorm(embeddings)
+    val candidates = lshCandidates(embeddings, nQueries, planes, bandBits)
       .join(n.select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn")), "query_id")
       .join(n.select(col("vec_id").as("nn_id"), col("ed").as("e"), col("nrm").as("en")), "nn_id")
     candidates
@@ -199,9 +244,10 @@ object Similarity {
     * The bucket join carries only (vec_id, band, band_val); vectors are
     * re-attached to the (rare) deduped candidate ids afterwards, so the wide
     * embedding arrays never enter the candidate shuffle. */
-  def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
+                      planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
     val n = withNorm(embeddings).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = explodeBands(n.withColumn("__sig", expr(lshSigExpr)), Seq("vec_id"))
+    val bands = explodeBands(n.withColumn("__sig", expr(lshSigExpr(planes))), Seq("vec_id"), planes, bandBits)
     val candIds = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")

@@ -61,6 +61,12 @@ object LlmData {
     "e_lsh_neardup" -> ((s, d) => Similarity.lshNearDupPairs(embs(s, d))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
+    "e_kmeans" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Similarity.kmeansCentroids(embs(s, d))
+        .select(col("cell"), posexplode(col("ced")))
+        .select(col("cell"), col("pos"), round(col("col"), 6).as("c"))
+    }),
     "e_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))),
     "m_meta" -> ((s, d) => Multimodal.decodeMeta(s, docs(s, d)).toDF()),
     "m_frames" -> ((s, d) => Multimodal.sampleFrames(s, docs(s, d))),
@@ -292,18 +298,46 @@ object LlmData {
        |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
   }
 
-  /** DuckDB twin of Similarity.ivfTopK: same deterministic centroids
-    * (every stride-th vector), same argmax cell assignment, same 2-cell
-    * probe and exact re-rank. */
+  /** DuckDB twin of Similarity.kmeansCentroids at its registered setting
+    * (nCells=16, iters=1): seeds = the first 16 vectors (cell = vec_id),
+    * one Lloyd round — argmax-cosine assignment (ties: lower cell), then a
+    * per-(cell, dim) SORTED-fold mean (same canonical add order as Spark's
+    * array_sort + fold, so the doubles are bit-identical), vectors rebuilt
+    * with an ordered list aggregate. */
+  private val kmeansCte = {
+    val cellCos = Similarity.duckCosPre("v.ed", "c.ced", "v.nrm", "c.cnrm")
+    s"""seed AS (SELECT CAST(vec_id AS INT) AS cell, ed AS ced, nrm AS cnrm FROM n2 WHERE vec_id < 16),
+       |asg0 AS (SELECT vec_id, ed, cell FROM (
+       |  SELECT v.vec_id, v.ed, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, c.cell ASC) AS r
+       |  FROM n2 v, seed c) WHERE r = 1),
+       |xk AS (SELECT cell, CAST(u.pos AS INT) AS pos, CAST(u.v AS DOUBLE) AS v
+       |       FROM (SELECT cell, unnest(list_transform(range(1, len(ed) + 1),
+       |                     i -> {'pos': i - 1, 'v': ed[i]})) AS u FROM asg0)),
+       |mk AS (SELECT cell, pos,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(v))), (s, y) -> s + y)
+       |           / count(*) AS m
+       |       FROM xk GROUP BY 1, 2),
+       |centn AS (SELECT cell, ced,
+       |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ced, v -> v * v)), (s, v) -> s + v)) AS cnrm
+       |          FROM (SELECT cell, list(m ORDER BY pos) AS ced FROM mk GROUP BY cell))""".stripMargin
+  }
+
+  private val kmeansSql =
+    s"""WITH $normCte,
+       |$kmeansCte
+       |SELECT cell, pos, round(m, 6) AS c FROM mk""".stripMargin
+
+  /** DuckDB twin of Similarity.ivfTopK: k-means-trained centroids (one
+    * deterministic Lloyd round, [[kmeansCte]]), same argmax cell
+    * assignment, same 2-cell probe and exact re-rank. */
   private val ivfTopkSql = {
     val cellCos = Similarity.duckCosPre("v.ed", "c.ced", "v.nrm", "c.cnrm")
     s"""WITH $normCte,
-       |st AS (SELECT greatest(1, CAST(count(*) // 16 AS BIGINT)) AS stride FROM n2),
-       |cent AS (SELECT CAST(vec_id // stride AS INT) AS cell, ed AS ced, nrm AS cnrm
-       |         FROM n2, st WHERE vec_id % stride = 0 AND vec_id // stride < 16),
+       |$kmeansCte,
        |ranked AS (SELECT v.vec_id, v.ed, v.nrm, c.cell,
        |             row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, c.cell ASC) AS r
-       |           FROM n2 v, cent c),
+       |           FROM n2 v, centn c),
        |assign AS (SELECT vec_id, ed, nrm, cell FROM ranked WHERE r = 1),
        |probe AS (SELECT vec_id AS query_id, ed AS q, nrm AS qn, cell FROM ranked WHERE vec_id < 8 AND r <= 2),
        |scored AS (SELECT p.query_id, a.vec_id AS nn_id, ${Similarity.duckCosPre("p.q", "a.ed", "p.qn", "a.nrm")} AS cos
@@ -368,6 +402,7 @@ object LlmData {
     "e_lsh_neardup" -> lshNeardupSql,
     "e_lsh_topk" -> lshTopkSql,
     "e_ivf_topk" -> ivfTopkSql,
+    "e_kmeans" -> kmeansSql,
     "e_centroids" -> centroidsSql,
     "m_meta" -> metaSql,
     "m_frames" -> framesSql,

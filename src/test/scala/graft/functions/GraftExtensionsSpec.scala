@@ -20,9 +20,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
   private def arr(dt: org.apache.spark.sql.types.DataType, vs: Any*) =
     Literal.create(ArrayData.toArrayData(vs.toArray), ArrayType(dt))
 
-  test("extension builders cover all four custom functions") {
+  test("extension builders cover all five custom functions") {
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("array_dot", "minhash_sigs", "poly_hash_array", "simhash32"))
+      Seq("array_dot", "hyperplane_sig", "minhash_sigs", "poly_hash_array", "simhash32"))
+  }
+
+  test("hyperplane_sig builder matches the plane-weight kernel sign pattern") {
+    // v = e_0 (1 in dim 0): bit p of the signature is sign(planeWeight(p, 0)).
+    val e = builder("hyperplane_sig")(Seq(
+      arr(DoubleType, 1.0 +: Seq.fill(63)(0.0): _*), Literal(8)))
+    val sig = e.eval().asInstanceOf[Long]
+    (0 until 8).foreach { p =>
+      assert(((sig >> p) & 1L) == (if (HashKernels.planeWeight(p, 0) >= 0) 1L else 0L))
+    }
   }
 
   test("array_dot builder evals the codegen expression's semantics") {
