@@ -1,7 +1,7 @@
 package graft.job
 
 import graft.core.SchemaCasts
-import graft.sink.{Sink, WriteMode}
+import graft.sink.{PartitionedParquetSink, Sink, WriteMode}
 import graft.sources.{ConfigSources, Tables}
 import graft.views.{Ressarcimento, SuperDesconto}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -74,6 +74,37 @@ object Runner {
           val mode = if (!replaced) { replaced = true; WriteMode.Replace } else WriteMode.Append
           Some(year -> sink.write(df, mode))
         }
+      persisted.foreach(_.unpersist(blocking = false))
+      written
+    }.toMap
+  }
+
+  /** EP2 at scale: the year loop against a PARTITION-scoped sink — each
+    * year is written as `Replace` of its own `ano=<year>` partition
+    * (dynamic partition overwrite), so any single year can be re-run alone,
+    * in any order, without touching the others. This removes
+    * [[runRessarcimento]]'s replace-on-first-written sequencing, which
+    * exists only because a whole-table Replace would drop the other years.
+    *
+    * `years` narrows the refresh (e.g. re-run just 2024 after a source
+    * correction); default = the reference's every-year-since-firstYear loop.
+    */
+  def runRessarcimentoPartitioned(spark: SparkSession, config: Map[String, String],
+                                  sink: PartitionedParquetSink, today: LocalDate,
+                                  firstYear: Int = 2023,
+                                  years: Option[Seq[Int]] = None): Map[Int, Long] = {
+    if (!ressarcimentoDue(today)) return Map.empty
+    val sources = ConfigSources.ressarcimento(spark, config)
+    years.getOrElse(ressarcimentoYears(today, firstYear)).flatMap { year =>
+      val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+      val df: DataFrame = SchemaCasts.castDecimalDouble(
+        Ressarcimento.mainView(sources, year, track = persisted))
+        .withColumn(sink.partitionCol, org.apache.spark.sql.functions.lit(year))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += df
+      val written =
+        if (df.isEmpty) None
+        else Some(year -> sink.write(df, WriteMode.Replace))
       persisted.foreach(_.unpersist(blocking = false))
       written
     }.toMap

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * the caller — which therefore owns the release. Long-lived sessions must
   * free blocks between operator runs (as the Verify/Bench harness and the
   * year-loop orchestrator do); nothing here can unpersist before its
-  * result is consumed.
+  * result is consumed. Interactive callers should wrap consume-and-done
+  * usage in [[graft.core.CacheScope.scoped]], which releases every
+  * intermediate the enclosed operators registered (all persists here route
+  * through it).
   */
 object CorpusOps {
   import TextPrimitives._
@@ -170,7 +173,7 @@ object CorpusOps {
   def clusterLabels(pairs: DataFrame, iterations: Int = 3): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.persisted)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
     for (_ <- 1 to iterations) labels = propagateOnce(edges, labels)
@@ -197,7 +200,7 @@ object CorpusOps {
   def clusterLabelsConverged(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.persisted)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
@@ -254,8 +257,8 @@ object CorpusOps {
     // (1) exact: drop batch docs whose text already exists in the corpus
     val exactKept = shingled(
       newDocs.join(corpus.select(col("text")), Seq("text"), "left_anti"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val corpusSh = shingled(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.persisted)
+    val corpusSh = shingled(corpus).transform(graft.core.CacheScope.persisted)
 
     // (2) near-dup vs corpus: bucket join between band sets, exact verify
     val candidates = bands(exactKept, "new_id")
@@ -353,7 +356,7 @@ object CorpusOps {
   def packedSequenceText(documents: DataFrame, budget: Int = 64, shards: Int = 8,
                          maxTokens: Int = 16): DataFrame = {
     val chunks = chunk(documents, maxTokens)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.persisted)
     packChunks(chunks, budget, shards)
       .join(chunks.select("doc_id", "chunk_id", "chunk_text"), Seq("doc_id", "chunk_id"))
       .groupBy("shard", "seq_id")
@@ -397,7 +400,7 @@ object CorpusOps {
       .agg(min("doc_id").as("doc_id"),
         min("n_tokens").as("n_tokens"), min("quality_score").as("quality_score"))
       .select("doc_id", "text", "n_tokens", "quality_score")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.persisted)
     val dropIds = DocDedup.minhashLshPairs(deduped.select("doc_id", "text"))
       .select(col("id_b").as("doc_id")).distinct()
     deduped.join(dropIds, Seq("doc_id"), "left_anti")

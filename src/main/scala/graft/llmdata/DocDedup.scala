@@ -42,7 +42,7 @@ object DocDedup {
       .withColumn("__words", tokens(col("text")))
       .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
       .select(col("doc_id"), col("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.persisted)
     // Join on the shingle's polynomial hash (BIGINT) instead of the string:
     // far less shuffle volume at corpus scale. A cross-doc hash collision
     // would overcount `common` by 1 — probability ~(shingles²/2)/1e9, and
@@ -117,7 +117,7 @@ object DocDedup {
       .withColumn("__words", tokens(col("text")))
       .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
       .select(col("doc_id"), col("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.persisted)
     val sig = sh
       .withColumn("__h", sparkPolyHashArray("__sh"))
       .withColumn("__sig", expr(sparkSignature("__h")))

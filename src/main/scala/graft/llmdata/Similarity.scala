@@ -246,7 +246,7 @@ object Similarity {
     * embedding arrays never enter the candidate shuffle. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
                       planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
-    val n = withNorm(embeddings).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = withNorm(embeddings).transform(graft.core.CacheScope.persisted)
     val bands = explodeBands(n.withColumn("__sig", expr(lshSigExpr(planes))), Seq("vec_id"), planes, bandBits)
     val candIds = bands.as("a")
       .join(bands.as("b"),

@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.sink.{Layouts, ParquetSink, WriteMode}
+import graft.sink.{Layouts, ParquetSink, PartitionedParquetSink, WriteMode}
 import graft.sources.Tables
 import graft.streaming.{DocStream, EventStream}
 import java.time.LocalDate
@@ -68,6 +68,72 @@ object InfraOps {
     sink.write(stale, WriteMode.Append)
     sink.write(b2023, WriteMode.Replace)
     sink.write(b2024, WriteMode.Append)
+    sink.read()
+  }
+
+  /** Zipf-skewed shuffle-join fixture: ~90% of lineitem rows land on skew
+    * key 1, the rest spread over keys 2-99; the dim side carries keys
+    * 1-99 so the hot key SURVIVES the inner join. Both variants force a
+    * sort-merge join (`merge` hint — no broadcast escape hatch at fixture
+    * scale), so the bench pair isolates exactly the effect salting
+    * removes: one reducer owning the whole hot key. AQE's skew split
+    * stays out of the picture here because fixture partitions are far
+    * below `skewedPartitionThresholdInBytes`; at cluster scale both
+    * mitigations apply and salting still wins when the skew is known
+    * up front (no materialize-then-replan round trip). */
+  private def skewSides(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    // ×8 deterministic replica explode: the hot key must own enough rows
+    // (~4.3M at sf0.1) for one reducer's sort to dominate wall clock —
+    // unamplified, scan+shuffle costs mask the hot partition entirely.
+    val big = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(
+        expr("CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE 1 + l_suppkey % 99 END").as("k"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rep", explode(expr("sequence(1, 8)")))
+    val dim = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter(col("p_partkey") < 100)
+      .select(col("p_partkey").as("k"), col("p_name"))
+      .hint("merge")
+    (big, dim)
+  }
+
+  private def skewAgg(joined: DataFrame): DataFrame =
+    joined.groupBy("k")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum("l_quantity").cast("double").as("sum_qty"))
+
+  /** The skewed join WITHOUT mitigation — the bench baseline whose hot
+    * key serializes one reducer. */
+  def skewedJoinPlain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (big, dim) = skewSides(spark, sfDir)
+    skewAgg(big.join(dim, Seq("k")))
+  }
+
+  /** The same join through [[SkewJoin.saltedJoin]] (salt on the
+    * high-cardinality (l_orderkey, l_linenumber) so duplicate rows don't
+    * share a salt) — same rows out, hot key scattered across 32 salts. */
+  def skewedJoinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val (big, dim) = skewSides(spark, sfDir)
+    skewAgg(graft.core.SkewJoin.saltedJoin(big, dim, Seq("k"),
+      saltFactor = 32, saltOn = Seq("l_orderkey", "l_linenumber", "rep")))
+  }
+
+  /** K3+ round-trip for the partition-scoped sink: write yr=2023 and
+    * yr=2024, then re-Replace ONLY 2024 with a different slice. The final
+    * state proves dynamic partition overwrite semantics — 2023 survives a
+    * 2024-only re-run, and the second 2024 batch fully supersedes the
+    * first (no replace-on-first-written ordering anywhere). */
+  def partitionReplaceRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_name", "p_retailprice")
+    val b2023 = part.filter(col("p_partkey") % 3 === 0).withColumn("yr", lit(2023))
+    val b2024a = part.filter(col("p_partkey") % 3 === 1).withColumn("yr", lit(2024))
+    val b2024b = part.filter(col("p_partkey") % 7 === 2).withColumn("yr", lit(2024))
+    val sink = new PartitionedParquetSink(
+      spark, scratch(spark, sfDir, "k_partreplace") + "/t", "yr")
+    sink.write(b2023, WriteMode.Replace)
+    sink.write(b2024a, WriteMode.Replace)
+    sink.write(b2024b, WriteMode.Replace)
     sink.read()
   }
 
@@ -201,13 +267,25 @@ object InfraOps {
     "j_range" -> (rangeJoinRoundTrip _),
     "j_asof" -> (asofRoundTrip _),
     "j_salted" -> (saltedJoinRoundTrip _),
+    "j_skew_plain" -> (skewedJoinPlain _),
+    "j_skew_salted" -> (skewedJoinSalted _),
     "k_bucket" -> (bucketedJoinRoundTrip _),
     "s_partprune" -> (partitionPruneRoundTrip _),
     "k_merge" -> (mergeRoundTrip _),
     "k_replace" -> (replaceAppendRoundTrip _),
+    "k_partreplace" -> (partitionReplaceRoundTrip _),
     "s3_dayrange" -> (dayRangeRoundTrip _),
     "st_window" -> (windowAggBatch _),
     "st_dedup" -> (streamDedupBatch _))
+
+  /** One oracle for both skew variants: salting must not change a single
+    * output row, only the shuffle shape. l_quantity is integer-valued, so
+    * the double sums are exact and order-independent. */
+  private val skewOracleSql =
+    """SELECT k, CAST(count(*) * 8 AS BIGINT) AS n_rows, CAST(SUM(l_quantity) * 8 AS DOUBLE) AS sum_qty
+      |FROM (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE 1 + l_suppkey % 99 END AS k, l_quantity FROM lineitem) b
+      |JOIN (SELECT p_partkey AS k FROM part WHERE p_partkey < 100) d USING (k)
+      |GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "st_sessions" ->
@@ -244,6 +322,8 @@ object InfraOps {
         |FROM (SELECT CASE WHEN l_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT) ELSE l_suppkey % 10 END AS k, l_quantity FROM lineitem) b
         |JOIN (SELECT r_regionkey AS k, r_name FROM region) d USING (k)
         |GROUP BY 1, 2""".stripMargin,
+    "j_skew_plain" -> skewOracleSql,
+    "j_skew_salted" -> skewOracleSql,
     "k_bucket" ->
       """SELECT o_custkey, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -260,6 +340,10 @@ object InfraOps {
       """SELECT p_partkey, p_name, p_retailprice, 2023 AS yr FROM part WHERE p_partkey % 3 = 0
         |UNION ALL
         |SELECT p_partkey, p_name, p_retailprice, 2024 AS yr FROM part WHERE p_partkey % 3 = 1""".stripMargin,
+    "k_partreplace" ->
+      """SELECT p_partkey, p_name, p_retailprice, 2023 AS yr FROM part WHERE p_partkey % 3 = 0
+        |UNION ALL
+        |SELECT p_partkey, p_name, p_retailprice, 2024 AS yr FROM part WHERE p_partkey % 7 = 2""".stripMargin,
     "s3_dayrange" ->
       "SELECT event_id, user_id, value FROM events WHERE event_id % 7 IN (1, 2, 3)",
     "st_window" ->

@@ -95,3 +95,83 @@ final class ParquetSink(spark: SparkSession, path: String) extends Sink {
       obs.get("rows").asInstanceOf[Long]
   }
 }
+
+/** Hive-partitioned parquet sink where Replace is PARTITION-scoped: Spark's
+  * dynamic partition overwrite rewrites ONLY the partitions present in the
+  * incoming rows, so re-running year=2024 cannot drop year=2023 — the
+  * reference's replace-one-year-then-append sequencing
+  * (`etl_job.py:104-110`) made idempotent per partition instead of per
+  * run-ordering. This is the 100 TB shape: a single-year refresh moves one
+  * partition's bytes, never the table's.
+  *
+  * Trade-off vs [[ParquetSink]]'s whole-directory swap: the per-partition
+  * commit (stage under the output, then per touched partition delete-old +
+  * move-in) has a short non-atomic window per partition, but a crash can
+  * only affect partitions the run was already rewriting — untouched years
+  * are never at risk, which is the property that matters for partial
+  * re-runs. [[mergeByKey]] is partition-local by construction: only
+  * partitions present in `incoming` are read, anti-joined, and rewritten
+  * (a merge key can never move across partitions without a duplicate —
+  * callers must include the partition value in the key's identity).
+  */
+final class PartitionedParquetSink(spark: SparkSession, path: String,
+                                   val partitionCol: String) extends Sink {
+
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def exists: Boolean = fs.exists(new Path(path))
+
+  def read(): DataFrame = spark.read.parquet(path)
+
+  private def requirePartitionCol(df: DataFrame): Unit =
+    require(df.columns.contains(partitionCol),
+      s"partitioned sink $path requires column '$partitionCol' in the incoming rows")
+
+  private def countedWrite(incoming: DataFrame)(w: DataFrame => Unit): Long = {
+    val obs = Observation()
+    w(incoming.observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  override def write(incoming: DataFrame, mode: WriteMode): Long = {
+    requirePartitionCol(incoming)
+    countedWrite(incoming) { o =>
+      val base = o.write.partitionBy(partitionCol)
+      mode match {
+        case WriteMode.Replace =>
+          base.mode("overwrite")
+            // per-write override of spark.sql.sources.partitionOverwriteMode:
+            // static mode would wipe every partition, dynamic touches only
+            // those present in `incoming`.
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        case WriteMode.Append => base.mode("append").parquet(path)
+      }
+    }
+  }
+
+  override def mergeByKey(incoming: DataFrame, keys: Seq[String]): Long = {
+    requirePartitionCol(incoming)
+    if (!exists) return write(incoming, WriteMode.Replace)
+    // Partition-local merge: read only the touched partitions (semi join on
+    // the partition values prunes the scan), keep their non-matching rows,
+    // rewrite just those partitions dynamically.
+    val touched = incoming.select(partitionCol).distinct()
+    val kept = read()
+      .join(broadcast(touched), Seq(partitionCol), "left_semi")
+      .join(incoming, keys, "left_anti")
+    val obs = Observation()
+    // localCheckpoint (eager) materializes the merged partitions BEFORE the
+    // overwrite touches any source file — the dynamic-overwrite plan must
+    // not read the path it rewrites (Spark's self-overwrite guard), and
+    // the checkpoint also collects the observation in the same job.
+    val merged = kept
+      .unionByName(incoming.observe(obs, count(lit(1)).as("rows")))
+      .localCheckpoint()
+    try
+      merged.write.partitionBy(partitionCol)
+        .mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    finally merged.unpersist(blocking = false)
+    obs.get("rows").asInstanceOf[Long]
+  }
+}

@@ -22,6 +22,7 @@ object BenchIso {
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc() // let ContextCleaner reap dead broadcasts, as Bench does
         dt
       }
       println(f"$name%-14s ${ts.map(t => f"$t%.2f").mkString(" ")}")

@@ -2,7 +2,7 @@ package graft.job
 
 import graft.TestSpark
 import graft.fixtures.RefFixtures
-import graft.sink.ParquetSink
+import graft.sink.{ParquetSink, PartitionedParquetSink, WriteMode}
 import java.nio.file.Files
 import java.time.LocalDate
 import org.apache.spark.sql.functions._
@@ -61,5 +61,40 @@ class RunnerIntegrationSpec extends AnyFunSuite {
     assert(written.keySet == Set(1997, 1998))
     assert(written.values.forall(_ > 0))
     assert(sink.read().count() == written.values.sum)
+  }
+
+  test("runRessarcimentoPartitioned: re-running one later year leaves earlier years intact") {
+    val root = Files.createTempDirectory("graft_monthly_part").toString
+    val keys = Seq("fornecedor", "aporte_cab", "aporte_det", "dim_produto", "coleta_cab",
+      "coleta_det", "volume_tipo", "negociacao", "debito", "pagamento", "dim_sap")
+    keys.foreach { k =>
+      RefFixtures.byName(k).df(spark, sfDir).write.mode("overwrite").parquet(s"$root/$k")
+    }
+    val config = keys.map(k => k -> s"$root/$k").toMap
+    val sink = new PartitionedParquetSink(spark, s"$root/sink_rst_part", "ano")
+    val today = LocalDate.of(1998, 8, 3)
+    val w1 = Runner.runRessarcimentoPartitioned(spark, config, sink, today, firstYear = 1997)
+    assert(w1.keySet == Set(1997, 1998))
+    val rows1997 = sink.read().filter(col("ano") === 1997).count()
+    assert(rows1997 == w1(1997))
+    // Re-run ONLY 1998 — no replace-on-first-written ordering involved: the
+    // dynamic overwrite touches just ano=1998, so 1997 must survive
+    // byte-for-byte (same count, same content hash).
+    val hash1997 = sink.read().filter(col("ano") === 1997)
+      .select(sum(xxhash64(sink.read().columns.sorted.map(col): _*))).head().getLong(0)
+    val w2 = Runner.runRessarcimentoPartitioned(spark, config, sink, today,
+      firstYear = 1997, years = Some(Seq(1998)))
+    assert(w2.keySet == Set(1998))
+    assert(sink.read().filter(col("ano") === 1997).count() == rows1997)
+    val hash1997b = sink.read().filter(col("ano") === 1997)
+      .select(sum(xxhash64(sink.read().columns.sorted.map(col): _*))).head().getLong(0)
+    assert(hash1997b == hash1997)
+    // idempotence of the re-run year itself
+    assert(sink.read().filter(col("ano") === 1998).count() == w2(1998))
+    // and the partition-local merge keeps untouched partitions safe too
+    val incoming = sink.read().filter(col("ano") === 1998).limit(10)
+      .withColumn("ressarcimento", lit(0.0))
+    sink.mergeByKey(incoming, Seq("ano", "periodo", "empresa", "cod_forn", "forn_nm"))
+    assert(sink.read().filter(col("ano") === 1997).count() == rows1997)
   }
 }

@@ -117,4 +117,41 @@ class EventStreamSpec extends AnyFunSuite {
       assert(rows.contains((1L, 2L, 3.0)), s"got $rows")
     } finally q.stop()
   }
+
+  test("file source end to end: declared-schema parquet stream matches the batch twin") {
+    import org.apache.spark.sql.functions._
+    // Lay the events fixture out as 3 separate parquet files (the raw
+    // BIGINT-nanos ts layout fileSource declares), as a micro-batch file
+    // feed would arrive.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("value", expr("cast(floor(value) as double)"))
+    (0 until 3).foreach { i =>
+      raw.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_$i.parquet")
+    }
+    val q = EventStream.windowedRevenue(EventStream.fileSource(spark, s"$dir/*"), "1 hour")
+      .writeStream.format("memory").queryName("file_win_rev")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      // win_start is TIMESTAMP on the stream side (watermark needs TZ) and
+      // TIMESTAMP_NTZ on the batch twin — cast both to string in Spark
+      // (UTC session) so the comparison is type-agnostic.
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .selectExpr("cast(win_start as string)", "event_type", "n_events", "revenue")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val streamed = rows(spark.table("file_win_rev"))
+      // Batch twin over the identical files with the identical ns->NTZ
+      // conversion; values floored on both sides so the double sums are
+      // exact and order-independent.
+      val batch = rows(EventStream.windowedRevenueBatch(
+        spark.read.schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+          .parquet(s"$dir/*")
+          .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))))
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
