@@ -158,7 +158,11 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
               nCells: Int = 16, nProbe: Int = 2, kmeansIters: Int = 1): DataFrame = {
     val n = withNorm(embeddings)
-    val centroids = kmeansCentroids(embeddings, nCells, kmeansIters)
+    // Persisted: the (≤ nCells)-row centroid set feeds BOTH the corpus
+    // assignment and the query probe — unpersisted, the whole training
+    // tower (corpus scan per Lloyd round) would execute twice.
+    val centroids = graft.core.CacheScope.persisted(
+      kmeansCentroids(embeddings, nCells, kmeansIters))
     val w = org.apache.spark.sql.expressions.Window
     val assigned = nearestCells(n, centroids, "vec_id", 1)
     val queries = nearestCells(n.filter(col("vec_id") < nQueries), centroids, "vec_id", nProbe)

@@ -24,6 +24,7 @@ class DeterminismSpec extends AnyFunSuite {
     "j_salted",        // deterministic salting
     "c_seqtext",       // ordered aggregation (collect_list arrival order)
     "e_centroids",     // sorted-fold float sums (reduction-order sensitivity)
+    "e_kmeans",        // trained-centroid means (assignment + sorted folds)
     "c_incr",          // cross-batch LSH dedup
     "v_kmv")           // sketch aggregate (merge-order sensitivity)
 
