@@ -24,6 +24,10 @@ object Bench {
     // Optional args = query-name filter, so a regression can be re-measured
     // in an isolated JVM (`runMain graft.Bench d_simhash`) without the other
     // 50+ queries' catalog/GC pressure. No args (the driver's call) = all.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.length == 1) "y" else "ies"}: ${unknown.mkString(", ")} " +
+        s"(a typo here would silently measure nothing)")
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
       else SparkEntry.queries

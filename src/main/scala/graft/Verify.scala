@@ -22,6 +22,10 @@ object Verify {
     graft.core.GraftSession.applyDefaults(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")} " +
+        s"(a typo here would silently verify nothing)")
     val selected =
       if (only.nonEmpty) SparkEntry.queries.filter { case (n, _) => only(n) }
       else SparkEntry.queries

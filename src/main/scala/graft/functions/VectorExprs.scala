@@ -209,22 +209,30 @@ object HashKernels {
   private val PlaneTable: Array[Array[Double]] =
     Array.tabulate(64, 64)(planeWeight)
 
+  /** The signature's pinned dimensionality. The plane-weight index is
+    * `p*64 + d`, so weights for d >= 64 would COLLIDE with plane p+1's
+    * low dims (correlated "independent" hyperplanes), and the DuckDB twin
+    * hardcodes 64 terms — a non-64-dim vector therefore signs out as 0,
+    * exactly like the literal-plane `array_dot` form this kernel replaced
+    * (length mismatch → NULL dot → every bit 0). */
+  final val SigDims = 64
+
   /** Random-hyperplane LSH signature: bit p set iff dot(v, plane_p) >= 0.
     * One pass per plane in dim-ascending order — the identical IEEE add
     * sequence as the literal-plane `array_dot` form this replaces and as
-    * the DuckDB `list_reduce` twin, so signatures are bit-equal. Dims
-    * beyond the precomputed table (64) fall back to the LCG formula. */
+    * the DuckDB `list_reduce` twin, so signatures are bit-equal. Defined
+    * only for [[SigDims]]-dim vectors; anything else returns 0 (see
+    * [[SigDims]]). */
   def hyperplaneSig(v: ArrayData, planes: Int): Long = {
-    val n = v.numElements()
+    if (v.numElements() != SigDims) return 0L
     var sig = 0L
     var p = 0
     while (p < planes) {
       val row = PlaneTable(p)
       var s = 0.0
       var d = 0
-      while (d < n) {
-        val w = if (d < 64) row(d) else planeWeight(p, d)
-        s += v.getDouble(d) * w
+      while (d < SigDims) {
+        s += v.getDouble(d) * row(d)
         d += 1
       }
       if (s >= 0) sig |= (1L << p)

@@ -52,31 +52,38 @@ object Runner {
     * append onto the PREVIOUS run's rows — up to 5 duplicate copies per
     * month under the day-1-to-5 gate. Replace-on-first-written keeps the
     * refresh idempotent regardless of which years are empty. */
-  def runRessarcimento(spark: SparkSession, config: Map[String, String], sink: Sink,
-                       today: LocalDate, firstYear: Int = 2023): Map[Int, Long] = {
-    if (!ressarcimentoDue(today)) return Map.empty
+  /** Shared EP2 year-loop plumbing: per year, build the main view (diamond
+    * intermediates tracked so exactly these — not the whole session cache —
+    * are freed once the year completes), probe emptiness on the CACHED
+    * frame (without the persist, isEmpty would run the whole year plan
+    * twice), and delegate the write decision. `handle` receives None for
+    * an empty year and its returned count lands in the result map. */
+  private def yearLoop(spark: SparkSession, config: Map[String, String], years: Seq[Int])(
+      handle: (Int, Option[DataFrame]) => Option[Long]): Map[Int, Long] = {
     val sources = ConfigSources.ressarcimento(spark, config)
-    var replaced = false
-    ressarcimentoYears(today, firstYear).flatMap { year =>
-      // Track mainView's diamond intermediates so exactly these — not the
-      // whole session cache — are freed once the year's write completes.
+    years.flatMap { year =>
       val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
       val df: DataFrame = SchemaCasts.castDecimalDouble(
         Ressarcimento.mainView(sources, year, track = persisted))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       persisted += df
       // The reference writes nothing for an empty year (etl_job.py:102-114).
-      // The emptiness probe and the write share df's cached result — without
-      // the persist above, isEmpty would run the whole year plan twice.
-      val written =
-        if (df.isEmpty) None
-        else {
-          val mode = if (!replaced) { replaced = true; WriteMode.Replace } else WriteMode.Append
-          Some(year -> sink.write(df, mode))
-        }
+      val written = handle(year, if (df.isEmpty) None else Some(df))
       persisted.foreach(_.unpersist(blocking = false))
-      written
+      written.map(year -> _)
     }.toMap
+  }
+
+  def runRessarcimento(spark: SparkSession, config: Map[String, String], sink: Sink,
+                       today: LocalDate, firstYear: Int = 2023): Map[Int, Long] = {
+    if (!ressarcimentoDue(today)) return Map.empty
+    var replaced = false
+    yearLoop(spark, config, ressarcimentoYears(today, firstYear)) {
+      case (_, Some(df)) =>
+        val mode = if (!replaced) { replaced = true; WriteMode.Replace } else WriteMode.Append
+        Some(sink.write(df, mode))
+      case (_, None) => None
+    }
   }
 
   /** EP2 at scale: the year loop against a PARTITION-scoped sink — each
@@ -86,6 +93,13 @@ object Runner {
     * [[runRessarcimento]]'s replace-on-first-written sequencing, which
     * exists only because a whole-table Replace would drop the other years.
     *
+    * A year whose refreshed view comes back EMPTY has its partition
+    * DELETED (the whole-table path rebuilds from scratch so empty years
+    * vanish naturally; a partition-scoped dynamic overwrite with zero rows
+    * touches nothing, which would leave the stale rows serving forever).
+    * Deleted years don't appear in the returned map, same as the
+    * whole-table path's skipped years.
+    *
     * `years` narrows the refresh (e.g. re-run just 2024 after a source
     * correction); default = the reference's every-year-since-firstYear loop.
     */
@@ -94,19 +108,14 @@ object Runner {
                                   firstYear: Int = 2023,
                                   years: Option[Seq[Int]] = None): Map[Int, Long] = {
     if (!ressarcimentoDue(today)) return Map.empty
-    val sources = ConfigSources.ressarcimento(spark, config)
-    years.getOrElse(ressarcimentoYears(today, firstYear)).flatMap { year =>
-      val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
-      val df: DataFrame = SchemaCasts.castDecimalDouble(
-        Ressarcimento.mainView(sources, year, track = persisted))
-        .withColumn(sink.partitionCol, org.apache.spark.sql.functions.lit(year))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted += df
-      val written =
-        if (df.isEmpty) None
-        else Some(year -> sink.write(df, WriteMode.Replace))
-      persisted.foreach(_.unpersist(blocking = false))
-      written
-    }.toMap
+    yearLoop(spark, config, years.getOrElse(ressarcimentoYears(today, firstYear))) {
+      case (year, Some(df)) =>
+        Some(sink.write(
+          df.withColumn(sink.partitionCol, org.apache.spark.sql.functions.lit(year)),
+          WriteMode.Replace))
+      case (year, None) =>
+        sink.deletePartition(year)
+        None
+    }
   }
 }

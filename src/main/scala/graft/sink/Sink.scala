@@ -21,8 +21,10 @@ object WriteMode {
 trait Sink {
   /** K2: keyed upsert (Iceberg `MERGE INTO t USING s ON <keys> WHEN MATCHED
     * UPDATE * WHEN NOT MATCHED INSERT *`, reference predicate
-    * `t.etiqueta = s.etiqueta`, `etl_job.py:83`). Returns the incoming row
-    * count (K4 observability). */
+    * `t.etiqueta = s.etiqueta`, `etl_job.py:83`). Returns the row count
+    * WRITTEN by the merge (K4 observability): kept + incoming for a
+    * whole-table swap, touched-partition rows for a partitioned sink —
+    * both implementations agree on this meaning. */
   def mergeByKey(incoming: DataFrame, keys: Seq[String]): Long
 
   /** K3: replace or append. Returns the written row count (K4). */
@@ -163,9 +165,12 @@ final class PartitionedParquetSink(spark: SparkSession, path: String,
     // localCheckpoint (eager) materializes the merged partitions BEFORE the
     // overwrite touches any source file — the dynamic-overwrite plan must
     // not read the path it rewrites (Spark's self-overwrite guard), and
-    // the checkpoint also collects the observation in the same job.
+    // the checkpoint also collects the observation in the same job. The
+    // observation sits on the UNION (kept + incoming) so the return value
+    // means "rows written", same as ParquetSink's swap count.
     val merged = kept
-      .unionByName(incoming.observe(obs, count(lit(1)).as("rows")))
+      .unionByName(incoming)
+      .observe(obs, count(lit(1)).as("rows"))
       .localCheckpoint()
     try
       merged.write.partitionBy(partitionCol)
@@ -173,5 +178,17 @@ final class PartitionedParquetSink(spark: SparkSession, path: String,
         .parquet(path)
     finally merged.unpersist(blocking = false)
     obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Drop one partition's directory (`partitionCol=value`) outright —
+    * the "this year's refresh came back EMPTY" path: dynamic overwrite
+    * with zero rows touches nothing, so a year corrected to empty would
+    * otherwise serve its stale rows forever. Returns true if the
+    * partition existed. A table whose every partition has been deleted
+    * has no files left to infer a schema from — like any empty
+    * parquet directory, reading it is the caller's error. */
+  def deletePartition(value: Any): Boolean = {
+    val dir = new Path(path, s"$partitionCol=$value")
+    fs.exists(dir) && fs.delete(dir, true)
   }
 }

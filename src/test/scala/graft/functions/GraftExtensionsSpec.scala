@@ -35,6 +35,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplane_sig signs non-64-dim vectors out as 0, like the literal-plane form it replaced") {
+    val short = builder("hyperplane_sig")(Seq(arr(DoubleType, 1.0, 2.0), Literal(8)))
+    assert(short.eval() == 0L)
+    val long129 = builder("hyperplane_sig")(Seq(
+      arr(DoubleType, Seq.fill(129)(1.0): _*), Literal(8)))
+    assert(long129.eval() == 0L)
+  }
+
   test("array_dot builder evals the codegen expression's semantics") {
     val e = builder("array_dot")(Seq(arr(DoubleType, 1.0, 2.0), arr(DoubleType, 3.0, 4.0)))
     assert(e.eval() == 11.0)

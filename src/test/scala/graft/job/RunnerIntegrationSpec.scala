@@ -96,5 +96,18 @@ class RunnerIntegrationSpec extends AnyFunSuite {
       .withColumn("ressarcimento", lit(0.0))
     sink.mergeByKey(incoming, Seq("ano", "periodo", "empresa", "cod_forn", "forn_nm"))
     assert(sink.read().filter(col("ano") === 1997).count() == rows1997)
+
+    // A year whose refresh comes back EMPTY must have its stale partition
+    // deleted, not silently preserved: seed a bogus ano=1994 partition
+    // (fixture data starts in 1995, so 1994's view is empty), re-run just
+    // that year, and the partition must be gone while the others survive.
+    sink.write(sink.read().filter(col("ano") === 1998).limit(5)
+      .withColumn("ano", lit(1994)), WriteMode.Append)
+    assert(sink.read().filter(col("ano") === 1994).count() == 5)
+    val w3 = Runner.runRessarcimentoPartitioned(spark, config, sink, today,
+      firstYear = 1997, years = Some(Seq(1994)))
+    assert(w3.isEmpty)
+    assert(sink.read().filter(col("ano") === 1994).count() == 0)
+    assert(sink.read().filter(col("ano") === 1997).count() == rows1997)
   }
 }
