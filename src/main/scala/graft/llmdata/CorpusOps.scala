@@ -114,6 +114,43 @@ object CorpusOps {
       .select("doc_id", "lang", "bucket", "n_tokens")
   }
 
+  /** Deterministic global training-order shuffle: assign every document a
+    * contiguous sequence number 1..N in pseudo-random order — the
+    * every-epoch step that decorrelates training order from crawl/source
+    * order. The permutation is a pure function of doc_id (the samplers'
+    * LCG hash, ties by doc_id), so re-runs, resumed jobs, and the oracle
+    * reproduce it exactly; `orderBy(rand())` is banned for the usual
+    * reason.
+    *
+    * Scale shape — a global total order WITHOUT the single-partition
+    * window trap (`row_number().over(Window.orderBy(...))` moves the
+    * whole corpus through one task): RANGE-bucket the hash (bucket is a
+    * monotone function of h, so (bucket, h, id) order IS (h, id) order),
+    * count per bucket, cumsum the ≤`buckets` counts (tiny, same pattern
+    * as [[tokenBudgetSample]]), broadcast the offsets back, and rank
+    * within each bucket in parallel: seq = bucket offset + local rank.
+    * One corpus shuffle on the bucket key, one ≤`buckets`-row cumsum. */
+  def shuffleOrder(documents: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets > 0)
+    val withH = documents.select(col("doc_id"))
+      .withColumn("__h", expr(s"((doc_id % $SampleIdMod) * $SampleMulA + $SampleAddB) % $P"))
+      // range bucketing: h < P ~ 1e9, so h * buckets stays far from Long
+      // overflow and bucket is monotone in h
+      .withColumn("__b", expr(s"CAST((__h * $buckets) DIV $P AS INT)"))
+    val counts = withH.groupBy("__b").agg(count(lit(1)).as("__n"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy("__b")
+    // single-partition window over <= `buckets` rows — bounded by the knob,
+    // never by the data
+    val offsets = counts
+      .withColumn("__off", sum("__n").over(wb) - col("__n"))
+      .select("__b", "__off")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col("__h"), col("doc_id"))
+    withH.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__r", row_number().over(wr))
+      .select((col("__off") + col("__r")).as("seq"), col("doc_id"))
+  }
+
   // ---- Benchmark decontamination -----------------------------------------
 
   /** Benchmark-contamination scan: flag every training document sharing at

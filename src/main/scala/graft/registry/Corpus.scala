@@ -42,6 +42,7 @@ object Corpus {
     }),
     "c_clusters" -> ((s, d) => CorpusOps.dedupClusters(docs(s, d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
+    "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
     "c_seqtext" -> ((s, d) => CorpusOps.packedSequenceText(docs(s, d))),
     "c_corpus" -> ((s, d) => CorpusOps.cleanCorpus(docs(s, d))),
@@ -264,7 +265,17 @@ object Corpus {
        |qs AS (SELECT doc_id, quality_score, ${CorpusOps.bucketSql("doc_id")} AS bucket FROM scored)
        |SELECT doc_id, quality_score, bucket FROM qs WHERE bucket < quality_score * 1000""".stripMargin
 
+  /** DuckDB twin of shuffleOrder: one flat row_number over (hash, id) —
+    * the Spark side's (range-bucket offset + local rank) must equal this
+    * exactly, which is what pins the bucketing as order-preserving. */
+  private val shuffleSql =
+    s"""SELECT CAST(row_number() OVER (
+       |  ORDER BY ((doc_id % ${CorpusOps.SampleIdMod}) * ${CorpusOps.SampleMulA} + ${CorpusOps.SampleAddB}) % ${P}, doc_id) AS BIGINT) AS seq,
+       |  doc_id
+       |FROM documents""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "c_shuffle" -> shuffleSql,
     "c_incr" -> incrSql,
     "c_seqtext" -> seqtextSql,
     "c_qsample" -> qsampleSql,

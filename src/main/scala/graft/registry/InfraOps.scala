@@ -82,14 +82,15 @@ object InfraOps {
     * mitigations apply and salting still wins when the skew is known
     * up front (no materialize-then-replan round trip). */
   private def skewSides(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    // ×8 deterministic replica explode: the hot key must own enough rows
-    // (~4.3M at sf0.1) for one reducer's sort to dominate wall clock —
-    // unamplified, scan+shuffle costs mask the hot partition entirely.
+    // ×16 deterministic replica explode: the hot key must own enough rows
+    // (~8.6M at sf0.1) for one reducer's sort to dominate wall clock even
+    // on a COLD single-shot run (the driver's bench) — unamplified,
+    // scan+shuffle+codegen costs mask the hot partition entirely.
     val big = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(
         expr("CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE 1 + l_suppkey % 99 END").as("k"),
         col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rep", explode(expr("sequence(1, 8)")))
+      .withColumn("rep", explode(expr("sequence(1, 16)")))
     val dim = spark.read.parquet(s"$sfDir/part.parquet")
       .filter(col("p_partkey") < 100)
       .select(col("p_partkey").as("k"), col("p_name"))
@@ -282,7 +283,7 @@ object InfraOps {
     * output row, only the shuffle shape. l_quantity is integer-valued, so
     * the double sums are exact and order-independent. */
   private val skewOracleSql =
-    """SELECT k, CAST(count(*) * 8 AS BIGINT) AS n_rows, CAST(SUM(l_quantity) * 8 AS DOUBLE) AS sum_qty
+    """SELECT k, CAST(count(*) * 16 AS BIGINT) AS n_rows, CAST(SUM(l_quantity) * 16 AS DOUBLE) AS sum_qty
       |FROM (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE 1 + l_suppkey % 99 END AS k, l_quantity FROM lineitem) b
       |JOIN (SELECT p_partkey AS k FROM part WHERE p_partkey < 100) d USING (k)
       |GROUP BY 1""".stripMargin

@@ -26,6 +26,7 @@ class DeterminismSpec extends AnyFunSuite {
     "e_centroids",     // sorted-fold float sums (reduction-order sensitivity)
     "e_kmeans",        // trained-centroid means (assignment + sorted folds)
     "c_incr",          // cross-batch LSH dedup
+    "c_shuffle",       // global permutation (range-bucket offsets + rank)
     "v_kmv")           // sketch aggregate (merge-order sensitivity)
 
   private def run(name: String, parts: Int): Seq[String] = {
