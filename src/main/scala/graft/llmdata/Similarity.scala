@@ -51,8 +51,13 @@ object Similarity {
     * subset of the corpus, broadcast). Emits (query_id, rank, neighbor_id)
     * — ids and ranks only, because rank order is ulp-stable across engines
     * while raw doubles in the last digit may not be. */
-  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
-    val n = withNorm(embeddings)
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
+    topKFrom(withNorm(embeddings), nQueries, k)
+
+  /** Broadcast-queries × corpus-scan top-k over an already-normalized
+    * (`ed`, `nrm`) frame — shared by the full-precision and quantized
+    * brute-force tiers. */
+  private def topKFrom(n: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queries = n
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"))
@@ -66,6 +71,29 @@ object Similarity {
           .partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
+  }
+
+  /** Symmetric int8 quantization expression (per-element):
+    * q = round(clamp(x·127, [-127, 127])) — shared verbatim shape with the
+    * DuckDB twin so both engines quantize identically (round-half-away on
+    * doubles in both). Emitted as doubles so the existing codegen'd
+    * `array_dot` kernels score quantized vectors unchanged (int products
+    * ≤ 127²·64 ≈ 10^6 are exact in double). */
+  val QuantizeSql: String =
+    "transform(embedding, x -> CAST(CAST(round(greatest(-127.0D, least(127.0D, CAST(x AS DOUBLE) * 127))) AS BIGINT) AS DOUBLE))"
+
+  /** Brute-force top-k over int8-QUANTIZED embeddings — the
+    * memory-bandwidth tier: at 100 TB an int8 corpus is 4× less scan
+    * bandwidth and 4× more resident vectors per executor-GB, at the cost
+    * of quantization noise in the ranking (recall vs the full-precision
+    * ranking is graded in the suite; the operator itself is deterministic
+    * and oracle-checked exactly). */
+  def quantizedTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
+    val n = embeddings
+      .withColumn("ed", expr(QuantizeSql))
+      .withColumn("nrm", expr("sqrt(array_dot(ed, ed))"))
+    topKFrom(n, nQueries, k)
   }
 
   /** Exact near-duplicate pairs: cosine >= threshold, id_a < id_b.

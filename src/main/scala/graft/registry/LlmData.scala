@@ -57,6 +57,7 @@ object LlmData {
     "d_minhash" -> ((s, d) => DocDedup.minhashLshPairs(docs(s, d))),
     "d_simhash" -> ((s, d) => DocDedup.simhashGroups(docs(s, d))),
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
+    "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     "e_lsh_neardup" -> ((s, d) => Similarity.lshNearDupPairs(embs(s, d))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
@@ -250,6 +251,20 @@ object LlmData {
        |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM s)
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
 
+  /** DuckDB twin of Similarity.quantizedTopK: identical int8 quantization
+    * (round-half-away clamp to ±127, re-emitted as DOUBLE), then the same
+    * scoring as the full-precision oracle. */
+  private val quantTopkSql =
+    s"""WITH qn AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(CAST(round(greatest(-127.0, least(127.0, CAST(x AS DOUBLE) * 127))) AS BIGINT) AS DOUBLE)) AS ed
+       |  FROM embeddings),
+       |n2 AS (SELECT vec_id, ed, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ed, v -> v * v)), (s, v) -> s + v)) AS nrm FROM qn),
+       |q AS (SELECT vec_id AS query_id, ed AS qv, nrm AS qn FROM n2 WHERE vec_id < 8),
+       |s AS (SELECT query_id, e.vec_id AS nn_id, ${Similarity.duckCosPre("qv", "e.ed", "qn", "e.nrm")} AS cos
+       |      FROM q, n2 e WHERE e.vec_id != query_id),
+       |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM s)
+       |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
+
   private val neardupSql =
     s"""WITH $normCte
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -398,6 +413,7 @@ object LlmData {
     "d_minhash" -> minhashSql,
     "d_simhash" -> simhashSql,
     "e_topk" -> topkSql,
+    "e_quant_topk" -> quantTopkSql,
     "e_neardup" -> neardupSql,
     "e_lsh_neardup" -> lshNeardupSql,
     "e_lsh_topk" -> lshTopkSql,

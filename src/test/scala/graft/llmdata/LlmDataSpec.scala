@@ -101,6 +101,18 @@ class LlmDataSpec extends AnyFunSuite {
     assert(recall >= 0.75, s"IVF trained recall $recall")
   }
 
+  test("int8-quantized top-k keeps recall >= 0.95 vs full precision") {
+    val exact = Similarity.bruteForceTopK(embs, 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.quantizedTopK(embs, 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // Measured 0.9875 on the deterministic fixture: int8 noise flips only
+    // near-tied neighbors. The bar protects the 4x-memory-savings claim
+    // from a quantizer regression.
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.95, s"quantized recall $recall")
+  }
+
   test("kmeansCentroids: iter-0 returns seeds; iter-1 is a per-cell mean") {
     val seeds = Similarity.kmeansCentroids(embs, 16, 0).collect()
     assert(seeds.length == 16)
