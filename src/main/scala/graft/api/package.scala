@@ -76,6 +76,8 @@ package object api {
       CorpusOps.trainingSequences(docs, budget, shards, maxTokens)
     def dedupAgainst(corpus: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
       CorpusOps.dedupAgainstCorpus(docs, corpus, k, threshold)
+    def shuffleOrder(buckets: Int = 256): DataFrame =
+      CorpusOps.shuffleOrder(docs, buckets)
     def cleanCorpus(keepLang: String = "en", minQuality: Double = 0.6): DataFrame =
       CorpusOps.cleanCorpus(docs, keepLang, minQuality)
   }
@@ -87,12 +89,21 @@ package object api {
       Similarity.bruteForceTopK(embs, nQueries, k)
     def cosineNearDupPairs(threshold: Double = 0.4): DataFrame =
       Similarity.cosineNearDupPairs(embs, threshold)
-    def lshNearDupPairs(threshold: Double = 0.4): DataFrame =
-      Similarity.lshNearDupPairs(embs, threshold)
-    def lshTopK(nQueries: Int = 8, k: Int = 10): DataFrame =
-      Similarity.lshTopK(embs, nQueries, k)
-    def ivfTopK(nQueries: Int = 8, k: Int = 10): DataFrame =
-      Similarity.ivfTopK(embs, nQueries, k)
+    def lshNearDupPairs(threshold: Double = 0.4,
+                        planes: Int = Similarity.LshPlanes,
+                        bandBits: Int = Similarity.LshBandBits): DataFrame =
+      Similarity.lshNearDupPairs(embs, threshold, planes, bandBits)
+    def lshTopK(nQueries: Int = 8, k: Int = 10,
+                planes: Int = Similarity.LshPlanes,
+                bandBits: Int = Similarity.LshBandBits): DataFrame =
+      Similarity.lshTopK(embs, nQueries, k, planes, bandBits)
+    def ivfTopK(nQueries: Int = 8, k: Int = 10, nCells: Int = 16,
+                nProbe: Int = 2, kmeansIters: Int = 1): DataFrame =
+      Similarity.ivfTopK(embs, nQueries, k, nCells, nProbe, kmeansIters)
+    def quantizedTopK(nQueries: Int = 8, k: Int = 10): DataFrame =
+      Similarity.quantizedTopK(embs, nQueries, k)
+    def kmeansCentroids(nCells: Int = 16, iters: Int = 1): DataFrame =
+      Similarity.kmeansCentroids(embs, nCells, iters)
     def labelCentroids: DataFrame = Similarity.labelCentroids(embs)
   }
 

@@ -138,9 +138,11 @@ object CorpusOps {
       // overflow and bucket is monotone in h
       .withColumn("__b", expr(s"CAST((__h * $buckets) DIV $P AS INT)"))
     val counts = withH.groupBy("__b").agg(count(lit(1)).as("__n"))
-    val wb = org.apache.spark.sql.expressions.Window.orderBy("__b")
-    // single-partition window over <= `buckets` rows — bounded by the knob,
-    // never by the data
+    // one-partition window over <= `buckets` rows — bounded by the knob,
+    // never by the data; the constant partition key states that explicitly
+    // (and keeps Spark's moving-all-data-to-one-partition warning, which
+    // is about unbounded inputs, out of the logs)
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy("__b")
     val offsets = counts
       .withColumn("__off", sum("__n").over(wb) - col("__n"))
       .select("__b", "__off")
