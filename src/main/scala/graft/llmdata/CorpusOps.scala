@@ -153,6 +153,48 @@ object CorpusOps {
       .select((col("__off") + col("__r")).as("seq"), col("doc_id"))
   }
 
+  /** Exact corpus score quantiles — (q, cutoff) where cutoff is the
+    * quality score at global rank ceil(q·N) under (score, doc_id) order.
+    * The standard way to pick data-driven quality thresholds ("keep the
+    * top quartile") — EXACT, unlike `percentile_approx`, so the DuckDB
+    * oracle matches to the byte and a chosen cutoff is reproducible in any
+    * engine.
+    *
+    * Scale shape: the same machinery as [[shuffleOrder]] — range-bucket
+    * the score (monotone, so bucket order IS score order), ≤`buckets`-row
+    * offsets cumsum, per-bucket parallel rank. N is folded in-plan from
+    * the bucket counts (no driver-side count action), and the ≤qs.size
+    * target ranks are broadcast. One corpus shuffle, never a global sort
+    * through one partition. */
+  def scoreQuantiles(documents: DataFrame,
+                     qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+                     buckets: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val scored = TextAnalysis.withQuality(documents.withColumn("__words", tokens(col("text"))))
+      .select(col("doc_id"), col("quality_score").as("score"))
+    // quality_score is in [0, 1]; clamp anyway so a future score > 1 can't
+    // fall out of the bucket range
+    val withB = scored.withColumn("__b",
+      least(lit(buckets - 1), greatest(lit(0), floor(col("score") * buckets))).cast("int"))
+    val counts = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy("__b")
+    val offsets = counts
+      .withColumn("__off", sum("__n").over(wb) - col("__n"))
+      .select("__b", "__off")
+    val total = counts.agg(sum("__n").as("__total"))
+    val sp = documents.sparkSession
+    import sp.implicits._
+    val targets = broadcast(total.crossJoin(qs.toDF("q"))
+      .select(col("q"), ceil(col("q") * col("__total")).cast("bigint").as("__target")))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col("score"), col("doc_id"))
+    withB.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__rn", col("__off") + row_number().over(wr))
+      .join(targets, col("__rn") === col("__target"))
+      .select(col("q"), col("score").as("cutoff"))
+  }
+
   // ---- Benchmark decontamination -----------------------------------------
 
   /** Benchmark-contamination scan: flag every training document sharing at

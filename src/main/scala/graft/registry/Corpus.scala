@@ -43,6 +43,7 @@ object Corpus {
     "c_clusters" -> ((s, d) => CorpusOps.dedupClusters(docs(s, d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
+    "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
     "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
     "c_seqtext" -> ((s, d) => CorpusOps.packedSequenceText(docs(s, d))),
     "c_corpus" -> ((s, d) => CorpusOps.cleanCorpus(docs(s, d))),
@@ -274,7 +275,22 @@ object Corpus {
        |  doc_id
        |FROM documents""".stripMargin
 
+  /** Quantile oracle: flat row_number over (score, id) — the Spark side's
+    * bucketed rank must land the identical cutoffs. Reuses the corpus
+    * chain's `scored` CTE for the quality score. */
+  private val quantilesSql = {
+    val qList = Seq(0.25, 0.5, 0.75, 0.9).mkString("[", ", ", "]")
+    s"""WITH $corpusCtes,
+       |r AS (SELECT doc_id, quality_score AS score,
+       |        row_number() OVER (ORDER BY quality_score, doc_id) AS rn FROM scored),
+       |n AS (SELECT count(*) AS total FROM scored),
+       |t AS (SELECT q, CAST(ceil(q * total) AS BIGINT) AS target
+       |      FROM (SELECT unnest($qList) AS q) qq, n)
+       |SELECT t.q, r.score AS cutoff FROM t JOIN r ON r.rn = t.target""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "c_quantiles" -> quantilesSql,
     "c_shuffle" -> shuffleSql,
     "c_incr" -> incrSql,
     "c_seqtext" -> seqtextSql,
