@@ -174,9 +174,12 @@ object CorpusOps {
     val scored = TextAnalysis.withQuality(documents.withColumn("__words", tokens(col("text"))))
       .select(col("doc_id"), col("quality_score").as("score"))
     // quality_score is in [0, 1]; clamp anyway so a future score > 1 can't
-    // fall out of the bucket range
-    val withB = scored.withColumn("__b",
-      least(lit(buckets - 1), greatest(lit(0), floor(col("score") * buckets))).cast("int"))
+    // fall out of the bucket range. Persisted: consumed by both the bucket
+    // counts and the rank join, and recomputing it means re-running the
+    // whole tokenize-and-score pass.
+    val withB = graft.core.CacheScope.persisted(
+      scored.withColumn("__b",
+        least(lit(buckets - 1), greatest(lit(0), floor(col("score") * buckets))).cast("int")))
     val counts = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
     val wb = org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy("__b")
     val offsets = counts

@@ -15,6 +15,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     d.cache(); d
   }
 
+  test("shuffleOrder is a contiguous 1..N permutation, stable across bucket counts") {
+    val n = docs.count()
+    val out = CorpusOps.shuffleOrder(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == n)
+    assert(out.map(_._1).sorted.toSeq == (1L to n))          // contiguous seqs
+    assert(out.map(_._2).distinct.length == n)               // every doc once
+    // the permutation is a pure function of doc_id — the bucket knob must
+    // not change it (bucket order is hash order by construction)
+    val out64 = CorpusOps.shuffleOrder(docs, buckets = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.toMap == out64)
+    // and it actually permutes (identity order would mean a broken hash)
+    assert(out.toMap.toSeq.sortBy(_._1).map(_._2) != (0L until n).toSeq)
+  }
+
+  test("scoreQuantiles cutoffs are monotone in q and sit at exact ranks") {
+    val qs = Seq(0.25, 0.5, 0.75, 1.0)
+    val cut = CorpusOps.scoreQuantiles(docs, qs).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(cut.keySet == qs.toSet)
+    assert(qs.map(cut).sliding(2).forall { case Seq(a, b) => a <= b; case _ => true })
+    // cross-check against a driver-side sort of the same scores
+    val scores = graft.llmdata.TextAnalysis.quality(docs)
+      .select("quality_score").collect().map(_.getDouble(0)).sorted
+    qs.foreach { q =>
+      val expected = scores(math.ceil(q * scores.length).toInt - 1)
+      assert(cut(q) == expected, s"q=$q: got ${cut(q)}, expected $expected")
+    }
+  }
+
   test("stratified sample is deterministic and its complement is exact") {
     val rates = Map("en" -> 500)
     val a = CorpusOps.stratifiedSample(docs, rates).collect().map(_.getLong(0)).toSet
