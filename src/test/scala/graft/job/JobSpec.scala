@@ -68,4 +68,38 @@ class JobSpec extends AnyFunSuite {
     assert(sink.write(Seq((2023, 9.0)).toDF("ano", "v"), WriteMode.Replace) == 1L)
     assert(sink.read().count() == 1L)
   }
+
+  // ---- PartitionedParquetSink (K6: partition-scoped replace) -------------
+
+  test("partitioned sink: Replace touches only its own partitions; deletePartition; guards") {
+    val sink = new graft.sink.PartitionedParquetSink(spark, freshPath(), "ano")
+    sink.write(Seq((2023, 1.0), (2024, 2.0)).toDF("ano", "v"), WriteMode.Replace)
+    // re-Replace ONLY 2024 — 2023 must survive
+    assert(sink.write(Seq((2024, 9.0)).toDF("ano", "v"), WriteMode.Replace) == 1L)
+    val got = sink.read().collect().map(r => r.getAs[Int]("ano") -> r.getDouble(0)).toMap
+    assert(got == Map(2023 -> 1.0, 2024 -> 9.0))
+    // deletePartition: true when it existed, false when it didn't
+    assert(sink.deletePartition(2023))
+    assert(!sink.deletePartition(2023))
+    assert(sink.read().collect().map(_.getAs[Int]("ano")).toSeq == Seq(2024))
+    // missing partition column is rejected loudly, not written wrong
+    intercept[IllegalArgumentException] {
+      sink.write(Seq((1, 1.0)).toDF("x", "v"), WriteMode.Append)
+    }
+  }
+
+  test("partitioned sink merge is partition-local and counts rows written") {
+    val sink = new graft.sink.PartitionedParquetSink(spark, freshPath(), "ano")
+    sink.write(Seq((2023, "a", 1.0), (2023, "b", 2.0), (2024, "c", 3.0))
+      .toDF("ano", "k", "v"), WriteMode.Replace)
+    // merge touches only ano=2023: "b" updated, "d" inserted; written =
+    // kept(1) + incoming(2) = 3 (the trait's rows-written contract)
+    val written = sink.mergeByKey(
+      Seq((2023, "b", 20.0), (2023, "d", 40.0)).toDF("ano", "k", "v"), Seq("ano", "k"))
+    assert(written == 3L)
+    val got = sink.read().collect()
+      .map(r => (r.getAs[Int]("ano"), r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got == Map((2023, "a") -> 1.0, (2023, "b") -> 20.0,
+      (2023, "d") -> 40.0, (2024, "c") -> 3.0))
+  }
 }
