@@ -234,8 +234,15 @@ object Similarity {
     * knob's cost (candidate fraction) can be graded directly. */
   def lshCandidates(embeddings: DataFrame, nQueries: Int = 8,
                     planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
-    val n = withNorm(embeddings)
-    val sig = n.withColumn("__sig", expr(lshSigExpr(planes)))
+    // Persist the NARROW (vec_id, __sig) frame — 16 bytes/row — so the
+    // signature kernel runs once even though the band explode below is
+    // consumed twice (query side + corpus side). The exploded form itself
+    // is deliberately NOT cached: it is bands-per-vector× larger, and
+    // re-running a shift-and-mask explode off the cached signatures is
+    // cheaper than materializing it at corpus scale.
+    val sig = graft.core.CacheScope.persisted(
+      withNorm(embeddings).withColumn("__sig", expr(lshSigExpr(planes)))
+        .select("vec_id", "__sig"))
     val bands = explodeBands(sig, Seq("vec_id"), planes, bandBits)
     val qBands = bands.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("band"), col("band_val"))
@@ -279,7 +286,11 @@ object Similarity {
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
                       planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
     val n = withNorm(embeddings).transform(graft.core.CacheScope.persisted)
-    val bands = explodeBands(n.withColumn("__sig", expr(lshSigExpr(planes))), Seq("vec_id"), planes, bandBits)
+    // Narrow persisted signatures, recomputed explode — same reasoning as
+    // [[lshCandidates]]: the self-join consumes the bands twice.
+    val sig = graft.core.CacheScope.persisted(
+      n.withColumn("__sig", expr(lshSigExpr(planes))).select("vec_id", "__sig"))
+    val bands = explodeBands(sig, Seq("vec_id"), planes, bandBits)
     val candIds = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
