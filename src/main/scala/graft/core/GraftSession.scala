@@ -62,6 +62,13 @@ object GraftSession {
     val wrong = Pins.filter { case (k, v) => spark.conf.getOption(k).exists(_ != v) }
     require(wrong.isEmpty,
       s"graft session pins not effective: ${wrong.map { case (k, v) => s"$k!=$v" }.mkString(", ")}")
+    // Driver-handed sessions weren't built with GraftExtensions — install
+    // the semantics-preserving year-range rewrite through the runtime
+    // extension point instead (idempotent: checked by reference).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.YearRangeRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.YearRangeRewrite
+    }
     spark
   }
 }

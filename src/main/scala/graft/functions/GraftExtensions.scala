@@ -15,8 +15,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * for driver-handed sessions we didn't build — same builders, same names).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Semantics-preserving pushdown enabler: year(c)=y -> range on c
+    // (see graft.plans.YearRangeRewrite). Sessions not built with these
+    // extensions get the same rule via GraftSession.applyDefaults'
+    // experimental-optimizations fallback.
+    ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,78 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The rewrite must be invisible in results (NULL rows included) and
+  * visible in plans: the filter reaches the parquet scan as a RANGE on the
+  * raw column, which a `year(...)` predicate never can. */
+class YearRangeRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withRule[T](body: => T): T = {
+    val had = spark.experimental.extraOptimizations.contains(YearRangeRewrite)
+    if (!had) spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ YearRangeRewrite
+    try body
+    finally if (!had) spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == YearRangeRewrite)
+  }
+
+  private def orders: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("year(timestamp) = y rewrites to a pushed range and keeps identical rows") {
+    val q = orders.filter(expr("year(o_orderdate) = 1997")).select("o_orderkey")
+    val without = q.collect().map(_.getLong(0)).sorted.toSeq
+    withRule {
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("year("), s"year() survived the rewrite:\n$optimized")
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains("GreaterThanOrEqual(o_orderdate")
+        && physical.contains("LessThan(o_orderdate"),
+        s"range not pushed to the scan:\n$physical")
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq == without)
+    }
+  }
+
+  test("literal-first order and DATE / TIMESTAMP_NTZ columns rewrite too") {
+    withRule {
+      val df = Seq("1996-02-29", "1997-06-01", "1998-01-01")
+        .toDF("s")
+        .select(
+          col("s").cast("date").as("d"),
+          col("s").cast("timestamp_ntz").as("tn"))
+      def plan(c: String, pred: String) = {
+        val q = df.filter(expr(pred))
+        assert(!q.queryExecution.optimizedPlan.toString.contains("year("),
+          s"$pred not rewritten")
+        q.collect().length
+      }
+      assert(plan("d", "1997 = year(d)") == 1)
+      assert(plan("tn", "year(tn) = 1997") == 1)
+      // leap-day boundary stays in its own year
+      assert(df.filter(expr("year(d) = 1996")).collect().length == 1)
+    }
+  }
+
+  test("NULL dates are filtered identically with and without the rule") {
+    val df = Seq(Some("1997-03-01"), None, Some("1998-03-01"))
+      .toDF("s").select(col("s").cast("date").as("d"))
+    val without = df.filter(expr("year(d) = 1997")).count()
+    val withR = withRule(df.filter(expr("year(d) = 1997")).count())
+    assert(without == 1L && withR == 1L)
+  }
+
+  test("non-rewritable shapes are left alone") {
+    withRule {
+      val df = Seq("1997-06-01").toDF("s").select(col("s").cast("date").as("d"))
+      // year-on-both-sides and non-literal comparisons keep their semantics
+      assert(df.filter(expr("year(d) = year(d)")).count() == 1)
+      // inequality shapes are out of scope (documented) and still correct
+      assert(df.filter(expr("year(d) >= 1997")).count() == 1)
+    }
+  }
+}
