@@ -66,13 +66,34 @@ class YearRangeRewriteSpec extends AnyFunSuite {
     assert(without == 1L && withR == 1L)
   }
 
+  test("inequalities and IN-lists rewrite with boundary-exact semantics") {
+    withRule {
+      val df = Seq("1996-12-31", "1997-01-01", "1997-12-31", "1998-01-01")
+        .toDF("s").select(col("s").cast("date").as("d"))
+      def n(pred: String): (Long, Boolean) = {
+        val q = df.filter(expr(pred))
+        (q.count(), !q.queryExecution.optimizedPlan.toString.contains("year("))
+      }
+      assert(n("year(d) >= 1997") == (3L, true))
+      assert(n("year(d) > 1997") == (1L, true))
+      assert(n("year(d) <= 1997") == (3L, true))
+      assert(n("year(d) < 1997") == (1L, true))
+      assert(n("1997 <= year(d)") == (3L, true))
+      assert(n("1997 > year(d)") == (1L, true))
+      assert(n("year(d) IN (1996, 1998)") == (2L, true))
+      // NOT over a rewritten shape keeps identical semantics
+      assert(n("NOT (year(d) = 1997)") == (2L, true))
+    }
+  }
+
   test("non-rewritable shapes are left alone") {
     withRule {
       val df = Seq("1997-06-01").toDF("s").select(col("s").cast("date").as("d"))
-      // year-on-both-sides and non-literal comparisons keep their semantics
+      // year-on-both-sides comparisons keep their semantics
       assert(df.filter(expr("year(d) = year(d)")).count() == 1)
-      // inequality shapes are out of scope (documented) and still correct
-      assert(df.filter(expr("year(d) >= 1997")).count() == 1)
+      // IN with a NULL element is skipped (semantics differ under NOT)
+      val q = df.filter(expr("year(d) IN (1997, CAST(NULL AS INT))"))
+      assert(q.count() == 1)
     }
   }
 }
