@@ -64,8 +64,24 @@ object GraftSession {
       s"graft session pins not effective: ${wrong.map { case (k, v) => s"$k!=$v" }.mkString(", ")}")
     // Driver-handed sessions weren't built with GraftExtensions — install
     // the semantics-preserving year-range rewrite through the runtime
-    // extension point instead (idempotent: checked by reference).
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.YearRangeRewrite)) {
+    // extension point instead. Idempotence covers both registration
+    // paths: skip if already in extraOptimizations OR if the session was
+    // built with GraftExtensions (whose injected copy lives in the
+    // operator-optimization batch, invisible to extraOptimizations —
+    // re-adding would traverse every plan twice for nothing).
+    //
+    // Placement caveat (honest limits): extraOptimizations run in the
+    // late "User Provided Optimizers" batch — AFTER DataSource-v2 scan
+    // pushdown has been negotiated — so this fallback only enables
+    // pushdown for V1 file sources (parquet scans take their filters at
+    // PHYSICAL planning, which sees the rewritten Filter). For DSv2
+    // catalogs (the Iceberg target), build the session with
+    // spark.sql.extensions=graft.functions.GraftExtensions, whose
+    // injection point runs early enough.
+    val viaExtensions = spark.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("GraftExtensions"))
+    if (!viaExtensions &&
+        !spark.experimental.extraOptimizations.contains(graft.plans.YearRangeRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.YearRangeRewrite
     }

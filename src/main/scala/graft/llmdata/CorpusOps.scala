@@ -130,27 +130,46 @@ object CorpusOps {
     * as [[tokenBudgetSample]]), broadcast the offsets back, and rank
     * within each bucket in parallel: seq = bucket offset + local rank.
     * One corpus shuffle on the bucket key, one ≤`buckets`-row cumsum. */
-  def shuffleOrder(documents: DataFrame, buckets: Int = 256): DataFrame = {
-    require(buckets > 0)
-    val withH = documents.select(col("doc_id"))
-      .withColumn("__h", expr(s"((doc_id % $SampleIdMod) * $SampleMulA + $SampleAddB) % $P"))
-      // range bucketing: h < P ~ 1e9, so h * buckets stays far from Long
-      // overflow and bucket is monotone in h
-      .withColumn("__b", expr(s"CAST((__h * $buckets) DIV $P AS INT)"))
-    val counts = withH.groupBy("__b").agg(count(lit(1)).as("__n"))
-    // one-partition window over <= `buckets` rows — bounded by the knob,
-    // never by the data; the constant partition key states that explicitly
-    // (and keeps Spark's moving-all-data-to-one-partition warning, which
-    // is about unbounded inputs, out of the logs)
+  /** Shared global-rank machinery (used by [[shuffleOrder]] and
+    * [[scoreQuantiles]]): given a frame with a pre-computed range-bucket
+    * column `__b` (MONOTONE in the order columns, so (bucket, order)
+    * order IS the global order), produce per-row global rank `__rn` =
+    * bucket offset + in-bucket rank — without a single-partition window
+    * over the data. The offsets cumsum runs under a constant partition
+    * key: one partition over ≤ bucket-count rows, bounded by the knob,
+    * never by the data (the constant key also keeps Spark's
+    * moving-all-data warning, which is about unbounded inputs, out of
+    * the logs).
+    *
+    * Rows whose bucket is NULL (a NULL order key) would silently drop in
+    * the bucket join AND shift every offset — callers must filter NULL
+    * order keys before bucketing; [[shuffleOrder]]/[[scoreQuantiles]] do. */
+  private def globalRank(withB: DataFrame, orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val counts = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
     val wb = org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy("__b")
     val offsets = counts
       .withColumn("__off", sum("__n").over(wb) - col("__n"))
       .select("__b", "__off")
     val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy("__b").orderBy(col("__h"), col("doc_id"))
-    withH.join(broadcast(offsets), Seq("__b"))
-      .withColumn("__r", row_number().over(wr))
-      .select((col("__off") + col("__r")).as("seq"), col("doc_id"))
+      .partitionBy("__b").orderBy(orderCols: _*)
+    withB.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__rn", col("__off") + row_number().over(wr))
+  }
+
+  def shuffleOrder(documents: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets > 0)
+    val withH = documents.select(col("doc_id"))
+      // a NULL doc_id has no position in a permutation keyed on doc_id —
+      // and left in, its NULL bucket would shift every offset while the
+      // bucket join dropped the row (off-by-null seqs). Both engines
+      // exclude it explicitly.
+      .filter(col("doc_id").isNotNull)
+      .withColumn("__h", expr(s"((doc_id % $SampleIdMod) * $SampleMulA + $SampleAddB) % $P"))
+      // range bucketing: h < P ~ 1e9, so h * buckets stays far from Long
+      // overflow and bucket is monotone in h
+      .withColumn("__b", expr(s"CAST((__h * $buckets) DIV $P AS INT)"))
+    globalRank(withH, Seq(col("__h"), col("doc_id")))
+      .select(col("__rn").as("seq"), col("doc_id"))
   }
 
   /** Exact corpus score quantiles — (q, cutoff) where cutoff is the
@@ -166,13 +185,21 @@ object CorpusOps {
     * the bucket counts (no driver-side count action), and the ≤qs.size
     * target ranks are broadcast. One corpus shuffle, never a global sort
     * through one partition. */
+  /** Default quantile list — shared with the `c_quantiles` oracle SQL so
+    * the operator default and the DuckDB twin can never drift. */
+  val DefaultQuantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)
+
   def scoreQuantiles(documents: DataFrame,
-                     qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+                     qs: Seq[Double] = DefaultQuantiles,
                      buckets: Int = 256): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must be in (0, 1]")
     val scored = TextAnalysis.withQuality(documents.withColumn("__words", tokens(col("text"))))
       .select(col("doc_id"), col("quality_score").as("score"))
+      // quantiles are over non-null scores (standard SQL percentile
+      // semantics) — and a NULL score would corrupt the bucket offsets
+      // (see globalRank's contract)
+      .filter(col("score").isNotNull && col("doc_id").isNotNull)
     // quality_score is in [0, 1]; clamp anyway so a future score > 1 can't
     // fall out of the bucket range. Persisted: consumed by both the bucket
     // counts and the rank join, and recomputing it means re-running the
@@ -180,20 +207,12 @@ object CorpusOps {
     val withB = graft.core.CacheScope.persisted(
       scored.withColumn("__b",
         least(lit(buckets - 1), greatest(lit(0), floor(col("score") * buckets))).cast("int")))
-    val counts = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy("__b")
-    val offsets = counts
-      .withColumn("__off", sum("__n").over(wb) - col("__n"))
-      .select("__b", "__off")
-    val total = counts.agg(sum("__n").as("__total"))
+    val total = withB.agg(count(lit(1)).as("__total"))
     val sp = documents.sparkSession
     import sp.implicits._
     val targets = broadcast(total.crossJoin(qs.toDF("q"))
       .select(col("q"), ceil(col("q") * col("__total")).cast("bigint").as("__target")))
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy("__b").orderBy(col("score"), col("doc_id"))
-    withB.join(broadcast(offsets), Seq("__b"))
-      .withColumn("__rn", col("__off") + row_number().over(wr))
+    globalRank(withB, Seq(col("score"), col("doc_id")))
       .join(targets, col("__rn") === col("__target"))
       .select(col("q"), col("score").as("cutoff"))
   }

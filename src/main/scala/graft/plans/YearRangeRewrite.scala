@@ -48,9 +48,13 @@ object YearRangeRewrite extends Rule[LogicalPlan] {
       val jan1 = LocalDate.of(y, 1, 1)
       c.dataType match {
         case DateType =>
-          Some(Literal(jan1.toEpochDay.toInt, DateType))
+          // exact conversions: a year near the type's edge must fall back
+          // to no-rewrite (ArithmeticException), never wrap into a garbage
+          // bound that silently filters valid rows
+          Some(Literal(Math.toIntExact(jan1.toEpochDay), DateType))
         case TimestampNTZType =>
-          Some(Literal(jan1.toEpochDay * 86400L * 1000000L, TimestampNTZType))
+          Some(Literal(
+            Math.multiplyExact(jan1.toEpochDay, 86400L * 1000000L), TimestampNTZType))
         case TimestampType =>
           val zone = ZoneId.of(tz.getOrElse(SQLConf.get.sessionLocalTimeZone))
           Some(Literal(

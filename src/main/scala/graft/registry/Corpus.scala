@@ -273,17 +273,19 @@ object Corpus {
     s"""SELECT CAST(row_number() OVER (
        |  ORDER BY ((doc_id % ${CorpusOps.SampleIdMod}) * ${CorpusOps.SampleMulA} + ${CorpusOps.SampleAddB}) % ${P}, doc_id) AS BIGINT) AS seq,
        |  doc_id
-       |FROM documents""".stripMargin
+       |FROM documents WHERE doc_id IS NOT NULL""".stripMargin
 
   /** Quantile oracle: flat row_number over (score, id) — the Spark side's
     * bucketed rank must land the identical cutoffs. Reuses the corpus
     * chain's `scored` CTE for the quality score. */
   private val quantilesSql = {
-    val qList = Seq(0.25, 0.5, 0.75, 0.9).mkString("[", ", ", "]")
+    val qList = CorpusOps.DefaultQuantiles.mkString("[", ", ", "]")
     s"""WITH $corpusCtes,
+       |qnn AS (SELECT doc_id, quality_score FROM scored
+       |        WHERE quality_score IS NOT NULL AND doc_id IS NOT NULL),
        |r AS (SELECT doc_id, quality_score AS score,
-       |        row_number() OVER (ORDER BY quality_score, doc_id) AS rn FROM scored),
-       |n AS (SELECT count(*) AS total FROM scored),
+       |        row_number() OVER (ORDER BY quality_score, doc_id) AS rn FROM qnn),
+       |n AS (SELECT count(*) AS total FROM qnn),
        |t AS (SELECT q, CAST(ceil(q * total) AS BIGINT) AS target
        |      FROM (SELECT unnest($qList) AS q) qq, n)
        |SELECT t.q, r.score AS cutoff FROM t JOIN r ON r.rn = t.target""".stripMargin

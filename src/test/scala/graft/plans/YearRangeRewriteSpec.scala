@@ -12,6 +12,9 @@ class YearRangeRewriteSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // TestSpark goes through GraftSession.applyDefaults, which pre-installs
+  // the rule — so the baseline helper must REMOVE it (and restore after),
+  // or every "without" comparison would silently run with the rule too.
   private def withRule[T](body: => T): T = {
     val had = spark.experimental.extraOptimizations.contains(YearRangeRewrite)
     if (!had) spark.experimental.extraOptimizations =
@@ -21,12 +24,27 @@ class YearRangeRewriteSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations.filterNot(_ == YearRangeRewrite)
   }
 
+  private def withoutRule[T](body: => T): T = {
+    val had = spark.experimental.extraOptimizations.contains(YearRangeRewrite)
+    if (had) spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == YearRangeRewrite)
+    try body
+    finally if (had) spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ YearRangeRewrite
+  }
+
   private def orders: DataFrame =
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
 
   test("year(timestamp) = y rewrites to a pushed range and keeps identical rows") {
-    val q = orders.filter(expr("year(o_orderdate) = 1997")).select("o_orderkey")
-    val without = q.collect().map(_.getLong(0)).sorted.toSeq
+    // def, not val: QueryExecution memoizes per Dataset, so the baseline
+    // and the with-rule run must each plan a FRESH frame
+    def q = orders.filter(expr("year(o_orderdate) = 1997")).select("o_orderkey")
+    val without = withoutRule {
+      // prove the baseline really is rule-free: year() must survive
+      assert(q.queryExecution.optimizedPlan.toString.contains("year("))
+      q.collect().map(_.getLong(0)).sorted.toSeq
+    }
     withRule {
       val optimized = q.queryExecution.optimizedPlan.toString
       assert(!optimized.contains("year("), s"year() survived the rewrite:\n$optimized")
@@ -61,9 +79,25 @@ class YearRangeRewriteSpec extends AnyFunSuite {
   test("NULL dates are filtered identically with and without the rule") {
     val df = Seq(Some("1997-03-01"), None, Some("1998-03-01"))
       .toDF("s").select(col("s").cast("date").as("d"))
-    val without = df.filter(expr("year(d) = 1997")).count()
+    val without = withoutRule(df.filter(expr("year(d) = 1997")).count())
     val withR = withRule(df.filter(expr("year(d) = 1997")).count())
     assert(without == 1L && withR == 1L)
+  }
+
+  test("a year at the DATE type's edge falls back to no rewrite, not a wrong bound") {
+    // Apply the rule directly to the analyzed plan (the optimizer would
+    // constant-fold this LocalRelation before we could look): 5881580 is
+    // within LocalDate's range but its successor year's epoch day
+    // overflows Int — exact arithmetic throws, caught as no-rewrite, so
+    // the predicate must survive UNCHANGED rather than compare against a
+    // wrapped garbage bound.
+    val df = Seq("1997-06-01").toDF("s").select(col("s").cast("date").as("d"))
+    val analyzed = df.filter(expr("year(d) = 5881580")).queryExecution.analyzed
+    val after = YearRangeRewrite(analyzed)
+    assert(after.toString.contains("year("), s"edge year was rewritten:\n$after")
+    // and a representative in-range year on the same plan DOES rewrite
+    val ok = YearRangeRewrite(df.filter(expr("year(d) = 1997")).queryExecution.analyzed)
+    assert(!ok.toString.contains("year("))
   }
 
   test("inequalities and IN-lists rewrite with boundary-exact semantics") {
