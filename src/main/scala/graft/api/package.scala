@@ -76,8 +76,8 @@ package object api {
       CorpusOps.trainingSequences(docs, budget, shards, maxTokens)
     def dedupAgainst(corpus: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
       CorpusOps.dedupAgainstCorpus(docs, corpus, k, threshold)
-    def shuffleOrder(buckets: Int = 256): DataFrame =
-      CorpusOps.shuffleOrder(docs, buckets)
+    def shuffleOrder(buckets: Int = 256, epoch: Long = 0L): DataFrame =
+      CorpusOps.shuffleOrder(docs, buckets, epoch)
     def cleanCorpus(keepLang: String = "en", minQuality: Double = 0.6): DataFrame =
       CorpusOps.cleanCorpus(docs, keepLang, minQuality)
   }

@@ -156,15 +156,23 @@ object CorpusOps {
       .withColumn("__rn", col("__off") + row_number().over(wr))
   }
 
-  def shuffleOrder(documents: DataFrame, buckets: Int = 256): DataFrame = {
+  /** `epoch` varies the permutation deterministically — training epoch k
+    * uses `shuffleOrder(docs, epoch = k)` for a fresh order that is still
+    * a pure function of (doc_id, k). Epoch 0 is the registered/oracle
+    * setting. The epoch term is driver-side mixed (Knuth multiplier, mod
+    * P) into the LCG offset before it reaches any SQL — a wrap on an
+    * astronomically large epoch is still deterministic, which is all a
+    * shuffle seed needs. */
+  def shuffleOrder(documents: DataFrame, buckets: Int = 256, epoch: Long = 0L): DataFrame = {
     require(buckets > 0)
+    val off = java.lang.Math.floorMod(SampleAddB + epoch * 2654435761L, P)
     val withH = documents.select(col("doc_id"))
       // a NULL doc_id has no position in a permutation keyed on doc_id —
       // and left in, its NULL bucket would shift every offset while the
       // bucket join dropped the row (off-by-null seqs). Both engines
       // exclude it explicitly.
       .filter(col("doc_id").isNotNull)
-      .withColumn("__h", expr(s"((doc_id % $SampleIdMod) * $SampleMulA + $SampleAddB) % $P"))
+      .withColumn("__h", expr(s"((doc_id % $SampleIdMod) * $SampleMulA + $off) % $P"))
       // range bucketing: h < P ~ 1e9, so h * buckets stays far from Long
       // overflow and bucket is monotone in h
       .withColumn("__b", expr(s"CAST((__h * $buckets) DIV $P AS INT)"))

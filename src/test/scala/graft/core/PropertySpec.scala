@@ -65,6 +65,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplane signature kernel equals the plane-weight reference fold") {
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0))
+    val vecs = sample(vecGen, 60)
+    vecs.foreach { v =>
+      val sig = HashKernels.hyperplaneSig(new GenericArrayData(v.toArray), 32)
+      (0 until 32).foreach { p =>
+        val dot = v.iterator.zipWithIndex
+          .foldLeft(0.0) { case (s, (x, d)) => s + x * HashKernels.planeWeight(p, d) }
+        assert(((sig >> p) & 1L) == (if (dot >= 0) 1L else 0L),
+          s"plane $p disagrees for $v")
+      }
+      // non-64-dim vectors sign out as 0 (pinned contract)
+      assert(HashKernels.hyperplaneSig(new GenericArrayData(v.take(10).toArray), 32) == 0L)
+    }
+  }
+
+  test("int8 quantizer clamps to [-127, 127] and fixes round-trip values") {
+    val vals = sample(Gen.chooseNum(-3.0f, 3.0f), 200) ++
+      Seq(Float.MaxValue, -Float.MaxValue, 0.0f, 1.0f, -1.0f)
+    val quantized = Seq(vals).toDF("embedding")
+      .selectExpr(graft.llmdata.Similarity.QuantizeSql + " AS q")
+      .head().getSeq[Double](0)
+    quantized.zip(vals).foreach { case (q, x) =>
+      assert(q >= -127.0 && q <= 127.0, s"$x -> $q out of range")
+      assert(q == math.rint(q), s"$x -> $q not integral")
+      // HALF_UP (away from zero), matching Spark's round() — math.round
+      // would differ on negative exact halves
+      val clamped = math.max(-127.0, math.min(127.0, x.toDouble * 127))
+      val expected = BigDecimal(clamped)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(q == expected, s"$x -> $q, expected $expected")
+    }
+  }
+
   test("minhash signature is order-invariant and monotone under union") {
     val sets = sample(Gen.nonEmptyListOf(Gen.choose(0L, HashKernels.P - 1)), 50)
     sets.foreach { hs =>

@@ -29,6 +29,11 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toMap == out64)
     // and it actually permutes (identity order would mean a broken hash)
     assert(out.toMap.toSeq.sortBy(_._1).map(_._2) != (0L until n).toSeq)
+    // a different epoch yields a different (still complete) permutation
+    val epoch1 = CorpusOps.shuffleOrder(docs, epoch = 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(epoch1.map(_._1).sorted.toSeq == (1L to n))
+    assert(epoch1.toMap != out.toMap)
   }
 
   test("scoreQuantiles cutoffs are monotone in q and sit at exact ranks") {
