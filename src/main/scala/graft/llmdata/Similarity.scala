@@ -304,6 +304,39 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
+  /** CROSS-set semantic dedup: batch vectors that have an LSH-bucketed
+    * cosine near-duplicate in the corpus — the embedding twin of
+    * [[CorpusOps.dedupAgainstCorpus]] (which matches by text shingles).
+    * Returns (new_id, old_id) duplicate pairs; callers anti-join the
+    * batch on `new_id` to keep only semantically novel documents.
+    *
+    * Scale shape: the corpus side contributes one signature pass (at
+    * ingest these band keys would be precomputed and stored — the operator
+    * takes DataFrames so either binding works); candidates are
+    * bucket-local (band, band_val) between batch and corpus bands — never
+    * |batch| × |corpus| — and the wide embedding arrays are re-attached
+    * only to the deduped candidate ids. */
+  def lshNearDupAgainst(batch: DataFrame, corpus: DataFrame, threshold: Double = 0.4,
+                        planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
+    def sigBands(embs: DataFrame, idAs: String): (DataFrame, DataFrame) = {
+      val n = withNorm(embs).transform(graft.core.CacheScope.persisted)
+      val sig = n.withColumn("__sig", expr(lshSigExpr(planes))).select("vec_id", "__sig")
+      (n, explodeBands(sig, Seq("vec_id"), planes, bandBits)
+        .withColumnsRenamed(Map("vec_id" -> idAs)))
+    }
+    val (nNew, newBands) = sigBands(batch, "new_id")
+    val (nOld, oldBands) = sigBands(corpus, "old_id")
+    val candIds = newBands
+      .join(oldBands, Seq("band", "band_val"))
+      .select("new_id", "old_id")
+      .distinct()
+    candIds
+      .join(nNew.select(col("vec_id").as("new_id"), col("ed").as("ea"), col("nrm").as("na")), "new_id")
+      .join(nOld.select(col("vec_id").as("old_id"), col("ed").as("eb"), col("nrm").as("nb")), "old_id")
+      .filter(expr(sparkCosPre("ea", "eb", "na", "nb")) >= threshold)
+      .select("new_id", "old_id")
+  }
+
   /** Per-label centroid coordinates — the vector-mean building block of
     * IVF/k-means index training, one row per (label, dimension).
     *

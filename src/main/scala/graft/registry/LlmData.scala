@@ -60,6 +60,14 @@ object LlmData {
     "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     "e_lsh_neardup" -> ((s, d) => Similarity.lshNearDupPairs(embs(s, d))),
+    // cross-set semantic dedup: every 5th vector plays the incoming batch,
+    // the rest the standing corpus (mirrors c_incr's text-side split)
+    "e_cross_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val all = embs(s, d)
+      Similarity.lshNearDupAgainst(
+        all.filter(col("vec_id") % 5 === 0), all.filter(col("vec_id") % 5 =!= 0))
+    }),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     "e_kmeans" -> ((s, d) => {
@@ -313,6 +321,26 @@ object LlmData {
        |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
   }
 
+  /** DuckDB twin of Similarity.lshNearDupAgainst over the registered 1-in-5
+    * batch/corpus split: same planes, bands, and exact-cosine verify as the
+    * within-set oracle, bucket join BETWEEN the two sides. */
+  private val crossNeardupSql = {
+    val mask = (1 << Similarity.LshBandBits) - 1
+    s"""WITH $normCte,
+       |nb AS (SELECT vec_id, ed, nrm FROM n2 WHERE vec_id % 5 = 0),
+       |nc AS (SELECT vec_id, ed, nrm FROM n2 WHERE vec_id % 5 != 0),
+       |sgb AS (SELECT vec_id, $lshSigTerms AS s FROM nb),
+       |sgc AS (SELECT vec_id, $lshSigTerms AS s FROM nc),
+       |bb AS (SELECT vec_id AS new_id, c AS band, (s >> (c * ${Similarity.LshBandBits})) & $mask AS band_val
+       |       FROM sgb, (SELECT unnest(range(0, ${Similarity.LshBands})) AS c)),
+       |bc AS (SELECT vec_id AS old_id, c AS band, (s >> (c * ${Similarity.LshBandBits})) & $mask AS band_val
+       |       FROM sgc, (SELECT unnest(range(0, ${Similarity.LshBands})) AS c)),
+       |cand AS (SELECT DISTINCT new_id, old_id FROM bb JOIN bc USING (band, band_val))
+       |SELECT new_id, old_id
+       |FROM cand JOIN nb a ON cand.new_id = a.vec_id JOIN nc b ON cand.old_id = b.vec_id
+       |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
+  }
+
   /** DuckDB twin of Similarity.kmeansCentroids at its registered setting
     * (nCells=16, iters=1): seeds = the first 16 vectors (cell = vec_id),
     * one Lloyd round — argmax-cosine assignment (ties: lower cell), then a
@@ -416,6 +444,7 @@ object LlmData {
     "e_quant_topk" -> quantTopkSql,
     "e_neardup" -> neardupSql,
     "e_lsh_neardup" -> lshNeardupSql,
+    "e_cross_neardup" -> crossNeardupSql,
     "e_lsh_topk" -> lshTopkSql,
     "e_ivf_topk" -> ivfTopkSql,
     "e_kmeans" -> kmeansSql,
