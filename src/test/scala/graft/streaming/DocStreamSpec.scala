@@ -61,4 +61,31 @@ class DocStreamSpec extends AnyFunSuite {
       .select("fingerprint").collect().map(_.getLong(0))
     assert(fp(0) != fp(1))
   }
+
+  test("dedup state survives a query restart: cross-restart duplicates stay dropped") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    new java.io.File(in).mkdirs()
+    def addFile(name: String, rows: (Long, Timestamp, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "ts", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/$name")
+    def runOnce(): Unit = {
+      val q = DocStream.dedupedIngest(
+        spark.readStream.schema("doc_id BIGINT, ts TIMESTAMP, text STRING").parquet(s"$in/*"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile("b1", (1L, ts(0), "alpha beta"), (2L, ts(1), "gamma delta"))
+    runOnce()
+    // doc 3 duplicates doc 1's content ACROSS the stop/start boundary: only
+    // the checkpointed fingerprint state can know to drop it. doc 4 is new.
+    addFile("b2", (3L, ts(2), " alpha  beta "), (4L, ts(3), "epsilon zeta"))
+    runOnce()
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L), s"got $got")
+  }
 }
