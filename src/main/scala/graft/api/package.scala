@@ -93,8 +93,10 @@ package object api {
                         planes: Int = Similarity.LshPlanes,
                         bandBits: Int = Similarity.LshBandBits): DataFrame =
       Similarity.lshNearDupPairs(embs, threshold, planes, bandBits)
-    def lshNearDupAgainst(corpus: DataFrame, threshold: Double = 0.4): DataFrame =
-      Similarity.lshNearDupAgainst(embs, corpus, threshold)
+    def lshNearDupAgainst(corpus: DataFrame, threshold: Double = 0.4,
+                          planes: Int = Similarity.LshPlanes,
+                          bandBits: Int = Similarity.LshBandBits): DataFrame =
+      Similarity.lshNearDupAgainst(embs, corpus, threshold, planes, bandBits)
     def lshTopK(nQueries: Int = 8, k: Int = 10,
                 planes: Int = Similarity.LshPlanes,
                 bandBits: Int = Similarity.LshBandBits): DataFrame =

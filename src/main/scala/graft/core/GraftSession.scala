@@ -85,6 +85,11 @@ object GraftSession {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.YearRangeRewrite
     }
+    // And the custom expressions, so raw spark.sql("... array_dot(...)")
+    // works on a pinned session exactly as on an extensions-built one
+    // (operators also register defensively, but a user's first touch may
+    // be SQL, not an operator). Idempotent by name.
+    graft.functions.VectorExprs.register(spark)
     spark
   }
 }

@@ -159,20 +159,31 @@ object CorpusOps {
   /** `epoch` varies the permutation deterministically — training epoch k
     * uses `shuffleOrder(docs, epoch = k)` for a fresh order that is still
     * a pure function of (doc_id, k). Epoch 0 is the registered/oracle
-    * setting. The epoch term is driver-side mixed (Knuth multiplier, mod
-    * P) into the LCG offset before it reaches any SQL — a wrap on an
-    * astronomically large epoch is still deterministic, which is all a
-    * shuffle seed needs. */
+    * setting (the exact sampler LCG).
+    *
+    * The epoch must change the MULTIPLIER, not just the offset: an
+    * additive constant mod P only rotates the epoch-0 order (same
+    * neighbors, same batch compositions, shifted start — no
+    * decorrelation). Each epoch therefore gets its own affine map
+    * (a_e·x + b_e) mod P with a_e ∈ [1, P-1] derived from the epoch
+    * (distinct multipliers = genuinely different residue permutations);
+    * the mixing runs driver-side before any SQL, and the rank-correlation
+    * spec pins that consecutive epochs share almost no adjacent pairs. */
   def shuffleOrder(documents: DataFrame, buckets: Int = 256, epoch: Long = 0L): DataFrame = {
     require(buckets > 0)
-    val off = java.lang.Math.floorMod(SampleAddB + epoch * 2654435761L, P)
+    val aE =
+      if (epoch == 0L) SampleMulA
+      else 1L + java.lang.Math.floorMod(SampleMulA * 31L + epoch * 2654435761L, P - 1)
+    val bE =
+      if (epoch == 0L) SampleAddB
+      else java.lang.Math.floorMod(SampleAddB + epoch * 40503L, P)
     val withH = documents.select(col("doc_id"))
       // a NULL doc_id has no position in a permutation keyed on doc_id —
       // and left in, its NULL bucket would shift every offset while the
       // bucket join dropped the row (off-by-null seqs). Both engines
       // exclude it explicitly.
       .filter(col("doc_id").isNotNull)
-      .withColumn("__h", expr(s"((doc_id % $SampleIdMod) * $SampleMulA + $off) % $P"))
+      .withColumn("__h", expr(s"((doc_id % $SampleIdMod) * $aE + $bE) % $P"))
       // range bucketing: h < P ~ 1e9, so h * buckets stays far from Long
       // overflow and bucket is monotone in h
       .withColumn("__b", expr(s"CAST((__h * $buckets) DIV $P AS INT)"))

@@ -229,21 +229,31 @@ object Similarity {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
   }
 
+  /** Normalized frame + band-bucket frame for one embedding set — the ONE
+    * construction of the LSH banding pipeline (used by [[lshCandidates]],
+    * [[lshNearDupPairs]], [[lshNearDupAgainst]]). The narrow
+    * (vec_id, __sig) frame — 16 bytes/row — is persisted so the signature
+    * kernel runs once however many times the bands are consumed; the
+    * exploded band form is deliberately NOT cached (bands-per-vector×
+    * larger — re-running the shift-and-mask explode off the cached
+    * signatures beats materializing it at corpus scale). `persistNorm`
+    * additionally caches the normalized vectors when the caller re-attaches
+    * them repeatedly. */
+  private def normAndBands(embs: DataFrame, planes: Int, bandBits: Int,
+                           persistNorm: Boolean): (DataFrame, DataFrame) = {
+    val n0 = withNorm(embs)
+    val n = if (persistNorm) graft.core.CacheScope.persisted(n0) else n0
+    val sig = graft.core.CacheScope.persisted(
+      n.withColumn("__sig", expr(lshSigExpr(planes))).select("vec_id", "__sig"))
+    (n, explodeBands(sig, Seq("vec_id"), planes, bandBits))
+  }
+
   /** Deduped (query_id, nn_id) LSH candidate pairs — the bucket join that
     * replaces the brute-force cross product. Public so the banding
     * knob's cost (candidate fraction) can be graded directly. */
   def lshCandidates(embeddings: DataFrame, nQueries: Int = 8,
                     planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
-    // Persist the NARROW (vec_id, __sig) frame — 16 bytes/row — so the
-    // signature kernel runs once even though the band explode below is
-    // consumed twice (query side + corpus side). The exploded form itself
-    // is deliberately NOT cached: it is bands-per-vector× larger, and
-    // re-running a shift-and-mask explode off the cached signatures is
-    // cheaper than materializing it at corpus scale.
-    val sig = graft.core.CacheScope.persisted(
-      withNorm(embeddings).withColumn("__sig", expr(lshSigExpr(planes)))
-        .select("vec_id", "__sig"))
-    val bands = explodeBands(sig, Seq("vec_id"), planes, bandBits)
+    val (_, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = false)
     val qBands = bands.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("band"), col("band_val"))
     // Dedup candidates on ids BEFORE re-attaching vectors: the distinct
@@ -285,12 +295,7 @@ object Similarity {
     * embedding arrays never enter the candidate shuffle. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
                       planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
-    val n = withNorm(embeddings).transform(graft.core.CacheScope.persisted)
-    // Narrow persisted signatures, recomputed explode — same reasoning as
-    // [[lshCandidates]]: the self-join consumes the bands twice.
-    val sig = graft.core.CacheScope.persisted(
-      n.withColumn("__sig", expr(lshSigExpr(planes))).select("vec_id", "__sig"))
-    val bands = explodeBands(sig, Seq("vec_id"), planes, bandBits)
+    val (n, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = true)
     val candIds = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
@@ -319,10 +324,8 @@ object Similarity {
   def lshNearDupAgainst(batch: DataFrame, corpus: DataFrame, threshold: Double = 0.4,
                         planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
     def sigBands(embs: DataFrame, idAs: String): (DataFrame, DataFrame) = {
-      val n = withNorm(embs).transform(graft.core.CacheScope.persisted)
-      val sig = n.withColumn("__sig", expr(lshSigExpr(planes))).select("vec_id", "__sig")
-      (n, explodeBands(sig, Seq("vec_id"), planes, bandBits)
-        .withColumnsRenamed(Map("vec_id" -> idAs)))
+      val (n, bands) = normAndBands(embs, planes, bandBits, persistNorm = true)
+      (n, bands.withColumnsRenamed(Map("vec_id" -> idAs)))
     }
     val (nNew, newBands) = sigBands(batch, "new_id")
     val (nOld, oldBands) = sigBands(corpus, "old_id")

@@ -29,11 +29,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toMap == out64)
     // and it actually permutes (identity order would mean a broken hash)
     assert(out.toMap.toSeq.sortBy(_._1).map(_._2) != (0L until n).toSeq)
-    // a different epoch yields a different (still complete) permutation
+    // a different epoch yields a genuinely DECORRELATED permutation, not a
+    // rotation of epoch 0 (an additive-only seed would shift the whole
+    // order and keep ~99.9% of adjacent pairs; a fresh affine map keeps
+    // almost none)
     val epoch1 = CorpusOps.shuffleOrder(docs, epoch = 1L).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(epoch1.map(_._1).sorted.toSeq == (1L to n))
-    assert(epoch1.toMap != out.toMap)
+    def successors(perm: Array[(Long, Long)]): Set[(Long, Long)] =
+      perm.sortBy(_._1).map(_._2).sliding(2).collect { case Array(a, b) => (a, b) }.toSet
+    val shared = (successors(out) & successors(epoch1)).size.toDouble / (n - 1)
+    assert(shared < 0.05, s"epochs share $shared of adjacent pairs — rotation, not reshuffle")
   }
 
   test("scoreQuantiles cutoffs are monotone in q and sit at exact ranks") {
