@@ -27,6 +27,7 @@ class DeterminismSpec extends AnyFunSuite {
     "e_kmeans",        // trained-centroid means (assignment + sorted folds)
     "c_incr",          // cross-batch LSH dedup
     "c_shuffle",       // global permutation (range-bucket offsets + rank)
+    "c_quantiles",     // exact rank targets over the same machinery
     "v_kmv")           // sketch aggregate (merge-order sensitivity)
 
   private def run(name: String, parts: Int): Seq[String] = {

@@ -9,6 +9,15 @@ class CoreSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("applyDefaults makes the custom functions callable from raw SQL") {
+    // MIGRATION.md option B promises a pinned session can use the
+    // expressions in plain spark.sql, not only via the operators
+    assert(spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0) == 11.0)
+    assert(spark.sql("SELECT hyperplane_sig(array(1.0D), 8)").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT simhash32(array(CAST(5 AS BIGINT)))").head().getLong(0) == 5L)
+  }
+
   test("top1PerKey keeps exactly the argmax row, deterministically on ties") {
     val df = Seq(
       ("k1", 1, "a"), ("k1", 3, "b"), ("k1", 3, "a"),
