@@ -64,6 +64,9 @@ package object api {
 
     def stratifiedSample(ratesPerMille: Map[String, Int], defaultPerMille: Int = 1000): DataFrame =
       CorpusOps.stratifiedSample(docs, ratesPerMille, defaultPerMille)
+    /** Temperature-rebalanced sample — fully in-plan, no driver action. */
+    def temperatureSample(stratum: String = "lang", temperature: Double = 2.0): DataFrame =
+      CorpusOps.temperatureSample(docs, stratum, temperature)
     def tokenBudgetSample(budgets: Map[String, Long], defaultBudget: Long = Long.MaxValue): DataFrame =
       CorpusOps.tokenBudgetSample(docs, budgets, defaultBudget)
     def decontaminateAgainst(benchmark: DataFrame, k: Int = 8): DataFrame =

@@ -43,6 +43,59 @@ object CorpusOps {
   def bucketSql(idCol: String): String =
     s"((($idCol % $SampleIdMod) * $SampleMulA + $SampleAddB) % ${P}) % 1000"
 
+  /** Temperature-scaled sampling rates for [[stratifiedSample]] — the
+    * standard multilingual/source rebalance: stratum i's mixing weight is
+    * p_i^(1/T) / Σ p_j^(1/T) over the observed size shares p. T=1 keeps
+    * natural proportions; T→∞ approaches uniform; T<1 sharpens toward the
+    * head. The result is per-mille KEEP rates normalized so the largest
+    * stratum keeps everything (sampling can only down-weight — it cannot
+    * mint extra data for small strata; repeat-epoch upsampling is a
+    * training-loop concern).
+    *
+    * Pure driver-side math over the (tiny) per-stratum counts — callers
+    * get the counts from one `groupBy(stratum).count()` — so it is
+    * exactly testable and engine-free. */
+  def temperatureRates(countsByStratum: Map[String, Long], temperature: Double): Map[String, Int] = {
+    require(temperature > 0.0, "temperature must be positive")
+    require(countsByStratum.values.forall(_ >= 0))
+    val total = countsByStratum.values.sum.toDouble
+    if (total == 0) return countsByStratum.map { case (k, _) => k -> 1000 }
+    // target share ∝ p^(1/T); keep rate_i = (target_i / p_i) scaled so
+    // max rate = 1000 (the largest required down-weight anchors the rest)
+    val weights = countsByStratum.map { case (k, n) =>
+      k -> (if (n == 0) 0.0 else math.pow(n / total, 1.0 / temperature) / (n / total))
+    }
+    val maxW = weights.values.max
+    weights.map { case (k, w) =>
+      k -> math.max(if (countsByStratum(k) == 0) 0 else 1,
+        math.round(w / maxW * 1000).toInt)
+    }
+  }
+
+  /** In-plan temperature rebalance: [[temperatureRates]] composed with the
+    * hash-gated sampler WITHOUT a driver action — the per-stratum counts,
+    * shares, p^(1/T) weights, and per-mille rates are all computed inside
+    * the plan (two constant-key windows over the tiny counts frame,
+    * bounded by the stratum count) and broadcast-joined back. Use this in
+    * pipelines; use [[temperatureRates]] when the counts are already
+    * known (catalog stats) or rates need auditing. */
+  def temperatureSample(documents: DataFrame, stratum: String = "lang",
+                        temperature: Double = 2.0): DataFrame = {
+    require(temperature > 0.0, "temperature must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val rates = documents.groupBy(stratum).agg(count(lit(1)).as("__n"))
+      .withColumn("__share", col("__n") / sum("__n").over(w))
+      .withColumn("__w", pow(col("__share"), lit(1.0 / temperature)) / col("__share"))
+      .withColumn("__rate",
+        greatest(lit(1), round(col("__w") / max("__w").over(w) * 1000).cast("int")))
+      .select(col(stratum), col("__rate"))
+    documents
+      .withColumn("bucket", expr(bucketSql("doc_id")))
+      .join(broadcast(rates), Seq(stratum))
+      .filter(col("bucket") < col("__rate"))
+      .select(col("doc_id"), col(stratum), col("bucket"))
+  }
+
   /** Deterministic stratified sample: keep a document iff its hash bucket
     * falls under its stratum's per-mille rate. The standard corpus-mixing
     * primitive (downsample the dominant language / source); hash-gated

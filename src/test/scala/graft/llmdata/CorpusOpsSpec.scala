@@ -57,6 +57,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureRates: T=1 is natural, T->inf flattens, head always keeps 1000") {
+    val counts = Map("en" -> 800L, "zh" -> 150L, "ko" -> 50L)
+    // T=1: target shares equal natural shares -> every stratum keeps all
+    assert(CorpusOps.temperatureRates(counts, 1.0) == Map("en" -> 1000, "zh" -> 1000, "ko" -> 1000))
+    // higher temperature downsamples the head toward uniform
+    val t2 = CorpusOps.temperatureRates(counts, 2.0)
+    assert(t2("ko") == 1000, "smallest stratum anchors at keep-everything")
+    assert(t2("en") < t2("zh") && t2("zh") < 1000, s"head must be downweighted most: $t2")
+    // resulting mixture moves toward uniform: en share shrinks vs natural
+    val kept = counts.map { case (k, n) => k -> n * t2(k) / 1000.0 }
+    val enShare = kept("en") / kept.values.sum
+    assert(enShare < 0.8 && enShare > 1.0 / 3.0, s"enShare $enShare")
+    // degenerate inputs stay sane
+    assert(CorpusOps.temperatureRates(Map("a" -> 0L, "b" -> 10L), 2.0)("a") == 0)
+    val uniform = CorpusOps.temperatureRates(Map("a" -> 5L, "b" -> 5L), 7.0)
+    assert(uniform == Map("a" -> 1000, "b" -> 1000))
+  }
+
+  test("in-plan temperatureSample equals the driver-side rates composition") {
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaRates = CorpusOps.stratifiedSample(docs, CorpusOps.temperatureRates(counts, 2.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inPlan = CorpusOps.temperatureSample(docs, "lang", 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inPlan == viaRates, s"diff: ${(inPlan diff viaRates) ++ (viaRates diff inPlan)}")
+    assert(inPlan.nonEmpty && inPlan.size < docs.count())
+  }
+
   test("stratified sample is deterministic and its complement is exact") {
     val rates = Map("en" -> 500)
     val a = CorpusOps.stratifiedSample(docs, rates).collect().map(_.getLong(0)).toSet
