@@ -91,7 +91,10 @@ object CorpusOps {
       .select(col(stratum), col("__rate"))
     documents
       .withColumn("bucket", expr(bucketSql("doc_id")))
-      .join(broadcast(rates), Seq(stratum))
+      // null-safe join: a NULL stratum is a legitimate stratum (groupBy
+      // kept its count); a plain equi-join would silently drop those rows
+      .join(broadcast(rates.withColumnRenamed(stratum, "__s")),
+        col(stratum) <=> col("__s"))
       .filter(col("bucket") < col("__rate"))
       .select(col("doc_id"), col(stratum), col("bucket"))
   }

@@ -84,6 +84,13 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(inPlan == viaRates, s"diff: ${(inPlan diff viaRates) ++ (viaRates diff inPlan)}")
     assert(inPlan.nonEmpty && inPlan.size < docs.count())
+    // NULL stratum values form their own stratum, not a silent drop
+    val withNull = Seq((1L, "en"), (2L, null), (3L, null), (4L, "en"))
+      .toDF("doc_id", "lang")
+    val sampled = CorpusOps.temperatureSample(withNull, "lang", 1.0)
+    // T=1 keeps everything — including both NULL-lang docs
+    assert(sampled.count() == 4,
+      s"NULL-stratum rows dropped: ${sampled.collect().mkString(",")}")
   }
 
   test("stratified sample is deterministic and its complement is exact") {
