@@ -523,6 +523,35 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("seq_tokens"))
   }
 
+  /** Length-bucketed micro-batching over the packed sequences: per shard,
+    * sort sequences by (token length desc, seq_id) and cut consecutive
+    * runs of `batchSize` into batches — sequences of similar length share
+    * a batch, so per-batch padding to the max member is minimal (the
+    * standard dataloader trick; random batching wastes up to the length
+    * spread per batch). Output: one row per sequence with its batch
+    * assignment and the batch's padded length.
+    *
+    * Scale shape: one (shard, seq_id) agg over the pack assignment (the
+    * exchange [[packChunks]] already created is reusable) plus per-shard
+    * windows — parallelism = shards, nothing global. Deterministic
+    * total order (length, then seq_id), so batch composition is
+    * re-runnable and oracle-able. */
+  def lengthBucketedBatches(documents: DataFrame, batchSize: Int = 4,
+                            budget: Int = 64, shards: Int = 8,
+                            maxTokens: Int = 16): DataFrame = {
+    require(batchSize > 0)
+    val seqs = packChunks(chunk(documents, maxTokens), budget, shards)
+      .groupBy("shard", "seq_id")
+      .agg(sum("n_tokens").as("seq_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("seq_tokens").desc, col("seq_id"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("shard", "batch_id")
+    seqs
+      .withColumn("batch_id", ((row_number().over(w) - 1) / batchSize).cast("bigint"))
+      .withColumn("padded_to", max("seq_tokens").over(wb))
+      .select("shard", "batch_id", "seq_id", "seq_tokens", "padded_to")
+  }
+
   /** Materialize the packed sequences' TEXT — the artifact a dataloader
     * actually reads. Chunk order inside a sequence is recovered with a
     * deterministic ordered aggregation: `collect_list` has no intrinsic

@@ -45,6 +45,7 @@ object Corpus {
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
     "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
+    "c_batches" -> ((s, d) => CorpusOps.lengthBucketedBatches(docs(s, d))),
     "c_seqtext" -> ((s, d) => CorpusOps.packedSequenceText(docs(s, d))),
     "c_corpus" -> ((s, d) => CorpusOps.cleanCorpus(docs(s, d))),
     "c_e2e" -> ((s, d) => CorpusOps.trainingSequences(docs(s, d))),
@@ -219,6 +220,28 @@ object Corpus {
        |FROM ch)
        |SELECT doc_id, chunk_id, n_tokens, shard, tok_offset // 64 AS seq_id, tok_offset FROM o""".stripMargin
 
+  /** Length-bucketed batching oracle: the pack chain aggregated to
+    * per-sequence token totals, then per-shard (length desc, seq_id)
+    * row_number cut into runs of 4, each batch padded to its max. */
+  private val batchesSql =
+    s"""WITH w0 AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
+       |ch AS (
+       |SELECT doc_id, i AS chunk_id,
+       |  CAST(greatest(least(16, len(words) - i * 16), 0) AS BIGINT) AS n_tokens
+       |FROM w0, unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)),
+       |o AS (
+       |SELECT doc_id, chunk_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id) - n_tokens AS BIGINT) AS tok_offset
+       |FROM ch),
+       |sq AS (SELECT shard, tok_offset // 64 AS seq_id, SUM(n_tokens) AS seq_tokens
+       |       FROM o GROUP BY 1, 2),
+       |rb AS (SELECT shard, seq_id, seq_tokens,
+       |         CAST((row_number() OVER (PARTITION BY shard ORDER BY seq_tokens DESC, seq_id) - 1) // 4 AS BIGINT) AS batch_id
+       |       FROM sq)
+       |SELECT shard, batch_id, seq_id, seq_tokens,
+       |  MAX(seq_tokens) OVER (PARTITION BY shard, batch_id) AS padded_to
+       |FROM rb""".stripMargin
+
   /** Incremental-dedup oracle: every-5th-doc batch vs the rest as corpus;
     * exact anti-join, cross-set LSH flag, intra-batch pair drop. */
   private val incrSql =
@@ -301,6 +324,7 @@ object Corpus {
     "c_budget" -> budgetSql,
     "c_chunks" -> chunksSql,
     "c_pack" -> packSql,
+    "c_batches" -> batchesSql,
     "c_decontam" -> decontamSql,
     "c_clusters" -> clustersSql,
     "c_corpus" -> corpusSql,
