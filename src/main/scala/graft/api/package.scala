@@ -77,6 +77,12 @@ package object api {
       CorpusOps.packChunks(docs, budget, shards)
     def trainingSequences(budget: Int = 64, shards: Int = 8, maxTokens: Int = 16): DataFrame =
       CorpusOps.trainingSequences(docs, budget, shards, maxTokens)
+    def lengthBucketedBatches(batchSize: Int = 4, budget: Int = 64,
+                              shards: Int = 8, maxTokens: Int = 16): DataFrame =
+      CorpusOps.lengthBucketedBatches(docs, batchSize, budget, shards, maxTokens)
+    def scoreQuantiles(qs: Seq[Double] = CorpusOps.DefaultQuantiles,
+                       buckets: Int = 256): DataFrame =
+      CorpusOps.scoreQuantiles(docs, qs, buckets)
     def dedupAgainst(corpus: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
       CorpusOps.dedupAgainstCorpus(docs, corpus, k, threshold)
     def shuffleOrder(buckets: Int = 256, epoch: Long = 0L): DataFrame =

@@ -47,10 +47,12 @@ object CorpusOps {
     * standard multilingual/source rebalance: stratum i's mixing weight is
     * p_i^(1/T) / Σ p_j^(1/T) over the observed size shares p. T=1 keeps
     * natural proportions; T→∞ approaches uniform; T<1 sharpens toward the
-    * head. The result is per-mille KEEP rates normalized so the largest
-    * stratum keeps everything (sampling can only down-weight — it cannot
-    * mint extra data for small strata; repeat-epoch upsampling is a
-    * training-loop concern).
+    * head. The result is per-mille KEEP rates normalized so the stratum
+    * needing the LEAST down-weighting keeps everything — for the usual
+    * T>1 that is the smallest stratum (the head gets cut toward it);
+    * for T<1 the head anchors instead. Sampling can only down-weight —
+    * it cannot mint extra data for small strata; repeat-epoch upsampling
+    * is a training-loop concern.
     *
     * Pure driver-side math over the (tiny) per-stratum counts — callers
     * get the counts from one `groupBy(stratum).count()` — so it is
@@ -109,14 +111,20 @@ object CorpusOps {
     * Scale shape: narrow projection + filter, no shuffle, fully pushed into
     * the scan's WholeStageCodegen span. */
   def stratifiedSample(documents: DataFrame, ratesPerMille: Map[String, Int],
-                       defaultPerMille: Int = 1000): DataFrame = {
+                       defaultPerMille: Int = 1000, stratum: String = "lang"): DataFrame = {
     val rate = ratesPerMille.foldRight(lit(defaultPerMille): org.apache.spark.sql.Column) {
-      case ((lang, r), e) => when(col("lang") === lang, lit(r)).otherwise(e)
+      case ((key, r), e) =>
+        // a null MAP KEY addresses the NULL stratum — `=== null` is never
+        // true, so without this branch a null-keyed rate (as
+        // temperatureRates emits for a NULL-stratum corpus) would be
+        // silently ignored and NULL rows would take the default
+        val cond = if (key == null) col(stratum).isNull else col(stratum) === key
+        when(cond, lit(r)).otherwise(e)
     }
     documents
       .withColumn("bucket", expr(bucketSql("doc_id")))
       .filter(col("bucket") < rate)
-      .select(col("doc_id"), col("lang"), col("bucket"))
+      .select(col("doc_id"), col(stratum), col("bucket"))
   }
 
   /** Quality-PROPORTIONAL sampling: keep each document with probability

@@ -184,15 +184,8 @@ object Corpus {
     * instead of the raw corpus. */
   private val e2eSql =
     s"""WITH $corpusCtes,
-       |ech AS (
-       |SELECT w0.doc_id, i AS chunk_id,
-       |  CAST(greatest(least(16, len(words) - i * 16), 0) AS BIGINT) AS n_tokens
-       |FROM w0 JOIN (SELECT doc_id FROM final_kept) fk USING (doc_id),
-       |     unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)),
-       |eo AS (
-       |SELECT doc_id, chunk_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,
-       |  CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id) - n_tokens AS BIGINT) AS tok_offset
-       |FROM ech)
+       |wk AS (SELECT w0.* FROM w0 JOIN (SELECT doc_id FROM final_kept) fk USING (doc_id)),
+       |${packCtes("wk", "e", withText = false)}
        |SELECT shard, tok_offset // 64 AS seq_id,
        |  CAST(count(*) AS BIGINT) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
        |FROM eo GROUP BY 1, 2""".stripMargin
@@ -208,16 +201,31 @@ object Corpus {
 
   /** Packing oracle: the chunk CTE cut into 64-token sequences within 8
     * doc-sharded partitions (HUGEINT window sum cast back to BIGINT). */
+  /** Chunk → shard → pack CTE chain over a words relation (the DuckDB twin
+    * of [[CorpusOps.chunk]] + [[CorpusOps.packChunks]] at the registered
+    * 16-token/8-shard/64-budget setting), prefixed `p` — ONE copy of the
+    * pack math shared by the c_pack / c_batches / c_e2e / c_seqtext
+    * oracles (HUGEINT window sums cast back to BIGINT throughout).
+    * `withText` additionally carries the chunk text for the seq-text
+    * oracle. */
+  private def packCtes(wordsRel: String, p: String, withText: Boolean): String = {
+    val textSel =
+      if (withText) ",\n  array_to_string(words[i * 16 + 1 : i * 16 + 16], ' ') AS chunk_text"
+      else ""
+    val carry = if (withText) ", chunk_text" else ""
+    s"""${p}ch AS (
+       |SELECT doc_id, i AS chunk_id,
+       |  CAST(greatest(least(16, len(words) - i * 16), 0) AS BIGINT) AS n_tokens$textSel
+       |FROM $wordsRel, unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)),
+       |${p}o AS (
+       |SELECT doc_id, chunk_id, n_tokens$carry, CAST(doc_id % 8 AS INT) AS shard,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id) - n_tokens AS BIGINT) AS tok_offset
+       |FROM ${p}ch)""".stripMargin
+  }
+
   private val packSql =
     s"""WITH w0 AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
-       |ch AS (
-       |SELECT doc_id, i AS chunk_id,
-       |  CAST(greatest(least(16, len(words) - i * 16), 0) AS BIGINT) AS n_tokens
-       |FROM w0, unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)),
-       |o AS (
-       |SELECT doc_id, chunk_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,
-       |  CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id) - n_tokens AS BIGINT) AS tok_offset
-       |FROM ch)
+       |${packCtes("w0", "", withText = false)}
        |SELECT doc_id, chunk_id, n_tokens, shard, tok_offset // 64 AS seq_id, tok_offset FROM o""".stripMargin
 
   /** Length-bucketed batching oracle: the pack chain aggregated to
@@ -225,21 +233,14 @@ object Corpus {
     * row_number cut into runs of 4, each batch padded to its max. */
   private val batchesSql =
     s"""WITH w0 AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
-       |ch AS (
-       |SELECT doc_id, i AS chunk_id,
-       |  CAST(greatest(least(16, len(words) - i * 16), 0) AS BIGINT) AS n_tokens
-       |FROM w0, unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)),
-       |o AS (
-       |SELECT doc_id, chunk_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,
-       |  CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id) - n_tokens AS BIGINT) AS tok_offset
-       |FROM ch),
-       |sq AS (SELECT shard, tok_offset // 64 AS seq_id, SUM(n_tokens) AS seq_tokens
+       |${packCtes("w0", "", withText = false)},
+       |sq AS (SELECT shard, tok_offset // 64 AS seq_id, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
        |       FROM o GROUP BY 1, 2),
        |rb AS (SELECT shard, seq_id, seq_tokens,
        |         CAST((row_number() OVER (PARTITION BY shard ORDER BY seq_tokens DESC, seq_id) - 1) // 4 AS BIGINT) AS batch_id
        |       FROM sq)
        |SELECT shard, batch_id, seq_id, seq_tokens,
-       |  MAX(seq_tokens) OVER (PARTITION BY shard, batch_id) AS padded_to
+       |  CAST(MAX(seq_tokens) OVER (PARTITION BY shard, batch_id) AS BIGINT) AS padded_to
        |FROM rb""".stripMargin
 
   /** Incremental-dedup oracle: every-5th-doc batch vs the rest as corpus;
@@ -268,15 +269,7 @@ object Corpus {
     * sort-structs-then-join). */
   private val seqtextSql =
     s"""WITH w0 AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
-       |ch AS (
-       |SELECT doc_id, i AS chunk_id,
-       |  CAST(greatest(least(16, len(words) - i * 16), 0) AS BIGINT) AS n_tokens,
-       |  array_to_string(words[i * 16 + 1 : i * 16 + 16], ' ') AS chunk_text
-       |FROM w0, unnest(range(0, ((greatest(len(words), 1) - 1) // 16) + 1)) AS t(i)),
-       |o AS (
-       |SELECT doc_id, chunk_id, n_tokens, chunk_text, CAST(doc_id % 8 AS INT) AS shard,
-       |  CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id) - n_tokens AS BIGINT) AS tok_offset
-       |FROM ch)
+       |${packCtes("w0", "", withText = true)}
        |SELECT shard, tok_offset // 64 AS seq_id,
        |  CAST(count(*) AS BIGINT) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
        |  string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_id) AS seq_text

@@ -84,13 +84,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(inPlan == viaRates, s"diff: ${(inPlan diff viaRates) ++ (viaRates diff inPlan)}")
     assert(inPlan.nonEmpty && inPlan.size < docs.count())
-    // NULL stratum values form their own stratum, not a silent drop
-    val withNull = Seq((1L, "en"), (2L, null), (3L, null), (4L, "en"))
-      .toDF("doc_id", "lang")
-    val sampled = CorpusOps.temperatureSample(withNull, "lang", 1.0)
-    // T=1 keeps everything — including both NULL-lang docs
-    assert(sampled.count() == 4,
-      s"NULL-stratum rows dropped: ${sampled.collect().mkString(",")}")
+    // NULL stratum values form their own stratum, not a silent drop — and
+    // the two paths must agree on them at a DOWNWEIGHTING temperature too
+    // (a null-keyed rate must actually apply: `=== null` never matches,
+    // so stratifiedSample needs its isNull branch)
+    val withNull = ((1L to 90L).map(i => (i, null: String)) ++
+      (91L to 100L).map(i => (i, "en"))).toDF("doc_id", "lang")
+    val nullCounts = Map((null: String) -> 90L, "en" -> 10L)
+    val viaRatesN = CorpusOps.stratifiedSample(withNull,
+      CorpusOps.temperatureRates(nullCounts, 2.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inPlanN = CorpusOps.temperatureSample(withNull, "lang", 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inPlanN == viaRatesN,
+      s"diff: ${(inPlanN diff viaRatesN) ++ (viaRatesN diff inPlanN)}")
+    // the dominant NULL stratum really was downweighted
+    val nullKept = inPlanN.count(_ <= 90L)
+    assert(nullKept < 90 && nullKept > 0, s"nullKept $nullKept")
   }
 
   test("stratified sample is deterministic and its complement is exact") {
