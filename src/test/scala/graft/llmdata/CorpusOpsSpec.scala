@@ -103,6 +103,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(nullKept < 90 && nullKept > 0, s"nullKept $nullKept")
   }
 
+  test("length-bucketed batches: full batches except per-shard tails, padded_to is the batch max") {
+    val rows = CorpusOps.lengthBucketedBatches(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byBatch = rows.groupBy { case (shard, batch, _, _, _) => (shard, batch) }
+    byBatch.foreach { case ((shard, batch), members) =>
+      val isTail = batch == byBatch.keys.filter(_._1 == shard).map(_._2).max
+      assert(members.length == 4 || (isTail && members.length < 4),
+        s"batch ($shard, $batch) has ${members.length} members")
+      val maxTok = members.map(_._4).max
+      assert(members.forall(_._5 == maxTok), s"padded_to != batch max in ($shard, $batch)")
+      assert(members.forall(m => m._4 <= m._5))
+    }
+    // batching is a partition of the sequences: same count as the seq frame
+    val nSeqs = CorpusOps.packChunks(CorpusOps.chunk(docs))
+      .select("shard", "seq_id").distinct().count()
+    assert(rows.length.toLong == nSeqs)
+  }
+
   test("stratified sample is deterministic and its complement is exact") {
     val rates = Map("en" -> 500)
     val a = CorpusOps.stratifiedSample(docs, rates).collect().map(_.getLong(0)).toSet
