@@ -63,6 +63,45 @@ object EventStream {
   def windowedRevenueBatch(events: DataFrame, window_ : String = "1 hour"): DataFrame =
     windowAgg(events, "ts", window_)
 
+  /** Stream-static enrichment: join the event stream against a bounded
+    * dimension. The broadcast hint makes every micro-batch a map-side
+    * hash join — no stream-side state at all, and the dim is re-resolved
+    * per batch (so a dim backed by a table picks up slowly-changing
+    * updates between batches). The left join preserves events with no dim
+    * match rather than dropping them mid-pipeline. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** Watermarked stream-stream inner join: pair each left event with the
+    * right-stream events for the same key whose event time falls within
+    * `[left.ts, left.ts + maxDelaySeconds]` — the orders×payments shape.
+    * BOTH sides carry watermarks and the join condition bounds event time
+    * in both directions, so Spark can evict state: each side holds only
+    * the watermark horizon + delay window, not the whole stream (the
+    * unbounded-state trap of an unconstrained stream-stream join).
+    * Input schema both sides: (event_id, ts TIMESTAMP/NTZ, user_id,
+    * event_type, value); output pairs left and right ids/times per key. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       maxDelaySeconds: Long = 600,
+                       watermark: String = "30 minutes"): DataFrame = {
+    val l = left
+      .withColumn("l_ts", col("ts").cast("timestamp"))
+      .withWatermark("l_ts", watermark)
+      .select(col("event_id").as("l_id"), col("l_ts"), col("user_id"),
+        col("value").as("l_value"))
+    val r = right
+      .withColumn("r_ts", col("ts").cast("timestamp"))
+      .withWatermark("r_ts", watermark)
+      .select(col("event_id").as("r_id"), col("r_ts"), col("user_id").as("r_user"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelaySeconds SECONDS"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"),
+        col("l_value"), col("r_value"))
+  }
+
   /** Batch twin of [[sessionize]]: gaps-and-islands — a session boundary
     * wherever the gap to the previous event (per user, event-time order,
     * event_id tie-break) exceeds `gapMs`; the running count of boundaries

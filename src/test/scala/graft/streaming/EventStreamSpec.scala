@@ -118,6 +118,47 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the dim per micro-batch, keeps unmatched events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = EventStream.enrich(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((10L, ts(0), 1L, "buy", 5.0), (11L, ts(1), 9L, "buy", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getLong(1) -> Option(r.getAs[String]("tier"))).toMap
+      assert(rows == Map(10L -> Some("gold"), 11L -> None))
+    } finally q.stop()
+  }
+
+  test("stream-stream join pairs events within the delay window, drops outside it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lm = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val rm = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.streamStreamJoin(df(lm), df(rm), maxDelaySeconds = 600)
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lm.addData((1L, ts(0), 1L, "order", 10.0), (2L, ts(0), 2L, "order", 20.0))
+      rm.addData(
+        (100L, ts(5), 1L, "payment", 10.0),   // within 10 min of order 1
+        (101L, ts(20), 2L, "payment", 20.0),  // 20 min after order 2 -> outside
+        (102L, ts(8), 3L, "payment", 30.0))   // no matching order
+      q.processAllAvailable()
+      val pairs = spark.table("ss_join").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(pairs == Set((1L, 100L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("file source end to end: declared-schema parquet stream matches the batch twin") {
     import org.apache.spark.sql.functions._
     // Lay the events fixture out as 3 separate parquet files (the raw
