@@ -31,31 +31,48 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
       else SparkEntry.queries
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      // A failed query must be visible in the JSON (-1 sentinel), not
-      // recorded as a fast success of elapsed-until-crash seconds.
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // Each query is measured standalone: drop its persisted intermediates
-      // (operators persist diamond-shaped subplans and leave lifetime to the
-      // caller) so later queries don't compete with dead blocks for the
-      // storage pool. Cleanup happens outside the timed window.
+    // Each query runs TWICE: a cold rep (pays its codegen/JIT/class-load
+    // one-time costs) and a warm rep. The WARM time is the headline
+    // `queries` number — cold single-shots manufactured phantom
+    // regressions two rounds running (r3: d_simhash/e_lsh_topk; r4:
+    // k_merge read as a 3.1× regression that re-benched warm at r3
+    // levels) — with cold times kept alongside in `cold` so startup-cost
+    // drift stays visible. Per-query persisted-cache/GC cleanup runs
+    // between and after reps, outside the timed windows, so warm reps
+    // re-execute the full plan (nothing is served from a leftover cache)
+    // and only JVM-level warmth carries over.
+    def cleanup(): Unit = {
+      // Drop persisted intermediates (operators persist diamond-shaped
+      // subplans and leave lifetime to the caller) so later runs don't
+      // compete with dead blocks for the storage pool.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // ContextCleaner reaps dead broadcasts/shuffles only when their refs
       // are GC'd; 50+ queries in one JVM otherwise accumulate pinned
       // blocks until later queries pay the memory pressure (r3: identical
-      // queries measured up to 9× their isolated-JVM times). One explicit
-      // GC per query, outside the timed window, keeps measurements
-      // independent.
+      // queries measured up to 9× their isolated-JVM times).
       System.gc()
-      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        // A failed query must be visible in the JSON (-1 sentinel), not
+        // recorded as a fast success of elapsed-until-crash seconds.
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        cleanup()
+        dt
+      }
+      val cold = rep()
+      val warm = if (cold >= 0) rep() else -1.0
+      (name, cold, warm)
+    }
+    def toJson(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = toJson(results.map { case (n, _, w) => n -> w })
+    val colds = toJson(results.map { case (n, c, _) => n -> c })
+    val total = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

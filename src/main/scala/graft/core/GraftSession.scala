@@ -78,8 +78,14 @@ object GraftSession {
     // catalogs (the Iceberg target), build the session with
     // spark.sql.extensions=graft.functions.GraftExtensions, whose
     // injection point runs early enough.
-    val viaExtensions = spark.conf.getOption("spark.sql.extensions")
-      .exists(_.contains("GraftExtensions"))
+    // Detection reads the OPTIMIZER'S OWN batches, not the
+    // spark.sql.extensions conf: a session built programmatically via
+    // .withExtensions(new GraftExtensions) never sets that conf, and
+    // extraOptimizations.contains misses the extension-injected copy (it
+    // lives in the operator-optimization batch). batches is recomputed per
+    // access, so it sees both registration paths.
+    val viaExtensions = spark.sessionState.optimizer.batches
+      .exists(_.rules.exists(_ eq graft.plans.YearRangeRewrite))
     if (!viaExtensions &&
         !spark.experimental.extraOptimizations.contains(graft.plans.YearRangeRewrite)) {
       spark.experimental.extraOptimizations =

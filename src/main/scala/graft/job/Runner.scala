@@ -101,13 +101,17 @@ object Runner {
     * whole-table path's skipped years.
     *
     * `years` narrows the refresh (e.g. re-run just 2024 after a source
-    * correction); default = the reference's every-year-since-firstYear loop.
+    * correction). An explicit `years` BYPASSES the day-1-to-5 due gate:
+    * the override exists precisely for targeted mid-month re-runs, and
+    * gating it would silently return Map.empty and leave the stale
+    * partition serving. Default = the reference's gated
+    * every-year-since-firstYear loop.
     */
   def runRessarcimentoPartitioned(spark: SparkSession, config: Map[String, String],
                                   sink: PartitionedParquetSink, today: LocalDate,
                                   firstYear: Int = 2023,
                                   years: Option[Seq[Int]] = None): Map[Int, Long] = {
-    if (!ressarcimentoDue(today)) return Map.empty
+    if (years.isEmpty && !ressarcimentoDue(today)) return Map.empty
     yearLoop(spark, config, years.getOrElse(ressarcimentoYears(today, firstYear))) {
       case (year, Some(df)) =>
         Some(sink.write(

@@ -77,10 +77,16 @@ object CorpusOps {
   /** In-plan temperature rebalance: [[temperatureRates]] composed with the
     * hash-gated sampler WITHOUT a driver action — the per-stratum counts,
     * shares, p^(1/T) weights, and per-mille rates are all computed inside
-    * the plan (two constant-key windows over the tiny counts frame,
-    * bounded by the stratum count) and broadcast-joined back. Use this in
-    * pipelines; use [[temperatureRates]] when the counts are already
-    * known (catalog stats) or rates need auditing. */
+    * the plan (two windows over the tiny counts frame) and
+    * broadcast-joined back. The `partitionBy(lit(0))` key is FOLDED AWAY
+    * by Spark's optimizer (foldable partition expressions are
+    * eliminated), so these windows genuinely run unpartitioned through
+    * one task — accepted because their input is the per-stratum counts
+    * frame, bounded by the stratum count, never by the corpus; the
+    * `WindowExec: No Partition Defined` log line they emit is expected
+    * and refers to exactly this bounded frame. Use this in pipelines; use
+    * [[temperatureRates]] when the counts are already known (catalog
+    * stats) or rates need auditing. */
   def temperatureSample(documents: DataFrame, stratum: String = "lang",
                         temperature: Double = 2.0): DataFrame = {
     require(temperature > 0.0, "temperature must be positive")
@@ -199,11 +205,14 @@ object CorpusOps {
     * column `__b` (MONOTONE in the order columns, so (bucket, order)
     * order IS the global order), produce per-row global rank `__rn` =
     * bucket offset + in-bucket rank — without a single-partition window
-    * over the data. The offsets cumsum runs under a constant partition
-    * key: one partition over ≤ bucket-count rows, bounded by the knob,
-    * never by the data (the constant key also keeps Spark's
-    * moving-all-data warning, which is about unbounded inputs, out of
-    * the logs).
+    * over the data. The offsets cumsum's `partitionBy(lit(0))` key is
+    * FOLDED AWAY by Spark's optimizer (foldable partition expressions
+    * are eliminated), so it genuinely runs as an unpartitioned window
+    * through one task — accepted because its input is the per-bucket
+    * counts frame: ≤ bucket-count rows, bounded by the knob, never by
+    * the data. The `WindowExec: No Partition Defined` warning this emits
+    * at plan time is expected and refers to this bounded counts frame,
+    * not the corpus.
     *
     * Rows whose bucket is NULL (a NULL order key) would silently drop in
     * the bucket join AND shift every offset — callers must filter NULL

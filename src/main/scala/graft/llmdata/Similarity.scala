@@ -96,15 +96,51 @@ object Similarity {
     topKFrom(n, nQueries, k)
   }
 
+  /** Input-row ceiling for the quadratic verification baseline
+    * ([[cosineNearDupPairs]]): 20k rows = 200M pairs, the most a
+    * "small verification input" defensibly means. Documented-small-only
+    * was not enforced before; now an oversized input fails loudly at
+    * plan-build instead of silently launching an N² job. */
+  val MaxQuadraticRows = 20000
+
+  /** Fail fast if `embeddings` exceeds `maxRows`. The probe is a
+    * `limit(maxRows + 1).count()` — it stops scanning as soon as the limit
+    * is reached, so the guard costs a bounded prefix read, never a full
+    * pass; that one small job at plan-build time is the explicit price of
+    * making the quadratic baseline un-misusable. */
+  private def requireSmall(embeddings: DataFrame, maxRows: Int, op: String): Unit = {
+    require(embeddings.limit(maxRows + 1).count() <= maxRows,
+      s"$op is the quadratic all-pairs verification baseline and its input exceeds " +
+        s"maxRows=$maxRows; use the LSH bucket path (lshNearDupPairs / lshNearDupAgainst) " +
+        s"at scale, or raise maxRows explicitly for a deliberate oversized verification run")
+  }
+
   /** Exact near-duplicate pairs: cosine >= threshold, id_a < id_b.
-    * Quadratic — correctness baseline for [[lshTopK]]-style pruning; at
+    * Quadratic — correctness baseline for [[lshTopK]]-style pruning,
+    * GUARDED to `maxRows` input rows (see [[MaxQuadraticRows]]); at
     * scale replace the cross join with the LSH bucket join. */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
+                         maxRows: Int = MaxQuadraticRows): DataFrame = {
+    requireSmall(embeddings, maxRows, "cosineNearDupPairs")
     val e = withNorm(embeddings).select(col("vec_id"), col("ed"), col("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", expr(sparkCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+  }
+
+  /** Zero-pad an embedding column to the signature kernel's pinned
+    * [[graft.functions.HashKernels.SigDims]] width so sub-width vectors
+    * (e.g. [[Multimodal.featurize]]'s 8-dim features) can enter the LSH
+    * path. Zero padding changes neither dot products nor norms — cosines
+    * are untouched — while the kernel, which signs any non-64-dim vector
+    * out as 0 (one bucket for everything = the quadratic product it exists
+    * to avoid, silently), sees full-width vectors with meaningful
+    * projections. Already-full-width vectors pass through unchanged
+    * (`array_repeat` with a non-positive count is empty). */
+  def padToSigDims(embedding: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ed = transform(embedding, x => x.cast("double"))
+    concat(ed, array_repeat(lit(0.0d), lit(graft.functions.HashKernels.SigDims) - size(ed)))
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane p, dim d):

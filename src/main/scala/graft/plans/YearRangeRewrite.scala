@@ -116,7 +116,10 @@ object YearRangeRewrite extends Rule[LogicalPlan] {
   private val MaxInYears = 31
   private def inRanges(inner: Expression, list: Seq[Expression]): Option[Expression] = {
     val lits = list.collect { case l: Literal => l }
-    if (lits.length != list.length || lits.exists(_.value == null) ||
+    // empty IN-list (isin() with zero args): nothing to rewrite, and the
+    // reduceLeft below would throw — an optimizer rule must never be able
+    // to crash planning, whatever earlier batches did or didn't eliminate
+    if (lits.isEmpty || lits.length != list.length || lits.exists(_.value == null) ||
         lits.length > MaxInYears) None
     else {
       val ranges = lits.distinct.map(range(inner, _))

@@ -81,11 +81,27 @@ object LlmData {
     "m_frames" -> ((s, d) => Multimodal.sampleFrames(s, docs(s, d))),
     "m_resize" -> ((s, d) => Multimodal.resize(s, docs(s, d)).toDF()),
     // composition: multimodal feature extraction feeding similarity search
+    // (exact all-pairs form — the guarded verification baseline for the
+    // LSH twin below)
     "m_embed_neardup" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       Similarity.cosineNearDupPairs(
         Multimodal.featurize(s, docs(s, d))
           .select(col("doc_id").as("vec_id"), col("feature").as("embedding")),
+        threshold = 0.99)
+    }),
+    // the same composition through the LSH bucket path — the 100 TB form:
+    // candidates are band-bucket-local, never all-pairs. The 8-dim
+    // features are zero-padded to the signature kernel's 64-dim width
+    // (cosine-invariant; an unpadded 8-dim vector would sign out as 0 and
+    // collapse every row into one bucket — the quadratic product again,
+    // silently).
+    "m_embed_neardup_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.lshNearDupPairs(
+        Multimodal.featurize(s, docs(s, d))
+          .select(col("doc_id").as("vec_id"),
+            Similarity.padToSigDims(col("feature")).as("embedding")),
         threshold = 0.99)
     }),
     "m_features" -> ((s, d) => {
@@ -427,6 +443,29 @@ object LlmData {
        |FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
        |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.99""".stripMargin
 
+  /** DuckDB twin of `m_embed_neardup_lsh`: the featurize CTE (same byte
+    * math as [[embedNeardupSql]]) zero-padded to the signature width, then
+    * the standard LSH machinery ([[lshNeardupSql]]'s planes/bands/verify)
+    * at the composition's 0.99 threshold. Padding is cosine-invariant, so
+    * the exact-verify step scores the same doubles as the unpadded form. */
+  private val embedNeardupLshSql = {
+    val mask = (1 << Similarity.LshBandBits) - 1
+    val pad = graft.functions.HashKernels.SigDims - 8
+    s"""WITH f AS (SELECT doc_id AS vec_id,
+       |  list_transform(range(0, 8), j -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(j + 1, length(text) + 1, 8), i -> CAST(ord(text[i]) AS BIGINT))), (h, c) -> (h * 31 + c) % ${P}) AS DOUBLE) / ${P}.0) AS f8
+       |FROM documents),
+       |p AS (SELECT vec_id, list_concat(f8, list_transform(range(0, $pad), i -> CAST(0.0 AS DOUBLE))) AS ed FROM f),
+       |n2 AS (SELECT vec_id, ed, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ed, v -> v * v)), (s, v) -> s + v)) AS nrm FROM p),
+       |sig AS (SELECT vec_id, $lshSigTerms AS s FROM n2),
+       |bands AS (SELECT vec_id, c AS band, (s >> (c * ${Similarity.LshBandBits})) & $mask AS band_val
+       |          FROM sig, (SELECT unnest(range(0, ${Similarity.LshBands})) AS c)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b
+       |FROM cand JOIN n2 a ON cand.id_a = a.vec_id JOIN n2 b ON cand.id_b = b.vec_id
+       |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.99""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "t_tokens" -> tokensSql,
     "t_quality" -> qualitySql,
@@ -453,5 +492,6 @@ object LlmData {
     "m_frames" -> framesSql,
     "m_resize" -> resizeSql,
     "m_features" -> featuresSql,
-    "m_embed_neardup" -> embedNeardupSql)
+    "m_embed_neardup" -> embedNeardupSql,
+    "m_embed_neardup_lsh" -> embedNeardupLshSql)
 }

@@ -188,7 +188,13 @@ final class PartitionedParquetSink(spark: SparkSession, path: String,
     * has no files left to infer a schema from — like any empty
     * parquet directory, reading it is the caller's error. */
   def deletePartition(value: Any): Boolean = {
-    val dir = new Path(path, s"$partitionCol=$value")
+    // Spark escapes partition values in directory names (spaces, ':', '%',
+    // …); build the name through the same escaper or a string value like
+    // "a b" would never match its on-disk "a%20b" directory and the stale
+    // partition would silently keep serving.
+    val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(String.valueOf(value))
+    val dir = new Path(path, s"$partitionCol=$escaped")
     fs.exists(dir) && fs.delete(dir, true)
   }
 }
