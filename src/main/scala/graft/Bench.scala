@@ -72,7 +72,14 @@ object Bench {
     val qs = toJson(results.map { case (n, _, w) => n -> w })
     val colds = toJson(results.map { case (n, c, _) => n -> c })
     val total = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
+    // Two lines, detail FIRST: the driver keeps only the last ~2 kB of
+    // stdout, and the full per-query map (64 warm + 64 cold entries) is
+    // ~4.4 kB — emitted last it truncates the line's own prefix and the
+    // round's headline parses as null (round 5's bench was lost exactly
+    // this way). The final line is the parse target: short (<1 kB), no
+    // per-query maps, guaranteed to fit any tail buffer.
+    println(s"""{"metric":"detail","warm":$qs,"cold":$colds,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

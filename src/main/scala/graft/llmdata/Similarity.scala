@@ -251,17 +251,36 @@ object Similarity {
   /** `planes`-bit hyperplane signature over the `ed` column — the codegen'd
     * [[graft.functions.ArrayHyperplaneSig]] kernel (one static call in the
     * generated code; the literal-plane form it replaced inlined planes×64
-    * double literals and cost ~2 s of janino compile per cold query). */
-  private def lshSigExpr(planes: Int): String = s"hyperplane_sig(ed, $planes)"
+    * double literals and cost ~2 s of janino compile per cold query).
+    *
+    * `sigCenterDims`/`sigCenterAt`: optionally subtract a constant from the
+    * first `sigCenterDims` dims BEFORE signing (candidate generation only —
+    * verify cosines always score the raw vectors). Random-hyperplane
+    * signatures separate by ANGLE AROUND THE ORIGIN, so a corpus confined
+    * to the positive orthant (e.g. [[Multimodal.featurize]]'s per-dim
+    * uniform-[0,1) hash features) is near-parallel as the planes see it and
+    * banding prunes nothing: round 5 measured 94.5% of all pairs surviving
+    * as candidates — all-pairs plus banding overhead. Centering each dim at
+    * its population mean spreads directions over the whole sphere and
+    * restores the banding's selectivity. Centering is a per-vector affine
+    * shift: vectors that are near-identical raw stay near-identical
+    * centered, so high-threshold near-dup recall is preserved. */
+  private def lshSigExpr(planes: Int, sigCenterDims: Int, sigCenterAt: Double): String =
+    if (sigCenterDims <= 0) s"hyperplane_sig(ed, $planes)"
+    else s"hyperplane_sig(transform(ed, (x, i) -> IF(i < $sigCenterDims, x - ${sigCenterAt}D, x)), $planes)"
 
   /** Explode a signature column into (band, band_val) bucket keys. */
   private def explodeBands(sig: DataFrame, extraCols: Seq[String],
                            planes: Int, bandBits: Int): DataFrame = {
     require(planes % bandBits == 0, s"planes $planes not divisible by bandBits $bandBits")
+    // The mask must be built in Long space: `1 << 32` wraps to 1 in Int
+    // (JVM shifts are mod 32), so an Int mask at bandBits=32 would be 0 —
+    // every row in one bucket, the quadratic product back again, silently.
+    require(bandBits >= 1 && bandBits <= 63, s"bandBits $bandBits out of [1, 63]")
     val bands = planes / bandBits
     sig.select(
       (extraCols.map(col) :+
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), c -> (__sig >> (c * $bandBits)) & ${(1 << bandBits) - 1})"))): _*)
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), c -> (__sig >> (c * $bandBits)) & ${(1L << bandBits) - 1}L)"))): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
   }
 
@@ -276,11 +295,13 @@ object Similarity {
     * additionally caches the normalized vectors when the caller re-attaches
     * them repeatedly. */
   private def normAndBands(embs: DataFrame, planes: Int, bandBits: Int,
-                           persistNorm: Boolean): (DataFrame, DataFrame) = {
+                           persistNorm: Boolean,
+                           sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): (DataFrame, DataFrame) = {
     val n0 = withNorm(embs)
     val n = if (persistNorm) graft.core.CacheScope.persisted(n0) else n0
     val sig = graft.core.CacheScope.persisted(
-      n.withColumn("__sig", expr(lshSigExpr(planes))).select("vec_id", "__sig"))
+      n.withColumn("__sig", expr(lshSigExpr(planes, sigCenterDims, sigCenterAt)))
+        .select("vec_id", "__sig"))
     (n, explodeBands(sig, Seq("vec_id"), planes, bandBits))
   }
 
@@ -317,6 +338,28 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
   }
 
+  /** Deduped within-set candidate pairs (id_a < id_b) from a band frame —
+    * the bucket self-join at the heart of [[lshNearDupPairs]]. */
+  private def pairCandIds(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+
+  /** The candidate PAIRS a given banding config would verify — public so
+    * banding selectivity (candidate count / N·(N−1)/2) is a measurable,
+    * regression-testable quantity per config instead of a buried cost.
+    * Same construction as [[lshNearDupPairs]] minus the verify step. */
+  def lshPairCandidates(embeddings: DataFrame,
+                        planes: Int = LshPlanes, bandBits: Int = LshBandBits,
+                        sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
+    val (_, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = false,
+      sigCenterDims, sigCenterAt)
+    pairCandIds(bands)
+  }
+
   /** LSH-bucketed near-duplicate pairs — the 100 TB replacement for
     * [[cosineNearDupPairs]]'s all-pairs product: candidates are only pairs
     * sharing at least one signature band (bucket join on (band, band_val)),
@@ -326,19 +369,19 @@ object Similarity {
     * bands misses are rare and vanish as cos → 1 — the standard banding
     * trade, tested against the exact baseline in the suite).
     *
+    * Banding only separates what the planes can see: inputs clustered in
+    * one orthant need `sigCenterDims`/`sigCenterAt` (see [[lshSigExpr]]) so
+    * signatures discriminate — verify cosines are unaffected.
+    *
     * The bucket join carries only (vec_id, band, band_val); vectors are
     * re-attached to the (rare) deduped candidate ids afterwards, so the wide
     * embedding arrays never enter the candidate shuffle. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
-                      planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
-    val (n, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = true)
-    val candIds = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    candIds
+                      planes: Int = LshPlanes, bandBits: Int = LshBandBits,
+                      sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
+    val (n, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = true,
+      sigCenterDims, sigCenterAt)
+    pairCandIds(bands)
       .join(n.select(col("vec_id").as("id_a"), col("ed").as("ea"), col("nrm").as("na")), "id_a")
       .join(n.select(col("vec_id").as("id_b"), col("ed").as("eb"), col("nrm").as("nb")), "id_b")
       .filter(expr(sparkCosPre("ea", "eb", "na", "nb")) >= threshold)

@@ -95,14 +95,26 @@ object LlmData {
     // features are zero-padded to the signature kernel's 64-dim width
     // (cosine-invariant; an unpadded 8-dim vector would sign out as 0 and
     // collapse every row into one bucket — the quadratic product again,
-    // silently).
+    // silently). Featurize emits per-dim uniform-[0,1) hash values —
+    // positive-orthant vectors that uncentered hyperplanes cannot separate
+    // (round 5: 94.5% of all pairs survived banding as candidates) — so
+    // the SIGNATURES are computed over mean-centered dims (population mean
+    // 0.5 is a distributional constant of the featurizer, not a data
+    // pass), with 40 planes in 2×20-bit bands. Measured on the sf0.1
+    // fixture: 3.3% of all pairs survive as candidates (415,867 of
+    // 12,497,500). Exact verify still scores the RAW cosines. The recall
+    // trade is real and deliberate: of the exact baseline's 1,008 pairs at
+    // cos>=0.99, only 8 are identical-feature duplicates (all retained —
+    // identical vectors center to identical signatures); the rest are
+    // chance angular alignments of 8-dim hash features, of which wide
+    // bands keep ~37%. SCALING.md tabulates the config space.
     "m_embed_neardup_lsh" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       Similarity.lshNearDupPairs(
         Multimodal.featurize(s, docs(s, d))
           .select(col("doc_id").as("vec_id"),
             Similarity.padToSigDims(col("feature")).as("embedding")),
-        threshold = 0.99)
+        threshold = 0.99, planes = 40, bandBits = 20, sigCenterDims = 8, sigCenterAt = 0.5)
     }),
     "m_features" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -297,10 +309,15 @@ object LlmData {
 
   /** The 32-plane signature expression over `ed` — shared by every LSH
     * oracle so Spark and DuckDB always hash with identical planes. */
-  private val lshSigTerms: String = (0 until Similarity.LshPlanes).map { p =>
-    val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> ed[i] * ${Similarity.planeWeightSql(p.toString, "(i - 1)")})), (s, v) -> s + v)"
-    s"CASE WHEN ($dot) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-  }.mkString(" + ")
+  /** DuckDB hyperplane-signature terms over list column `col` (same LCG
+    * planes, same dim-ascending add order as the Spark kernel). */
+  private def lshSigTermsOver(colName: String, planes: Int = Similarity.LshPlanes): String =
+    (0 until planes).map { p =>
+      val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $colName[i] * ${Similarity.planeWeightSql(p.toString, "(i - 1)")})), (s, v) -> s + v)"
+      s"CASE WHEN ($dot) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+
+  private val lshSigTerms: String = lshSigTermsOver("ed")
 
   /** DuckDB twin of Similarity.lshTopK — same LCG plane weights, same
     * signature bits, same band buckets, same re-rank; the only freedom left
@@ -445,20 +462,29 @@ object LlmData {
 
   /** DuckDB twin of `m_embed_neardup_lsh`: the featurize CTE (same byte
     * math as [[embedNeardupSql]]) zero-padded to the signature width, then
-    * the standard LSH machinery ([[lshNeardupSql]]'s planes/bands/verify)
-    * at the composition's 0.99 threshold. Padding is cosine-invariant, so
-    * the exact-verify step scores the same doubles as the unpadded form. */
+    * the LSH machinery at the composition's knobs — signatures over the
+    * MEAN-CENTERED dims (x − 0.5, the featurizer's population mean; the
+    * identical double subtraction the Spark side performs), 40 planes in
+    * 2 bands × 20 bits, exact verify on the RAW padded vectors at 0.99.
+    * Padding is cosine-invariant, so the verify step scores the same
+    * doubles as the unpadded form. */
   private val embedNeardupLshSql = {
-    val mask = (1 << Similarity.LshBandBits) - 1
+    val planes = 40
+    val bandBits = 20
+    val nBands = planes / bandBits
+    val mask = (1L << bandBits) - 1
     val pad = graft.functions.HashKernels.SigDims - 8
     s"""WITH f AS (SELECT doc_id AS vec_id,
        |  list_transform(range(0, 8), j -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(j + 1, length(text) + 1, 8), i -> CAST(ord(text[i]) AS BIGINT))), (h, c) -> (h * 31 + c) % ${P}) AS DOUBLE) / ${P}.0) AS f8
        |FROM documents),
-       |p AS (SELECT vec_id, list_concat(f8, list_transform(range(0, $pad), i -> CAST(0.0 AS DOUBLE))) AS ed FROM f),
-       |n2 AS (SELECT vec_id, ed, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ed, v -> v * v)), (s, v) -> s + v)) AS nrm FROM p),
-       |sig AS (SELECT vec_id, $lshSigTerms AS s FROM n2),
-       |bands AS (SELECT vec_id, c AS band, (s >> (c * ${Similarity.LshBandBits})) & $mask AS band_val
-       |          FROM sig, (SELECT unnest(range(0, ${Similarity.LshBands})) AS c)),
+       |p AS (SELECT vec_id,
+       |  list_concat(f8, list_transform(range(0, $pad), i -> CAST(0.0 AS DOUBLE))) AS ed,
+       |  list_concat(list_transform(f8, x -> x - 0.5), list_transform(range(0, $pad), i -> CAST(0.0 AS DOUBLE))) AS cd
+       |FROM f),
+       |n2 AS (SELECT vec_id, ed, cd, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ed, v -> v * v)), (s, v) -> s + v)) AS nrm FROM p),
+       |sig AS (SELECT vec_id, ${lshSigTermsOver("cd", planes)} AS s FROM n2),
+       |bands AS (SELECT vec_id, c AS band, (s >> (c * $bandBits)) & $mask AS band_val
+       |          FROM sig, (SELECT unnest(range(0, $nBands)) AS c)),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b
