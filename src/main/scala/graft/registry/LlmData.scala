@@ -68,6 +68,27 @@ object LlmData {
       Similarity.lshNearDupAgainst(
         all.filter(col("vec_id") % 5 === 0), all.filter(col("vec_id") % 5 =!= 0))
     }),
+    // banding selectivity as a first-class, per-run number: candidate-pair
+    // counts for the knob sets in production use, so a degenerate banding
+    // (round 5: 94.5% survival masquerading as "bucket-local") shows up in
+    // every CORRECTNESS/BENCH run instead of needing a manual audit.
+    // emb_8x4 = e_lsh_neardup's knobs (moderate threshold 0.4 needs narrow
+    // bands for recall); emb_4x8 = the wide-band alternative (high
+    // thresholds only — at 0.4 its per-pair recall is ~10%);
+    // mm_centered_2x20 = m_embed_neardup_lsh's centered wide-band config.
+    "e_lsh_selectivity" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      def cnt(df: DataFrame, cfg: String, planes: Int, bandBits: Int, cDims: Int): DataFrame =
+        Similarity.lshPairCandidates(df, planes, bandBits, cDims, 0.5)
+          .groupBy().agg(count(lit(1)).as("candidates"))
+          .select(lit(cfg).as("cfg"), col("candidates"))
+      val mm = Multimodal.featurize(s, docs(s, d))
+        .select(col("doc_id").as("vec_id"),
+          Similarity.padToSigDims(col("feature")).as("embedding"))
+      cnt(embs(s, d), "emb_8x4", Similarity.LshPlanes, Similarity.LshBandBits, 0)
+        .unionByName(cnt(embs(s, d), "emb_4x8", Similarity.LshPlanes, 8, 0))
+        .unionByName(cnt(mm, "mm_centered_2x20", 40, 20, 8))
+    }),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     "e_kmeans" -> ((s, d) => {
@@ -492,6 +513,37 @@ object LlmData {
        |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.99""".stripMargin
   }
 
+  /** DuckDB twin of `e_lsh_selectivity`: the same three banding configs,
+    * each counting its DISTINCT surviving candidate pairs — embeddings at
+    * 8×4 (e_lsh_neardup's knobs) and 4×8, plus the featurize composition
+    * at its centered 2×20 production config. */
+  private val lshSelectivitySql = {
+    def bandCte(sigRel: String, planes: Int, bandBits: Int): String = {
+      val nBands = planes / bandBits
+      val mask = (1L << bandBits) - 1
+      s"SELECT vec_id, c AS band, (s >> (c * $bandBits)) & $mask AS band_val " +
+        s"FROM $sigRel, (SELECT unnest(range(0, $nBands)) AS c)"
+    }
+    def candCount(bandsRel: String): String =
+      s"(SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j " +
+        s"FROM $bandsRel a JOIN $bandsRel b " +
+        s"ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id))"
+    val pad = graft.functions.HashKernels.SigDims - 8
+    s"""WITH $normCte,
+       |sig AS (SELECT vec_id, $lshSigTerms AS s FROM n2),
+       |b4 AS (${bandCte("sig", Similarity.LshPlanes, Similarity.LshBandBits)}),
+       |b8 AS (${bandCte("sig", Similarity.LshPlanes, 8)}),
+       |f AS (SELECT doc_id AS vec_id,
+       |  list_transform(range(0, 8), j -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(j + 1, length(text) + 1, 8), i -> CAST(ord(text[i]) AS BIGINT))), (h, c) -> (h * 31 + c) % ${P}) AS DOUBLE) / ${P}.0) AS f8
+       |FROM documents),
+       |p AS (SELECT vec_id, list_concat(list_transform(f8, x -> x - 0.5), list_transform(range(0, $pad), i -> CAST(0.0 AS DOUBLE))) AS cd FROM f),
+       |sigm AS (SELECT vec_id, ${lshSigTermsOver("cd", 40)} AS s FROM p),
+       |bm AS (${bandCte("sigm", 40, 20)})
+       |SELECT 'emb_8x4' AS cfg, ${candCount("b4")} AS candidates
+       |UNION ALL SELECT 'emb_4x8', ${candCount("b8")}
+       |UNION ALL SELECT 'mm_centered_2x20', ${candCount("bm")}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "t_tokens" -> tokensSql,
     "t_quality" -> qualitySql,
@@ -509,6 +561,7 @@ object LlmData {
     "e_quant_topk" -> quantTopkSql,
     "e_neardup" -> neardupSql,
     "e_lsh_neardup" -> lshNeardupSql,
+    "e_lsh_selectivity" -> lshSelectivitySql,
     "e_cross_neardup" -> crossNeardupSql,
     "e_lsh_topk" -> lshTopkSql,
     "e_ivf_topk" -> ivfTopkSql,

@@ -109,5 +109,16 @@ class RunnerIntegrationSpec extends AnyFunSuite {
     assert(w3.isEmpty)
     assert(sink.read().filter(col("ano") === 1994).count() == 0)
     assert(sink.read().filter(col("ano") === 1997).count() == rows1997)
+
+    // An explicit `years` override must BYPASS the day-1-to-5 due gate —
+    // it exists for targeted mid-month re-runs; the default loop on the
+    // same date stays gated (both against the same config and sink).
+    val midMonth = LocalDate.of(1998, 8, 12)
+    assert(Runner.runRessarcimentoPartitioned(spark, config, sink, midMonth,
+      firstYear = 1997).isEmpty, "default loop must stay due-gated mid-month")
+    val w4 = Runner.runRessarcimentoPartitioned(spark, config, sink, midMonth,
+      firstYear = 1997, years = Some(Seq(1998)))
+    assert(w4.keySet == Set(1998))
+    assert(w4(1998) > 0)
   }
 }

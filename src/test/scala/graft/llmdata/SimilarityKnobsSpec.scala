@@ -1,0 +1,101 @@
+package graft.llmdata
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the similarity path's guard rails and banding knobs: the
+  * quadratic-baseline row ceiling, signature-width padding, and the
+  * sig-centering that keeps banding selective on positive-orthant inputs.
+  */
+class SimilarityKnobsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** n deterministic pseudo-random vectors with dims uniform-ish in [0,1)
+    * — same distributional shape as Multimodal.featurize's hash features
+    * (positive orthant, mean 0.5 per dim). */
+  private def vecs(n: Int, dims: Int): org.apache.spark.sql.DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(1, $dims), j -> CAST(abs(hash(vec_id * $dims + j)) % 997 AS DOUBLE) / 997.0)")
+        .as("embedding"))
+
+  test("cosineNearDupPairs guard trips past maxRows and admits inputs at the limit") {
+    // The guard must fail at PLAN BUILD (before any N² job is scheduled),
+    // so the assertion is on the builder call itself.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(vecs(12, 8), threshold = 0.5, maxRows = 10)
+    }
+    assert(e.getMessage.contains("quadratic"))
+    // exactly at the ceiling: plan builds and executes
+    assert(Similarity.cosineNearDupPairs(vecs(10, 8), threshold = -1.0, maxRows = 10)
+      .count() == 45L) // all 10*9/2 pairs pass at threshold -1
+  }
+
+  test("padToSigDims pads sub-width vectors with zeros and passes full-width through") {
+    val padded = vecs(3, 8)
+      .select(col("vec_id"), col("embedding").as("orig"),
+        Similarity.padToSigDims(col("embedding")).as("p"))
+      .withColumn("n", size(col("p")))
+      .withColumn("tail_zero", expr("forall(slice(p, 9, 56), x -> x = 0.0D)"))
+      .withColumn("head_kept", expr(
+        "forall(zip_with(slice(p, 1, 8), orig, (a, b) -> a = CAST(b AS DOUBLE)), x -> x)"))
+      .collect()
+    assert(padded.forall(_.getAs[Int]("n") == graft.functions.HashKernels.SigDims))
+    assert(padded.forall(_.getAs[Boolean]("tail_zero")))
+    assert(padded.forall(_.getAs[Boolean]("head_kept")))
+    // full-width input: array_repeat with a non-positive count is empty, so
+    // the vector passes through element-for-element unchanged
+    val full = vecs(3, 64)
+      .select(col("embedding").as("orig"), Similarity.padToSigDims(col("embedding")).as("p"))
+      .withColumn("same", expr(
+        "size(p) = 64 AND forall(zip_with(p, orig, (a, b) -> a = CAST(b AS DOUBLE)), x -> x)"))
+      .collect()
+    assert(full.forall(_.getAs[Boolean]("same")))
+  }
+
+  test("sig-centering restores banding selectivity on positive-orthant vectors") {
+    // 200 vectors whose dims are uniform-ish in [0,1): all in the positive
+    // orthant, so uncentered hyperplanes see a near-parallel bundle. At the
+    // DEFAULT 8x4 banding the uncentered form must be near-degenerate
+    // (>50% of all pairs — round 5 measured 94.5% on the real fixture);
+    // at the same config, centering must collapse the candidate set.
+    val feats = vecs(200, 8)
+      .select(col("vec_id"), Similarity.padToSigDims(col("embedding")).as("embedding"))
+    val possible = 200L * 199 / 2
+    val uncentered = Similarity.lshPairCandidates(feats).count()
+    val centered = Similarity.lshPairCandidates(feats,
+      sigCenterDims = 8, sigCenterAt = 0.5).count()
+    assert(uncentered > possible / 2,
+      s"fixture not degenerate enough to prove anything: $uncentered of $possible")
+    // At the same 8x4 config centering roughly halves the survivors (4-bit
+    // bands stay weakly selective by construction — the production knob
+    // set pairs centering WITH wider bands, asserted next).
+    assert(centered < (uncentered * 3) / 4,
+      s"centering should shrink the candidate set: $centered vs $uncentered")
+    val centeredWide = Similarity.lshPairCandidates(feats, planes = 40, bandBits = 20,
+      sigCenterDims = 8, sigCenterAt = 0.5).count()
+    assert(centeredWide < possible / 12,
+      s"centered 2x20 banding should prune to a few percent: $centeredWide of $possible")
+    // identical vectors center to identical signatures: every duplicated
+    // vec is still a candidate of its twin
+    val dup = feats.union(feats.withColumn("vec_id", col("vec_id") + 1000))
+    val cands = Similarity.lshPairCandidates(dup, planes = 40, bandBits = 20,
+      sigCenterDims = 8, sigCenterAt = 0.5)
+      .filter(col("id_b") === col("id_a") + 1000).count()
+    assert(cands == 200L, s"all 200 identical twins must stay candidates, got $cands")
+  }
+
+  test("explodeBands mask stays correct at wide band widths (no Int wraparound)") {
+    // bandBits=32 used to produce an Int mask of 0 — every vector in one
+    // bucket, i.e. the quadratic product back again. With the Long mask,
+    // 1x32 banding must separate vectors with different signatures.
+    val feats = vecs(50, 8)
+      .select(col("vec_id"), Similarity.padToSigDims(col("embedding")).as("embedding"))
+    val possible = 50L * 49 / 2
+    val oneWideBand = Similarity.lshPairCandidates(feats, planes = 32, bandBits = 32,
+      sigCenterDims = 8, sigCenterAt = 0.5).count()
+    assert(oneWideBand < possible,
+      s"1x32 banding collapsed into a single bucket: $oneWideBand of $possible")
+  }
+}
