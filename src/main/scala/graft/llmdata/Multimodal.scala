@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * partition, so a real codec could amortize library init per batch and
   * stream row groups without materializing the partition).
   *
-  * The actual image/audio decode is STUBBED — no codec libraries exist in
-  * this environment — behind [[FakeCodec]], a deterministic stand-in that
-  * derives metadata purely from the bytes. Everything around it (schema,
-  * encoders, partitioning, batch iteration) is the real distributed
-  * plumbing a production decode would use; swapping [[FakeCodec.decode]]
-  * for a JNI/javacv call is the only change needed.
+  * Decode runs behind the [[Multimodal.MediaCodec]] seam. [[Multimodal.ImageIoCodec]]
+  * is a REAL image decoder (the JDK's built-in `javax.imageio` —
+  * PNG/JPEG/GIF/BMP header parse, no external libraries); [[Multimodal.FakeCodec]]
+  * is a deterministic stand-in for media the container can't decode
+  * (audio/video, the synthetic text fixtures) and for the DuckDB oracle
+  * rows, which must be reproducible from bytes alone. Everything around
+  * the seam (schema, encoders, partitioning, batch iteration) is the same
+  * distributed plumbing either way; a JNI/javacv video codec slots in as a
+  * third [[Multimodal.MediaCodec]].
   */
 object Multimodal {
 
@@ -28,11 +31,18 @@ object Multimodal {
     channels: Long,
     checksum: Long)
 
+  /** The decode seam: one media row in, typed metadata out. Implementations
+    * must be serializable objects (they ride into `mapPartitions` closures)
+    * and deterministic per byte-payload. */
+  trait MediaCodec extends Serializable {
+    def decode(docId: Long, mediaType: String, payload: Array[Byte]): MediaMeta
+  }
+
   /** STUB codec: deterministic metadata from raw bytes only (no real
     * decode). width/height fake a parsed header; checksum fakes a pixel
     * digest (Knuth multiplicative hash of the length — matches the DuckDB
     * oracle, which sees the same bytes). */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
     def decode(docId: Long, mediaType: String, payload: Array[Byte]): MediaMeta = {
       val n = payload.length.toLong
       MediaMeta(
@@ -46,6 +56,51 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec on the JDK's bundled ImageIO readers: true
+    * width/height/bands from the image HEADER (`getWidth` on a reader
+    * parses metadata only — a 50 MB JPEG costs a header read, not a raster
+    * allocation), format-corrected media type, and a CRC32 of the payload
+    * as the checksum. Payloads no reader claims (corrupt bytes, audio, the
+    * synthetic text fixtures) FALL BACK to [[FakeCodec]] rather than fail
+    * the batch — at corpus scale undecodable rows are data, not errors;
+    * callers that need to quarantine them filter on the media_type that
+    * stays un-corrected. */
+  object ImageIoCodec extends MediaCodec {
+    def decode(docId: Long, mediaType: String, payload: Array[Byte]): MediaMeta = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) FakeCodec.decode(docId, mediaType, payload)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val bands = {
+              val types = r.getImageTypes(0)
+              if (types.hasNext) types.next().getNumBands.toLong else 3L
+            }
+            val crc = new java.util.zip.CRC32
+            crc.update(payload)
+            MediaMeta(
+              doc_id = docId,
+              media_type = "image/" + r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+              byte_len = payload.length.toLong,
+              width = r.getWidth(0).toLong,
+              height = r.getHeight(0).toLong,
+              channels = bands,
+              checksum = crc.getValue)
+          } finally r.dispose()
+        }
+      } catch {
+        // A reader that matched the magic bytes but chokes mid-header
+        // (truncated/corrupt file) is still data, not a job failure.
+        case _: java.io.IOException | _: RuntimeException =>
+          FakeCodec.decode(docId, mediaType, payload)
+      } finally if (in != null) in.close()
+    }
+  }
+
   /** Attach a synthetic binary payload to each document (UTF-8 bytes of the
     * text stand in for image bytes; real corpora carry the bytes in the
     * parquet directly). Kept as a column expression so the payload never
@@ -56,18 +111,28 @@ object Multimodal {
       lit("image/fake").as("media_type"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** Decode stage: batch iteration per partition with a typed Encoder.
-    * Narrow (no shuffle); scales linearly with input splits. */
-  def decodeMeta(spark: SparkSession, documents: DataFrame): Dataset[MediaMeta] = {
+  /** Decode stage over an arbitrary (doc_id, media_type, payload) frame:
+    * batch iteration per partition with a typed Encoder. Narrow (no
+    * shuffle); scales linearly with input splits. The codec is the seam —
+    * [[ImageIoCodec]] for real image bytes, [[FakeCodec]] for the
+    * deterministic oracle fixtures. */
+  def decodeMetaFrom(spark: SparkSession, media: DataFrame,
+                     codec: MediaCodec): Dataset[MediaMeta] = {
     import spark.implicits._
-    withPayload(documents)
+    media
       .select(col("doc_id"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
-        // One iterator per partition: a real codec would init here once.
-        batch.map { case (id, mt, bytes) => FakeCodec.decode(id, mt, bytes) }
+        // One iterator per partition: a stateful codec would init here once.
+        batch.map { case (id, mt, bytes) => codec.decode(id, mt, bytes) }
       }
   }
+
+  /** The registered/oracle form: synthetic text payloads through the
+    * deterministic stub codec (the oracle recomputes the same metadata in
+    * SQL from the same bytes — a real decoder is not SQL-reproducible). */
+  def decodeMeta(spark: SparkSession, documents: DataFrame): Dataset[MediaMeta] =
+    decodeMetaFrom(spark, withPayload(documents), FakeCodec)
 
   /** Typed row of the resize stage: payload replaced by the (fake)
     * re-encoded bytes plus the new dimensions. */

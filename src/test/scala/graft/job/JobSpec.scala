@@ -88,19 +88,8 @@ class JobSpec extends AnyFunSuite {
     }
   }
 
-  test("deletePartition matches Spark's escaped directory names") {
-    // Spark writes a string partition value "a b" as the directory
-    // `dia=a%20b`; deletePartition must route through the same escaper or
-    // the stale partition silently survives every delete.
-    val sink = new graft.sink.PartitionedParquetSink(spark, freshPath(), "dia")
-    sink.write(Seq(("a b", 1.0), ("x:y", 2.0), ("plain", 3.0))
-      .toDF("dia", "v"), WriteMode.Replace)
-    assert(sink.read().count() == 3L)
-    assert(sink.deletePartition("a b"))
-    assert(sink.deletePartition("x:y"))
-    assert(!sink.deletePartition("a b"), "second delete of the same value must report absent")
-    assert(sink.read().collect().map(_.getAs[String]("dia")).toSeq == Seq("plain"))
-  }
+  // deletePartition behavior (incl. escaped directory names) lives in the
+  // sink contract suite: graft.sink.PartitionedParquetSinkContractSpec.
 
   test("runRessarcimentoPartitioned default is due-gated past day 5") {
     // The gate fires before any source is read, so an empty config proves

@@ -52,6 +52,12 @@ class YearRangeRewriteSpec extends AnyFunSuite {
       assert(physical.contains("GreaterThanOrEqual(o_orderdate")
         && physical.contains("LessThan(o_orderdate"),
         s"range not pushed to the scan:\n$physical")
+      // ...and specifically inside the scan's PushedFilters list (the
+      // catalog-filter rendering only appears there on a V1 parquet scan),
+      // so parquet row-group min/max skipping actually applies.
+      val pushed = physical.linesIterator.find(_.contains("PushedFilters: ["))
+      assert(pushed.exists(l => l.contains("GreaterThanOrEqual(o_orderdate")),
+        s"derived range missing from PushedFilters:\n$physical")
       assert(q.collect().map(_.getLong(0)).sorted.toSeq == without)
     }
   }

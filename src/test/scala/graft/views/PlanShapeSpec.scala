@@ -1,0 +1,43 @@
+package graft.views
+
+import graft.TestSpark
+import graft.registry.{PipelineA, PipelineB}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-SHAPE regressions for the two reference pipelines: the oracle gate
+  * proves values, these prove the physical strategy — the part that decides
+  * whether the same query survives a 100× scale-up. A refactor that
+  * silently turns the dim joins into sort-merge shuffles or reintroduces a
+  * fact-row window would still hash-match; it fails here instead.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("a_flagship joins its dims as BroadcastHashJoin, never a shuffle or cartesian") {
+    // The reference broadcast-hints the cupom side explicitly
+    // (etl_job.py:36); the plan must carry that through — at 100 TB the
+    // cupom/autorizador/produto sides are bounded dims, the alternative
+    // sort-merge would shuffle the whole fact feed.
+    val plan = PipelineA.flagshipDf(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"flagship lost its broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"flagship dims fell back to sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"flagship plan contains a product join:\n$plan")
+  }
+
+  test("b_ressarcimento plans no window over the fact rows (W2 agg+broadcast rewrite)") {
+    // The reference computes per-parent loss totals as
+    // `sum(perdas) OVER (PARTITION BY cnpj_forn_pai)` — a window that
+    // shuffles every fact row to its parent's partition and serializes a
+    // mega-parent onto one task. The rewrite computes the totals as an
+    // aggregate joined back broadcast; value-identical (oracle-checked),
+    // but the plan must prove the window is really gone. Windows on the
+    // ~100-row supplier dim (the D2 dedup) are fine — the assertion is
+    // specifically about the fact-side partition key.
+    val optimized = PipelineB.ressarcimentoDf(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("windowspecdefinition(cnpj_forn_pai"),
+      s"per-parent totals regressed to a fact-row window:\n$optimized")
+  }
+}
