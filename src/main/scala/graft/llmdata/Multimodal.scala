@@ -67,8 +67,14 @@ object Multimodal {
     * stays un-corrected. */
   object ImageIoCodec extends MediaCodec {
     def decode(docId: Long, mediaType: String, payload: Array[Byte]): MediaMeta = {
-      val in = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      // MemoryCacheImageInputStream directly — NOT ImageIO
+      // .createImageInputStream, which under the default useCache=true
+      // returns a FileCacheImageInputStream that spools every payload to an
+      // executor-local temp file: at corpus scale that is a full disk write
+      // per row for bytes that are already in memory.
+      val in: javax.imageio.stream.ImageInputStream =
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
         if (!readers.hasNext) FakeCodec.decode(docId, mediaType, payload)

@@ -272,11 +272,13 @@ object Similarity {
   /** Explode a signature column into (band, band_val) bucket keys. */
   private def explodeBands(sig: DataFrame, extraCols: Seq[String],
                            planes: Int, bandBits: Int): DataFrame = {
+    // Range check FIRST: bandBits=0 would hit the modulo below as a bare
+    // ArithmeticException instead of this guard's message.
+    require(bandBits >= 1 && bandBits <= 63, s"bandBits $bandBits out of [1, 63]")
     require(planes % bandBits == 0, s"planes $planes not divisible by bandBits $bandBits")
     // The mask must be built in Long space: `1 << 32` wraps to 1 in Int
     // (JVM shifts are mod 32), so an Int mask at bandBits=32 would be 0 —
     // every row in one bucket, the quadratic product back again, silently.
-    require(bandBits >= 1 && bandBits <= 63, s"bandBits $bandBits out of [1, 63]")
     val bands = planes / bandBits
     sig.select(
       (extraCols.map(col) :+
@@ -309,8 +311,10 @@ object Similarity {
     * replaces the brute-force cross product. Public so the banding
     * knob's cost (candidate fraction) can be graded directly. */
   def lshCandidates(embeddings: DataFrame, nQueries: Int = 8,
-                    planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
-    val (_, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = false)
+                    planes: Int = LshPlanes, bandBits: Int = LshBandBits,
+                    sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
+    val (_, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = false,
+      sigCenterDims, sigCenterAt)
     val qBands = bands.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("band"), col("band_val"))
     // Dedup candidates on ids BEFORE re-attaching vectors: the distinct
@@ -324,9 +328,11 @@ object Similarity {
   }
 
   def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
-              planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
+              planes: Int = LshPlanes, bandBits: Int = LshBandBits,
+              sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
     val n = withNorm(embeddings)
-    val candidates = lshCandidates(embeddings, nQueries, planes, bandBits)
+    val candidates = lshCandidates(embeddings, nQueries, planes, bandBits,
+      sigCenterDims, sigCenterAt)
       .join(n.select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn")), "query_id")
       .join(n.select(col("vec_id").as("nn_id"), col("ed").as("e"), col("nrm").as("en")), "nn_id")
     candidates
@@ -358,6 +364,20 @@ object Similarity {
     val (_, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = false,
       sigCenterDims, sigCenterAt)
     pairCandIds(bands)
+  }
+
+  /** [[lshPairCandidates]] for SEVERAL band widths off ONE signature pass:
+    * the persisted (vec_id, __sig) frame is computed once; each width
+    * re-runs only the shift-and-mask explode and bucket self-join. The
+    * selectivity audit measures k configs for one scan-and-sign, not k. */
+  def lshPairCandidatesByWidth(embeddings: DataFrame, planes: Int,
+                               bandWidths: Seq[Int],
+                               sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): Seq[(Int, DataFrame)] = {
+    val sig = graft.core.CacheScope.persisted(
+      withNorm(embeddings)
+        .withColumn("__sig", expr(lshSigExpr(planes, sigCenterDims, sigCenterAt)))
+        .select("vec_id", "__sig"))
+    bandWidths.map(b => b -> pairCandIds(explodeBands(sig, Seq("vec_id"), planes, b)))
   }
 
   /** LSH-bucketed near-duplicate pairs — the 100 TB replacement for
@@ -401,9 +421,11 @@ object Similarity {
     * |batch| × |corpus| — and the wide embedding arrays are re-attached
     * only to the deduped candidate ids. */
   def lshNearDupAgainst(batch: DataFrame, corpus: DataFrame, threshold: Double = 0.4,
-                        planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
+                        planes: Int = LshPlanes, bandBits: Int = LshBandBits,
+                        sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
     def sigBands(embs: DataFrame, idAs: String): (DataFrame, DataFrame) = {
-      val (n, bands) = normAndBands(embs, planes, bandBits, persistNorm = true)
+      val (n, bands) = normAndBands(embs, planes, bandBits, persistNorm = true,
+        sigCenterDims, sigCenterAt)
       (n, bands.withColumnsRenamed(Map("vec_id" -> idAs)))
     }
     val (nNew, newBands) = sigBands(batch, "new_id")

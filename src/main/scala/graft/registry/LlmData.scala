@@ -69,25 +69,32 @@ object LlmData {
         all.filter(col("vec_id") % 5 === 0), all.filter(col("vec_id") % 5 =!= 0))
     }),
     // banding selectivity as a first-class, per-run number: candidate-pair
-    // counts for the knob sets in production use, so a degenerate banding
-    // (round 5: 94.5% survival masquerading as "bucket-local") shows up in
-    // every CORRECTNESS/BENCH run instead of needing a manual audit.
+    // counts for the knob sets in production use, RECORDED in every
+    // verify/bench run's output so a degenerate banding (round 5: 94.5%
+    // survival masquerading as "bucket-local") is one `ls verify_out`
+    // away instead of a from-scratch audit. The automated tripwires are
+    // the assertions in SimilarityKnobsSpec (synthetic positive-orthant
+    // fixture + this query's rows on real sf0.001 data) — the oracle gate
+    // alone can't catch a knob regression mirrored into the DuckDB twin.
     // emb_8x4 = e_lsh_neardup's knobs (moderate threshold 0.4 needs narrow
     // bands for recall); emb_4x8 = the wide-band alternative (high
     // thresholds only — at 0.4 its per-pair recall is ~10%);
     // mm_centered_2x20 = m_embed_neardup_lsh's centered wide-band config.
+    // The two emb_* counts band-split ONE shared signature pass.
     "e_lsh_selectivity" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      def cnt(df: DataFrame, cfg: String, planes: Int, bandBits: Int, cDims: Int): DataFrame =
-        Similarity.lshPairCandidates(df, planes, bandBits, cDims, 0.5)
-          .groupBy().agg(count(lit(1)).as("candidates"))
+      def cnt(cfg: String, cand: DataFrame): DataFrame =
+        cand.groupBy().agg(count(lit(1)).as("candidates"))
           .select(lit(cfg).as("cfg"), col("candidates"))
+      val Seq((_, cand4), (_, cand8)) = Similarity.lshPairCandidatesByWidth(
+        embs(s, d), Similarity.LshPlanes, Seq(Similarity.LshBandBits, 8))
       val mm = Multimodal.featurize(s, docs(s, d))
         .select(col("doc_id").as("vec_id"),
           Similarity.padToSigDims(col("feature")).as("embedding"))
-      cnt(embs(s, d), "emb_8x4", Similarity.LshPlanes, Similarity.LshBandBits, 0)
-        .unionByName(cnt(embs(s, d), "emb_4x8", Similarity.LshPlanes, 8, 0))
-        .unionByName(cnt(mm, "mm_centered_2x20", 40, 20, 8))
+      cnt("emb_8x4", cand4)
+        .unionByName(cnt("emb_4x8", cand8))
+        .unionByName(cnt("mm_centered_2x20",
+          Similarity.lshPairCandidates(mm, 40, 20, 8, 0.5)))
     }),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),

@@ -86,6 +86,39 @@ class SimilarityKnobsSpec extends AnyFunSuite {
     assert(cands == 200L, s"all 200 identical twins must stay candidates, got $cands")
   }
 
+  test("e_lsh_selectivity on real fixture data: production configs stay non-degenerate") {
+    // The oracle gate can't catch a knob regression mirrored into the
+    // DuckDB twin — this is the automated tripwire on REAL data: the
+    // registered selectivity query's own rows, bounded against the pair
+    // count of the sf0.001 fixtures.
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("e_lsh_selectivity")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("cfg") -> r.getAs[Long]("candidates")).toMap
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val nEmb = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val mmFrac = rows("mm_centered_2x20").toDouble / (nDocs * (nDocs - 1) / 2)
+    assert(mmFrac < 0.25,
+      s"centered 2x20 banding degenerated on the featurize fixture: $mmFrac of all pairs")
+    assert(rows("emb_4x8") <= rows("emb_8x4"),
+      s"wider bands must never pass more candidates: ${rows("emb_4x8")} vs ${rows("emb_8x4")}")
+    assert(rows("emb_8x4").toDouble / (nEmb * (nEmb - 1) / 2) < 0.75,
+      "even the narrow-band config must prune something on real embeddings")
+  }
+
+  test("lshPairCandidatesByWidth band-splits one signature pass identically to per-call runs") {
+    val feats = vecs(120, 8)
+      .select(col("vec_id"), Similarity.padToSigDims(col("embedding")).as("embedding"))
+    val Seq((b4, c4), (b8, c8)) = Similarity.lshPairCandidatesByWidth(
+      feats, planes = 32, bandWidths = Seq(4, 8), sigCenterDims = 8, sigCenterAt = 0.5)
+    assert(b4 == 4 && b8 == 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(c4) == pairs(Similarity.lshPairCandidates(
+      feats, planes = 32, bandBits = 4, sigCenterDims = 8, sigCenterAt = 0.5)))
+    assert(pairs(c8) == pairs(Similarity.lshPairCandidates(
+      feats, planes = 32, bandBits = 8, sigCenterDims = 8, sigCenterAt = 0.5)))
+  }
+
   test("explodeBands mask stays correct at wide band widths (no Int wraparound)") {
     // bandBits=32 used to produce an Int mask of 0 — every vector in one
     // bucket, i.e. the quadratic product back again. With the Long mask,
