@@ -19,12 +19,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
   def main(args: Array[String]): Unit = {
+    // An explicitly-passed config path must exist: a typo'd filename would
+    // otherwise parse as an empty map and fail later with a misleading
+    // "key not found" (or silently read a same-named process env var).
     val envFile = args.headOption.getOrElse(".env")
-    val config = EnvConfig.load(envFile)
+    val config = EnvConfig.load(envFile, requireFile = args.nonEmpty)
     val spark = GraftSession.applyDefaults(
       SparkSession.builder().appName("graft-etl").getOrCreate())
     try {
-      val today = LocalDate.now(java.time.ZoneOffset.UTC)
+      // Deployment-local date, NOT UTC: the reference's datetime.now() is
+      // local, and the day-1-to-5 gate plus the month-window math shift a
+      // whole day otherwise (a 21:30 UTC-3 run on day 5 is day 6 in UTC —
+      // the monthly refresh would silently skip). Spark SQL's session
+      // timezone stays pinned to UTC separately (GraftSession).
+      val today = LocalDate.now(java.time.ZoneId.systemDefault())
       val daily = Runner.runDaily(spark, config,
         new ParquetSink(spark, config("sink_flagship")), today)
       // K4 observability: row counts, the reference's only metric

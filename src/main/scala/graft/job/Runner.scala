@@ -61,29 +61,61 @@ object Runner {
   private def yearLoop(spark: SparkSession, config: Map[String, String], years: Seq[Int])(
       handle: (Int, Option[DataFrame]) => Option[Long]): Map[Int, Long] = {
     val sources = ConfigSources.ressarcimento(spark, config)
-    years.flatMap { year =>
-      val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
-      val df: DataFrame = SchemaCasts.castDecimalDouble(
-        Ressarcimento.mainView(sources, year, track = persisted))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted += df
-      // The reference writes nothing for an empty year (etl_job.py:102-114).
-      val written = handle(year, if (df.isEmpty) None else Some(df))
-      persisted.foreach(_.unpersist(blocking = false))
-      written.map(year -> _)
-    }.toMap
+    // The supplier view has no year input — build and persist it ONCE for
+    // the whole refresh instead of once per year (the default loop runs
+    // every year since 2023: rebuilding it per year is years-1 redundant
+    // scans of the fornecedor/aporte sources each month).
+    val fornV = Ressarcimento.fornecedores(
+      sources.forn, sources.aporteCab, sources.aporteDet, sources.dimProduto)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      years.flatMap { year =>
+        val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+        val df: DataFrame = SchemaCasts.castDecimalDouble(
+          Ressarcimento.mainView(sources, year, track = persisted, fornView = fornV))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += df
+        // The reference writes nothing for an empty year (etl_job.py:102-114).
+        // Cleanup in finally: a failed write must not leak the year's cached
+        // frames into a caller's retry loop.
+        try {
+          val written = handle(year, if (df.isEmpty) None else Some(df))
+          written.map(year -> _)
+        } finally persisted.foreach(_.unpersist(blocking = false))
+      }.toMap
+    } finally fornV.unpersist(blocking = false)
   }
 
   def runRessarcimento(spark: SparkSession, config: Map[String, String], sink: Sink,
                        today: LocalDate, firstYear: Int = 2023): Map[Int, Long] = {
+    // The replace-on-first-written sequencing below is only correct for
+    // WHOLE-TABLE Replace semantics: against a partition-scoped sink the
+    // first Replace would touch one year's partition, leaving every other
+    // year's previous rows to be APPENDED onto — up to 5 duplicate copies
+    // per month under the day-1-to-5 gate. That sink has its own entry
+    // point; reject the miswiring instead of silently duplicating.
+    require(!sink.isInstanceOf[PartitionedParquetSink],
+      "runRessarcimento's replace-then-append sequencing assumes whole-table " +
+        "Replace; use runRessarcimentoPartitioned for a partition-scoped sink")
     if (!ressarcimentoDue(today)) return Map.empty
     var replaced = false
-    yearLoop(spark, config, ressarcimentoYears(today, firstYear)) {
+    val written = yearLoop(spark, config, ressarcimentoYears(today, firstYear)) {
       case (_, Some(df)) =>
         val mode = if (!replaced) { replaced = true; WriteMode.Replace } else WriteMode.Append
         Some(sink.write(df, mode))
       case (_, None) => None
     }
+    // EVERY year empty → no Replace ever ran and last refresh's rows would
+    // serve forever (the partitioned path deletes stale partitions for
+    // exactly this case). Rebuild-from-scratch semantics require the table
+    // to become empty: write a schema-bearing empty frame (limit 0 folds
+    // to an empty relation at plan time — no source scan).
+    if (written.isEmpty) {
+      val empty = SchemaCasts.castDecimalDouble(Ressarcimento.mainView(
+        ConfigSources.ressarcimento(spark, config), firstYear, reuse = false)).limit(0)
+      sink.write(empty, WriteMode.Replace)
+    }
+    written
   }
 
   /** EP2 at scale: the year loop against a PARTITION-scoped sink — each

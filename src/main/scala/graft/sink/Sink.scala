@@ -24,11 +24,34 @@ trait Sink {
     * `t.etiqueta = s.etiqueta`, `etl_job.py:83`). Returns the row count
     * WRITTEN by the merge (K4 observability): kept + incoming for a
     * whole-table swap, touched-partition rows for a partitioned sink —
-    * both implementations agree on this meaning. */
+    * both implementations agree on this meaning.
+    *
+    * Incoming rows must be UNIQUE on `keys` — duplicate-keyed increments
+    * fail loudly (see [[SinkChecks.requireUniqueKeys]]): an anti-join
+    * merge would silently keep both copies forever, and Iceberg's
+    * `MERGE INTO` (the implementation this trait is shaped for) rejects
+    * multiple matching source rows, so the contract must too. */
   def mergeByKey(incoming: DataFrame, keys: Seq[String]): Long
 
   /** K3: replace or append. Returns the written row count (K4). */
   def write(incoming: DataFrame, mode: WriteMode): Long
+}
+
+private[sink] object SinkChecks {
+  /** Fail a merge whose increment carries duplicate keys. One bounded
+    * aggregate over the INCREMENT only (never the table): the per-merge
+    * cost of making key-uniqueness an enforced precondition instead of a
+    * silent permanent duplicate — the same error Iceberg MERGE INTO raises
+    * as "multiple source rows matched". */
+  def requireUniqueKeys(incoming: DataFrame, keys: Seq[String], path: String): Unit = {
+    val dup = incoming.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"merge into $path: incoming rows are not unique on (${keys.mkString(", ")}) — " +
+        s"e.g. ${dup.headOption.map(_.toString).getOrElse("")}; an upsert with duplicate " +
+        "source keys would silently persist both copies")
+  }
 }
 
 /** Offline parquet-backed sink: merge = anti-join existing on the keys,
@@ -81,6 +104,7 @@ final class ParquetSink(spark: SparkSession, path: String) extends Sink {
   }
 
   override def mergeByKey(incoming: DataFrame, keys: Seq[String]): Long = {
+    SinkChecks.requireUniqueKeys(incoming, keys, path)
     val merged =
       if (!exists) incoming
       else read().join(incoming, keys, "left_anti").unionByName(incoming)
@@ -153,6 +177,7 @@ final class PartitionedParquetSink(spark: SparkSession, path: String,
 
   override def mergeByKey(incoming: DataFrame, keys: Seq[String]): Long = {
     requirePartitionCol(incoming)
+    SinkChecks.requireUniqueKeys(incoming, keys, path)
     if (!exists) return write(incoming, WriteMode.Replace)
     // Partition-local merge: read only the touched partitions (semi join on
     // the partition values prunes the scan), keep their non-matching rows,
@@ -161,22 +186,32 @@ final class PartitionedParquetSink(spark: SparkSession, path: String,
     val kept = read()
       .join(broadcast(touched), Seq(partitionCol), "left_semi")
       .join(incoming, keys, "left_anti")
+    // Stage the merged partitions to a temp directory BEFORE the overwrite
+    // touches any source file — the dynamic-overwrite plan must not read
+    // the path it rewrites (Spark's self-overwrite guard). Durable staging
+    // (parquet next to the output), NOT localCheckpoint: checkpointed
+    // blocks live unreplicated on executors with truncated lineage, so at
+    // the 100 TB shape one executor lost between checkpoint and write
+    // would fail the whole merge unrecoverably, and the touched
+    // partitions would have to fit executor memory+disk. The observation
+    // sits on the UNION (kept + incoming) and is collected by the staging
+    // write, so the return value means "rows written", same as
+    // ParquetSink's swap count.
     val obs = Observation()
-    // localCheckpoint (eager) materializes the merged partitions BEFORE the
-    // overwrite touches any source file — the dynamic-overwrite plan must
-    // not read the path it rewrites (Spark's self-overwrite guard), and
-    // the checkpoint also collects the observation in the same job. The
-    // observation sits on the UNION (kept + incoming) so the return value
-    // means "rows written", same as ParquetSink's swap count.
-    val merged = kept
-      .unionByName(incoming)
+    val tmp = new Path(path + "__graft_merge_tmp")
+    // The stage is written FLAT (partition col as a data column): staging
+    // partitionBy would re-read the value through directory-name type
+    // inference, which turns a string partition value "2023" into an int
+    // and silently changes the output schema.
+    kept.unionByName(incoming)
       .observe(obs, count(lit(1)).as("rows"))
-      .localCheckpoint()
+      .write.mode("overwrite").parquet(tmp.toString)
     try
-      merged.write.partitionBy(partitionCol)
+      spark.read.parquet(tmp.toString)
+        .write.partitionBy(partitionCol)
         .mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .parquet(path)
-    finally merged.unpersist(blocking = false)
+    finally fs.delete(tmp, true)
     obs.get("rows").asInstanceOf[Long]
   }
 

@@ -208,7 +208,8 @@ object Ressarcimento {
     * smaller than their inputs (year-filtered aggregates and a dim); pass
     * `reuse = false` for a purely declarative plan. */
   def mainView(s: Sources, filterYear: Int, reuse: Boolean = true,
-               track: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
+               track: scala.collection.mutable.Buffer[DataFrame] = null,
+               fornView: DataFrame = null): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // `track` (optional) collects the persisted intermediates so callers
     // like the year-loop orchestrator can unpersist exactly these — not the
@@ -221,7 +222,13 @@ object Ressarcimento {
         cached
       }
     val dim = dimNamed(s.dimProduto)
-    val fornV = shared(fornecedores(s.forn, s.aporteCab, s.aporteDet, s.dimProduto))
+    // The supplier view is YEAR-INVARIANT (no filterYear input): a caller
+    // looping over years passes it in pre-persisted via `fornView` so the
+    // fornecedor/aporte scan-and-aggregate runs once per refresh, not once
+    // per year; lifetime then belongs to that caller, so it is NOT tracked.
+    val fornV =
+      if (fornView != null) fornView
+      else shared(fornecedores(s.forn, s.aporteCab, s.aporteDet, s.dimProduto))
     val coleta = coletas(s.coletaCab, s.coletaDet, s.volumeTipo, filterYear)
     val cred = credito(s.negociacao, s.debito, s.pagamento, s.dimSap, s.forn, filterYear)
 

@@ -91,6 +91,18 @@ class JobSpec extends AnyFunSuite {
   // deletePartition behavior (incl. escaped directory names) lives in the
   // sink contract suite: graft.sink.PartitionedParquetSinkContractSpec.
 
+  test("runRessarcimento rejects a partition-scoped sink (replace-then-append miswiring)") {
+    // Against dynamic partition overwrite, the first written year's Replace
+    // would touch only its own partition and later years would APPEND onto
+    // their previous rows — silent monthly duplication. The guard fires
+    // before any source is read.
+    val sink = new graft.sink.PartitionedParquetSink(spark, freshPath(), "ano")
+    val e = intercept[IllegalArgumentException] {
+      Runner.runRessarcimento(spark, Map.empty, sink, LocalDate.of(2026, 8, 3))
+    }
+    assert(e.getMessage.contains("runRessarcimentoPartitioned"))
+  }
+
   test("runRessarcimentoPartitioned default is due-gated past day 5") {
     // The gate fires before any source is read, so an empty config proves
     // the early return (a config access would throw NoSuchElementException).

@@ -61,6 +61,13 @@ class RunnerIntegrationSpec extends AnyFunSuite {
     assert(written.keySet == Set(1997, 1998))
     assert(written.values.forall(_ > 0))
     assert(sink.read().count() == written.values.sum)
+
+    // EVERY year empty (2010 is outside the fixture's 1995-2001 data): the
+    // rebuild-from-scratch semantics must leave an EMPTY table, not last
+    // refresh's stale rows serving forever.
+    val w2 = Runner.runRessarcimento(spark, config, sink, LocalDate.of(2010, 8, 3), firstYear = 2010)
+    assert(w2.isEmpty)
+    assert(sink.read().count() == 0, "all-years-empty refresh must wipe the stale table")
   }
 
   test("runRessarcimentoPartitioned: re-running one later year leaves earlier years intact") {

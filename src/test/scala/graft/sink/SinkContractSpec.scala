@@ -64,6 +64,17 @@ abstract class SinkContractSpec extends AnyFunSuite {
     assert(asMap(readBack(sink)) == expected)
   }
 
+  test(s"$sinkName: duplicate-keyed incoming is rejected loudly, not silently doubled") {
+    val sink = mkSink(freshPath())
+    sink.mergeByKey(base, Seq("ano", "k"))
+    val dup = Seq((2023, "b", 20.0), (2023, "b", 21.0)).toDF("ano", "k", "v")
+    val e = intercept[IllegalArgumentException] { sink.mergeByKey(dup, Seq("ano", "k")) }
+    assert(e.getMessage.contains("not unique"))
+    // the failed merge must not have changed the sink
+    assert(asMap(readBack(sink)) ==
+      Map((2023, "a") -> 1.0, (2023, "b") -> 2.0, (2024, "c") -> 3.0))
+  }
+
   test(s"$sinkName: replace swaps content, append accumulates, counts are the written rows") {
     val sink = mkSink(freshPath())
     assert(sink.write(base, WriteMode.Replace) == 3L)
