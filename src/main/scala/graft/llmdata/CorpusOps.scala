@@ -146,6 +146,31 @@ object CorpusOps {
       .filter(col("bucket") < col("quality_score") * 1000)
       .select("doc_id", "quality_score", "bucket")
 
+  /** Deterministic PPS (probability-proportional-to-size) sample: keep each
+    * document with probability `weight / max(weight)` — the weighted
+    * Bernoulli primitive behind size-aware corpus thinning (keep long
+    * documents, thin boilerplate-length ones) and importance-weighted
+    * ablations. The per-mille hash bucket is the "random" draw, as in every
+    * sampler here, and the gate is the integer cross-multiply
+    * `bucket * maxW < weight * 1000` — no division, no doubles, so
+    * membership is an exact pure function of (doc_id, weight, maxW) in any
+    * engine. Granularity is the bucket width: effective keep rate is
+    * `ceil(1000 * w / maxW) / 1000`, and rows with `w >= maxW * 999/1000`
+    * are always kept.
+    *
+    * Scale shape: one corpus-wide `max(weight)` — an all-partial aggregate
+    * collapsing to a single row, broadcast back — then a stateless
+    * projection + filter; no row-level shuffle at any size. */
+  def ppsSample(documents: DataFrame, weightCol: String = "n_chars"): DataFrame = {
+    val maxW = documents.agg(max(col(weightCol).cast("bigint")).as("__maxw"))
+    documents
+      .withColumn("bucket", expr(bucketSql("doc_id")).cast("bigint"))
+      .crossJoin(broadcast(maxW))
+      .filter(col("bucket") * col("__maxw") < col(weightCol).cast("bigint") * lit(1000L))
+      .select(col("doc_id"), col("lang"), col(weightCol).cast("bigint").as("weight"),
+        col("bucket"))
+  }
+
   /** Deterministic TOKEN-budget mixing: cap each stratum (language/source)
     * at a token budget rather than a row rate — the unit training mixtures
     * are actually specified in. Two-phase so it scales:

@@ -177,4 +177,53 @@ object TextAnalysis {
       .groupBy(lower(col("token")).as("token"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
+
+  /** Top-K most characteristic terms per document — TF-IDF with the log
+    * damping replaced by the exact rational `tf * 1e6 div df` (integer
+    * floor division), so the score and therefore the per-document ranking
+    * are bit-identical in any engine: `ln` is the one term-weighting
+    * ingredient two floating-point runtimes won't reproduce bit-for-bit,
+    * and rank flips at near-ties would be invisible-until-the-oracle-fails
+    * bugs. The ranking this produces is the same family (monotone in tf,
+    * anti-monotone in df); swap in `log(nDocs / df)` per corpus if
+    * calibrated scores matter more than exact reproducibility.
+    *
+    * Scale shape, in order:
+    *   1. per-(doc, term) counts — one shuffle on (doc_id, token), partial
+    *      agg absorbs in-document repetition before the exchange. The frame
+    *      is PERSISTED: it feeds both the df aggregate and the score join,
+    *      and without the pin Catalyst's column pruning specializes the two
+    *      subtrees enough that exchange reuse can't dedup them — the corpus
+    *      would be tokenized and shuffled twice;
+    *   2. document frequency — partial aggregation collapses the stopword
+    *      skew (billions of "the" rows become one row per map partition)
+    *      before its exchange. The score join is left to AQE: broadcast
+    *      when the vocabulary fits (it usually does after `minDf`-style
+    *      pruning), sort-merge with runtime skew-split when it doesn't —
+    *      forcing either statically would be wrong at one end of the scale;
+    *   3. top-K per document — `row_number <= K` over (score desc, token):
+    *      Spark's InferWindowGroupLimit plants a PARTIAL WindowGroupLimit
+    *      before the doc_id exchange, so each map task forwards at most K
+    *      rows per document it sees, not the full term list. The plan-shape
+    *      spec pins this.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val terms = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), lower(col("token")).as("token"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.core.CacheScope.persisted)
+    val docFreq = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("token"))
+    terms.join(docFreq, "token")
+      .withColumn("score_ppm", expr("tf * 1000000L div df"))
+      // The filter sits on the RAW row_number output (cast only after):
+      // InferWindowGroupLimit pattern-matches `Filter(rn <= k, Window)`,
+      // and an intervening cast would silently disable the map-side prune.
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score_ppm"), col("__rn").cast("bigint").as("term_rank"))
+  }
 }

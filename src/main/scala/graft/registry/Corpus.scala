@@ -33,6 +33,7 @@ object Corpus {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_sample" -> ((s, d) => CorpusOps.stratifiedSample(docs(s, d), SampleRates)),
+    "c_wsample" -> ((s, d) => CorpusOps.ppsSample(docs(s, d))),
     "c_budget" -> ((s, d) => CorpusOps.tokenBudgetSample(docs(s, d), TokenBudgets)),
     "c_qsample" -> ((s, d) => CorpusOps.qualityGatedSample(docs(s, d))),
     "c_decontam" -> ((s, d) => {
@@ -65,6 +66,15 @@ object Corpus {
     s"""WITH b AS (SELECT doc_id, lang, ${CorpusOps.bucketSql("doc_id")} AS bucket FROM documents)
        |SELECT doc_id, lang, bucket FROM b WHERE bucket < ($rate)""".stripMargin
   }
+
+  /** DuckDB twin of [[CorpusOps.ppsSample]] — identical integer
+    * cross-multiply gate, so membership matches row-for-row. */
+  private val wsampleSql =
+    s"""WITH m AS (SELECT CAST(max(n_chars) AS BIGINT) AS maxw FROM documents),
+       |b AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+       |             CAST(${CorpusOps.bucketSql("doc_id")} AS BIGINT) AS bucket FROM documents)
+       |SELECT doc_id, lang, weight, bucket FROM b, m
+       |WHERE bucket * maxw < weight * 1000""".stripMargin
 
   private val budgetSql = {
     val budget = TokenBudgets.foldRight(Long.MaxValue.toString) { case ((l, b), e) =>
@@ -314,6 +324,7 @@ object Corpus {
     "c_seqtext" -> seqtextSql,
     "c_qsample" -> qsampleSql,
     "c_sample" -> sampleSql,
+    "c_wsample" -> wsampleSql,
     "c_budget" -> budgetSql,
     "c_chunks" -> chunksSql,
     "c_pack" -> packSql,

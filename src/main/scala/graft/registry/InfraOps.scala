@@ -154,6 +154,14 @@ object InfraOps {
   def streamDedupBatch(spark: SparkSession, sfDir: String): DataFrame =
     DocStream.dedupBatchTwin(spark.read.parquet(s"$sfDir/documents.parquet"))
 
+  /** Batch twin of the streaming LSH near-dup detector (the
+    * `flatMapGroupsWithState` path, [[DocStream.lshNearDupStream]]) — same
+    * bucket-local candidates, same signature-agreement estimate, so the
+    * streaming output is spec-checked against this exact frame and this
+    * frame is oracle-checked against DuckDB. */
+  def streamNearDupBatch(spark: SparkSession, sfDir: String): DataFrame =
+    DocStream.lshNearDupEstBatchTwin(spark.read.parquet(s"$sfDir/documents.parquet"))
+
   /** Bucketed co-located join round-trip: bucket lineitem and orders on
     * their join key at write time, then join + aggregate the catalog
     * tables. The join runs with NO exchange on either side (asserted in
@@ -277,7 +285,8 @@ object InfraOps {
     "k_partreplace" -> (partitionReplaceRoundTrip _),
     "s3_dayrange" -> (dayRangeRoundTrip _),
     "st_window" -> (windowAggBatch _),
-    "st_dedup" -> (streamDedupBatch _))
+    "st_dedup" -> (streamDedupBatch _),
+    "st_neardup" -> (streamNearDupBatch _))
 
   /** One oracle for both skew variants: salting must not change a single
     * output row, only the shuffle shape. l_quantity is integer-valued, so
@@ -363,5 +372,28 @@ object InfraOps {
          |FROM w)
          |SELECT min(doc_id) AS doc_id, fingerprint, fingerprint2, CAST(count(*) AS BIGINT) AS n_copies
          |FROM fp GROUP BY fingerprint, fingerprint2""".stripMargin
+    },
+    "st_neardup" -> {
+      import graft.llmdata.DocDedup
+      import graft.llmdata.TextPrimitives.{duckPolyHashArray, duckShingles, duckWords}
+      val sigLen = DocDedup.MinHashAB.length
+      val bandKey = s"array_to_string(list_slice(sig, band * ${DocDedup.RowsPerBand} + 1, band * ${DocDedup.RowsPerBand} + ${DocDedup.RowsPerBand}), '_')"
+      // Same candidate CTEs as the d_minhash oracle; the verify step is the
+      // signature-agreement ESTIMATE (what streaming state can compute),
+      // not the exact shingle Jaccard. n/sigLen is binary-exact, so the
+      // double compares hash-stable.
+      s"""WITH w AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("words", "text", 3)} AS s FROM w),
+         |sig AS (SELECT doc_id, ${DocDedup.duckSignature(duckPolyHashArray("s"))} AS sig FROM sh),
+         |bands AS (SELECT doc_id, band, $bandKey AS band_key
+         |          FROM sig, (SELECT unnest(range(0, ${DocDedup.Bands})) AS band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    CAST(list_sum(list_transform(range(1, ${sigLen + 1}),
+         |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $sigLen AS est_jaccard
+         |  FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
+         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
     })
 }

@@ -41,6 +41,7 @@ object LlmData {
     "t_scrub" -> ((s, d) => TextAnalysis.scrub(
       docs(s, d).withColumn("text", org.apache.spark.sql.functions.expr(scrubAugSpark)))),
     "t_vocab" -> ((s, d) => TextAnalysis.vocabulary(docs(s, d))),
+    "t_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
     "v_kmv" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr, round, udaf}
       graft.functions.VectorExprs.register(s)
@@ -229,6 +230,24 @@ object LlmData {
        |SELECT lower(token) AS token, CAST(count(*) AS BIGINT) AS tf,
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
        |FROM t GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of [[TextAnalysis.tfidfTopTerms]] — same integer score
+    * (`// 1000000` floor division ≡ Spark's `div` on positives) and the
+    * same total per-document order (score desc, token asc), so the top-3
+    * row sets match exactly. */
+  private val tfidfSql =
+    s"""WITH $wordsCte,
+       |t AS (SELECT doc_id, lower(token) AS token
+       |      FROM (SELECT doc_id, unnest(words) AS token FROM w)),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       |             CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score_ppm
+       |      FROM tf JOIN df USING (token)),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score_ppm DESC, token) AS BIGINT) AS term_rank FROM s)
+       |SELECT doc_id, token, tf, df, score_ppm, term_rank
+       |FROM r WHERE term_rank <= 3""".stripMargin
 
   /** KMV sketch width for `v_kmv` (small groups take the exact path, the
     * en stratum exercises the estimator). */
@@ -557,6 +576,7 @@ object LlmData {
     "t_repeat" -> repeatSql,
     "t_scrub" -> scrubSql,
     "t_vocab" -> vocabSql,
+    "t_tfidf" -> tfidfSql,
     "v_kmv" -> kmvSql,
     "t_langid" -> langidSql,
     "t_fingerprint" -> fingerprintSql,

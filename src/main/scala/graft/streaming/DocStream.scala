@@ -1,8 +1,9 @@
 package graft.streaming
 
-import graft.llmdata.TextPrimitives
-import org.apache.spark.sql.DataFrame
+import graft.llmdata.{DocDedup, TextPrimitives}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming ingest for a document corpus: continuous exact dedup at crawl
   * time, so duplicates are dropped before they ever land in the corpus
@@ -71,4 +72,132 @@ object DocStream {
       .groupBy("fingerprint", "fingerprint2")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "fingerprint", "fingerprint2", "n_copies")
+
+  // ---- Streaming NEAR-dup (MinHash-LSH over custom keyed state) ----------
+
+  /** One LSH band row bound for a bucket's state group. `ts` is the
+    * watermarked event-time column itself — the streaming analyzer requires
+    * the watermark attribute to SURVIVE into the stateful operator's input
+    * (projecting it to epoch millis earlier would fail analysis). */
+  case class BandRow(band: Int, bandKey: String, docId: Long, sig: Seq[Long],
+                     ts: java.sql.Timestamp)
+
+  /** A near-dup hit: `idA` arrived before `idB` (idA < idB by arrival id).
+    * `estJaccard` is the MinHash agreement estimate, NOT the exact shingle
+    * Jaccard — streaming state holds 16-component signatures, never shingle
+    * arrays (state stays fixed-width per document; the batch passes own the
+    * exact verify). The same pair can surface from more than one matching
+    * band (`band` says which); consumers dedup by (idA, idB) — the usual
+    * downstream (cluster-label union) is idempotent to repeats anyway. */
+  case class NearDupHit(idA: Long, idB: Long, band: Int, estJaccard: Double)
+
+  /** Per-bucket state: signatures of the documents seen in this (band,
+    * bandKey) bucket within the watermark horizon. */
+  case class BucketState(entries: List[(Long, Seq[Long], Long)])
+
+  private val SigLen = DocDedup.MinHashAB.length
+
+  /** Streaming MinHash-LSH near-duplicate detection: every arriving
+    * document is compared against the previously-arrived corpus —
+    * *bucket-locally*, exactly like the batch
+    * [[graft.llmdata.DocDedup.minhashLshPairs]]: a new document meets only
+    * the documents sharing one of its 4 LSH band keys, never the whole
+    * stream. Custom keyed state via `flatMapGroupsWithState` (the brief's
+    * "novel state" streaming path): key = (band, band_key); state = the
+    * bucket's (doc_id, signature, event-time) list, evicted past the
+    * watermark horizon, so state size ≈ ingest rate × horizon × 4 bands —
+    * never the corpus.
+    *
+    * Input schema: (doc_id BIGINT, ts TIMESTAMP, text STRING), streaming.
+    * Within a micro-batch, documents enter a bucket in `doc_id` order, so
+    * output is deterministic for a given batch decomposition. */
+  def lshNearDupStream(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                       watermark: String = "1 hour"): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val bands = docs
+      .withColumn("ts_tz", col("ts").cast("timestamp"))
+      .withWatermark("ts_tz", watermark)
+      .withColumn("__words", TextPrimitives.tokens(col("text")))
+      .withColumn("__sh", expr(TextPrimitives.sparkShingles("__words", "text", k)))
+      .withColumn("__h", TextPrimitives.sparkPolyHashArray("__sh"))
+      .withColumn("__sig", expr(DocDedup.sparkSignature("__h")))
+      .select(col("doc_id"), col("ts_tz"),
+        posexplode(expr(DocDedup.bandExplodeSql("__sig"))), col("__sig"))
+      .select(col("pos").cast("int").as("band"), col("col").as("bandKey"),
+        col("doc_id").as("docId"), col("__sig").as("sig"), col("ts_tz").as("ts"))
+      .as[BandRow]
+    bands
+      .groupByKey(r => (r.band, r.bandKey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        compareWithinBucket(threshold))
+  }
+
+  /** Bucket-state transition: compare each arriving signature against the
+    * bucket's retained ones (oldest state first, then earlier in-batch
+    * arrivals), emit pairs at or above the agreement threshold, append, and
+    * evict/expire on watermark. */
+  private def compareWithinBucket(threshold: Double)(
+      key: (Int, String), rows: Iterator[BandRow],
+      state: GroupState[BucketState]): Iterator[NearDupHit] = {
+    val horizonMs = state.getCurrentWatermarkMs()
+    if (!state.exists && !rows.hasNext) return Iterator.empty
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var entries = state.getOption.map(_.entries).getOrElse(Nil)
+      .filter(_._3 >= horizonMs)
+    val hits = List.newBuilder[NearDupHit]
+    rows.toSeq.sortBy(_.docId).foreach { r =>
+      entries.foreach { case (id, sig, _) =>
+        if (id != r.docId) {
+          val agree = sig.iterator.zip(r.sig.iterator).count { case (a, b) => a == b }
+          val est = agree.toDouble / SigLen
+          if (est >= threshold)
+            hits += NearDupHit(math.min(id, r.docId), math.max(id, r.docId), key._1, est)
+        }
+      }
+      entries = (r.docId, r.sig, r.ts.getTime) :: entries
+    }
+    if (entries.isEmpty) state.remove()
+    else {
+      state.update(BucketState(entries))
+      // expire the bucket once the watermark passes its newest document
+      state.setTimeoutTimestamp(entries.map(_._3).max + 1)
+    }
+    hits.result().iterator
+  }
+
+  /** Batch twin of [[lshNearDupStream]] over a bounded corpus (`st_neardup`
+    * oracle row): the same bucket-local candidate generation and the same
+    * 16-component agreement estimate — so the streaming output (distinct
+    * pairs, any arrival order within one batch) must equal this frame's
+    * (id_a, id_b) set. `n/16` is exact in binary, so the DuckDB hash
+    * compare is safe without rounding. */
+  def lshNearDupEstBatchTwin(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val sig = docs
+      .withColumn("__words", TextPrimitives.tokens(col("text")))
+      .withColumn("__sh", expr(TextPrimitives.sparkShingles("__words", "text", k)))
+      .withColumn("__h", TextPrimitives.sparkPolyHashArray("__sh"))
+      .withColumn("__sig", expr(DocDedup.sparkSignature("__h")))
+      .select(col("doc_id"), col("__sig"))
+      .transform(graft.core.CacheScope.persisted)
+    val bands = sig.select(col("doc_id"), posexplode(expr(DocDedup.bandExplodeSql("__sig"))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sig.select(col("doc_id").as("id_a"), col("__sig").as("sig_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("__sig").as("sig_b")), "id_b")
+      // CAST before the divide: a `16.0` literal would parse as DECIMAL and
+      // silently turn the whole column DECIMAL (the oracle emits DOUBLE)
+      .withColumn("est_jaccard",
+        expr(s"CAST(aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) AS DOUBLE) / $SigLen"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
 }

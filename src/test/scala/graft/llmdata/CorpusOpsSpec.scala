@@ -136,6 +136,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a == expected)
   }
 
+  test("ppsSample: keep probability tracks weight/maxW, max-weight rows always kept") {
+    import org.apache.spark.sql.functions.expr
+    // weights 1..1000 over 4000 docs: keep rate for weight w is ceil(w)/1000
+    val in = (1L to 4000L).map(i => (i, "x", 1L + i % 1000)).toDF("doc_id", "lang", "n_chars")
+    val out = CorpusOps.ppsSample(in, "n_chars")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // the gate is exactly bucket*maxW < w*1000 — recompute membership
+    val maxW = 1000L
+    val expected = in.withColumn("bucket", expr(CorpusOps.bucketSql("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .filter { case (_, w, b) => b * maxW < w * 1000L }
+    assert(rows.map(_._1).toSet == expected.map(_._1).toSet)
+    // max-weight rows are always kept (bucket < 1000 = always true)
+    val maxIds = (1L to 4000L).filter(i => 1L + i % 1000 == 1000L).toSet
+    assert(maxIds.subsetOf(rows.map(_._1).toSet))
+    // aggregate keep fraction ~ E[w]/maxW = 0.5005 (hash buckets near-uniform)
+    val frac = rows.length.toDouble / 4000
+    assert(frac > 0.45 && frac < 0.55, s"keep fraction $frac far from 0.5")
+    // deterministic: a re-run selects the identical set
+    assert(CorpusOps.ppsSample(in, "n_chars").collect().map(_.getLong(0)).toSet ==
+      rows.map(_._1).toSet)
+  }
+
   test("sample rate lands near the nominal per-mille for the stratum") {
     val en = docs.filter($"lang" === "en").count().toDouble
     val kept = CorpusOps.stratifiedSample(docs, Map("en" -> 500))

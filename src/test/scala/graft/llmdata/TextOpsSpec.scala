@@ -100,4 +100,52 @@ class TextOpsSpec extends AnyFunSuite {
       assert(total <= 64 + 16 - 1, s"sequence overflows: $total")
     }
   }
+
+  test("tfidfTopTerms: integer score, deterministic tie-break, top-k per doc") {
+    val in = Seq(
+      (1L, "apple Apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(in, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // df: apple 1, banana 2, cherry 2, durian 1; score = tf*1e6 div df
+    assert(out((1L, "apple")) == ((2L, 1L, 2000000L, 1L)))   // case-folded tf=2
+    assert(out((1L, "banana")) == ((1L, 2L, 500000L, 2L)))
+    // doc 2: equal scores -> token asc breaks the tie
+    assert(out((2L, "banana"))._4 == 1L && out((2L, "cherry"))._4 == 2L)
+    // doc 3: equal scores 1000000 -> cherry before durian
+    assert(out((3L, "cherry")) == ((2L, 2L, 1000000L, 1L)))
+    assert(out((3L, "durian")) == ((1L, 1L, 1000000L, 2L)))
+    // k truncates: k=1 keeps exactly one row per doc, the rank-1 term
+    val top1 = TextAnalysis.tfidfTopTerms(in, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1 == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+  }
+
+  test("tfidfTopTerms plan: partial WindowGroupLimit, terms computed once, no product join") {
+    val in = (1L to 50L).map(i => (i, s"w${i % 7} w${i % 3} common"))
+      .toDF("doc_id", "text")
+    val df = TextAnalysis.tfidfTopTerms(in)
+    val plan = df.queryExecution.executedPlan.toString
+    // InferWindowGroupLimit must plant the map-side (Partial) group limit:
+    // each task forwards <= k rows per doc to the rank exchange instead of
+    // the full term list — the property that makes top-k-per-doc viable at
+    // corpus scale. An intervening cast/projection between the rank filter
+    // and the Window would silently disable it (see the operator comment).
+    val wgl = plan.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    assert(wgl.nonEmpty, s"rank filter lost its group limit:\n$plan")
+    assert(wgl.exists(_.contains("Partial")),
+      s"group limit is final-only (no map-side prune):\n${wgl.mkString("\n")}")
+    // The (doc, term) frame feeds the df aggregate AND the score join; the
+    // persist pin must make BOTH branches read the cached frame instead of
+    // re-tokenizing the corpus. (Counting Generate nodes would misfire:
+    // InMemoryRelation echoes its cached subtree into the plan string.)
+    assert(plan.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"terms frame not read from cache on both branches:\n$plan")
+    // df joins on token — equi-join under any strategy, never a product
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"score join degenerated to a product:\n$plan")
+  }
 }

@@ -62,6 +62,39 @@ class DocStreamSpec extends AnyFunSuite {
     assert(fp(0) != fp(1))
   }
 
+  test("streaming LSH near-dup: pairs match the batch twin, including cross-batch pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = "the quick brown fox jumps over the lazy dog today"
+    val t2 = "completely different content about parquet shuffles and joins"
+    val docs = Seq(
+      (1L, ts(0), t1),
+      (2L, ts(1), t2),
+      (3L, ts(2), t1 + " today"))   // near-dup of doc 1 (one extra repeated token)
+    val late = (4L, ts(3), t2)      // exact dup of doc 2, arrives in a LATER batch
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.lshNearDupStream(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      mem.addData(late)
+      q.processAllAvailable()
+      // streaming may emit a pair once per matching band -> dedup, then
+      // compare against the batch twin over the same 4 documents
+      val streamed = spark.table("neardup")
+        .select("idA", "idB", "estJaccard").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = DocStream.lshNearDupEstBatchTwin(
+        (docs :+ late).map(d => (d._1, d._3)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      // the cross-batch exact dup must be among them with full agreement
+      assert(streamed.contains((2L, 4L, 1.0)))
+    } finally q.stop()
+  }
+
   test("dedup state survives a query restart: cross-restart duplicates stay dropped") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
