@@ -26,6 +26,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"flagship plan contains a product join:\n$plan")
   }
 
+  test("a_cupom top-1-per-etiqueta plans a PARTIAL WindowGroupLimit before the shuffle") {
+    // Dedup.top1PerKey keeps the rank filter directly on the raw
+    // row_number output precisely so InferWindowGroupLimit (Spark 3.5+)
+    // can plant a map-side group limit: each task forwards ONE row per
+    // etiqueta it sees instead of the full POS feed — on the 100 TB feed
+    // that is the difference between shuffling ~|keys| rows and shuffling
+    // the corpus. A refactor that projects/casts between filter and window
+    // would silently lose this; it fails here instead.
+    val plan = graft.registry.PipelineA.queries("a_cupom")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val wgl = plan.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    assert(wgl.exists(_.contains("Partial")),
+      s"cupom dedup lost its map-side group limit:\n$plan")
+  }
+
   test("b_ressarcimento plans no window over the fact rows (W2 agg+broadcast rewrite)") {
     // The reference computes per-parent loss totals as
     // `sum(perdas) OVER (PARTITION BY cnpj_forn_pai)` — a window that
