@@ -35,6 +35,14 @@ trait Sink {
 
   /** K3: replace or append. Returns the written row count (K4). */
   def write(incoming: DataFrame, mode: WriteMode): Long
+
+  /** Current store contents as a lazy frame. Both parquet implementations
+    * already exposed this; it is part of the trait because merge
+    * compositions (e.g. first-arrival-wins streaming ingest,
+    * [[graft.streaming.DocStream.ingestToStore]]) need to consult the
+    * store's keys, and an Iceberg implementation reads its table the same
+    * way. Throws if the store does not exist yet. */
+  def read(): DataFrame
 }
 
 private[sink] object SinkChecks {

@@ -73,6 +73,43 @@ object DocStream {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "fingerprint", "fingerprint2", "n_copies")
 
+  /** End-to-end streaming ingest INTO the corpus store: watermarked exact
+    * dedup ([[dedupedIngest]]) composed with the crash-safe keyed merge of
+    * [[graft.sink.Sink.mergeByKey]] via `foreachBatch` — the streaming twin
+    * of the reference's daily MERGE INTO job (`etl_job.py:78-85`), with the
+    * store itself as the durable dedup authority:
+    * `dropDuplicatesWithinWatermark` bounds in-flight state to the horizon,
+    * and the merge (match on fingerprint pair) makes duplicates that
+    * re-arrive AFTER the horizon idempotent no-ops instead of re-inserts.
+    * Micro-batch replays after a crash re-merge the same rows — also
+    * no-ops, so the store sees effectively-once ingest on at-least-once
+    * delivery.
+    *
+    * Returns the started query; the caller owns `awaitTermination`/`stop`.
+    * Scale: each micro-batch's merge is one anti-join against the store —
+    * the same per-refresh cost profile the batch pipelines already pay. */
+  def ingestToStore(docs: DataFrame, sink: graft.sink.Sink,
+                    checkpoint: String, watermark: String = "1 hour") =
+    dedupedIngest(docs, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // Within-batch same-fingerprint rows exist only across watermark
+        // horizons (inside one horizon dedupedIngest dropped them): keep
+        // the smallest doc_id deterministically. Then FIRST-ARRIVAL-WINS
+        // against the store: mergeByKey alone would update on match
+        // (last-wins — the reference's MERGE semantic, right for facts,
+        // wrong for dedup provenance), so already-stored fingerprints are
+        // anti-joined away and the merge only ever inserts.
+        val once = graft.core.Dedup.top1PerKey(
+          batch.toDF(), Seq("fingerprint"), Seq(col("doc_id").asc))
+        val fresh = scala.util.Try(sink.read().select("fingerprint")).toOption
+          .fold(once)(stored => once.join(stored, Seq("fingerprint"), "left_anti"))
+        sink.mergeByKey(fresh, Seq("fingerprint")): Unit
+      }
+      .start()
+
   // ---- Streaming NEAR-dup (MinHash-LSH over custom keyed state) ----------
 
   /** One LSH band row bound for a bucket's state group. `ts` is the

@@ -62,6 +62,36 @@ class DocStreamSpec extends AnyFunSuite {
     assert(fp(0) != fp(1))
   }
 
+  test("ingestToStore: effectively-once store, first arrival wins even past the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val sink = new graft.sink.ParquetSink(spark, s"$root/store")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.ingestToStore(
+      mem.toDF().toDF("doc_id", "ts", "text"), sink, s"$root/ckpt")
+    def storeIds = sink.read().select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      mem.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma delta"))
+      q.processAllAvailable()
+      assert(storeIds == Set(1L, 2L))
+      // cross-batch duplicate INSIDE the watermark horizon: dropped by the
+      // in-flight dedup state, never reaches the sink
+      mem.addData((3L, ts(2), " alpha  beta "), (4L, ts(3), "epsilon zeta"))
+      q.processAllAvailable()
+      assert(storeIds == Set(1L, 2L, 4L))
+      // advance the watermark past doc 1's ts + horizon so its in-flight
+      // fingerprint state is EVICTED...
+      mem.addData((10L, Timestamp.valueOf("2026-01-01 11:00:00"), "unrelated content here"))
+      q.processAllAvailable()
+      // ...then re-send doc 1's content: the stream re-emits it (state is
+      // gone), and only the store-level anti-join can keep first-wins
+      mem.addData((5L, Timestamp.valueOf("2026-01-01 11:30:00"), "alpha beta"))
+      q.processAllAvailable()
+      assert(storeIds == Set(1L, 2L, 4L, 10L), s"late duplicate re-inserted: $storeIds")
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup: pairs match the batch twin, including cross-batch pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
