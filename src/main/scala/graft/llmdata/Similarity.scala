@@ -242,6 +242,52 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
   }
 
+  /** Build and STORE an IVF index: centroids (tiny, one parquet) plus the
+    * cell-assigned corpus, partitioned on disk by `cell`. The in-plan
+    * [[ivfTopK]] retrains per query — right for verification, wrong for a
+    * serving corpus where one index amortizes over every query batch. The
+    * layout is the point at scale: `cell` is a Hive partition column, so a
+    * probe reads ONLY its cells' directories (see [[ivfTopKFromIndex]]) —
+    * the inverted-file structure is expressed as data layout and enforced
+    * by the planner, not by operator code. Doubles round-trip parquet
+    * bit-exactly, so index-served results equal the in-plan operator's
+    * (spec-pinned) and the same DuckDB oracle applies. */
+  def buildIvfIndex(embeddings: DataFrame, indexDir: String,
+                    nCells: Int = 16, kmeansIters: Int = 1): Unit = {
+    val centroids = graft.core.CacheScope.persisted(
+      kmeansCentroids(embeddings, nCells, kmeansIters))
+    nearestCells(withNorm(embeddings), centroids, "vec_id", 1)
+      .select(col("vec_id"), col("ed"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Serve top-k from a stored IVF index ([[buildIvfIndex]] layout).
+    * Queries pick their `nProbe` best cells against the (broadcast-sized)
+    * stored centroids; the probe join keys on the PARTITION column, so
+    * dynamic partition pruning turns it into a scan of just the probed
+    * cells' directories — at 100 TB the read is nProbe/nCells of the
+    * corpus, decided at runtime from the query batch, with zero operator
+    * code (plan-spec pins the `dynamicpruning` filter). */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                       queries: DataFrame, k: Int = 10, nProbe: Int = 2): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val probes = nearestCells(withNorm(queries), centroids, "vec_id", nProbe)
+      .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"), col("cell"))
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id").as("nn_id"), col("ed").as("e"), col("nrm").as("en"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+    broadcast(probes)
+      .join(vectors, Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", expr(sparkCosPre("q", "e", "qn", "en")))
+      .withColumn("rank",
+        row_number().over(w.partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
+  }
+
   /** Plane weight (p, d) — delegates to the shared kernel
     * ([[graft.functions.HashKernels.planeWeight]]) so the expression, this
     * builder, and the oracle all use one definition. */

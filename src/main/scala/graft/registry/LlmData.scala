@@ -99,6 +99,16 @@ object LlmData {
     }),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
+    // Index round trip: build + store the IVF layout (cell-partitioned),
+    // then serve the same probe from the stored index — result must equal
+    // the in-plan operator's bit for bit, so it shares ivfTopkSql.
+    "e_ivf_index" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_index_${Integer.toHexString(d.hashCode)}").toString
+      Similarity.buildIvfIndex(embs(s, d), dir)
+      Similarity.ivfTopKFromIndex(s, dir, embs(s, d).filter(col("vec_id") < 8))
+    }),
     "e_kmeans" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Similarity.kmeansCentroids(embs(s, d))
@@ -592,6 +602,7 @@ object LlmData {
     "e_cross_neardup" -> crossNeardupSql,
     "e_lsh_topk" -> lshTopkSql,
     "e_ivf_topk" -> ivfTopkSql,
+    "e_ivf_index" -> ivfTopkSql,
     "e_kmeans" -> kmeansSql,
     "e_centroids" -> centroidsSql,
     "m_meta" -> metaSql,

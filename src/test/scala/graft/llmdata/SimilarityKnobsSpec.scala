@@ -131,4 +131,23 @@ class SimilarityKnobsSpec extends AnyFunSuite {
     assert(oneWideBand < possible,
       s"1x32 banding collapsed into a single bucket: $oneWideBand of $possible")
   }
+
+  test("stored IVF index serves the in-plan operator's exact results via partition pruning") {
+    val emb = vecs(200, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.buildIvfIndex(emb, dir, nCells = 8)
+    val served = Similarity.ivfTopKFromIndex(spark, dir, emb.filter(col("vec_id") < 4),
+      k = 5, nProbe = 2)
+    // bit-identical to the in-plan retrain (doubles round-trip parquet
+    // exactly; same seeds, same argmax, same tie-breaks)
+    val inPlan = Similarity.ivfTopK(emb, nQueries = 4, k = 5, nCells = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = served.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == inPlan, s"index-served $got != in-plan $inPlan")
+    // the probe scan must be dynamically partition-pruned: only the probed
+    // cells' directories are read, which is the whole point of the layout
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"index probe not partition-pruned:\n$plan")
+  }
 }
