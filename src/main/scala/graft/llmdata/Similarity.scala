@@ -262,6 +262,24 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** Incremental index maintenance: assign NEW vectors against the STORED
+    * (frozen) centroids and append them to their cells' partitions — the
+    * serving-corpus growth path ([[buildIvfIndex]] retrains; this never
+    * does). Assignment math is identical to build time (stored doubles are
+    * bit-exact), so an index grown by appends equals one built over the
+    * union with the same centroids — spec-pinned, and `e_ivf_incr`
+    * oracle-checks a build-half/append-half round trip end to end.
+    * Retraining cadence (append drift vs rebuild cost) stays a caller
+    * policy, exactly as with any IVF system. */
+  def appendToIvfIndex(newVectors: DataFrame, indexDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    nearestCells(withNorm(newVectors), centroids, "vec_id", 1)
+      .select(col("vec_id"), col("ed"), col("nrm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+  }
+
   /** Serve top-k from a stored IVF index ([[buildIvfIndex]] layout).
     * Queries pick their `nProbe` best cells against the (broadcast-sized)
     * stored centroids; the probe join keys on the PARTITION column, so

@@ -109,6 +109,24 @@ object LlmData {
       Similarity.buildIvfIndex(embs(s, d), dir)
       Similarity.ivfTopKFromIndex(s, dir, embs(s, d).filter(col("vec_id") < 8))
     }),
+    // Index lifecycle: TRAIN+build on the first half of the corpus, APPEND
+    // the second half against the frozen stored centroids, serve from the
+    // grown index. The oracle trains on the same half and assigns
+    // everything — so the append path's assignment math is oracle-checked,
+    // not just spec-compared. The in-plan half split avoids a driver
+    // count: max(vec_id) folds in-plan and broadcasts.
+    "e_ivf_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, col, expr, max}
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_incr_${Integer.toHexString(d.hashCode)}").toString
+      val emb = embs(s, d)
+      val half = broadcast(emb.agg(expr("(max(vec_id) + 1) div 2").as("__h")))
+      Similarity.buildIvfIndex(
+        emb.crossJoin(half).filter(col("vec_id") < col("__h")).drop("__h"), dir)
+      Similarity.appendToIvfIndex(
+        emb.crossJoin(half).filter(col("vec_id") >= col("__h")).drop("__h"), dir)
+      Similarity.ivfTopKFromIndex(s, dir, emb.filter(col("vec_id") < 8))
+    }),
     "e_kmeans" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Similarity.kmeansCentroids(embs(s, d))
@@ -437,13 +455,18 @@ object LlmData {
     * per-(cell, dim) SORTED-fold mean (same canonical add order as Spark's
     * array_sort + fold, so the doubles are bit-identical), vectors rebuilt
     * with an ordered list aggregate. */
-  private val kmeansCte = {
+  /** k-means training CTE; `trainPred` restricts the TRAINING population
+    * (seeds stay `vec_id < 16` — any train set that contains them gives the
+    * same seeds). "TRUE" = train on the whole corpus (`e_kmeans`,
+    * `e_ivf_topk`); `e_ivf_incr` trains on the first half only, mirroring
+    * a build-then-append index lifecycle. */
+  private def kmeansCteWhere(trainPred: String) = {
     val cellCos = Similarity.duckCosPre("v.ed", "c.ced", "v.nrm", "c.cnrm")
     s"""seed AS (SELECT CAST(vec_id AS INT) AS cell, ed AS ced, nrm AS cnrm FROM n2 WHERE vec_id < 16),
        |asg0 AS (SELECT vec_id, ed, cell FROM (
        |  SELECT v.vec_id, v.ed, c.cell,
        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, c.cell ASC) AS r
-       |  FROM n2 v, seed c) WHERE r = 1),
+       |  FROM n2 v, seed c WHERE $trainPred) WHERE r = 1),
        |xk AS (SELECT cell, CAST(u.pos AS INT) AS pos, CAST(u.v AS DOUBLE) AS v
        |       FROM (SELECT cell, unnest(list_transform(range(1, len(ed) + 1),
        |                     i -> {'pos': i - 1, 'v': ed[i]})) AS u FROM asg0)),
@@ -456,6 +479,8 @@ object LlmData {
        |          FROM (SELECT cell, list(m ORDER BY pos) AS ced FROM mk GROUP BY cell))""".stripMargin
   }
 
+  private val kmeansCte = kmeansCteWhere("TRUE")
+
   private val kmeansSql =
     s"""WITH $normCte,
        |$kmeansCte
@@ -464,10 +489,14 @@ object LlmData {
   /** DuckDB twin of Similarity.ivfTopK: k-means-trained centroids (one
     * deterministic Lloyd round, [[kmeansCte]]), same argmax cell
     * assignment, same 2-cell probe and exact re-rank. */
-  private val ivfTopkSql = {
+  /** Serve-side SQL shared by `e_ivf_topk` (train on everything),
+    * `e_ivf_index` (identical math — the stored index round-trips doubles
+    * bit-exactly) and `e_ivf_incr` (train on the first half, assign
+    * everything: the build-half/append-half lifecycle). */
+  private def ivfServeSql(trainPred: String) = {
     val cellCos = Similarity.duckCosPre("v.ed", "c.ced", "v.nrm", "c.cnrm")
     s"""WITH $normCte,
-       |$kmeansCte,
+       |${kmeansCteWhere(trainPred)},
        |ranked AS (SELECT v.vec_id, v.ed, v.nrm, c.cell,
        |             row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, c.cell ASC) AS r
        |           FROM n2 v, centn c),
@@ -478,6 +507,10 @@ object LlmData {
        |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM scored)
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
   }
+
+  private val ivfTopkSql = ivfServeSql("TRUE")
+  private val ivfIncrSql =
+    ivfServeSql("v.vec_id < (SELECT (max(vec_id) + 1) // 2 FROM n2)")
 
   private val metaSql =
     """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
@@ -603,6 +636,7 @@ object LlmData {
     "e_lsh_topk" -> lshTopkSql,
     "e_ivf_topk" -> ivfTopkSql,
     "e_ivf_index" -> ivfTopkSql,
+    "e_ivf_incr" -> ivfIncrSql,
     "e_kmeans" -> kmeansSql,
     "e_centroids" -> centroidsSql,
     "m_meta" -> metaSql,

@@ -150,4 +150,26 @@ class SimilarityKnobsSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning"),
       s"index probe not partition-pruned:\n$plan")
   }
+
+  test("appendToIvfIndex: grown index is complete, assignments frozen to stored centroids") {
+    val emb = vecs(120, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_incr_spec").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 60), dir, nCells = 8)
+    val centroidsBefore = spark.read.parquet(s"$dir/centroids").collect().toSet
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 60), dir)
+    // no vector lost or duplicated; centroids untouched by the append
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.count() == 120 && stored.select("vec_id").distinct().count() == 120)
+    assert(spark.read.parquet(s"$dir/centroids").collect().toSet == centroidsBefore)
+    // serving the grown index yields a full, duplicate-free top-k per query
+    val served = Similarity.ivfTopKFromIndex(spark, dir, emb.filter(col("vec_id") < 3),
+      k = 5, nProbe = 2).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(served.length == 15)
+    served.groupBy(_._1).values.foreach { q =>
+      assert(q.map(_._2).sorted.toSeq == (1L to 5L), s"ranks broken: ${q.toSeq}")
+      assert(q.map(_._3).distinct.length == 5)
+    }
+    // appended vectors are reachable: at least one neighbor id >= 60
+    assert(served.exists(_._3 >= 60L), "appended half never surfaced in results")
+  }
 }
