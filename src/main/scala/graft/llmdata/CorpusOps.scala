@@ -459,30 +459,46 @@ object CorpusOps {
     * operator takes DataFrames so either binding works); the candidate join
     * is bucket-local (band, key) between batch and corpus bands — never
     * |batch| × |corpus|. */
-  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
-                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    graft.functions.VectorExprs.register(newDocs.sparkSession)
-    import org.apache.spark.storage.StorageLevel
-    def shingled(df: DataFrame) = df
-      .withColumn("__words", tokens(col("text")))
+  /** (doc_id, text, __sh): the shingle arrays every text-dedup stage keys
+    * on — shared by the in-plan incremental dedup and the stored index. */
+  private[llmdata] def shingledDocs(df: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    df.withColumn("__words", tokens(col("text")))
       .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
       .select(col("doc_id"), col("text"), col("__sh"))
-    def bands(sh: DataFrame, idAs: String) = sh
-      .withColumn("__h", sparkPolyHashArray("__sh"))
+  }
+
+  /** Exploded LSH band keys of a shingled frame ([[shingledDocs]] layout). */
+  private[llmdata] def bandsOf(sh: DataFrame, idAs: String): DataFrame = {
+    graft.functions.VectorExprs.register(sh.sparkSession)
+    sh.withColumn("__h", sparkPolyHashArray("__sh"))
       .withColumn("__sig", expr(DocDedup.sparkSignature("__h")))
       .select(col("doc_id").as(idAs),
         posexplode(expr(DocDedup.bandExplodeSql("__sig"))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+  }
 
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val corpusSh = shingledDocs(corpus, k).transform(graft.core.CacheScope.persisted)
+    dedupAgainstShingled(newDocs, corpusSh, bandsOf(corpusSh, "old_id"), k, threshold)
+  }
+
+  /** The shared incremental-dedup core — the corpus arrives as its shingle
+    * frame plus its (possibly precomputed) band table; in-plan
+    * ([[dedupAgainstCorpus]]) derives the bands, the stored index
+    * ([[dedupAgainstIndex]]) reads them. The math is this one function. */
+  private def dedupAgainstShingled(newDocs: DataFrame, corpusSh: DataFrame,
+                                   corpusBands: DataFrame,
+                                   k: Int, threshold: Double): DataFrame = {
     // (1) exact: drop batch docs whose text already exists in the corpus
-    val exactKept = shingled(
-      newDocs.join(corpus.select(col("text")), Seq("text"), "left_anti"))
+    val exactKept = shingledDocs(
+      newDocs.join(corpusSh.select(col("text")), Seq("text"), "left_anti"), k)
       .transform(graft.core.CacheScope.persisted)
-    val corpusSh = shingled(corpus).transform(graft.core.CacheScope.persisted)
 
     // (2) near-dup vs corpus: bucket join between band sets, exact verify
-    val candidates = bands(exactKept, "new_id")
-      .join(bands(corpusSh, "old_id"), Seq("band", "band_key"))
+    val candidates = bandsOf(exactKept, "new_id")
+      .join(corpusBands, Seq("band", "band_key"))
       .select("new_id", "old_id").distinct()
     // round(…, 6) matches DocDedup.minhashLshPairs' thresholding exactly, so
     // steps (2) and (3) can never disagree on a borderline pair.
@@ -501,6 +517,36 @@ object CorpusOps {
     exactKept.select("doc_id")
       .join(vsCorpus, Seq("doc_id"), "left_anti")
       .join(intraDrop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Materialize the dedup index at INGEST time: the corpus' shingle
+    * arrays and exploded LSH band keys as two parquet tables. Per-batch
+    * incremental dedup then never re-tokenizes, re-shingles, or re-hashes
+    * the corpus ([[dedupAgainstIndex]]) — at 100 TB that turns every
+    * crawl-batch admission from a corpus-sized recompute into a read of
+    * precomputed (and far smaller) band/shingle tables. Strings round-trip
+    * parquet exactly, so index-served decisions are bit-identical to the
+    * in-plan form (`c_incr_idx` shares `c_incr`'s oracle). Growing the
+    * index = appending the ADMITTED batch's rows to both tables — the same
+    * append-vs-frozen-state lifecycle as [[graft.llmdata.Similarity.appendToIvfIndex]]. */
+  def buildDedupIndex(corpus: DataFrame, indexDir: String, k: Int = 3): Unit = {
+    val sh = shingledDocs(corpus, k).transform(graft.core.CacheScope.persisted)
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    bandsOf(sh, "doc_id").write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** Incremental dedup against a STORED index ([[buildDedupIndex]]
+    * layout): same three gates as [[dedupAgainstCorpus]] — exact text,
+    * near-dup vs corpus (candidates from the precomputed band table),
+    * near-dup within the batch — with the corpus-side work read, not
+    * recomputed. */
+  def dedupAgainstIndex(newDocs: DataFrame, indexDir: String,
+                        k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    dedupAgainstShingled(newDocs,
+      spark.read.parquet(s"$indexDir/shingles"),
+      spark.read.parquet(s"$indexDir/bands").withColumnRenamed("doc_id", "old_id"),
+      k, threshold)
   }
 
   // ---- Document chunking ---------------------------------------------------

@@ -55,6 +55,18 @@ object Corpus {
       CorpusOps.dedupAgainstCorpus(
         all.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0),
         all.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0))
+    }),
+    // Same split, but the corpus side served from a STORED dedup index
+    // (shingles + band keys materialized at "ingest") — admission math is
+    // identical, so it shares c_incr's oracle; what changes is the
+    // per-batch cost: read precomputed tables vs recompute the corpus.
+    "c_incr_idx" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val all = docs(s, d)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_dedup_idx_${Integer.toHexString(d.hashCode)}").toString
+      CorpusOps.buildDedupIndex(all.filter(col("doc_id") % 5 =!= 0), dir)
+      CorpusOps.dedupAgainstIndex(all.filter(col("doc_id") % 5 === 0), dir)
     }))
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -321,6 +333,7 @@ object Corpus {
     "c_quantiles" -> quantilesSql,
     "c_shuffle" -> shuffleSql,
     "c_incr" -> incrSql,
+    "c_incr_idx" -> incrSql,
     "c_seqtext" -> seqtextSql,
     "c_qsample" -> qsampleSql,
     "c_sample" -> sampleSql,

@@ -250,6 +250,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     val out = CorpusOps.dedupAgainstCorpus(batch, corpus)
       .collect().map(_.getLong(0)).toSet
     assert(out == Set(12L, 14L))
+    // stored-index form: same admissions, corpus side read not recomputed
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx_spec").toString
+    CorpusOps.buildDedupIndex(corpus, dir)
+    val viaIndex = CorpusOps.dedupAgainstIndex(batch, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIndex == out, s"index-served $viaIndex != in-plan $out")
+    // growing the index with the admitted docs makes a re-offered batch
+    // fully duplicate: everything is now rejected
+    val admitted = batch.filter($"doc_id".isin(out.toSeq: _*))
+    CorpusOps.shingledDocs(admitted, 3).write.mode("append").parquet(s"$dir/shingles")
+    CorpusOps.bandsOf(CorpusOps.shingledDocs(admitted, 3), "doc_id")
+      .write.mode("append").parquet(s"$dir/bands")
+    assert(CorpusOps.dedupAgainstIndex(batch, dir).count() == 0)
   }
 
   test("cleanCorpus output: only en/quality survivors, no duplicate texts, no near-dup pairs") {
