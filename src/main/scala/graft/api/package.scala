@@ -54,6 +54,8 @@ package object api {
     def repetitionSignals: DataFrame = TextAnalysis.repetition(docs)
     def scrubPii: DataFrame = TextAnalysis.scrub(docs)
     def vocabulary(minDf: Int = 1): DataFrame = TextAnalysis.vocabulary(docs, minDf)
+    /** Top-k characteristic terms per doc (integer-exact TF-IDF). */
+    def tfidfTopTerms(k: Int = 3): DataFrame = TextAnalysis.tfidfTopTerms(docs, k)
 
     def dedupExact: DataFrame = DocDedup.exact(docs)
     def ngramNearDupPairs(k: Int = 3, threshold: Double = 0.5, maxDocFreq: Long = 0L): DataFrame =
@@ -85,6 +87,15 @@ package object api {
       CorpusOps.scoreQuantiles(docs, qs, buckets)
     def dedupAgainst(corpus: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
       CorpusOps.dedupAgainstCorpus(docs, corpus, k, threshold)
+    /** Incremental dedup against a stored index ([[CorpusOps.buildDedupIndex]]). */
+    def dedupAgainstIndex(indexDir: String, k: Int = 3, threshold: Double = 0.5): DataFrame =
+      CorpusOps.dedupAgainstIndex(docs, indexDir, k, threshold)
+    /** Materialize this corpus' dedup index (shingles + LSH bands). */
+    def buildDedupIndex(indexDir: String, k: Int = 3): Unit =
+      CorpusOps.buildDedupIndex(docs, indexDir, k)
+    /** Keep each doc with probability weight/max(weight) — deterministic PPS. */
+    def ppsSample(weightCol: String = "n_chars"): DataFrame =
+      CorpusOps.ppsSample(docs, weightCol)
     def shuffleOrder(buckets: Int = 256, epoch: Long = 0L): DataFrame =
       CorpusOps.shuffleOrder(docs, buckets, epoch)
     def cleanCorpus(keepLang: String = "en", minQuality: Double = 0.6): DataFrame =
@@ -118,6 +129,12 @@ package object api {
     def kmeansCentroids(nCells: Int = 16, iters: Int = 1): DataFrame =
       Similarity.kmeansCentroids(embs, nCells, iters)
     def labelCentroids: DataFrame = Similarity.labelCentroids(embs)
+    /** Build + store the IVF index (cell-partitioned; DPP-served probes). */
+    def buildIvfIndex(indexDir: String, nCells: Int = 16, kmeansIters: Int = 1): Unit =
+      Similarity.buildIvfIndex(embs, indexDir, nCells, kmeansIters)
+    /** Append this frame's vectors to a stored index (frozen centroids). */
+    def appendToIvfIndex(indexDir: String): Unit =
+      Similarity.appendToIvfIndex(embs, indexDir)
   }
 
   /** Column-level normalization functions (C1-C3). */
