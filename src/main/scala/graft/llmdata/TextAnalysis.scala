@@ -149,6 +149,61 @@ object TextAnalysis {
         dupRatio(3).as("dup_3gram_ratio"))
   }
 
+  /** The stopword-presence list of the Gopher rule set ([[gopherRules]]):
+    * a document that contains fewer than 2 of these is likely not natural
+    * prose (navigation junk, code, tables). Published list, Rae et al.
+    * 2021 appendix A1.1. */
+  val GopherStops: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document rule filter (Rae et al. 2021, appendix A1.1) —
+    * the published per-document heuristics corpus pipelines run before
+    * training, emitted as one row of signals plus the composite `keep`
+    * flag so downstream can either hard-filter (`keep = 1`) or re-weight
+    * on the individual signals:
+    *
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio ('#' or '...') <= 0.1
+    *   - <= 90% of lines start with a bullet ('-', '*', '•')
+    *   - <= 30% of lines end with an ellipsis
+    *   - >= 80% of words contain at least one alphabetic character
+    *   - >= 2 of the 8 [[GopherStops]] stopwords present
+    *
+    * Single-pass narrow projection (words + lines derived once, no
+    * shuffle); at 100 TB this is one scan like the other signal passes,
+    * and composes with [[repetition]] (the rule set's other half) in the
+    * same pass. The `keep` flag compares the ROUNDED emitted ratios, so
+    * the oracle's comparison sees bit-identical doubles. */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val stopArr = GopherStops.map(w => s"'$w'").mkString("array(", ", ", ")")
+    documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__lines", expr("filter(split(text, '\\n'), l -> length(trim(l)) > 0)"))
+      .select(
+        col("doc_id"),
+        size(col("__words")).cast("bigint").as("n_words"),
+        round(expr("aggregate(__words, 0L, (s, w) -> s + length(w))").cast("double")
+          / greatest(size(col("__words")), lit(1)), 6).as("mean_word_len"),
+        round((regexp_count(col("text"), lit("#")) + regexp_count(col("text"), lit("\\.\\.\\.")))
+          .cast("double") / greatest(size(col("__words")), lit(1)), 6).as("symbol_ratio"),
+        round(expr("size(filter(__lines, l -> substring(trim(l), 1, 1) IN ('-', '*', '•')))")
+          .cast("double") / greatest(size(col("__lines")), lit(1)), 6).as("bullet_ratio"),
+        round(expr("size(filter(__lines, l -> trim(l) LIKE '%...'))")
+          .cast("double") / greatest(size(col("__lines")), lit(1)), 6).as("ellipsis_ratio"),
+        round(expr("size(filter(__words, w -> w rlike '[A-Za-z]'))")
+          .cast("double") / greatest(size(col("__words")), lit(1)), 6).as("alpha_ratio"),
+        expr(s"size(filter($stopArr, sw -> exists(__words, w -> lower(w) = sw)))")
+          .cast("bigint").as("stop_hits"))
+      .withColumn("keep",
+        (col("n_words").between(50, 100000)
+          && col("mean_word_len").between(3.0, 10.0)
+          && col("symbol_ratio") <= 0.1
+          && col("bullet_ratio") <= 0.9
+          && col("ellipsis_ratio") <= 0.3
+          && col("alpha_ratio") >= 0.8
+          && col("stop_hits") >= 2).cast("int"))
+  }
+
   /** Email pattern for [[scrub]]. Same match semantics under Java regex
     * (Spark, backtracking) and RE2 (DuckDB oracle, automaton): RE2
     * guarantees leftmost-first PCRE-compatible results for these shapes. */

@@ -51,6 +51,7 @@ object LlmData {
         .groupBy("lang")
         .agg(round(kmv(col("h")), 6).as("est_distinct"))
     }),
+    "t_gopher" -> ((s, d) => TextAnalysis.gopherRules(docs(s, d))),
     "t_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "d_exact" -> ((s, d) => DocDedup.exact(docs(s, d))),
@@ -210,6 +211,31 @@ object LlmData {
        |      + least(stop_ratio * 4.0, 1.0) * 0.3
        |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3, 6) AS quality_score
        |FROM q2""".stripMargin
+
+  /** DuckDB twin of [[TextAnalysis.gopherRules]] — identical rule
+    * arithmetic, with `keep` derived from the SAME rounded ratio columns
+    * both engines emit (so the flag never flips on a last-ulp ratio
+    * difference the rounding already removed). */
+  private val gopherSql = {
+    val stopList = TextAnalysis.GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH $wordsCte,
+       |g AS (SELECT doc_id, words, text,
+       |  list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines FROM w),
+       |sig AS (SELECT doc_id,
+       |  CAST(len(words) AS BIGINT) AS n_words,
+       |  round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(words, x -> CAST(length(x) AS BIGINT))), (s, c) -> s + c) AS DOUBLE) / greatest(len(words), 1), 6) AS mean_word_len,
+       |  round(CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / greatest(len(words), 1), 6) AS symbol_ratio,
+       |  round(CAST(len(list_filter(lines, l -> substring(trim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE) / greatest(len(lines), 1), 6) AS bullet_ratio,
+       |  round(CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS DOUBLE) / greatest(len(lines), 1), 6) AS ellipsis_ratio,
+       |  round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / greatest(len(words), 1), 6) AS alpha_ratio,
+       |  CAST(len(list_filter($stopList, sw -> len(list_filter(words, x -> lower(x) = sw)) > 0)) AS BIGINT) AS stop_hits
+       |FROM g)
+       |SELECT *, CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+       |  AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio <= 0.1
+       |  AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+       |  AND alpha_ratio >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM sig""".stripMargin
+  }
 
   private val langidSql = {
     val scores = StopWords.map { case (l, _) =>
@@ -621,6 +647,7 @@ object LlmData {
     "t_vocab" -> vocabSql,
     "t_tfidf" -> tfidfSql,
     "v_kmv" -> kmvSql,
+    "t_gopher" -> gopherSql,
     "t_langid" -> langidSql,
     "t_fingerprint" -> fingerprintSql,
     "d_exact" -> exactSql,

@@ -148,4 +148,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"score join degenerated to a product:\n$plan")
   }
+
+  test("gopherRules: each rule trips the keep flag on its own violation") {
+    val prose = ("the data be flowing to the lake of records and we know that " +
+      "all engineers have worked with care ") * 3 // 57 words, all rules pass
+    val in = Seq(
+      (1L, prose),
+      (2L, "the be to of and that have with short"), // < 50 words
+      (3L, ("# # # " * 20) + prose),                  // symbol_ratio > 0.1
+      (4L, (1 to 60).map(_ => "zz99...").mkString(" ")), // no stopwords, mean len ok
+      (5L, (1 to 60).map(i => s"- item $i\n").mkString + "the of "), // bullets > 90% of lines? one giant line set
+      (6L, ("the be to of and that have with " * 7) + (1 to 20).map(_ => "12345").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(in).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("keep") == 1)
+    assert(out(2L).getAs[Int]("keep") == 0)           // word count rule
+    assert(out(3L).getAs[Int]("keep") == 0)           // symbol rule
+    assert(out(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(out(4L).getAs[Int]("keep") == 0)           // stopword rule
+    assert(out(4L).getAs[Long]("stop_hits") == 0L)
+    // doc 5: 60 bullet lines + 1 trailing text line -> bullet_ratio > 0.9
+    assert(out(5L).getAs[Double]("bullet_ratio") > 0.9)
+    assert(out(5L).getAs[Int]("keep") == 0)
+    // doc 6: 56 prose words + 20 digit-only words -> alpha_ratio < 0.8
+    assert(out(6L).getAs[Double]("alpha_ratio") < 0.8)
+    assert(out(6L).getAs[Int]("keep") == 0)
+    // signal sanity on the passing doc
+    assert(out(1L).getAs[Long]("n_words") == 57L)
+    assert(out(1L).getAs[Long]("stop_hits") >= 2L)
+    assert(out(1L).getAs[Double]("bullet_ratio") == 0.0)
+  }
 }
