@@ -242,6 +242,44 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-partition the
+    * embedding space, then near-dup detect only WITHIN each cluster —
+    * pairwise cosine work drops from N² to sum of per-cell sizes², the
+    * published recipe for semantic dedup at web-corpus scale (the paper
+    * runs 50k clusters over LAION embeddings for exactly this reason).
+    *
+    * Returns the REMOVED rows (cell, vec_id): a vector is removed iff some
+    * lower-id vector in its cell scores cosine >= `threshold` against it
+    * (deterministic min-id keeper — the paper found the choice of keeper
+    * within a duplicate group doesn't matter). Near-dups that straddle a
+    * cell boundary are NOT found — the method's documented recall
+    * trade-off (spec-pinned; raise nCells overlap or run LSH for
+    * boundary-blind dedup).
+    *
+    * Scale shape: centroids train on [[kmeansCentroids]] (sample-trainable
+    * at 100 TB), assignment is one broadcast join + per-id argmax, and the
+    * pair join shuffles on `cell` — each reducer sees one cell's members.
+    * Keep cells bounded by scaling nCells with the corpus (~N/1000); for
+    * fat cells compose with [[lshPairCandidates]] inside the cell. The
+    * assigned frame is persisted: it self-joins (a/b sides), and
+    * unpinned the whole k-means tower would execute twice. */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.4,
+               nCells: Int = 16, kmeansIters: Int = 1): DataFrame = {
+    val n = withNorm(embeddings)
+    val centroids = graft.core.CacheScope.persisted(
+      kmeansCentroids(embeddings, nCells, kmeansIters))
+    val assigned = graft.core.CacheScope.persisted(
+      nearestCells(n, centroids, "vec_id", 1)
+        .select(col("cell"), col("vec_id"), col("ed"), col("nrm")))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("ed").as("ea"), col("nrm").as("na"))
+    a.join(assigned, Seq("cell"))
+      .filter(col("id_a") < col("vec_id"))
+      .filter(expr(sparkCosPre("ea", "ed", "na", "nrm")) >= threshold)
+      .select(col("cell"), col("vec_id"))
+      .distinct()
+  }
+
   /** Build and STORE an IVF index: centroids (tiny, one parquet) plus the
     * cell-assigned corpus, partitioned on disk by `cell`. The in-plan
     * [[ivfTopK]] retrains per query — right for verification, wrong for a

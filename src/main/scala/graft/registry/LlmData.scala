@@ -98,6 +98,7 @@ object LlmData {
         .unionByName(cnt("mm_centered_2x20",
           Similarity.lshPairCandidates(mm, 40, 20, 8, 0.5)))
     }),
+    "e_semdedup" -> ((s, d) => Similarity.semDedup(embs(s, d))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     // Index round trip: build + store the IVF layout (cell-partitioned),
@@ -534,6 +535,23 @@ object LlmData {
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** DuckDB twin of Similarity.semDedup: same trained centroids
+    * ([[kmeansCte]]), same argmax cell assignment as the IVF oracles, then
+    * within-cell lower-id pairs verified on exact cosine — removed =
+    * distinct higher ids. */
+  private val semDedupSql = {
+    val cellCos = Similarity.duckCosPre("v.ed", "c.ced", "v.nrm", "c.cnrm")
+    s"""WITH $normCte,
+       |$kmeansCte,
+       |ranked AS (SELECT v.vec_id, v.ed, v.nrm, c.cell,
+       |             row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, c.cell ASC) AS r
+       |           FROM n2 v, centn c),
+       |assign AS (SELECT vec_id, ed, nrm, cell FROM ranked WHERE r = 1)
+       |SELECT DISTINCT b.cell, b.vec_id
+       |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
+  }
+
   private val ivfTopkSql = ivfServeSql("TRUE")
   private val ivfIncrSql =
     ivfServeSql("v.vec_id < (SELECT (max(vec_id) + 1) // 2 FROM n2)")
@@ -660,6 +678,7 @@ object LlmData {
     "e_lsh_neardup" -> lshNeardupSql,
     "e_lsh_selectivity" -> lshSelectivitySql,
     "e_cross_neardup" -> crossNeardupSql,
+    "e_semdedup" -> semDedupSql,
     "e_lsh_topk" -> lshTopkSql,
     "e_ivf_topk" -> ivfTopkSql,
     "e_ivf_index" -> ivfTopkSql,

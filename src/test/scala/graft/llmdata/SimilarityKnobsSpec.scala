@@ -20,6 +20,30 @@ class SimilarityKnobsSpec extends AnyFunSuite {
       expr(s"transform(sequence(1, $dims), j -> CAST(abs(hash(vec_id * $dims + j)) % 997 AS DOUBLE) / 997.0)")
         .as("embedding"))
 
+  test("semDedup removes within-cell dups and (documented trade-off) misses boundary pairs") {
+    // Two orthogonal clusters seeded by vec 0 (x-axis) and vec 1 (y-axis).
+    // vec 2 duplicates vec 0 exactly -> must be removed (cell of vec 0).
+    // vecs 3 and 4 sit either side of the cell boundary with mutual cosine
+    // 0.96 > threshold 0.9 — SemDeDup must NOT pair them (different
+    // cells): the method's published recall trade-off, pinned here so a
+    // refactor that silently globalizes the pair join (reintroducing N²)
+    // fails this test.
+    val in = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0)),
+      (3L, Seq(0.8, 0.6, 0.0)),
+      (4L, Seq(0.6, 0.8, 0.0)))
+      .toDF("vec_id", "embedding")
+    val removed = Similarity.semDedup(in, threshold = 0.9, nCells = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(removed == Set(2L))
+    // sanity: the boundary pair really is above threshold globally
+    val globalPairs = Similarity.cosineNearDupPairs(in, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(globalPairs.contains((3L, 4L)))
+  }
+
   test("cosineNearDupPairs guard trips past maxRows and admits inputs at the limit") {
     // The guard must fail at PLAN BUILD (before any N² job is scheduled),
     // so the assertion is on the builder call itself.
