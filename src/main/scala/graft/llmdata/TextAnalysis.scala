@@ -204,6 +204,76 @@ object TextAnalysis {
           && col("stop_hits") >= 2).cast("int"))
   }
 
+  /** Default merge-round count for [[bpeMerges]] — bounded because the
+    * oracle replays every round as SQL (each adds ~3 CTEs). */
+  val BpeDefaultMerges = 6
+
+  /** BPE merge training (Sennrich et al. 2016) on the corpus: `nMerges`
+    * rounds of (count adjacent symbol pairs) → (merge the most frequent
+    * pair everywhere), returning the learned merge table
+    * (merge_idx, pair_a, pair_b, merged, cnt) — the artifact a tokenizer
+    * is built from. Word-internal only: words are joined with a '|'
+    * sentinel symbol that never pairs, so merges cannot cross word
+    * boundaries. Ties break lexicographically (cnt desc, pair asc), so
+    * the table is deterministic and exactly oracle-checkable.
+    *
+    * Each round is one distributed pass: pair counts shuffle once
+    * (map-side partials absorb the Zipf head), the 1-row argmax winner is
+    * broadcast back, and the merge itself is a narrow per-document fold —
+    * greedy left-to-right non-overlapping, the textbook BPE application
+    * order. The winner frames are persisted (1 row each): round i+1's
+    * corpus embeds round i's winner, and unpinned the argmax subtree
+    * would re-aggregate per reference.
+    *
+    * Scale shape: cost is nMerges corpus passes. Real tokenizer training
+    * runs thousands of merges — at 100 TB do what the k-means trainer
+    * does: train the merge table on a deterministic sample (the pair
+    * distribution converges long before the corpus is exhausted), then
+    * apply the frozen table corpus-wide as a narrow projection. */
+  def bpeMerges(documents: DataFrame, nMerges: Int = BpeDefaultMerges): DataFrame = {
+    val sym0 = documents
+      .withColumn("__words", tokens(col("text")))
+      .select(col("doc_id"),
+        expr("concat_ws(' | ', transform(__words, w -> array_join(split(w, ''), ' ')))")
+          .as("syms"))
+    def pairCounts(d: DataFrame): DataFrame = d
+      .withColumn("__t", split(col("syms"), " "))
+      // element_at past the end is NULL (non-ANSI pin), so the size-1 case
+      // needs no special branch: its half-pair drops in the filter.
+      .select(explode(expr(
+        """filter(transform(sequence(1, greatest(size(__t) - 1, 1)),
+          |  j -> named_struct('a', element_at(__t, j), 'b', element_at(__t, j + 1))),
+          |  q -> q.a IS NOT NULL AND q.b IS NOT NULL AND q.a != '|' AND q.b != '|')"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+    // Greedy left-to-right merge: fold the symbol stream, merging when the
+    // accumulated tail is exactly `a` (full-symbol match — the space test
+    // prevents 'xa'+'b' matching pair (a,b)) and the next symbol is `b`.
+    // A fresh merge output can never immediately re-merge (merged = a+b
+    // with b nonempty, so merged != a), which is exactly BPE's
+    // non-overlapping application order.
+    val fold =
+      """aggregate(split(syms, ' '), '', (acc, tk) -> CASE
+        | WHEN acc = '' THEN tk
+        | WHEN tk = b AND (acc = a OR right(acc, length(a) + 1) = concat(' ', a))
+        |   THEN concat(left(acc, length(acc) - length(a)), merged)
+        | ELSE concat(acc, ' ', tk) END)""".stripMargin.replace("\n", " ")
+    val (_, winners) = (1 to nMerges).foldLeft((sym0, Seq.empty[DataFrame])) {
+      case ((d, ws), i) =>
+        val w = graft.core.CacheScope.persisted(
+          pairCounts(d).orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+            .select(col("a"), col("b"), concat(col("a"), col("b")).as("merged"), col("cnt")))
+        val next = d.crossJoin(broadcast(w))
+          .withColumn("syms", expr(fold))
+          .select("doc_id", "syms")
+        (next, ws :+ w.withColumn("merge_idx", lit(i)))
+    }
+    winners.reduce(_ unionByName _)
+      .select(col("merge_idx"), col("a").as("pair_a"), col("b").as("pair_b"),
+        col("merged"), col("cnt"))
+  }
+
   /** Email pattern for [[scrub]]. Same match semantics under Java regex
     * (Spark, backtracking) and RE2 (DuckDB oracle, automaton): RE2
     * guarantees leftmost-first PCRE-compatible results for these shapes. */

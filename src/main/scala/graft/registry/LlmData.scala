@@ -52,6 +52,7 @@ object LlmData {
         .agg(round(kmv(col("h")), 6).as("est_distinct"))
     }),
     "t_gopher" -> ((s, d) => TextAnalysis.gopherRules(docs(s, d))),
+    "t_bpe" -> ((s, d) => TextAnalysis.bpeMerges(docs(s, d))),
     "t_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "d_exact" -> ((s, d) => DocDedup.exact(docs(s, d))),
@@ -236,6 +237,34 @@ object LlmData {
        |  AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
        |  AND alpha_ratio >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
        |FROM sig""".stripMargin
+  }
+
+  /** DuckDB twin of [[TextAnalysis.bpeMerges]]: the merge loop unrolled
+    * into chained CTEs — per round, pair counts (p_i), the argmax winner
+    * (w_i), and the merged corpus (d_i, the same greedy left-to-right
+    * string fold with `list_reduce` seeding from the first symbol). */
+  private val bpeSql = {
+    val n = TextAnalysis.BpeDefaultMerges
+    val d0 =
+      "d0 AS (SELECT doc_id, array_to_string(list_transform(words, " +
+        "w0 -> array_to_string(string_split(w0, ''), ' ')), ' | ') AS syms FROM w)"
+    val rounds = (1 to n).map { i =>
+      val prev = s"d${i - 1}"
+      s"""p$i AS (SELECT pr.a AS a, pr.b AS b, count(*) AS cnt FROM (
+         |  SELECT unnest(list_filter(list_transform(range(1, len(t)), j -> {'a': t[j], 'b': t[j + 1]}),
+         |                            q -> q.a != '|' AND q.b != '|')) AS pr
+         |  FROM (SELECT string_split(syms, ' ') AS t FROM $prev)) GROUP BY 1, 2),
+         |w$i AS (SELECT a, b, a || b AS merged, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |d$i AS (SELECT doc_id, list_reduce(string_split(syms, ' '), (acc, tk) ->
+         |  CASE WHEN tk = m.b AND (acc = m.a OR right(acc, length(m.a) + 1) = ' ' || m.a)
+         |       THEN left(acc, length(acc) - length(m.a)) || m.merged
+         |       ELSE acc || ' ' || tk END) AS syms
+         |FROM $prev, w$i m)""".stripMargin
+    }
+    val out = (1 to n).map(i =>
+      s"SELECT CAST($i AS INT) AS merge_idx, a AS pair_a, b AS pair_b, merged, cnt FROM w$i")
+      .mkString(" UNION ALL ")
+    s"WITH $wordsCte,\n$d0,\n${rounds.mkString(",\n")}\n$out"
   }
 
   private val langidSql = {
@@ -666,6 +695,7 @@ object LlmData {
     "t_tfidf" -> tfidfSql,
     "v_kmv" -> kmvSql,
     "t_gopher" -> gopherSql,
+    "t_bpe" -> bpeSql,
     "t_langid" -> langidSql,
     "t_fingerprint" -> fingerprintSql,
     "d_exact" -> exactSql,

@@ -149,6 +149,27 @@ class TextOpsSpec extends AnyFunSuite {
       s"score join degenerated to a product:\n$plan")
   }
 
+  test("bpeMerges: greedy non-overlapping merges, lexicographic ties, rounds compose") {
+    val in = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(in, nMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    // round 1: (a,a) appears 5x (greedy counts overlaps: 'a a a' has two);
+    //   the merge itself is NON-overlapping: 'a a a b' -> 'aa a b'
+    // round 2: (aa,a) and (a,b) tie at 2 -> lexicographic pair order
+    //   breaks to (a,b)
+    // round 3: round 2's output 'ab' pairs with round 1's 'aa' -> 'aaab',
+    //   proving merges compose across rounds
+    assert(out.toSeq == Seq(
+      (1, "a", "a", "aa", 5L),
+      (2, "a", "b", "ab", 2L),
+      (3, "aa", "ab", "aaab", 2L)))
+    // word sentinel: pairs never cross '|', so a corpus of single-char
+    // words learns nothing
+    val sentinel = Seq((1L, "x y z")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMerges(sentinel, nMerges = 1).collect().isEmpty)
+  }
+
   test("gopherRules: each rule trips the keep flag on its own violation") {
     val prose = ("the data be flowing to the lake of records and we know that " +
       "all engineers have worked with care ") * 3 // 57 words, all rules pass
