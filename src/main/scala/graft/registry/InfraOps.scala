@@ -271,7 +271,23 @@ object InfraOps {
       Tables.events(spark, sfDir)
         .withColumn("value", expr("cast(floor(value) as double)")))
 
+  /** Small-file compaction round-trip: fragment events into 64 tiny files
+    * (the state per-batch streaming sinks leave behind), compact into
+    * range-clustered files of <= 2500 rows on event_id, return the
+    * compacted store. The oracle pins content preservation (compaction
+    * must be a pure layout change); the layout spec pins the file count
+    * and the disjoint per-file key ranges that make footer min/max stats
+    * prune reads afterwards. */
+  def compactRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, sfDir, "k_compact")
+    Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+      .repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+    Layouts.compact(spark, s"$base/frag", s"$base/opt", Seq("event_id"), 2500L)
+    spark.read.parquet(s"$base/opt")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_compact" -> (compactRoundTrip _),
     "st_sessions" -> (sessionsBatch _),
     "j_range" -> (rangeJoinRoundTrip _),
     "j_asof" -> (asofRoundTrip _),
@@ -298,6 +314,8 @@ object InfraOps {
       |GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "k_compact" ->
+      "SELECT event_id, user_id, value FROM events",
     "st_sessions" ->
       s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
         |                  CAST(floor(value) AS DOUBLE) AS value FROM events),

@@ -45,4 +45,36 @@ object Layouts {
     * values are encoded in paths and pruned before file listing I/O). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+
+  /** Compact a fragmented parquet store: rewrite `inputPath` into
+    * `outputPath` as range-clustered files of at most `targetRowsPerFile`
+    * rows each, globally ordered on `sortCols`. The maintenance operation
+    * every long-lived 100 TB store needs — streaming ingest and per-batch
+    * merges accrete small files until task scheduling and footer I/O
+    * dominate scan time (the OPTIMIZE of Delta/Iceberg, expressed on plain
+    * parquet).
+    *
+    * Mechanics: one metadata-cheap `count()` sizes the job (the single
+    * driver action a maintenance pass owns — parquet answers it from
+    * footers), then `repartitionByRange` + `sortWithinPartitions` lays
+    * rows out so each output file covers a disjoint `sortCols` range —
+    * compaction doubles as a clustering pass, so min/max footer stats
+    * prune file reads on the sort key afterwards. `maxRecordsPerFile`
+    * caps stragglers if range sampling under-splits a hot range.
+    *
+    * Returns the planned file count (callers log it; the write itself is
+    * the effect). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inputPath: String,
+              outputPath: String, sortCols: Seq[String],
+              targetRowsPerFile: Long): Int = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(inputPath)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    df.repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.option("maxRecordsPerFile", targetRowsPerFile)
+      .mode("overwrite").parquet(outputPath)
+    nFiles
+  }
 }
