@@ -286,7 +286,21 @@ object InfraOps {
     spark.read.parquet(s"$base/opt")
   }
 
+  /** Z-order round-trip: lineitem clustered on (l_orderkey, l_partkey),
+    * stored with the Morton key, read back. The oracle recomputes the
+    * in-plan min-max scaling and all 32 interleave terms — the key math
+    * is hash-checked end to end; the data-skipping payoff (small per-file
+    * rectangles in BOTH dimensions) is pinned by the layout spec. */
+  def zorderRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, sfDir, "s_zorder")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Layouts.zorderCluster(li, s"$base/z", "l_orderkey", "l_partkey", 8192L)
+    spark.read.parquet(s"$base/z")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_zorder" -> (zorderRoundTrip _),
     "k_compact" -> (compactRoundTrip _),
     "st_sessions" -> (sessionsBatch _),
     "j_range" -> (rangeJoinRoundTrip _),
@@ -314,6 +328,16 @@ object InfraOps {
       |GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "s_zorder" ->
+      s"""WITH mm AS (SELECT min(l_orderkey) AS x0, max(l_orderkey) AS x1,
+         |                   min(l_partkey) AS y0, max(l_partkey) AS y1 FROM lineitem),
+         |n AS (SELECT l_orderkey, l_partkey, l_quantity,
+         |  ${Layouts.scale16DuckSql("l_orderkey", "x0", "x1")} AS nx,
+         |  ${Layouts.scale16DuckSql("l_partkey", "y0", "y1")} AS ny
+         |FROM lineitem, mm)
+         |SELECT l_orderkey, l_partkey, l_quantity,
+         |  ${Layouts.zorderDuckSql("nx", "ny")} AS zkey
+         |FROM n""".stripMargin,
     "k_compact" ->
       "SELECT event_id, user_id, value FROM events",
     "st_sessions" ->
