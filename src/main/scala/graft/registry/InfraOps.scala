@@ -299,7 +299,33 @@ object InfraOps {
     spark.read.parquet(s"$base/z")
   }
 
+  /** CDC round-trip: seed the store from part, then apply one change feed
+    * carrying two sequence generations of mixed updates and deletes —
+    * keys updated then deleted, deleted then re-upserted, updated twice —
+    * so the per-key latest-wins collapse, the delete path, and the upsert
+    * path are all load-bearing in the final state the oracle recomputes. */
+  def cdcRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_name", "p_retailprice")
+    val k = col("p_partkey")
+    def gen(pred: org.apache.spark.sql.Column, op: String, seq: Int,
+            bump: Double): DataFrame =
+      part.filter(pred)
+        .withColumn("p_retailprice", col("p_retailprice") + bump)
+        .withColumn("op", lit(op)).withColumn("seq", lit(seq.toLong))
+    val changes =
+      gen(k % 4 === 0, "U", 1, 1.0)
+        .unionByName(gen(k % 5 === 0 && k % 4 =!= 0, "D", 1, 0.0))
+        .unionByName(gen(k % 10 === 0, "U", 2, 2.0))
+        .unionByName(gen(k % 4 === 0 && k % 7 === 0 && k % 10 =!= 0, "D", 2, 0.0))
+    val sink = new ParquetSink(spark, scratch(spark, sfDir, "k_cdc") + "/t")
+    sink.write(part, WriteMode.Replace)
+    sink.applyCdc(changes, Seq("p_partkey"))
+    sink.read()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_cdc" -> (cdcRoundTrip _),
     "s_zorder" -> (zorderRoundTrip _),
     "k_compact" -> (compactRoundTrip _),
     "st_sessions" -> (sessionsBatch _),
@@ -328,6 +354,18 @@ object InfraOps {
       |GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // final state: %10 keys carry the seq-2 upsert (+2, even if deleted at
+    // seq 1); remaining %4 keys carry the seq-1 update (+1) unless the
+    // seq-2 delete (%4 & %7, not %10) removed them; %5-not-%4-not-%10 keys
+    // were deleted at seq 1; everything else is the untouched seed row
+    "k_cdc" ->
+      """SELECT p_partkey, p_name,
+        |  CASE WHEN p_partkey % 10 = 0 THEN p_retailprice + 2
+        |       WHEN p_partkey % 4 = 0 THEN p_retailprice + 1
+        |       ELSE p_retailprice END AS p_retailprice
+        |FROM part
+        |WHERE NOT (p_partkey % 5 = 0 AND p_partkey % 4 != 0 AND p_partkey % 10 != 0)
+        |  AND NOT (p_partkey % 4 = 0 AND p_partkey % 7 = 0 AND p_partkey % 10 != 0)""".stripMargin,
     "s_zorder" ->
       s"""WITH mm AS (SELECT min(l_orderkey) AS x0, max(l_orderkey) AS x1,
          |                   min(l_partkey) AS y0, max(l_partkey) AS y1 FROM lineitem),

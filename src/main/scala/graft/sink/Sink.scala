@@ -36,6 +36,19 @@ trait Sink {
   /** K3: replace or append. Returns the written row count (K4). */
   def write(incoming: DataFrame, mode: WriteMode): Long
 
+  /** CDC apply — the MERGE-with-deletes half of a change-data-capture
+    * feed (Iceberg `MERGE INTO … WHEN MATCHED AND s.op = 'D' THEN DELETE
+    * WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED AND s.op != 'D' THEN
+    * INSERT *`). `changes` rows carry an op column ('D' deletes the key;
+    * anything else upserts) and a monotone sequence column; multiple
+    * changes per key are allowed and collapse to the highest-`seqCol`
+    * change before applying — exactly one verdict per key, so a replayed
+    * or compacted feed applies identically. (keys, seq) must be unique
+    * (enforced like mergeByKey's key uniqueness: a seq tie has no defined
+    * winner and would apply nondeterministically). Returns rows written. */
+  def applyCdc(changes: DataFrame, keys: Seq[String],
+               opCol: String = "op", seqCol: String = "seq"): Long
+
   /** Current store contents as a lazy frame. Both parquet implementations
     * already exposed this; it is part of the trait because merge
     * compositions (e.g. first-arrival-wins streaming ingest,
@@ -59,6 +72,23 @@ private[sink] object SinkChecks {
       s"merge into $path: incoming rows are not unique on (${keys.mkString(", ")}) — " +
         s"e.g. ${dup.headOption.map(_.toString).getOrElse("")}; an upsert with duplicate " +
         "source keys would silently persist both copies")
+  }
+}
+
+private[sink] object CdcOps {
+  /** Collapse a change feed to one verdict per key: the highest-`seqCol`
+    * row wins. (keys, seq) uniqueness is enforced first — a tie has no
+    * defined winner. One window over the keys; at 100 TB this is the
+    * same shuffle shape as the merge anti-join that follows it. */
+  def latestChange(changes: DataFrame, keys: Seq[String], opCol: String,
+                   seqCol: String, path: String): DataFrame = {
+    require(changes.columns.contains(opCol) && changes.columns.contains(seqCol),
+      s"CDC apply into $path: changes need '$opCol' and '$seqCol' columns")
+    SinkChecks.requireUniqueKeys(changes, keys :+ seqCol, path)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 }
 
@@ -127,6 +157,20 @@ final class ParquetSink(spark: SparkSession, path: String) extends Sink {
       incoming.observe(obs, count(lit(1)).as("rows"))
         .write.mode("append").parquet(path)
       obs.get("rows").asInstanceOf[Long]
+  }
+
+  override def applyCdc(changes: DataFrame, keys: Seq[String],
+                        opCol: String, seqCol: String): Long = {
+    val latest = CdcOps.latestChange(changes, keys, opCol, seqCol, path)
+    val upserts = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    // Deletes need no branch of their own: anti-joining the store on EVERY
+    // latest key drops both updated and deleted rows, and only the
+    // non-delete verdicts come back in via the union.
+    val merged =
+      if (!exists) upserts
+      else read().join(latest.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(upserts)
+    writeSwap(merged)
   }
 }
 
@@ -220,6 +264,45 @@ final class PartitionedParquetSink(spark: SparkSession, path: String,
         .mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .parquet(path)
     finally fs.delete(tmp, true)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Partition-local CDC apply: like [[mergeByKey]], only partitions the
+    * change feed touches are read, rewritten, and (when deletes empty one
+    * out) dropped — dynamic overwrite never touches a partition with zero
+    * staged rows, so a fully-deleted partition must be removed explicitly
+    * or its stale rows would serve forever (same failure mode
+    * [[deletePartition]] exists for). The partition-values collect is
+    * bounded by partition cardinality, the same budget deletePartition
+    * and the touched-partition semi join already spend. */
+  override def applyCdc(changes: DataFrame, keys: Seq[String],
+                        opCol: String, seqCol: String): Long = {
+    requirePartitionCol(changes)
+    val latest = CdcOps.latestChange(changes, keys, opCol, seqCol, path)
+    val upserts = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    if (!exists) return write(upserts, WriteMode.Replace)
+    val touched = latest.select(partitionCol).distinct()
+    val kept = read()
+      .join(broadcast(touched), Seq(partitionCol), "left_semi")
+      .join(latest.select(keys.map(col): _*), keys, "left_anti")
+    // Same durable flat staging as mergeByKey (see the comments there for
+    // why: self-overwrite guard, executor-loss durability, partition-value
+    // type inference).
+    val obs = Observation()
+    val tmp = new Path(path + "__graft_cdc_tmp")
+    kept.unionByName(upserts)
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    try {
+      val staged = spark.read.parquet(tmp.toString)
+      staged.write.partitionBy(partitionCol)
+        .mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+      val remaining = staged.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSet
+      touched.collect().map(_.get(0))
+        .filterNot(remaining).foreach(deletePartition)
+    } finally fs.delete(tmp, true)
     obs.get("rows").asInstanceOf[Long]
   }
 

@@ -85,6 +85,33 @@ abstract class SinkContractSpec extends AnyFunSuite {
     assert(sink.write(repl, WriteMode.Replace) == 2L)
     assert(asMap(readBack(sink)) == Map((2023, "z") -> 9.0, (2024, "w") -> 8.0))
   }
+
+  test(s"$sinkName: applyCdc deletes, upserts, and collapses multi-change keys by seq") {
+    val sink = mkSink(freshPath())
+    sink.write(base, WriteMode.Replace) // a=1, b=2 in 2023; c=3 in 2024
+    val changes = Seq(
+      (2023, "a", 0.0, "D", 1L),   // delete a
+      (2023, "b", 20.0, "U", 1L),  // update b ...
+      (2023, "b", 0.0, "D", 2L),   // ... then delete it: delete wins
+      (2024, "c", 30.0, "U", 2L),  // update c (stale seq-1 delete below loses)
+      (2024, "c", 0.0, "D", 1L),
+      (2024, "d", 40.0, "I", 1L))  // insert new key
+      .toDF("ano", "k", "v", "op", "seq")
+    sink.applyCdc(changes, Seq("ano", "k"))
+    assert(asMap(readBack(sink)) == Map((2024, "c") -> 30.0, (2024, "d") -> 40.0))
+    // replaying the same (already-applied) feed is a no-op
+    sink.applyCdc(changes, Seq("ano", "k"))
+    assert(asMap(readBack(sink)) == Map((2024, "c") -> 30.0, (2024, "d") -> 40.0))
+  }
+
+  test(s"$sinkName: applyCdc rejects a seq tie loudly") {
+    val sink = mkSink(freshPath())
+    sink.write(base, WriteMode.Replace)
+    val tie = Seq((2023, "a", 1.0, "U", 1L), (2023, "a", 2.0, "D", 1L))
+      .toDF("ano", "k", "v", "op", "seq")
+    val e = intercept[IllegalArgumentException] { sink.applyCdc(tie, Seq("ano", "k")) }
+    assert(e.getMessage.contains("not unique"))
+  }
 }
 
 /** Whole-table swap impl: written = the whole new table. */
