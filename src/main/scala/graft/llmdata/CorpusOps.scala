@@ -302,6 +302,27 @@ object CorpusOps {
     * the bucket counts (no driver-side count action), and the ≤qs.size
     * target ranks are broadcast. One corpus shuffle, never a global sort
     * through one partition. */
+  /** Per-(source, lang) corpus report: document and token counts plus the
+    * mean quality score — the monitoring aggregate every curation
+    * pipeline publishes per ingest batch. Means are exact integer
+    * rationals (`div` on ppm-scaled scores; `round` before the cast so a
+    * one-ulp-under double never truncates to n-1), so the report
+    * hash-compares across engines. One pass: the quality signals derive
+    * from a single tokenize, then one hash aggregate on the
+    * low-cardinality (source, lang) key — map-side partials collapse the
+    * corpus before the exchange, so the shuffle carries one row per
+    * (partition, source, lang) at any corpus size. */
+  def corpusReport(documents: DataFrame): DataFrame =
+    TextAnalysis.withQuality(documents.withColumn("__words", tokens(col("text"))))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(expr("cast(round(quality_score * 1000000) as bigint)")).as("__q"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens div n_docs").as("mean_tokens"),
+        expr("__q div n_docs").as("quality_ppm_mean"))
+
   /** Default quantile list — shared with the `c_quantiles` oracle SQL so
     * the operator default and the DuckDB twin can never drift. */
   val DefaultQuantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)

@@ -75,6 +75,53 @@ object DocDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Window width (tokens) for [[substrPairs]]. The literature uses ~50
+    * tokens; the fixture corpus runs 10-99 words per doc, so the default
+    * is sized to produce multiple windows per document there. Same
+    * recall/precision knob either way: longer windows = fewer, stronger
+    * matches. */
+  val SubstrWindow = 20
+
+  /** Exact-substring duplication (the ExactSubstr method of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * two documents are substring-duplicates if they share a verbatim run
+    * of `window` tokens. Every length-`window` token window is reduced to
+    * its polynomial rolling hash; windows meet by exact hash equality
+    * (bucket join — only docs sharing a window ever meet, never
+    * all-pairs), and pairs aggregate the count of shared window
+    * positions. Catches the long-verbatim-overlap duplicates Jaccard
+    * dilutes away (a 50-token boilerplate block inside two otherwise
+    * different documents barely moves whole-doc Jaccard but is exactly
+    * what memorization studies remove).
+    *
+    * Shape: the window explode emits (n_tokens - window + 1) rows per doc
+    * and shuffles on the 64-bit hash — uniform keys, so no skew beyond
+    * true duplication. Window hashing here recomputes each window's fold
+    * (O(n·window) per doc — fine for verification); at ingest scale,
+    * precompute prefix hashes once per doc and each window becomes O(1)
+    * (classic rolling-hash identity; needs modular inverse or power
+    * tables, which an oracle-checkable SQL twin can't carry cleanly).
+    * Docs shorter than `window` contribute their whole token stream as
+    * one window, mirroring the shingle fallback, so short exact dups
+    * still pair. */
+  def substrPairs(documents: DataFrame, window: Int = SubstrWindow): DataFrame = {
+    graft.functions.VectorExprs.register(documents.sparkSession)
+    val wins = documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__th", sparkPolyHashArray("__words"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(__th) >= $window
+           | THEN transform(sequence(0, size(__th) - $window),
+           |        i -> aggregate(slice(__th, i + 1, $window), 0L, (h, c) -> (h * 31 + c) % $P))
+           | ELSE array(aggregate(__th, 0L, (h, c) -> (h * 31 + c) % $P)) END"""
+          .stripMargin.replace("\n", " "))).as("whash"))
+    wins.as("a")
+      .join(wins.as("b"),
+        col("a.whash") === col("b.whash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
   /** MinHash permutation parameters: sig_i(doc) = min over shingle hashes h
     * of (a_i*h + b_i) mod P. 16 signatures in 4 bands of 4 → candidate
     * recall ~ J^4 per band; at J=0.7 overall recall ≈ 0.76, at J=0.9 ≈ 0.99.

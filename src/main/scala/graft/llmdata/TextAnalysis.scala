@@ -204,6 +204,35 @@ object TextAnalysis {
           && col("stop_hits") >= 2).cast("int"))
   }
 
+  /** Corpus-relative token rarity score: mean inverse document frequency
+    * over a document's tokens, as the exact integer rational
+    * `sum(1e6 div df) div n_tokens` (ppm — same reproducibility rationale
+    * as [[tfidfTopTerms]]'s score: no `ln`, so any engine reproduces the
+    * ranking bit-for-bit). High score = the document is mostly tokens the
+    * rest of the corpus never uses — boilerplate IDs, foreign scripts,
+    * OCR noise — the standard corpus-relative complement to the
+    * document-local [[quality]] signals.
+    *
+    * Shape: one tokenize pass shuffled on (doc, token), the df side
+    * aggregated from it (same persisted-frame pattern as TF-IDF), scores
+    * re-aggregated per document — two shuffles total, vocabulary-sized
+    * join input, AQE picks broadcast when the vocab fits. */
+  def rarityScore(documents: DataFrame): DataFrame = {
+    val terms = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), lower(col("token")).as("token"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.core.CacheScope.persisted)
+    val docFreq = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    terms.join(docFreq, "token")
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("tf * (1000000L div df)")).as("__s"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("__s div n_tokens").as("rarity_ppm"))
+  }
+
   /** Default merge-round count for [[bpeMerges]] — bounded because the
     * oracle replays every round as SQL (each adds ~3 CTEs). */
   val BpeDefaultMerges = 6

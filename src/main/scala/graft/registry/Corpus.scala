@@ -45,6 +45,7 @@ object Corpus {
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
+    "c_report" -> ((s, d) => CorpusOps.corpusReport(docs(s, d))),
     "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
     "c_batches" -> ((s, d) => CorpusOps.lengthBucketedBatches(docs(s, d))),
     "c_seqtext" -> ((s, d) => CorpusOps.packedSequenceText(docs(s, d))),
@@ -329,7 +330,30 @@ object Corpus {
        |SELECT t.q, r.score AS cutoff FROM t JOIN r ON r.rn = t.target""".stripMargin
   }
 
+  /** DuckDB twin of [[CorpusOps.corpusReport]] — same quality-score
+    * arithmetic as the c_corpus chain, aggregated per (source, lang) with
+    * the exact ppm-integer means. */
+  private val reportSql = {
+    val enList = StopWords.toMap.apply("en").map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH w0 AS (SELECT doc_id, source, lang, text, ${duckWords("text")} AS words FROM documents),
+       |q AS (SELECT source, lang, len(words) AS n_tokens,
+       |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+       |  round(CAST(len(list_filter(words, x -> lower(x) IN $enList)) AS DOUBLE) / greatest(len(words), 1), 6) AS stop_ratio
+       |FROM w0),
+       |s2 AS (SELECT source, lang, n_tokens,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+       |      + least(stop_ratio * 4.0, 1.0) * 0.3
+       |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3, 6) AS quality_score
+       |FROM q)
+       |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens,
+       |  CAST(sum(CAST(round(quality_score * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS quality_ppm_mean
+       |FROM s2 GROUP BY 1, 2""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "c_report" -> reportSql,
     "c_quantiles" -> quantilesSql,
     "c_shuffle" -> shuffleSql,
     "c_incr" -> incrSql,

@@ -53,11 +53,13 @@ object LlmData {
     }),
     "t_gopher" -> ((s, d) => TextAnalysis.gopherRules(docs(s, d))),
     "t_bpe" -> ((s, d) => TextAnalysis.bpeMerges(docs(s, d))),
+    "t_rarity" -> ((s, d) => TextAnalysis.rarityScore(docs(s, d))),
     "t_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "d_exact" -> ((s, d) => DocDedup.exact(docs(s, d))),
     "d_ngram" -> ((s, d) => DocDedup.ngramJaccardPairs(docs(s, d))),
     "d_minhash" -> ((s, d) => DocDedup.minhashLshPairs(docs(s, d))),
+    "d_substr" -> ((s, d) => DocDedup.substrPairs(docs(s, d))),
     "d_simhash" -> ((s, d) => DocDedup.simhashGroups(docs(s, d))),
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
     "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
@@ -265,6 +267,34 @@ object LlmData {
       s"SELECT CAST($i AS INT) AS merge_idx, a AS pair_a, b AS pair_b, merged, cnt FROM w$i")
       .mkString(" UNION ALL ")
     s"WITH $wordsCte,\n$d0,\n${rounds.mkString(",\n")}\n$out"
+  }
+
+  /** DuckDB twin of [[TextAnalysis.rarityScore]] — same exact integer
+    * rational (`//` floor division ≡ Spark `div` on positives). */
+  private val raritySql =
+    s"""WITH $wordsCte,
+       |t AS (SELECT doc_id, lower(token) AS token
+       |      FROM (SELECT doc_id, unnest(words) AS token FROM w)),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  CAST(sum(tf * (1000000 // df)) // sum(tf) AS BIGINT) AS rarity_ppm
+       |FROM tf JOIN df USING (token) GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of [[DocDedup.substrPairs]] — same rolling window hashes
+    * (1-based inclusive slices vs Spark's (start, length), same fold). */
+  private val substrSql = {
+    import graft.llmdata.DocDedup.SubstrWindow
+    val fold = "(h, c) -> (h * 31 + c) % " + graft.llmdata.TextPrimitives.P
+    s"""WITH $wordsCte,
+       |th AS (SELECT doc_id, ${duckPolyHashArray("words")} AS th FROM w),
+       |wins AS (SELECT doc_id, unnest(CASE WHEN len(th) >= $SubstrWindow
+       |  THEN list_transform(range(0, len(th) - ${SubstrWindow - 1}),
+       |         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i + 1:i + $SubstrWindow]), $fold))
+       |  ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th), $fold)] END) AS whash FROM th)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_windows
+       |FROM wins a JOIN wins b ON a.whash = b.whash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
   }
 
   private val langidSql = {
@@ -696,11 +726,13 @@ object LlmData {
     "v_kmv" -> kmvSql,
     "t_gopher" -> gopherSql,
     "t_bpe" -> bpeSql,
+    "t_rarity" -> raritySql,
     "t_langid" -> langidSql,
     "t_fingerprint" -> fingerprintSql,
     "d_exact" -> exactSql,
     "d_ngram" -> ngramSql,
     "d_minhash" -> minhashSql,
+    "d_substr" -> substrSql,
     "d_simhash" -> simhashSql,
     "e_topk" -> topkSql,
     "e_quant_topk" -> quantTopkSql,

@@ -170,6 +170,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextAnalysis.bpeMerges(sentinel, nMerges = 1).collect().isEmpty)
   }
 
+  test("rarityScore: corpus-unique tokens score 1e6, ubiquitous tokens score low") {
+    val in = Seq(
+      (1L, "common common xylophone"), // 2/3 common (df=3), 1/3 unique (df=1)
+      (2L, "common words common"),     // all tokens corpus-frequent
+      (3L, "common words again"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rarityScore(in).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 1: (2*(1e6 div 3) + 1e6) div 3
+    assert(out(1L) == (2 * 333333L + 1000000L) / 3)
+    // doc 3: common df=3, words df=2, again df=1
+    assert(out(3L) == (333333L + 500000L + 1000000L) / 3)
+    assert(out(1L) > out(2L), "the unique-token doc must score rarer")
+  }
+
+  test("substrPairs: verbatim window shared, shifted positions count, short docs fall back") {
+    val run = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val in = Seq(
+      (1L, s"alpha $run omega"),     // the 25-token run embedded at offset 1
+      (2L, s"$run completely other tail here"), // same run at offset 0
+      (3L, "unrelated text entirely different"),
+      (4L, "tiny dup"), (5L, "tiny dup"))       // < window: whole-doc fallback
+      .toDF("doc_id", "text")
+    val pairs = DocDedup.substrPairs(in, window = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 25-token shared run with window 20 -> 6 aligned window positions
+    assert(pairs((1L, 2L)) == 6L)
+    assert(pairs((4L, 5L)) == 1L)
+    assert(pairs.size == 2, s"unexpected pairs: $pairs")
+  }
+
   test("gopherRules: each rule trips the keep flag on its own violation") {
     val prose = ("the data be flowing to the lake of records and we know that " +
       "all engineers have worked with care ") * 3 // 57 words, all rules pass
