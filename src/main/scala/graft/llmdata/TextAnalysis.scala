@@ -241,18 +241,19 @@ object TextAnalysis {
     * rounds of (count adjacent symbol pairs) → (merge the most frequent
     * pair everywhere), returning the learned merge table
     * (merge_idx, pair_a, pair_b, merged, cnt) — the artifact a tokenizer
-    * is built from. Word-internal only: words are joined with a '|'
-    * sentinel symbol that never pairs, so merges cannot cross word
-    * boundaries. Ties break lexicographically (cnt desc, pair asc), so
-    * the table is deterministic and exactly oracle-checkable.
+    * is built from. Word-internal, as in the paper: `syms` is an ARRAY of
+    * per-word spaced-symbol strings, so pairs never form across word
+    * boundaries and every greedy merge fold runs over one word's ≤10ish
+    * symbols — a whole-document fold would be O(doc²) in accumulated
+    * string copying (measured 3× slower at sf0.1). Ties break
+    * lexicographically (cnt desc, pair asc), so the table is
+    * deterministic and exactly oracle-checkable.
     *
     * Each round is one distributed pass: pair counts shuffle once
     * (map-side partials absorb the Zipf head), the 1-row argmax winner is
-    * broadcast back, and the merge itself is a narrow per-document fold —
+    * broadcast back, and the merge itself is a narrow per-word fold —
     * greedy left-to-right non-overlapping, the textbook BPE application
-    * order. The winner frames are persisted (1 row each): round i+1's
-    * corpus embeds round i's winner, and unpinned the argmax subtree
-    * would re-aggregate per reference.
+    * order.
     *
     * Scale shape: cost is nMerges corpus passes. Real tokenizer training
     * runs thousands of merges — at 100 TB do what the k-means trainer
@@ -260,42 +261,54 @@ object TextAnalysis {
     * distribution converges long before the corpus is exhausted), then
     * apply the frozen table corpus-wide as a narrow projection. */
   def bpeMerges(documents: DataFrame, nMerges: Int = BpeDefaultMerges): DataFrame = {
-    val sym0 = documents
-      .withColumn("__words", tokens(col("text")))
-      .select(col("doc_id"),
-        expr("concat_ws(' | ', transform(__words, w -> array_join(split(w, ''), ' ')))")
-          .as("syms"))
-    def pairCounts(d: DataFrame): DataFrame = d
-      .withColumn("__t", split(col("syms"), " "))
-      // element_at past the end is NULL (non-ANSI pin), so the size-1 case
-      // needs no special branch: its half-pair drops in the filter.
-      .select(explode(expr(
-        """filter(transform(sequence(1, greatest(size(__t) - 1, 1)),
-          |  j -> named_struct('a', element_at(__t, j), 'b', element_at(__t, j + 1))),
-          |  q -> q.a IS NOT NULL AND q.b IS NOT NULL AND q.a != '|' AND q.b != '|')"""
+    // The textbook structure (Sennrich's reference implementation trains
+    // on a word-count dictionary): ONE corpus pass builds the
+    // word-frequency table, and every merge round runs over the distinct
+    // word types with the count as the pair weight — pair totals are
+    // identical to counting over the corpus (a word's internal pairs
+    // depend only on its content), but per-round cost is vocabulary-sized
+    // instead of corpus-sized. Earlier corpus-shaped forms measured
+    // 12-30 s for 6 rounds at sf0.1; this one is bounded by the single
+    // tokenize pass.
+    val vocab0 = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .select(expr("split(w, '')").as("t"), col("wcnt"))
+    def pairCounts(v: DataFrame): DataFrame = v
+      .select(col("wcnt"), explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          |         (x, y) -> named_struct('a', x, 'b', y))"""
           .stripMargin.replace("\n", " "))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
-    // Greedy left-to-right merge: fold the symbol stream, merging when the
-    // accumulated tail is exactly `a` (full-symbol match — the space test
-    // prevents 'xa'+'b' matching pair (a,b)) and the next symbol is `b`.
-    // A fresh merge output can never immediately re-merge (merged = a+b
-    // with b nonempty, so merged != a), which is exactly BPE's
-    // non-overlapping application order.
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("wcnt").as("cnt"))
+    // Greedy left-to-right merge within each word type: fold its symbol
+    // list, merging when the accumulated tail is exactly `a` and the next
+    // symbol is `b`. A fresh merge output can never immediately re-merge
+    // (merged = a+b with b nonempty, so merged != a), which is exactly
+    // BPE's non-overlapping application order.
     val fold =
-      """aggregate(split(syms, ' '), '', (acc, tk) -> CASE
-        | WHEN acc = '' THEN tk
-        | WHEN tk = b AND (acc = a OR right(acc, length(a) + 1) = concat(' ', a))
-        |   THEN concat(left(acc, length(acc) - length(a)), merged)
-        | ELSE concat(acc, ' ', tk) END)""".stripMargin.replace("\n", " ")
-    val (_, winners) = (1 to nMerges).foldLeft((sym0, Seq.empty[DataFrame])) {
-      case ((d, ws), i) =>
+      """aggregate(t, cast(array() as array<string>), (acc, tk) -> CASE
+        | WHEN size(acc) = 0 THEN array(tk)
+        | WHEN tk = b AND element_at(acc, -1) = a
+        |   THEN concat(slice(acc, 1, size(acc) - 1), array(merged))
+        | ELSE concat(acc, array(tk)) END)""".stripMargin.replace("\n", " ")
+    // Per-round lineage truncation, like clusterLabels: round i's vocab
+    // plan contains round i's winner, whose plan contains round i-1's
+    // vocab AGAIN — the logical tree doubles every round (2^n subtree
+    // copies) and analysis/planning cost blows up super-linearly in
+    // rounds if left untruncated. The lazy localCheckpoint makes each
+    // round's (tiny) vocab a leaf; the winner frames persist normally
+    // (1 row each, read by the next round's cross join and the final
+    // union).
+    val (_, winners) = (1 to nMerges).foldLeft((vocab0, Seq.empty[DataFrame])) {
+      case ((v, ws), i) =>
         val w = graft.core.CacheScope.persisted(
-          pairCounts(d).orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          pairCounts(v).orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
             .select(col("a"), col("b"), concat(col("a"), col("b")).as("merged"), col("cnt")))
-        val next = d.crossJoin(broadcast(w))
-          .withColumn("syms", expr(fold))
-          .select("doc_id", "syms")
+        val next = v.crossJoin(broadcast(w))
+          .withColumn("t", expr(fold))
+          .select("t", "wcnt")
+          .localCheckpoint(false)
         (next, ws :+ w.withColumn("merge_idx", lit(i)))
     }
     winners.reduce(_ unionByName _)

@@ -324,8 +324,37 @@ object InfraOps {
     sink.read()
   }
 
+  /** Versioned-CDC round-trip: the SAME change feed as [[cdcRoundTrip]],
+    * but delivered as out-of-order batches with a replay — generation 2
+    * first, generation 1 (stale) second, generation 2 again — through the
+    * tombstone-keeping versioned apply. Convergence claim: the final live
+    * state equals k_cdc's (same oracle SQL), i.e. application is
+    * commutative over batch order and idempotent under replay. The
+    * resurrect case is load-bearing: keys deleted at seq 2 receive a
+    * stale seq-1 update afterwards and must stay deleted — exactly what
+    * the naive per-batch apply gets wrong. */
+  def cdcReplayRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_name", "p_retailprice")
+    val k = col("p_partkey")
+    def gen(pred: org.apache.spark.sql.Column, op: String, seq: Int,
+            bump: Double): DataFrame =
+      part.filter(pred)
+        .withColumn("p_retailprice", col("p_retailprice") + bump)
+        .withColumn("op", lit(op)).withColumn("seq", lit(seq.toLong))
+    val seed = gen(lit(true), "U", 0, 0.0)
+    val gen2 = gen(k % 10 === 0, "U", 2, 2.0)
+      .unionByName(gen(k % 4 === 0 && k % 7 === 0 && k % 10 =!= 0, "D", 2, 0.0))
+    val gen1 = gen(k % 4 === 0, "U", 1, 1.0)
+      .unionByName(gen(k % 5 === 0 && k % 4 =!= 0, "D", 1, 0.0))
+    val sink = new ParquetSink(spark, scratch(spark, sfDir, "k_cdc_replay") + "/t")
+    Seq(seed, gen2, gen1, gen2).foreach(b => sink.applyCdcVersioned(b, Seq("p_partkey")))
+    sink.read().filter(col("op") =!= "D").drop("op", "seq")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_cdc" -> (cdcRoundTrip _),
+    "k_cdc_replay" -> (cdcReplayRoundTrip _),
     "s_zorder" -> (zorderRoundTrip _),
     "k_compact" -> (compactRoundTrip _),
     "st_sessions" -> (sessionsBatch _),
@@ -353,19 +382,25 @@ object InfraOps {
       |JOIN (SELECT p_partkey AS k FROM part WHERE p_partkey < 100) d USING (k)
       |GROUP BY 1""".stripMargin
 
+  /** Final CDC state shared by `k_cdc` (one ordered feed) and
+    * `k_cdc_replay` (same feed, out-of-order batches + replay through the
+    * versioned apply): %10 keys carry the seq-2 upsert (+2, even if
+    * deleted at seq 1); remaining %4 keys carry the seq-1 update (+1)
+    * unless the seq-2 delete (%4 & %7, not %10) removed them;
+    * %5-not-%4-not-%10 keys were deleted at seq 1; everything else is the
+    * untouched seed row. One oracle for both = the convergence claim. */
+  private val cdcFinalStateSql =
+    """SELECT p_partkey, p_name,
+      |  CASE WHEN p_partkey % 10 = 0 THEN p_retailprice + 2
+      |       WHEN p_partkey % 4 = 0 THEN p_retailprice + 1
+      |       ELSE p_retailprice END AS p_retailprice
+      |FROM part
+      |WHERE NOT (p_partkey % 5 = 0 AND p_partkey % 4 != 0 AND p_partkey % 10 != 0)
+      |  AND NOT (p_partkey % 4 = 0 AND p_partkey % 7 = 0 AND p_partkey % 10 != 0)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    // final state: %10 keys carry the seq-2 upsert (+2, even if deleted at
-    // seq 1); remaining %4 keys carry the seq-1 update (+1) unless the
-    // seq-2 delete (%4 & %7, not %10) removed them; %5-not-%4-not-%10 keys
-    // were deleted at seq 1; everything else is the untouched seed row
-    "k_cdc" ->
-      """SELECT p_partkey, p_name,
-        |  CASE WHEN p_partkey % 10 = 0 THEN p_retailprice + 2
-        |       WHEN p_partkey % 4 = 0 THEN p_retailprice + 1
-        |       ELSE p_retailprice END AS p_retailprice
-        |FROM part
-        |WHERE NOT (p_partkey % 5 = 0 AND p_partkey % 4 != 0 AND p_partkey % 10 != 0)
-        |  AND NOT (p_partkey % 4 = 0 AND p_partkey % 7 = 0 AND p_partkey % 10 != 0)""".stripMargin,
+    "k_cdc" -> cdcFinalStateSql,
+    "k_cdc_replay" -> cdcFinalStateSql,
     "s_zorder" ->
       s"""WITH mm AS (SELECT min(l_orderkey) AS x0, max(l_orderkey) AS x1,
          |                   min(l_partkey) AS y0, max(l_partkey) AS y1 FROM lineitem),

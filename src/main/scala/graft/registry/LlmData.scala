@@ -243,24 +243,27 @@ object LlmData {
 
   /** DuckDB twin of [[TextAnalysis.bpeMerges]]: the merge loop unrolled
     * into chained CTEs — per round, pair counts (p_i), the argmax winner
-    * (w_i), and the merged corpus (d_i, the same greedy left-to-right
-    * string fold with `list_reduce` seeding from the first symbol). */
+    * (w_i), and the merged corpus (d_i, the same per-word greedy
+    * left-to-right fold with `list_reduce` seeding from the first
+    * symbol). `syms` is a list of per-word symbol strings, mirroring the
+    * Spark side's word-internal structure. */
   private val bpeSql = {
     val n = TextAnalysis.BpeDefaultMerges
     val d0 =
-      "d0 AS (SELECT doc_id, array_to_string(list_transform(words, " +
-        "w0 -> array_to_string(string_split(w0, ''), ' ')), ' | ') AS syms FROM w)"
+      "d0 AS (SELECT doc_id, list_transform(words, " +
+        "w0 -> array_to_string(string_split(w0, ''), ' ')) AS syms FROM w)"
     val rounds = (1 to n).map { i =>
       val prev = s"d${i - 1}"
       s"""p$i AS (SELECT pr.a AS a, pr.b AS b, count(*) AS cnt FROM (
-         |  SELECT unnest(list_filter(list_transform(range(1, len(t)), j -> {'a': t[j], 'b': t[j + 1]}),
-         |                            q -> q.a != '|' AND q.b != '|')) AS pr
-         |  FROM (SELECT string_split(syms, ' ') AS t FROM $prev)) GROUP BY 1, 2),
+         |  SELECT unnest(flatten(list_transform(syms, ws ->
+         |    list_transform(range(1, len(string_split(ws, ' '))),
+         |                   j -> {'a': string_split(ws, ' ')[j], 'b': string_split(ws, ' ')[j + 1]})))) AS pr
+         |  FROM $prev) GROUP BY 1, 2),
          |w$i AS (SELECT a, b, a || b AS merged, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-         |d$i AS (SELECT doc_id, list_reduce(string_split(syms, ' '), (acc, tk) ->
+         |d$i AS (SELECT doc_id, list_transform(syms, ws -> list_reduce(string_split(ws, ' '), (acc, tk) ->
          |  CASE WHEN tk = m.b AND (acc = m.a OR right(acc, length(m.a) + 1) = ' ' || m.a)
          |       THEN left(acc, length(acc) - length(m.a)) || m.merged
-         |       ELSE acc || ' ' || tk END) AS syms
+         |       ELSE acc || ' ' || tk END)) AS syms
          |FROM $prev, w$i m)""".stripMargin
     }
     val out = (1 to n).map(i =>

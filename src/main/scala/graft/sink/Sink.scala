@@ -90,6 +90,33 @@ private[sink] object CdcOps {
     changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Next VERSIONED store state: the store keeps op + seq on every row —
+    * deletes persist as TOMBSTONES — and each key resolves to its
+    * highest-seq row across (stored row, incoming latest change), store
+    * winning seq ties so a replayed batch is a no-op. Tombstones are the
+    * point: [[Sink.applyCdc]] applies one well-ordered feed, but under
+    * at-least-once delivery with out-of-order batches a naive apply loses
+    * the delete's sequence number with the deleted row, and any stale
+    * pre-delete update that arrives later silently resurrects the key.
+    * Keeping the delete as a row with its seq makes application
+    * commutative over batch arrival order (per-key argmax is
+    * order-insensitive) and idempotent under replay. */
+  def versionedNext(store: Option[DataFrame], changes: DataFrame,
+                    keys: Seq[String], opCol: String, seqCol: String,
+                    path: String): DataFrame = {
+    val latest = latestChange(changes, keys, opCol, seqCol, path)
+    val all = store match {
+      case None => latest.withColumn("__st", lit(0))
+      case Some(st) => st.withColumn("__st", lit(1))
+        .unionByName(latest.withColumn("__st", lit(0)))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col("__st").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__st")
+  }
 }
 
 /** Offline parquet-backed sink: merge = anti-join existing on the keys,
@@ -172,6 +199,20 @@ final class ParquetSink(spark: SparkSession, path: String) extends Sink {
         .unionByName(upserts)
     writeSwap(merged)
   }
+
+  /** Versioned CDC apply (see [[CdcOps.versionedNext]]): the store retains
+    * op + seq, deletes persist as tombstones, and batches may arrive out
+    * of order or more than once — per-key highest-seq wins regardless, so
+    * the final state is a pure function of the feed's contents, not its
+    * delivery schedule. This is the form a streaming `foreachBatch`
+    * consumer needs under at-least-once delivery
+    * ([[graft.streaming.DocStream.cdcToStore]]); live rows are
+    * `read().filter(op != 'D')`. Tombstone retention is the caller's
+    * compaction policy, exactly like log-structured stores. */
+  def applyCdcVersioned(changes: DataFrame, keys: Seq[String],
+                        opCol: String = "op", seqCol: String = "seq"): Long =
+    writeSwap(CdcOps.versionedNext(
+      if (exists) Some(read()) else None, changes, keys, opCol, seqCol, path))
 }
 
 /** Hive-partitioned parquet sink where Replace is PARTITION-scoped: Spark's

@@ -110,6 +110,31 @@ object DocStream {
       }
       .start()
 
+  /** Streaming CDC feed → versioned store: each micro-batch applies
+    * through [[graft.sink.ParquetSink.applyCdcVersioned]], so the store
+    * converges to the same state under every delivery schedule the
+    * at-least-once contract allows — batches replayed after a crash
+    * (checkpoint replays the same offsets), batches arriving out of
+    * order across restarts, stale updates racing a delete (the tombstone
+    * wins by sequence number, not by arrival time). No streaming state at
+    * all: the STORE carries the versions, so the query restarts from any
+    * checkpoint without state-store recovery — the property that makes
+    * this shape operable at 100 TB (state stores that mirror the sink are
+    * the thing to avoid).
+    *
+    * The within-batch (keys, seq) uniqueness check still applies per
+    * micro-batch; across batches duplicates are expected and resolved by
+    * the versioned merge. */
+  def cdcToStore(changes: DataFrame, sink: graft.sink.ParquetSink,
+                 keys: Seq[String], checkpoint: String) =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) sink.applyCdcVersioned(batch.toDF(), keys): Unit
+      }
+      .start()
+
   // ---- Streaming NEAR-dup (MinHash-LSH over custom keyed state) ----------
 
   /** One LSH band row bound for a bucket's state group. `ts` is the

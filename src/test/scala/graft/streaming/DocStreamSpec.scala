@@ -33,6 +33,39 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC feed converges under out-of-order batches, replays, and stale updates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
+    val sink = new graft.sink.ParquetSink(spark, s"$dir/store")
+    val mem = MemoryStream[(Long, Double, String, Long)]
+    val q = DocStream.cdcToStore(
+      mem.toDF().toDF("k", "v", "op", "seq"), sink, Seq("k"), s"$dir/ck")
+    def live: Map[Long, Double] = sink.read()
+      .filter("op != 'D'").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    try {
+      // batch 1: seed two keys, delete key 1 at seq 3 (future generation
+      // arrives first)
+      mem.addData((1L, 10.0, "U", 1L), (2L, 20.0, "U", 1L), (1L, 0.0, "D", 3L))
+      q.processAllAvailable()
+      assert(live == Map(2L -> 20.0))
+      // batch 2: STALE update for the deleted key (seq 2 < tombstone's 3)
+      // must NOT resurrect it; a fresh update for key 2 applies
+      mem.addData((1L, 11.0, "U", 2L), (2L, 21.0, "U", 2L))
+      q.processAllAvailable()
+      assert(live == Map(2L -> 21.0), "stale update resurrected a deleted key")
+      // batch 3: replay of batch 2 (at-least-once delivery) is a no-op
+      mem.addData((1L, 11.0, "U", 2L), (2L, 21.0, "U", 2L))
+      q.processAllAvailable()
+      assert(live == Map(2L -> 21.0))
+      // batch 4: a later generation re-inserts the deleted key
+      mem.addData((1L, 12.0, "U", 4L))
+      q.processAllAvailable()
+      assert(live == Map(1L -> 12.0, 2L -> 21.0))
+    } finally q.stop()
+  }
+
   test("batch twin keeps the first-arriving copy per fingerprint with counts") {
     import spark.implicits._
     val in = Seq(
