@@ -75,6 +75,34 @@ object DocDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Consensus near-dup classification: the union of the TEXT near-dup
+    * pairs (MinHash-LSH over shingles, L7) and the EMBEDDING near-dup
+    * pairs (hyperplane-LSH over vectors, L11), classified by which signal
+    * fired — `both` (lexical AND semantic agreement: the true duplicates
+    * safest to drop), `text_only` (shared boilerplate/template with
+    * different meaning), `embedding_only` (paraphrase-shaped: same
+    * content, different words — the pairs only semantic dedup can see).
+    * The standard triage before choosing a removal policy per class.
+    *
+    * Pure composition: both inputs are the already-bucket-local pair sets
+    * (never all-pairs), and the consensus join keys on (id_a, id_b) pair
+    * identity — cost is |pairs|, not corpus-sized. Requires doc_id and
+    * vec_id to identify the same item (the fixture's embeddings are the
+    * documents' embeddings). */
+  def consensusPairs(documents: DataFrame, embeddings: DataFrame,
+                     textThreshold: Double = 0.5,
+                     embThreshold: Double = 0.4): DataFrame = {
+    val t = minhashLshPairs(documents, threshold = textThreshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("__t"))
+    val e = Similarity.lshNearDupPairs(embeddings, embThreshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("__e"))
+    t.join(e, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        when(col("__t").isNotNull && col("__e").isNotNull, "both")
+          .when(col("__t").isNotNull, "text_only")
+          .otherwise("embedding_only").as("verdict"))
+  }
+
   /** Window width (tokens) for [[substrPairs]]. The literature uses ~50
     * tokens; the fixture corpus runs 10-99 words per doc, so the default
     * is sized to produce multiple windows per document there. Same

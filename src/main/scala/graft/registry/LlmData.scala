@@ -60,6 +60,7 @@ object LlmData {
     "d_ngram" -> ((s, d) => DocDedup.ngramJaccardPairs(docs(s, d))),
     "d_minhash" -> ((s, d) => DocDedup.minhashLshPairs(docs(s, d))),
     "d_substr" -> ((s, d) => DocDedup.substrPairs(docs(s, d))),
+    "x_consensus" -> ((s, d) => DocDedup.consensusPairs(docs(s, d), embs(s, d))),
     "d_simhash" -> ((s, d) => DocDedup.simhashGroups(docs(s, d))),
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
     "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
@@ -538,6 +539,16 @@ object LlmData {
        |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
   }
 
+  /** DuckDB twin of [[DocDedup.consensusPairs]] — the text and embedding
+    * pair oracles composed with the same FULL JOIN classification. */
+  private lazy val consensusSql =
+    s"""WITH tp AS (SELECT id_a, id_b FROM ($minhashSql) mq),
+       |ep AS (SELECT id_a, id_b FROM ($lshNeardupSql) eq)
+       |SELECT coalesce(tp.id_a, ep.id_a) AS id_a, coalesce(tp.id_b, ep.id_b) AS id_b,
+       |  CASE WHEN tp.id_a IS NOT NULL AND ep.id_a IS NOT NULL THEN 'both'
+       |       WHEN tp.id_a IS NOT NULL THEN 'text_only' ELSE 'embedding_only' END AS verdict
+       |FROM tp FULL JOIN ep ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b""".stripMargin
+
   /** DuckDB twin of Similarity.kmeansCentroids at its registered setting
     * (nCells=16, iters=1): seeds = the first 16 vectors (cell = vec_id),
     * one Lloyd round — argmax-cosine assignment (ties: lower cell), then a
@@ -736,6 +747,7 @@ object LlmData {
     "d_ngram" -> ngramSql,
     "d_minhash" -> minhashSql,
     "d_substr" -> substrSql,
+    "x_consensus" -> consensusSql,
     "d_simhash" -> simhashSql,
     "e_topk" -> topkSql,
     "e_quant_topk" -> quantTopkSql,

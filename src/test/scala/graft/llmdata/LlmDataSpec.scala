@@ -25,6 +25,29 @@ class LlmDataSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("consensusPairs classifies both / text_only / embedding_only correctly") {
+    // 64-dim unit vectors: e(d) = 1.0 at dim d. Identical vectors pair
+    // (cos 1), orthogonal ones never do (cos 0 < threshold).
+    def e(d: Int): Seq[Double] = Seq.tabulate(64)(i => if (i == d) 1.0 else 0.0)
+    val t1 = "the quick brown fox jumps over the lazy dog again today"
+    val t2 = "completely different template text used twice verbatim here now"
+    val t3 = "first paraphrase phrasing of some shared meaning content"
+    val t4 = "unrelated second wording with disjoint vocabulary throughout entirely"
+    val docsIn = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2), (5L, t3), (6L, t4))
+      .toDF("doc_id", "text")
+    val embsIn = Seq(
+      (1L, e(0)), (2L, e(0)),   // same text, same embedding -> both
+      (3L, e(1)), (4L, e(2)),   // same text, orthogonal embeddings -> text_only
+      (5L, e(3)), (6L, e(3)))   // different texts, same embedding -> embedding_only
+      .toDF("vec_id", "embedding")
+    val out = DocDedup.consensusPairs(docsIn, embsIn).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out == Map(
+      (1L, 2L) -> "both",
+      (3L, 4L) -> "text_only",
+      (5L, 6L) -> "embedding_only"))
+  }
+
   test("ngram jaccard finds identical docs with J=1 and no self/dup pairs") {
     val in = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here"))
       .toDF("doc_id", "text")
