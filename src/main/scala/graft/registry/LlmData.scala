@@ -54,6 +54,8 @@ object LlmData {
     "t_gopher" -> ((s, d) => TextAnalysis.gopherRules(docs(s, d))),
     "t_bpe" -> ((s, d) => TextAnalysis.bpeMerges(docs(s, d))),
     "t_rarity" -> ((s, d) => TextAnalysis.rarityScore(docs(s, d))),
+    "t_bpe_apply" -> ((s, d) =>
+      TextAnalysis.bpeApply(docs(s, d), TextAnalysis.bpeMerges(docs(s, d)))),
     "t_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "d_exact" -> ((s, d) => DocDedup.exact(docs(s, d))),
@@ -248,12 +250,17 @@ object LlmData {
     * left-to-right fold with `list_reduce` seeding from the first
     * symbol). `syms` is a list of per-word symbol strings, mirroring the
     * Spark side's word-internal structure. */
-  private val bpeSql = {
-    val n = TextAnalysis.BpeDefaultMerges
+  private val bpeRounds = TextAnalysis.BpeDefaultMerges
+
+  /** The shared training-round CTE chain (d0 → p_i/w_i/d_i per round) —
+    * prefix of both the `t_bpe` winners oracle and the `t_bpe_apply`
+    * vocabulary oracle (applying the learned table corpus-wide is, by
+    * construction, the same symbol state training's last round leaves). */
+  private val bpeCtes = {
     val d0 =
       "d0 AS (SELECT doc_id, list_transform(words, " +
         "w0 -> array_to_string(string_split(w0, ''), ' ')) AS syms FROM w)"
-    val rounds = (1 to n).map { i =>
+    val rounds = (1 to bpeRounds).map { i =>
       val prev = s"d${i - 1}"
       s"""p$i AS (SELECT pr.a AS a, pr.b AS b, count(*) AS cnt FROM (
          |  SELECT unnest(flatten(list_transform(syms, ws ->
@@ -267,11 +274,24 @@ object LlmData {
          |       ELSE acc || ' ' || tk END)) AS syms
          |FROM $prev, w$i m)""".stripMargin
     }
-    val out = (1 to n).map(i =>
+    s"WITH $wordsCte,\n$d0,\n${rounds.mkString(",\n")}"
+  }
+
+  private val bpeSql = {
+    val out = (1 to bpeRounds).map(i =>
       s"SELECT CAST($i AS INT) AS merge_idx, a AS pair_a, b AS pair_b, merged, cnt FROM w$i")
       .mkString(" UNION ALL ")
-    s"WITH $wordsCte,\n$d0,\n${rounds.mkString(",\n")}\n$out"
+    s"$bpeCtes\n$out"
   }
+
+  /** DuckDB twin of [[TextAnalysis.bpeApply]] over the table trained by
+    * the same run: the final round's corpus-wide symbol state, counted. */
+  private val bpeApplySql =
+    s"""$bpeCtes
+       |SELECT tk AS token, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |  SELECT unnest(string_split(ws, ' ')) AS tk
+       |  FROM (SELECT unnest(syms) AS ws FROM d$bpeRounds))
+       |GROUP BY 1""".stripMargin
 
   /** DuckDB twin of [[TextAnalysis.rarityScore]] — same exact integer
     * rational (`//` floor division ≡ Spark `div` on positives). */
@@ -740,6 +760,7 @@ object LlmData {
     "v_kmv" -> kmvSql,
     "t_gopher" -> gopherSql,
     "t_bpe" -> bpeSql,
+    "t_bpe_apply" -> bpeApplySql,
     "t_rarity" -> raritySql,
     "t_langid" -> langidSql,
     "t_fingerprint" -> fingerprintSql,

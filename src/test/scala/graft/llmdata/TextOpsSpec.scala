@@ -164,10 +164,19 @@ class TextOpsSpec extends AnyFunSuite {
       (1, "a", "a", "aa", 5L),
       (2, "a", "b", "ab", 2L),
       (3, "aa", "ab", "aaab", 2L)))
-    // word sentinel: pairs never cross '|', so a corpus of single-char
-    // words learns nothing
+    // word-internal only: a corpus of single-char words learns nothing
     val sentinel = Seq((1L, "x y z")).toDF("doc_id", "text")
     assert(TextAnalysis.bpeMerges(sentinel, nMerges = 1).collect().isEmpty)
+  }
+
+  test("bpeApply: the learned table re-tokenizes the corpus to training's final state") {
+    val in = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(in, nMerges = 3)
+    val vocab = TextAnalysis.bpeApply(in, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // after (a,a)->(a,b)->(aa,ab): 'aaab' fully merges (2 occurrences);
+    // 'aab' becomes ['aa', 'b'] (its 'aa b' state never matches later pairs)
+    assert(vocab == Map("aaab" -> 2L, "aa" -> 1L, "b" -> 1L))
   }
 
   test("rarityScore: corpus-unique tokens score 1e6, ubiquitous tokens score low") {
