@@ -56,6 +56,17 @@ package object api {
     def vocabulary(minDf: Int = 1): DataFrame = TextAnalysis.vocabulary(docs, minDf)
     /** Top-k characteristic terms per doc (integer-exact TF-IDF). */
     def tfidfTopTerms(k: Int = 3): DataFrame = TextAnalysis.tfidfTopTerms(docs, k)
+    /** Gopher-rule signals + composite keep flag. */
+    def gopherRules: DataFrame = TextAnalysis.gopherRules(docs)
+    /** Mean inverse-df rarity score (exact integer ppm). */
+    def rarityScore: DataFrame = TextAnalysis.rarityScore(docs)
+    /** Train a BPE merge table (word-frequency form). */
+    def bpeMerges(nMerges: Int = TextAnalysis.BpeDefaultMerges): DataFrame =
+      TextAnalysis.bpeMerges(docs, nMerges)
+    /** Apply a learned merge table; returns the subword vocabulary. */
+    def bpeApply(merges: DataFrame): DataFrame = TextAnalysis.bpeApply(docs, merges)
+    /** Per-(source, lang) corpus report with exact ppm means. */
+    def corpusReport: DataFrame = CorpusOps.corpusReport(docs)
 
     def dedupExact: DataFrame = DocDedup.exact(docs)
     def ngramNearDupPairs(k: Int = 3, threshold: Double = 0.5, maxDocFreq: Long = 0L): DataFrame =
@@ -63,6 +74,14 @@ package object api {
     def minhashNearDupPairs(k: Int = 3, threshold: Double = 0.5): DataFrame =
       DocDedup.minhashLshPairs(docs, k, threshold)
     def simhashGroups: DataFrame = DocDedup.simhashGroups(docs)
+    /** Pairs sharing a verbatim `window`-token run (rolling-hash windows). */
+    def substrNearDupPairs(window: Int = DocDedup.SubstrWindow): DataFrame =
+      DocDedup.substrPairs(docs, window)
+    /** Text × embedding near-dup consensus (both/text_only/embedding_only). */
+    def consensusNearDupPairs(embeddings: DataFrame,
+                              textThreshold: Double = 0.5,
+                              embThreshold: Double = 0.4): DataFrame =
+      DocDedup.consensusPairs(docs, embeddings, textThreshold, embThreshold)
 
     def stratifiedSample(ratesPerMille: Map[String, Int], defaultPerMille: Int = 1000): DataFrame =
       CorpusOps.stratifiedSample(docs, ratesPerMille, defaultPerMille)
@@ -135,6 +154,10 @@ package object api {
     /** Append this frame's vectors to a stored index (frozen centroids). */
     def appendToIvfIndex(indexDir: String): Unit =
       Similarity.appendToIvfIndex(embs, indexDir)
+    /** SemDeDup: within-k-means-cell near-dup removal (min-id keeper). */
+    def semDedup(threshold: Double = 0.4, nCells: Int = 16,
+                 kmeansIters: Int = 1): DataFrame =
+      Similarity.semDedup(embs, threshold, nCells, kmeansIters)
   }
 
   /** Column-level normalization functions (C1-C3). */

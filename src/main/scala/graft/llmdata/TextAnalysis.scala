@@ -318,35 +318,41 @@ object TextAnalysis {
 
   /** Apply a learned BPE merge table ([[bpeMerges]] output) to the corpus
     * and return the resulting subword vocabulary (token, cnt) — the
-    * other half of the tokenizer lifecycle: training is sampled and
-    * iterative, application is corpus-wide and must be a narrow
-    * projection, which is exactly what this is. The merge table
-    * aggregates to ONE ordered array row (sorted fold over merge_idx)
-    * and broadcasts; each word then folds over the merges, each merge
-    * replaying the same greedy left-to-right pass [[bpeMerges]] used —
-    * so applying the table reproduces training's symbol state exactly
-    * (the property the oracle checks by replaying the training rounds
-    * corpus-wide instead). One scan + one vocabulary-sized aggregate;
-    * no joins, no shuffle before the final count. */
+    * other half of the tokenizer lifecycle. The merge table aggregates
+    * to ONE ordered array row (sorted fold over merge_idx) and
+    * broadcasts; the fold over it replays, per word, the same greedy
+    * left-to-right pass [[bpeMerges]] used — so applying the table
+    * reproduces training's symbol state exactly (the property the
+    * oracle checks by replaying the training rounds corpus-wide
+    * instead).
+    *
+    * Like training, the count aggregate runs over the word-FREQUENCY
+    * table: a word type's subwords depend only on its content, so
+    * per-type fold × count is identical to folding every occurrence and
+    * ~corpus/vocabulary times cheaper (the corpus-shaped form measured
+    * 8.4 s at sf0.1; this is ~1 s, dominated by the tokenize pass). The
+    * same broadcast fold applied to `__words` directly is the
+    * per-document TOKENIZATION projection — one scan, no shuffle — when
+    * the output should be token streams rather than counts. */
   def bpeApply(documents: DataFrame, merges: DataFrame): DataFrame = {
     val table = merges
       .groupBy()
       .agg(expr(
         "transform(array_sort(collect_list(struct(merge_idx, pair_a, pair_b, merged))), " +
           "m -> named_struct('a', m.pair_a, 'b', m.pair_b, 'merged', m.merged))").as("__m"))
-    val applyAll =
-      """flatten(transform(__words, w ->
-        |  aggregate(__m, split(w, ''), (syms, m) ->
-        |    aggregate(syms, cast(array() as array<string>), (acc, tk) -> CASE
-        |      WHEN size(acc) = 0 THEN array(tk)
-        |      WHEN tk = m.b AND element_at(acc, -1) = m.a
-        |        THEN concat(slice(acc, 1, size(acc) - 1), array(m.merged))
-        |      ELSE concat(acc, array(tk)) END))))""".stripMargin.replace("\n", " ")
+    val applyWord =
+      """aggregate(__m, split(w, ''), (syms, m) ->
+        |  aggregate(syms, cast(array() as array<string>), (acc, tk) -> CASE
+        |    WHEN size(acc) = 0 THEN array(tk)
+        |    WHEN tk = m.b AND element_at(acc, -1) = m.a
+        |      THEN concat(slice(acc, 1, size(acc) - 1), array(m.merged))
+        |    ELSE concat(acc, array(tk)) END))""".stripMargin.replace("\n", " ")
     documents
-      .withColumn("__words", tokens(col("text")))
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
       .crossJoin(broadcast(table))
-      .select(explode(expr(applyAll)).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .select(col("wcnt"), explode(expr(applyWord)).as("token"))
+      .groupBy("token").agg(sum("wcnt").as("cnt"))
   }
 
   /** Email pattern for [[scrub]]. Same match semantics under Java regex
