@@ -104,6 +104,9 @@ package object api {
     def scoreQuantiles(qs: Seq[Double] = CorpusOps.DefaultQuantiles,
                        buckets: Int = 256): DataFrame =
       CorpusOps.scoreQuantiles(docs, qs, buckets)
+    /** Keep docs at/above the corpus's exact q-quantile quality score. */
+    def autoQualityFilter(q: Double = 0.5, buckets: Int = 256): DataFrame =
+      CorpusOps.autoQualityFilter(docs, q, buckets)
     def dedupAgainst(corpus: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
       CorpusOps.dedupAgainstCorpus(docs, corpus, k, threshold)
     /** Incremental dedup against a stored index ([[CorpusOps.buildDedupIndex]]). */

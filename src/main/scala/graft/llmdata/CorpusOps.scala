@@ -327,17 +327,29 @@ object CorpusOps {
     * the operator default and the DuckDB twin can never drift. */
   val DefaultQuantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)
 
+  /** The corpus scored for quality, shaped for the quantile machinery:
+    * (doc_id, score), nulls dropped (standard SQL percentile semantics —
+    * and a NULL score would corrupt the bucket offsets, see globalRank's
+    * contract). Shared by [[scoreQuantiles]] and [[autoQualityFilter]] so
+    * the gate's scoring can never drift from the cutoff's. */
+  private def scoredOf(documents: DataFrame): DataFrame =
+    TextAnalysis.withQuality(documents.withColumn("__words", tokens(col("text"))))
+      .select(col("doc_id"), col("quality_score").as("score"))
+      .filter(col("score").isNotNull && col("doc_id").isNotNull)
+
   def scoreQuantiles(documents: DataFrame,
                      qs: Seq[Double] = DefaultQuantiles,
-                     buckets: Int = 256): DataFrame = {
+                     buckets: Int = 256): DataFrame =
+    scoreQuantilesOf(scoredOf(documents), qs, buckets)
+
+  /** Quantiles over an already-scored (doc_id, score) frame — split out so
+    * compositions that ALSO need the scores ([[autoQualityFilter]]) can
+    * persist one scored frame and feed both sides. */
+  private def scoreQuantilesOf(scored: DataFrame,
+                               qs: Seq[Double],
+                               buckets: Int): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must be in (0, 1]")
-    val scored = TextAnalysis.withQuality(documents.withColumn("__words", tokens(col("text"))))
-      .select(col("doc_id"), col("quality_score").as("score"))
-      // quantiles are over non-null scores (standard SQL percentile
-      // semantics) — and a NULL score would corrupt the bucket offsets
-      // (see globalRank's contract)
-      .filter(col("score").isNotNull && col("doc_id").isNotNull)
     // quality_score is in [0, 1]; clamp anyway so a future score > 1 can't
     // fall out of the bucket range. Persisted: consumed by both the bucket
     // counts and the rank join, and recomputing it means re-running the
@@ -346,13 +358,30 @@ object CorpusOps {
       scored.withColumn("__b",
         least(lit(buckets - 1), greatest(lit(0), floor(col("score") * buckets))).cast("int")))
     val total = withB.agg(count(lit(1)).as("__total"))
-    val sp = documents.sparkSession
+    val sp = scored.sparkSession
     import sp.implicits._
     val targets = broadcast(total.crossJoin(qs.toDF("q"))
       .select(col("q"), ceil(col("q") * col("__total")).cast("bigint").as("__target")))
     globalRank(withB, Seq(col("score"), col("doc_id")))
       .join(targets, col("__rn") === col("__target"))
       .select(col("q"), col("score").as("cutoff"))
+  }
+
+  /** Data-driven quality gate: keep documents whose quality score is at or
+    * above the corpus's exact q-quantile — the composition the exact
+    * quantiles exist for (percentile cutoffs chosen from the data, not
+    * hardcoded). Fully in-plan: the scored frame persists once and feeds
+    * BOTH the quantile tower and the gate; the 1-row cutoff broadcasts
+    * back. Emits (doc_id, quality_score, cutoff) so the gate's decision
+    * is auditable per row. */
+  def autoQualityFilter(documents: DataFrame, q: Double = 0.5,
+                        buckets: Int = 256): DataFrame = {
+    val scored = graft.core.CacheScope.persisted(scoredOf(documents))
+    val cutoff = broadcast(scoreQuantilesOf(scored, Seq(q), buckets)
+      .select(col("cutoff")))
+    scored.crossJoin(cutoff)
+      .filter(col("score") >= col("cutoff"))
+      .select(col("doc_id"), col("score").as("quality_score"), col("cutoff"))
   }
 
   // ---- Benchmark decontamination -----------------------------------------

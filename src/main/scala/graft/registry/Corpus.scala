@@ -46,6 +46,7 @@ object Corpus {
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
     "c_report" -> ((s, d) => CorpusOps.corpusReport(docs(s, d))),
+    "c_autofilter" -> ((s, d) => CorpusOps.autoQualityFilter(docs(s, d))),
     "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
     "c_batches" -> ((s, d) => CorpusOps.lengthBucketedBatches(docs(s, d))),
     "c_seqtext" -> ((s, d) => CorpusOps.packedSequenceText(docs(s, d))),
@@ -330,6 +331,21 @@ object Corpus {
        |SELECT t.q, r.score AS cutoff FROM t JOIN r ON r.rn = t.target""".stripMargin
   }
 
+  /** DuckDB twin of [[CorpusOps.autoQualityFilter]] at q=0.5 — the
+    * quantile oracle's rank machinery (same order: score, doc_id; same
+    * ceil(q*N) target) composed with the gate. */
+  private val autofilterSql =
+    s"""WITH $corpusCtes,
+       |qnn AS (SELECT doc_id, quality_score FROM scored
+       |        WHERE quality_score IS NOT NULL AND doc_id IS NOT NULL),
+       |r AS (SELECT doc_id, quality_score AS score,
+       |        row_number() OVER (ORDER BY quality_score, doc_id) AS rn FROM qnn),
+       |n AS (SELECT count(*) AS total FROM qnn),
+       |cut AS (SELECT r.score AS cutoff FROM r, n
+       |        WHERE r.rn = CAST(ceil(0.5 * n.total) AS BIGINT))
+       |SELECT qnn.doc_id, qnn.quality_score, cut.cutoff
+       |FROM qnn, cut WHERE qnn.quality_score >= cut.cutoff""".stripMargin
+
   /** DuckDB twin of [[CorpusOps.corpusReport]] — same quality-score
     * arithmetic as the c_corpus chain, aggregated per (source, lang) with
     * the exact ppm-integer means. */
@@ -354,6 +370,7 @@ object Corpus {
 
   def oracleSql: Map[String, String] = Map(
     "c_report" -> reportSql,
+    "c_autofilter" -> autofilterSql,
     "c_quantiles" -> quantilesSql,
     "c_shuffle" -> shuffleSql,
     "c_incr" -> incrSql,

@@ -57,6 +57,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("autoQualityFilter keeps exactly the docs at/above the exact q-quantile") {
+    val out = CorpusOps.autoQualityFilter(docs, q = 0.5).collect()
+    val scores = graft.llmdata.TextAnalysis.quality(docs)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val sorted = scores.map(_._2).sorted
+    val cutoff = sorted(math.ceil(0.5 * sorted.length).toInt - 1)
+    assert(out.forall(_.getAs[Double]("cutoff") == cutoff))
+    val expectedKept = scores.filter(_._2 >= cutoff).map(_._1).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expectedKept)
+  }
+
   test("temperatureRates: T=1 is natural, T->inf flattens, head always keeps 1000") {
     val counts = Map("en" -> 800L, "zh" -> 150L, "ko" -> 50L)
     // T=1: target shares equal natural shares -> every stratum keeps all
