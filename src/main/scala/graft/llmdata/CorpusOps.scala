@@ -384,6 +384,32 @@ object CorpusOps {
       .select(col("doc_id"), col("score").as("quality_score"), col("cutoff"))
   }
 
+  /** Per-source document cap (the RefinedWeb-style domain rebalance): keep
+    * at most `cap` documents per source, best quality first (ties broken
+    * by doc_id so the keep set is deterministic). A single over-crawled
+    * domain otherwise dominates the mixture no matter how good the
+    * per-document filters are — capping is the standard fix, and ranking
+    * the cap by quality keeps the best of each domain rather than a random
+    * prefix.
+    *
+    * Shape: one shuffle on `source`, and the `src_rank <= cap` filter sits
+    * directly on the raw row_number so `InferWindowGroupLimit` plants a
+    * PARTIAL WindowGroupLimit — each map task forwards at most `cap` rows
+    * per source into the rank exchange, so the shuffle carries
+    * ~sources × cap rows, not the corpus. Emits the rank so downstream
+    * mixture accounting can weight by within-source position. */
+  def perSourceCap(documents: DataFrame, cap: Int = 10): DataFrame = {
+    val scored = TextAnalysis.withQuality(documents.withColumn("__words", tokens(col("text"))))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .filter(col("quality_score").isNotNull && col("doc_id").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality_score").desc, col("doc_id"))
+    scored.withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= cap)
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("src_rank").cast("bigint").as("src_rank"))
+  }
+
   // ---- Benchmark decontamination -----------------------------------------
 
   /** Benchmark-contamination scan: flag every training document sharing at

@@ -47,6 +47,7 @@ object Corpus {
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
     "c_report" -> ((s, d) => CorpusOps.corpusReport(docs(s, d))),
     "c_autofilter" -> ((s, d) => CorpusOps.autoQualityFilter(docs(s, d))),
+    "c_sourcecap" -> ((s, d) => CorpusOps.perSourceCap(docs(s, d))),
     "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
     "c_batches" -> ((s, d) => CorpusOps.lengthBucketedBatches(docs(s, d))),
     "c_seqtext" -> ((s, d) => CorpusOps.packedSequenceText(docs(s, d))),
@@ -331,6 +332,20 @@ object Corpus {
        |SELECT t.q, r.score AS cutoff FROM t JOIN r ON r.rn = t.target""".stripMargin
   }
 
+  /** DuckDB twin of [[CorpusOps.perSourceCap]] at cap=10: same quality
+    * score (the corpus chain's `scored` CTE), source joined back from the
+    * raw table, same (quality DESC, doc_id) within-source ranking. */
+  private val sourcecapSql =
+    s"""WITH $corpusCtes,
+       |s2 AS (SELECT s.doc_id, d.source, s.quality_score
+       |       FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+       |       WHERE s.quality_score IS NOT NULL AND s.doc_id IS NOT NULL),
+       |r AS (SELECT doc_id, source, quality_score,
+       |        CAST(row_number() OVER (PARTITION BY source
+       |          ORDER BY quality_score DESC, doc_id) AS BIGINT) AS src_rank
+       |      FROM s2)
+       |SELECT doc_id, source, quality_score, src_rank FROM r WHERE src_rank <= 10""".stripMargin
+
   /** DuckDB twin of [[CorpusOps.autoQualityFilter]] at q=0.5 — the
     * quantile oracle's rank machinery (same order: score, doc_id; same
     * ceil(q*N) target) composed with the gate. */
@@ -371,6 +386,7 @@ object Corpus {
   def oracleSql: Map[String, String] = Map(
     "c_report" -> reportSql,
     "c_autofilter" -> autofilterSql,
+    "c_sourcecap" -> sourcecapSql,
     "c_quantiles" -> quantilesSql,
     "c_shuffle" -> shuffleSql,
     "c_incr" -> incrSql,

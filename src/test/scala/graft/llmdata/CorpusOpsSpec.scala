@@ -277,6 +277,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.dedupAgainstIndex(batch, dir).count() == 0)
   }
 
+  test("perSourceCap keeps at most cap rows per source, best quality first") {
+    val out = CorpusOps.perSourceCap(docs, cap = 5).collect()
+    val bySrc = out.groupBy(_.getString(1))
+    assert(bySrc.values.forall(_.length <= 5))
+    assert(bySrc.size > 1, "fixture should have multiple sources")
+    // ranks are 1..n within each source and scores are non-increasing
+    bySrc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // the kept set is exactly the per-source quality top-5 of the full scoring
+    val full = TextAnalysis.quality(docs).select($"doc_id", $"quality_score")
+      .join(docs.select($"doc_id", $"source"), "doc_id").collect()
+      .groupBy(_.getString(2)).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r.getDouble(1), r.getLong(0))).take(5).map(_.getLong(0))
+      }.toSet
+    assert(out.map(_.getLong(0)).toSet == full)
+  }
+
   test("cleanCorpus output: only en/quality survivors, no duplicate texts, no near-dup pairs") {
     val out = CorpusOps.cleanCorpus(docs)
     val ids = out.select("doc_id").as[Long].collect().toSet
