@@ -56,8 +56,12 @@ object Similarity {
 
   /** Broadcast-queries × corpus-scan top-k over an already-normalized
     * (`ed`, `nrm`) frame — shared by the full-precision and quantized
-    * brute-force tiers. */
-  private def topKFrom(n: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    * brute-force tiers and the hard-negative band. `skip` drops the first
+    * `skip` ranks (0 = plain top-k); the upper bound stays a plain
+    * `rank <= hi` conjunct so `InferWindowGroupLimit` still plants the
+    * map-side partial top-k — each partition forwards ≤ hi rows per query
+    * across the rank exchange regardless of `skip`. */
+  private def topKFrom(n: DataFrame, nQueries: Int, k: Int, skip: Int = 0): DataFrame = {
     val queries = n
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"))
@@ -69,9 +73,23 @@ object Similarity {
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= (skip + k) && col("rank") > skip)
       .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
   }
+
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the neighbors ranked (skip, skip+take] by exact cosine — close enough
+    * to the query to be informative negatives, far enough that the top
+    * `skip` presumed-positives are excluded (the standard rank-band recipe
+    * for building contrastive/reranker training pairs). Same broadcast-
+    * queries × corpus-scan shape as [[bruteForceTopK]]: one corpus pass,
+    * no shuffle before the per-query rank, and the map side still forwards
+    * at most skip+take rows per query (WindowGroupLimit applies to the
+    * upper rank bound). Emitted `rank` is the ABSOLUTE neighbor rank, so
+    * downstream negative-sampling curricula can weight by depth. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 8,
+                    skip: Int = 10, take: Int = 10): DataFrame =
+    topKFrom(withNorm(embeddings), nQueries, take, skip)
 
   /** Symmetric int8 quantization expression (per-element):
     * q = round(clamp(x·127, [-127, 127])) — shared verbatim shape with the

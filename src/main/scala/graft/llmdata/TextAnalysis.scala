@@ -432,4 +432,114 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         col("score_ppm"), col("__rn").cast("bigint").as("term_rank"))
   }
+
+  /** Default query for the registered `t_bm25` row — terms present in the
+    * fixture vocabulary with spread document frequencies. */
+  val Bm25DefaultQuery: Seq[String] = Seq("spark", "join", "merge", "stream", "window")
+
+  /** BM25 ranked retrieval: top-k documents for a bag-of-terms query,
+    * scored with the Okapi saturation curve at the textbook constants
+    * k1 = 1.2, b = 0.75 — re-expressed in exact integer arithmetic so any
+    * engine reproduces the ranking bit-for-bit (same rationale as
+    * [[tfidfTopTerms]]: `ln` and float division are where two runtimes
+    * drift at the last ulp, and a rank flip at a near-tie is an
+    * invisible-until-the-oracle-fails bug). With k1 = 6/5 and b = 3/4 the
+    * per-term score is
+    *   idf_ppm · (22000·tf) div (10·tf + 3 + (9·dl_ppk) div 1000)
+    * where idf_ppm = (1e6·N) div df (the ln-free rational idf family) and
+    * dl_ppk = (1000·dl) div avgdl is the length ratio in ppk. At
+    * tf = 1, dl = avgdl the saturation term is exactly 1000 — the curve's
+    * defining normalization point. Floor divisions are part of the
+    * operator's definition, not a lossy approximation of it: both engines
+    * compute identical integers at any corpus size, and every intermediate
+    * fits a BIGINT even at 100 TB (22000·tf and 1000·dl are bounded by
+    * document length; idf_ppm by 1e6·N ≈ 1e16 for N = 1e10 docs).
+    *
+    * Shape, in order: ONE tokenize pass builds the per-(doc, term) counts
+    * (persisted — it feeds document lengths, corpus totals, AND the posting
+    * lists; without the pin the corpus is tokenized three times). The
+    * posting list is `token IN (query)` — a pushable filter on the
+    * persisted frame, so scoring touches only documents containing a query
+    * term, never the corpus. df and the 1-row (N, total-tokens) stats
+    * broadcast back; the doc-length join is left to AQE. The global top-k
+    * is `orderBy.limit(k)` — planned as TakeOrderedAndProject, the
+    * map-side-partial global top-k (each partition forwards ≤ k rows), with
+    * the rank stamped on the ≤ k survivors. */
+  def bm25TopDocs(documents: DataFrame, query: Seq[String] = Bm25DefaultQuery,
+                  k: Int = 10): DataFrame = {
+    val qTerms = query.map(_.toLowerCase).distinct
+    val terms = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), lower(col("token")).as("token"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.core.CacheScope.persisted)
+    val docLen = terms.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // N counts ALL documents (token-less ones included — they dilute idf
+    // exactly as in the classic formulation); total tokens folds in-plan.
+    val stats = documents.agg(count(lit(1)).as("nd"))
+      .crossJoin(terms.agg(sum("tf").as("tt")))
+    val posting = terms.filter(col("token").isin(qTerms: _*))
+    val docFreq = posting.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = posting
+      .join(broadcast(docFreq), "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__sx", expr(
+        """((1000000L * nd) div df) *
+          |((22000L * tf) div (10L * tf + 3L +
+          |  (9L * ((1000L * dl) div greatest(tt div nd, 1L))) div 1000L))""".stripMargin))
+      .groupBy("doc_id").agg(sum(col("__sx")).as("bm25_x"))
+    val top = scored.orderBy(col("bm25_x").desc, col("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bm25_x").desc, col("doc_id"))))
+      .select(col("doc_id"), col("bm25_x"), col("rank").cast("bigint").as("rank"))
+  }
+
+  /** Corpus-trained bigram language-model score — the CCNet-style
+    * "perplexity filter" stage: train a bigram LM on the corpus itself,
+    * then score every document by how typical its token transitions are.
+    * Low scores flag machine-garbled text, OCR noise, and wrong-language
+    * fragments whose individual tokens all look fine; the signal is
+    * corpus-RELATIVE (like [[rarityScore]]) where [[quality]] and
+    * [[gopherRules]] are document-local.
+    *
+    * The score is the mean conditional bigram probability in ppm:
+    * p(w2|w1) = (1e6·c(w1,w2)) div c(w1·) with c(w1·) the bigram-prefix
+    * marginal, averaged over the document's bigram occurrences — exact
+    * integer arithmetic end-to-end (the true log-perplexity needs `ln`,
+    * the one ingredient two engines won't reproduce bit-for-bit; this
+    * ln-free mean ranks the same direction: typical transitions score
+    * high, improbable ones score ~0). Documents with fewer than two
+    * tokens have no transitions and are excluded.
+    *
+    * Shape: ONE bigram-extraction pass grouped to per-(doc, w1, w2)
+    * occurrence counts — persisted, because it feeds BOTH the global
+    * bigram table and the scoring join (the tfidf pattern; without the pin
+    * the corpus is re-tokenized per branch). The LM table aggregates from
+    * those partials (map-side combine absorbs the Zipf head before the
+    * exchange), its prefix marginal folds from the table itself
+    * (vocabulary-sized, never a corpus pass), and AQE broadcasts both
+    * when they fit. At 100 TB the same split applies: train the table on
+    * a sample if the vocabulary² tail overflows executor memory, score
+    * corpus-wide with the frozen table — the same freeze-then-apply
+    * policy as the k-means and BPE trainers. */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val bigrams = documents
+      .select(col("doc_id"), transform(tokens(col("text")), w => lower(w)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .transform(graft.core.CacheScope.persisted)
+    val table = bigrams.groupBy("w1", "w2").agg(sum("n").as("c2"))
+    val prefix = table.groupBy("w1").agg(sum("c2").as("c1"))
+    bigrams
+      .join(table, Seq("w1", "w2"))
+      .join(prefix, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        expr("sum(n * ((1000000L * c2) div c1)) div sum(n)").as("lm_ppm"))
+  }
 }

@@ -42,6 +42,8 @@ object LlmData {
       docs(s, d).withColumn("text", org.apache.spark.sql.functions.expr(scrubAugSpark)))),
     "t_vocab" -> ((s, d) => TextAnalysis.vocabulary(docs(s, d))),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
+    "t_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(docs(s, d))),
+    "t_lmscore" -> ((s, d) => TextAnalysis.bigramLmScore(docs(s, d))),
     "v_kmv" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr, round, udaf}
       graft.functions.VectorExprs.register(s)
@@ -65,6 +67,7 @@ object LlmData {
     "x_consensus" -> ((s, d) => DocDedup.consensusPairs(docs(s, d), embs(s, d))),
     "d_simhash" -> ((s, d) => DocDedup.simhashGroups(docs(s, d))),
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
+    "e_negatives" -> ((s, d) => Similarity.hardNegatives(embs(s, d))),
     "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     "e_lsh_neardup" -> ((s, d) => Similarity.lshNearDupPairs(embs(s, d))),
@@ -387,6 +390,51 @@ object LlmData {
        |SELECT doc_id, token, tf, df, score_ppm, term_rank
        |FROM r WHERE term_rank <= 3""".stripMargin
 
+  /** DuckDB twin of [[TextAnalysis.bm25TopDocs]] at the default query —
+    * same integer BM25 (`//` floor division ≡ Spark `div` on positives,
+    * identical operation order), same global (score desc, doc_id) rank. */
+  private val bm25Sql = {
+    val qList = TextAnalysis.Bm25DefaultQuery.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH $wordsCte,
+       |t AS (SELECT doc_id, lower(token) AS token
+       |      FROM (SELECT doc_id, unnest(words) AS token FROM w)),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
+       |              (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS tt),
+       |q AS (SELECT unnest($qList) AS token),
+       |p AS (SELECT tf.doc_id, tf.token, tf.tf FROM tf JOIN q USING (token)),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+       |s AS (SELECT p.doc_id,
+       |        ((1000000 * st.nd) // df.df) *
+       |        ((22000 * p.tf) // (10 * p.tf + 3 +
+       |          (9 * ((1000 * dl.dl) // greatest(st.tt // st.nd, 1))) // 1000)) AS sx
+       |      FROM p JOIN df USING (token) JOIN dl USING (doc_id), st),
+       |g AS (SELECT doc_id, CAST(sum(sx) AS BIGINT) AS bm25_x FROM s GROUP BY 1),
+       |r AS (SELECT doc_id, bm25_x,
+       |        CAST(row_number() OVER (ORDER BY bm25_x DESC, doc_id) AS BIGINT) AS rank FROM g)
+       |SELECT doc_id, bm25_x, rank FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** DuckDB twin of [[TextAnalysis.bigramLmScore]] — same per-(doc, w1, w2)
+    * occurrence counts (parallel unnests zip positionally), same integer
+    * conditional probability and weighted mean. */
+  private val lmscoreSql =
+    s"""WITH $wordsCte,
+       |lw AS (SELECT doc_id, list_transform(words, x -> lower(x)) AS w
+       |       FROM w WHERE len(words) >= 2),
+       |bg AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+       |         unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+       |       FROM lw),
+       |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2, 3),
+       |c2 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(n * ((1000000 * c2.c2) // c1.c1)) // sum(n) AS BIGINT) AS lm_ppm
+       |FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       |GROUP BY 1""".stripMargin
+
   /** KMV sketch width for `v_kmv` (small groups take the exact path, the
     * en stratum exercises the estimator). */
   val KmvK = 32
@@ -471,6 +519,16 @@ object LlmData {
        |      FROM q, n2 e WHERE e.vec_id != query_id),
        |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM s)
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
+
+  /** Same exact ranking as the top-k oracle, rank band (10, 20] — the
+    * hard-negative slice of Similarity.hardNegatives' defaults. */
+  private val negativesSql =
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS query_id, ed AS qv, nrm AS qn FROM n2 WHERE vec_id < 8),
+       |s AS (SELECT query_id, e.vec_id AS nn_id, ${Similarity.duckCosPre("qv", "e.ed", "qn", "e.nrm")} AS cos
+       |      FROM q, n2 e WHERE e.vec_id != query_id),
+       |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM s)
+       |SELECT query_id, rank, nn_id FROM r WHERE rank > 10 AND rank <= 20""".stripMargin
 
   /** DuckDB twin of Similarity.quantizedTopK: identical int8 quantization
     * (round-half-away clamp to ±127, re-emitted as DOUBLE), then the same
@@ -757,6 +815,8 @@ object LlmData {
     "t_scrub" -> scrubSql,
     "t_vocab" -> vocabSql,
     "t_tfidf" -> tfidfSql,
+    "t_bm25" -> bm25Sql,
+    "t_lmscore" -> lmscoreSql,
     "v_kmv" -> kmvSql,
     "t_gopher" -> gopherSql,
     "t_bpe" -> bpeSql,
@@ -771,6 +831,7 @@ object LlmData {
     "x_consensus" -> consensusSql,
     "d_simhash" -> simhashSql,
     "e_topk" -> topkSql,
+    "e_negatives" -> negativesSql,
     "e_quant_topk" -> quantTopkSql,
     "e_neardup" -> neardupSql,
     "e_lsh_neardup" -> lshNeardupSql,

@@ -150,6 +150,17 @@ class LlmDataSpec extends AnyFunSuite {
     assert(trained.values.forall(v => !raw.contains(v.toSeq)))
   }
 
+  test("hardNegatives is exactly the (skip, skip+take] slice of the full ranking") {
+    // The band must agree with a deeper top-k's ranks — same ordering, the
+    // top `skip` presumed-positives removed, absolute ranks preserved.
+    val deep = Similarity.bruteForceTopK(embs, 4, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val band = Similarity.hardNegatives(embs, 4, skip = 5, take = 10).collect()
+    assert(band.length == 40)
+    assert(band.forall(r => r.getLong(1) > 5 && r.getLong(1) <= 15))
+    assert(band.forall(r => deep((r.getLong(0), r.getLong(1))) == r.getLong(2)))
+  }
+
   test("brute-force top-k is symmetric-safe: k rows per query, no self") {
     val rows = Similarity.bruteForceTopK(embs, 4, 5).collect()
     assert(rows.length == 20)

@@ -149,6 +149,53 @@ class TextOpsSpec extends AnyFunSuite {
       s"score join degenerated to a product:\n$plan")
   }
 
+  test("bm25TopDocs: hand-computed integer scores, rank order, global top-k plan") {
+    val in = Seq(
+      (1L, "x x y"),   // dl=3
+      (2L, "x z"),     // dl=2
+      (3L, "w w w"))   // dl=3, no query term -> absent from output
+      .toDF("doc_id", "text")
+    // nd=3, tt=8, avgdl = 8 div 3 = 2; df: x=2, y=1
+    // idf_ppm: x = 3e6 div 2 = 1500000, y = 3000000
+    // sat_ppk(tf, dl): dl=3 -> denom 10tf+16; dl=2 -> denom 10tf+12
+    //   doc1 x: 44000 div 36 = 1222 ; doc1 y: 22000 div 26 = 846
+    //   doc2 x: 22000 div 22 = 1000  (tf=1, dl=avgdl -> exactly 1000)
+    val out = TextAnalysis.bm25TopDocs(in, query = Seq("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1500000L * 1222 + 3000000L * 846, 1L),
+      (2L, 1500000L * 1000, 2L)))
+    // the global top-k must plan as TakeOrderedAndProject (map-side partial
+    // top-k: each partition forwards <= k rows), not a global sort
+    val plan = TextAnalysis.bm25TopDocs(in, query = Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global top-k lost:\n$plan")
+    // the persisted (doc, term) frame must feed doc-lengths, corpus totals
+    // AND the posting filter from cache, not three tokenize passes
+    assert(plan.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+      s"terms frame not reused across branches:\n$plan")
+  }
+
+  test("bigramLmScore: hand-computed conditional ppm, short docs excluded") {
+    val in = Seq(
+      (1L, "a b a b"),   // bigrams: (a,b) x2, (b,a) x1
+      (2L, "a b"),       // (a,b) x1
+      (3L, "a c"),       // (a,c) x1
+      (4L, "solo"))      // < 2 tokens -> excluded
+      .toDF("doc_id", "text")
+    // c2: (a,b)=3, (b,a)=1, (a,c)=1 ; c1: a=4, b=1
+    // p_ppm: (a,b) = 3e6 div 4 = 750000; (b,a) = 1e6 div 1 = 1000000;
+    //        (a,c) = 1e6 div 4 = 250000
+    val out = TextAnalysis.bigramLmScore(in).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((3L, (2L * 750000 + 1000000) / 3)),  // 833333
+      2L -> ((1L, 750000L)),
+      3L -> ((1L, 250000L))))
+    // typical transitions outscore rare ones: doc2 (common bigram) > doc3
+    assert(out(2L)._2 > out(3L)._2)
+  }
+
   test("bpeMerges: greedy non-overlapping merges, lexicographic ties, rounds compose") {
     val in = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
     val out = TextAnalysis.bpeMerges(in, nMerges = 3).collect()
