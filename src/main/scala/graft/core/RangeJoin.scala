@@ -49,4 +49,44 @@ object RangeJoin {
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop(b)
   }
+
+  /** Inner interval-overlap join: pairs of (left, right) rows with equal
+    * `keys` whose half-open intervals [lStart, lEnd) and [rStart, rEnd)
+    * have a NONEMPTY intersection — `greatest(starts) < least(ends)`,
+    * which (unlike the textbook pair of `<` inequalities) is also correct
+    * for degenerate intervals: [x, x) is the empty set and overlaps
+    * nothing, even when x falls inside the other interval. The media /
+    * session alignment join (segment × segment) the point-in-interval
+    * form can't express.
+    *
+    * Same bucketization as [[pointInInterval]], both sides replicated into
+    * the coarse buckets they span. A pair can now share MANY buckets, so
+    * exactly-once emission comes from a pure predicate instead of a
+    * distinct pass: the pair is kept only in bucket
+    * `max(bucket(lStart), bucket(rStart))` — the first bucket both
+    * intervals occupy. (Overlap implies that bucket lies in both sides'
+    * replicated ranges: WLOG bucket(lStart) ≤ bucket(rStart), and
+    * rStart < lEnd gives bucket(rStart) ≤ bucket(lEnd).) No shuffle
+    * beyond the one keyed on (keys, bucket); replication factor per row =
+    * span / bucketSeconds + 1. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String, rStart: String, rEnd: String,
+                      bucketSeconds: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketSeconds > 0)
+    val overlap = left.columns.intersect(right.columns).filterNot(keys.contains)
+    require(overlap.isEmpty,
+      s"left and right share non-key columns ${overlap.mkString(", ")} — " +
+        "the overlap predicate would be ambiguous; rename one side")
+    val b = Iterator.from(0).map(i => s"__graft_bucket$i")
+      .find(n => !left.columns.contains(n) && !right.columns.contains(n)).get
+    def replicated(df: DataFrame, s: String, e: String) = df
+      .where(col(e) > col(s)) // empty intervals overlap nothing
+      .withColumn(b, explode(sequence(
+        bucket(col(s), bucketSeconds), bucket(col(e), bucketSeconds))))
+    replicated(left, lStart, lEnd).join(replicated(right, rStart, rEnd), keys :+ b)
+      .filter(greatest(col(lStart), col(rStart)) < least(col(lEnd), col(rEnd)))
+      .filter(col(b) === greatest(
+        bucket(col(lStart), bucketSeconds), bucket(col(rStart), bucketSeconds)))
+      .drop(b)
+  }
 }

@@ -264,6 +264,29 @@ object InfraOps {
       bucketSeconds = 3600L, keys = Seq("k"))
   }
 
+  /** Interval-overlap join round-trip: event-derived segments × windows,
+    * same edge coverage as j_range (degenerate right intervals — which
+    * overlap NOTHING under nonempty-intersection semantics even when they
+    * sit inside a left interval — and NULL keys). The bucketized
+    * exactly-once equi-join must equal the oracle's plain
+    * `greatest(starts) < least(ends)` inequality join. */
+  def overlapJoinRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val segs = ev.where("event_id % 37 = 0").selectExpr(
+      "event_id as a_id", "cast(user_id % 10 as bigint) as k",
+      "date_trunc('hour', ts) as a_start",
+      "date_trunc('hour', ts) + make_interval(0, 0, 0, 0, cast(1 + event_id % 3 as int)) as a_end")
+    val wins = ev.where("event_id % 41 = 0").selectExpr(
+      "case when event_id % 205 = 0 then cast(null as bigint) else cast(user_id % 10 as bigint) end as k",
+      "event_id as b_id",
+      "date_trunc('hour', ts) as b_start",
+      "case when event_id % 123 = 0 then date_trunc('hour', ts) " +
+        "else date_trunc('hour', ts) + make_interval(0, 0, 0, 0, cast(1 + event_id % 5 as int)) end as b_end")
+    graft.core.RangeJoin.intervalOverlap(
+      segs, wins, "a_start", "a_end", "b_start", "b_end",
+      bucketSeconds = 3600L, keys = Seq("k"))
+  }
+
   /** Batch twin of the stateful sessionization (gaps-and-islands): floored
     * measure like st_window so the float sum is exact in both engines. */
   def sessionsBatch(spark: SparkSession, sfDir: String): DataFrame =
@@ -359,6 +382,7 @@ object InfraOps {
     "k_compact" -> (compactRoundTrip _),
     "st_sessions" -> (sessionsBatch _),
     "j_range" -> (rangeJoinRoundTrip _),
+    "j_overlap" -> (overlapJoinRoundTrip _),
     "j_asof" -> (asofRoundTrip _),
     "j_salted" -> (saltedJoinRoundTrip _),
     "j_skew_plain" -> (skewedJoinPlain _),
@@ -434,6 +458,19 @@ object InfraOps {
         |      FROM events WHERE event_id % 41 = 0)
         |SELECT p.event_id, p.k, p.evt_ts, w.win_id, w.win_start, w.win_end
         |FROM p JOIN w ON p.k = w.k AND p.evt_ts >= w.win_start AND p.evt_ts < w.win_end""".stripMargin,
+    "j_overlap" ->
+      """WITH a AS (SELECT event_id AS a_id, CAST(user_id % 10 AS BIGINT) AS k,
+        |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS a_start,
+        |             date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL (1 + event_id % 3) HOUR AS a_end
+        |      FROM events WHERE event_id % 37 = 0),
+        |b AS (SELECT CASE WHEN event_id % 205 = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(user_id % 10 AS BIGINT) END AS k,
+        |             event_id AS b_id,
+        |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b_start,
+        |             CASE WHEN event_id % 123 = 0 THEN date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |                  ELSE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL (1 + event_id % 5) HOUR END AS b_end
+        |      FROM events WHERE event_id % 41 = 0)
+        |SELECT a.a_id, a.k, a.a_start, a.a_end, b.b_id, b.b_start, b.b_end
+        |FROM a JOIN b ON a.k = b.k AND greatest(a.a_start, b.b_start) < least(a.a_end, b.b_end)""".stripMargin,
     "j_asof" ->
       """WITH l AS (SELECT event_id, CAST(user_id % 50 AS BIGINT) AS k, CAST(ts AS TIMESTAMP) AS evt_ts FROM events),
         |r AS (SELECT CAST(user_id % 50 AS BIGINT) AS k,

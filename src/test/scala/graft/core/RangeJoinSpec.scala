@@ -50,4 +50,40 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("pid").as[Long].collect().toSet
     assert(out == Set(1L))
   }
+
+  test("interval overlap equals the plain nonempty-intersection join, exactly once") {
+    // Long spans force pairs to share MANY buckets — the exactly-once
+    // predicate (not a distinct) must still emit each pair a single time.
+    val left = (0 until 60).map { i =>
+      (i.toLong, i % 2, t(f"2026-01-01 ${i % 20}%02d:00:00"),
+        t(f"2026-01-0${1 + i % 3} ${(i * 7) % 24}%02d:30:00"))
+    }.filter { case (_, _, s, e) => e.after(s) }.toDF("a_id", "k", "a_s", "a_e")
+    val right = (0 until 40).map { i =>
+      (100L + i, i % 2, t(f"2026-01-0${1 + i % 2} ${(i * 5) % 24}%02d:15:00"),
+        t(f"2026-01-0${1 + i % 2} ${(i * 5) % 24}%02d:${15 + i % 45}%02d:00"))
+    }.filter { case (_, _, s, e) => e.after(s) }.toDF("b_id", "k", "b_s", "b_e")
+    val fast = RangeJoin.intervalOverlap(left, right, "a_s", "a_e", "b_s", "b_e",
+        bucketSeconds = 3600L, keys = Seq("k"))
+      .select("a_id", "b_id")
+    val plain = left.join(right, Seq("k"))
+      .filter(greatest(col("a_s"), col("b_s")) < least(col("a_e"), col("b_e")))
+      .select("a_id", "b_id")
+    assert(plain.count() > 0, "fixture must produce overlaps")
+    assert(fast.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(fast).count() == 0)
+  }
+
+  test("interval overlap: empty intervals overlap nothing, even inside another interval") {
+    val left = Seq((1L, t("2026-01-01 00:00:00"), t("2026-01-01 10:00:00")))
+      .toDF("a_id", "a_s", "a_e")
+    val right = Seq(
+      (9L, t("2026-01-01 05:00:00"), t("2026-01-01 05:00:00")),  // empty, inside left
+      (10L, t("2026-01-01 09:59:59"), t("2026-01-01 10:00:01")), // straddles left's end
+      (11L, t("2026-01-01 10:00:00"), t("2026-01-01 11:00:00"))) // touches at boundary only
+      .toDF("b_id", "b_s", "b_e")
+    val out = RangeJoin.intervalOverlap(left, right, "a_s", "a_e", "b_s", "b_e", 3600L)
+      .select("b_id").as[Long].collect().toSet
+    // 9: empty set overlaps nothing; 11: [10:00, 11:00) ∩ [0:00, 10:00) = ∅
+    assert(out == Set(10L))
+  }
 }
