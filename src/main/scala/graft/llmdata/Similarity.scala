@@ -47,6 +47,11 @@ object Similarity {
   def duckCosPre(a: String, b: String, na: String, nb: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (s, v) -> s + v) / ($na * $nb)"
 
+  /** DuckDB plain dot product with [[graft.functions.ArrayDot]]'s
+    * dim-ascending add order (the PCA oracle's building block). */
+  def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (s, v) -> s + v)"
+
   /** Exact top-k neighbors for each query vector (queries = a filtered
     * subset of the corpus, broadcast). Emits (query_id, rank, neighbor_id)
     * — ids and ranks only, because rank order is ulp-stable across engines
@@ -584,4 +589,55 @@ object Similarity {
         count(lit(1)).as("n"))
       .select(col("label"), col("pos"),
         round(col("__s") / col("n"), 6).as("c"), col("n"))
+
+  /** Top principal component by in-plan power iteration, emitted as each
+    * vector's projection onto it — the 1-D PCA embedding (whitening /
+    * dedup-diversity / outlier axes all start here). Deterministic
+    * end-to-end: the mean and every per-dimension sum are sorted-fold
+    * aggregations (bit-stable under any partitioning — float addition is
+    * not associative, a plain `sum` is run-unstable), the start vector is
+    * the dim-0 basis vector, and `iters` is fixed — so both engines walk
+    * identical IEEE sequences and even the component's SIGN matches.
+    * Projections are rounded at the very end (output decimal, not an
+    * intermediate).
+    *
+    * Everything is ONE lazy plan — mean, the `iters` mat-vec rounds, and
+    * the final projection — with zero driver actions (the kmeans trainer's
+    * pattern): each round is a corpus pass producing a 1-row (mu, v) frame
+    * that broadcasts into the next. The normalized corpus frame is
+    * persisted once and re-read per round. At 100 TB, train the component
+    * on a deterministic sample (the leading eigenvector converges long
+    * before the corpus is exhausted) and apply the frozen (mu, v) as a
+    * narrow broadcast projection — the same freeze-then-apply policy as
+    * the k-means and BPE trainers; the sorted-fold collect is
+    * per-dimension corpus-sized and is the trainer's cost, not the
+    * scorer's. */
+  def pcaProjection(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    val n = graft.core.CacheScope.persisted(withNorm(embeddings))
+    val mu = n.select(posexplode(col("ed")))
+      .select(col("pos"), col("col").as("v"))
+      .groupBy("pos")
+      .agg(
+        expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (s, x) -> s + x)").as("__s"),
+        count(lit(1)).as("__n"))
+      .withColumn("m", col("__s") / col("__n"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("mu"))
+    val v0 = mu.select(col("mu"), expr(
+      "transform(mu, (x, i) -> CASE WHEN i = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)").as("v"))
+    val vf = (1 to iters).foldLeft(v0) { (vprev, _) =>
+      val w = n.crossJoin(broadcast(vprev))
+        .withColumn("s", expr("array_dot(ed, v) - array_dot(mu, v)"))
+        .select(col("s"), col("mu"), posexplode(col("ed")))
+        .select(col("pos"),
+          ((col("col") - element_at(col("mu"), col("pos") + 1)) * col("s")).as("t"))
+        .groupBy("pos")
+        .agg(expr("aggregate(array_sort(collect_list(t)), cast(0.0 as double), (a, y) -> a + y)").as("wv"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, wv))), s -> s.wv)").as("w"))
+      mu.crossJoin(broadcast(w))
+        .select(col("mu"), expr("transform(w, x -> x / sqrt(array_dot(w, w)))").as("v"))
+    }
+    n.crossJoin(broadcast(vf))
+      .select(col("vec_id"),
+        round(expr("array_dot(ed, v) - array_dot(mu, v)"), 6).as("proj"))
+  }
 }

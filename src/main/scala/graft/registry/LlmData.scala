@@ -68,6 +68,7 @@ object LlmData {
     "d_simhash" -> ((s, d) => DocDedup.simhashGroups(docs(s, d))),
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
     "e_negatives" -> ((s, d) => Similarity.hardNegatives(embs(s, d))),
+    "e_pca" -> ((s, d) => Similarity.pcaProjection(embs(s, d))),
     "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     "e_lsh_neardup" -> ((s, d) => Similarity.lshNearDupPairs(embs(s, d))),
@@ -520,6 +521,36 @@ object LlmData {
        |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM s)
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
 
+  /** DuckDB twin of [[Similarity.pcaProjection]]: same sorted-fold mean,
+    * same dim-0 basis start vector, each power-iteration round unrolled
+    * into CTEs with the same per-dimension sorted-fold sums and the same
+    * dim-ascending dot — identical IEEE sequences, so even the
+    * component's sign matches; projections rounded only at the end. */
+  private val pcaSql = {
+    val iters = 3
+    val rounds = (1 to iters).map { k =>
+      val prev = s"v${k - 1}"
+      s"""s$k AS (SELECT e.vec_id, ${Similarity.duckDot("e.ed", "p.v")} - ${Similarity.duckDot("p.mu", "p.v")} AS s
+         |        FROM n2 e, $prev p),
+         |wp$k AS (SELECT x.pos,
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list((x.v - m.mu[x.pos + 1]) * sk.s))), (a, y) -> a + y) AS wv
+         |         FROM xp x JOIN s$k sk USING (vec_id), mu m GROUP BY x.pos),
+         |wk$k AS (SELECT list(wv ORDER BY pos) AS w FROM wp$k),
+         |v$k AS (SELECT m.mu, list_transform(w.w, x -> x / sqrt(${Similarity.duckDot("w.w", "w.w")})) AS v FROM mu m, wk$k w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $normCte,
+       |xp AS (SELECT vec_id, CAST(u.pos AS INT) AS pos, CAST(u.v AS DOUBLE) AS v
+       |       FROM (SELECT vec_id, unnest(list_transform(range(1, len(ed) + 1),
+       |                     i -> {'pos': i - 1, 'v': ed[i]})) AS u FROM n2)),
+       |mup AS (SELECT pos, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(v))), (s, y) -> s + y) / count(*) AS m
+       |        FROM xp GROUP BY 1),
+       |mu AS (SELECT list(m ORDER BY pos) AS mu FROM mup),
+       |v0 AS (SELECT mu, list_transform(range(1, len(mu) + 1), i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v FROM mu),
+       |$rounds
+       |SELECT e.vec_id, round(${Similarity.duckDot("e.ed", "p.v")} - ${Similarity.duckDot("p.mu", "p.v")}, 6) AS proj
+       |FROM n2 e, v$iters p""".stripMargin
+  }
+
   /** Same exact ranking as the top-k oracle, rank band (10, 20] — the
     * hard-negative slice of Similarity.hardNegatives' defaults. */
   private val negativesSql =
@@ -832,6 +863,7 @@ object LlmData {
     "d_simhash" -> simhashSql,
     "e_topk" -> topkSql,
     "e_negatives" -> negativesSql,
+    "e_pca" -> pcaSql,
     "e_quant_topk" -> quantTopkSql,
     "e_neardup" -> neardupSql,
     "e_lsh_neardup" -> lshNeardupSql,

@@ -150,6 +150,31 @@ class LlmDataSpec extends AnyFunSuite {
     assert(trained.values.forall(v => !raw.contains(v.toSeq)))
   }
 
+  test("pcaProjection recovers the dominant axis: centered, proportional, run-stable") {
+    // Points on the line t·(1, 2, 0) plus a tiny orthogonal wiggle — the
+    // top component is (1, 2)/√5, so proj_i ≈ (t_i − mean_t)·√5.
+    val ts = (0 until 40).map(_.toDouble)
+    val in = ts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(t.toFloat, (2 * t).toFloat, (if (i % 2 == 0) 0.01f else -0.01f)))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pcaProjection(in).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val meanT = ts.sum / ts.length
+    val expected = ts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> (t - meanT) * math.sqrt(5.0)
+    }.toMap
+    // sign is deterministic but init-dependent; compare up to a global sign
+    val sign = math.signum(out(39L)) * math.signum(expected(39L))
+    expected.foreach { case (id, e) =>
+      assert(math.abs(sign * out(id) - e) < 1e-2, s"vec $id: ${out(id)} vs $e")
+    }
+    assert(math.abs(out.values.sum) < 1e-3, "projections must be mean-centered")
+    // bit-stable: a second run returns the identical doubles
+    val again = Similarity.pcaProjection(in).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == out)
+  }
+
   test("hardNegatives is exactly the (skip, skip+take] slice of the full ranking") {
     // The band must agree with a deeper top-k's ranks — same ordering, the
     // top `skip` presumed-positives removed, absolute ranks preserved.
