@@ -612,6 +612,49 @@ object Similarity {
     * the k-means and BPE trainers; the sorted-fold collect is
     * per-dimension corpus-sized and is the trainer's cost, not the
     * scorer's. */
+  /** Embedding-QA outlier flags: the `frac` most centroid-distant vectors
+    * within each label — mislabeled rows, encoder failures, and genuine
+    * novelty all surface here first. Distance is cosine against the
+    * label's sorted-fold centroid (bit-stable, like [[labelCentroids]]
+    * but unrounded internally: rounding an intermediate would move the
+    * rank boundary). The cut is a per-label RANK (`rank ≤ ceil(frac·n)`),
+    * not a score threshold — exact in integers, no float quantile to
+    * disagree on at the boundary.
+    *
+    * Shape: centroids are a per-(label, pos) agg (labels × dims rows)
+    * broadcast back; scoring is one narrow pass; the per-label rank is
+    * one window over a `label` shuffle. The rank bound is data-dependent
+    * (ceil(frac·n)), so no WindowGroupLimit map-side prune applies — at
+    * 100 TB pre-aggregate per-label counts (tiny) and pass a literal
+    * bound per label if the full-width rank exchange ever dominates;
+    * labels are the partition axis either way. Emits the absolute
+    * distance rank so reviewers triage worst-first. */
+  def centroidOutliers(embeddings: DataFrame, frac: Double = 0.05): DataFrame = {
+    val n = withNorm(embeddings)
+    val cents = embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      .groupBy("label", "pos")
+      .agg(
+        expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (s, x) -> s + x)").as("__s"),
+        count(lit(1)).as("__n"))
+      .withColumn("m", col("__s") / col("__n"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ced"))
+      .withColumn("cnrm", expr("sqrt(array_dot(ced, ced))"))
+    val counts = embeddings.groupBy("label").agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("cos").asc, col("vec_id"))
+    n.join(broadcast(cents), "label")
+      .withColumn("cos", expr(sparkCosPre("ed", "ced", "nrm", "cnrm")))
+      .join(broadcast(counts), "label")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= ceil(col("__cnt") * lit(frac)).cast("long"))
+      .select(col("label"), col("vec_id"),
+        round(lit(1.0) - col("cos"), 6).as("dist"),
+        col("__rn").cast("bigint").as("far_rank"))
+  }
+
   def pcaProjection(embeddings: DataFrame, iters: Int = 3): DataFrame = {
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
     val mu = n.select(posexplode(col("ed")))

@@ -69,6 +69,7 @@ object LlmData {
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
     "e_negatives" -> ((s, d) => Similarity.hardNegatives(embs(s, d))),
     "e_pca" -> ((s, d) => Similarity.pcaProjection(embs(s, d))),
+    "e_outliers" -> ((s, d) => Similarity.centroidOutliers(embs(s, d))),
     "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     "e_lsh_neardup" -> ((s, d) => Similarity.lshNearDupPairs(embs(s, d))),
@@ -551,6 +552,27 @@ object LlmData {
        |FROM n2 e, v$iters p""".stripMargin
   }
 
+  /** DuckDB twin of [[Similarity.centroidOutliers]]: same sorted-fold
+    * per-label centroid (unrounded), same cosine, same per-label
+    * (cos asc, vec_id) rank with the identical ceil(frac·n) cut. */
+  private val outliersSql = {
+    val cos = Similarity.duckCosPre("n2.ed", "c.ced", "n2.nrm", "c.cnrm")
+    s"""WITH $normCte,
+       |xl AS (SELECT label, CAST(u.pos AS INT) AS pos, CAST(u.v AS DOUBLE) AS v
+       |       FROM (SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+       |                     i -> {'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u FROM embeddings)),
+       |mp AS (SELECT label, pos, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(v))), (s, y) -> s + y) / count(*) AS m
+       |       FROM xl GROUP BY 1, 2),
+       |ct AS (SELECT label, list(m ORDER BY pos) AS ced FROM mp GROUP BY label),
+       |ctn AS (SELECT label, ced, sqrt(${Similarity.duckDot("ced", "ced")}) AS cnrm FROM ct),
+       |sc AS (SELECT em.label, n2.vec_id, $cos AS cos
+       |       FROM n2 JOIN embeddings em ON em.vec_id = n2.vec_id JOIN ctn c ON c.label = em.label),
+       |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM embeddings GROUP BY 1),
+       |r AS (SELECT label, vec_id, cos, row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id) AS rn FROM sc)
+       |SELECT r.label, r.vec_id, round(1.0 - cos, 6) AS dist, CAST(rn AS BIGINT) AS far_rank
+       |FROM r JOIN cnt USING (label) WHERE rn <= CAST(ceil(cnt * 0.05) AS BIGINT)""".stripMargin
+  }
+
   /** Same exact ranking as the top-k oracle, rank band (10, 20] — the
     * hard-negative slice of Similarity.hardNegatives' defaults. */
   private val negativesSql =
@@ -864,6 +886,7 @@ object LlmData {
     "e_topk" -> topkSql,
     "e_negatives" -> negativesSql,
     "e_pca" -> pcaSql,
+    "e_outliers" -> outliersSql,
     "e_quant_topk" -> quantTopkSql,
     "e_neardup" -> neardupSql,
     "e_lsh_neardup" -> lshNeardupSql,

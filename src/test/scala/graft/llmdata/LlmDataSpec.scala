@@ -150,6 +150,20 @@ class LlmDataSpec extends AnyFunSuite {
     assert(trained.values.forall(v => !raw.contains(v.toSeq)))
   }
 
+  test("centroidOutliers flags the planted outlier first, honors the ceil(frac*n) cut") {
+    // 29 vectors clustered near +e1 with small wiggle, one at -e1: the
+    // opposite vector must be far_rank 1; ceil(0.1 * 30) = 3 flagged.
+    val in = ((0 until 29).map { i =>
+      (i.toLong, "a", Array(1.0f, (i % 5) * 0.01f, 0.0f))
+    } :+ ((29L, "a", Array(-1.0f, 0.0f, 0.0f))))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidOutliers(in, frac = 0.1).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.length == 3)
+    assert(out.contains((29L, 1L)), s"planted outlier not rank 1: ${out.toSeq}")
+    assert(out.forall(_._2 <= 3))
+  }
+
   test("pcaProjection recovers the dominant axis: centered, proportional, run-stable") {
     // Points on the line t·(1, 2, 0) plus a tiny orthogonal wiggle — the
     // top component is (1, 2)/√5, so proj_i ≈ (t_i − mean_t)·√5.
