@@ -410,6 +410,27 @@ object CorpusOps {
         col("src_rank").cast("bigint").as("src_rank"))
   }
 
+  /** Deterministic train/val/test split assignment — the same hash gate as
+    * [[stratifiedSample]] (membership is a pure function of doc_id), so
+    * the split is re-runnable, append-stable (new documents land in a
+    * split without moving old ones), and leakage-free by construction: a
+    * document can never change sides between runs, which is the property
+    * eval hygiene actually needs. Low buckets go to test, then val, so
+    * widening the training share later never moves a held-out document
+    * INTO train's history. Narrow single pass, no shuffle at any size. */
+  def datasetSplit(documents: DataFrame,
+                   valPerMille: Int = 10, testPerMille: Int = 10): DataFrame = {
+    require(valPerMille >= 0 && testPerMille >= 0 && valPerMille + testPerMille <= 1000,
+      s"split shares must fit a mille: val=$valPerMille test=$testPerMille")
+    documents
+      .withColumn("bucket", expr(bucketSql("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < testPerMille, lit("test"))
+          .when(col("bucket") < testPerMille + valPerMille, lit("val"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("bucket").cast("bigint").as("bucket"), col("split"))
+  }
+
   // ---- Benchmark decontamination -----------------------------------------
 
   /** Benchmark-contamination scan: flag every training document sharing at

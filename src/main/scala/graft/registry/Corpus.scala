@@ -48,6 +48,7 @@ object Corpus {
     "c_report" -> ((s, d) => CorpusOps.corpusReport(docs(s, d))),
     "c_autofilter" -> ((s, d) => CorpusOps.autoQualityFilter(docs(s, d))),
     "c_sourcecap" -> ((s, d) => CorpusOps.perSourceCap(docs(s, d))),
+    "c_split" -> ((s, d) => CorpusOps.datasetSplit(docs(s, d))),
     "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
     "c_batches" -> ((s, d) => CorpusOps.lengthBucketedBatches(docs(s, d))),
     "c_seqtext" -> ((s, d) => CorpusOps.packedSequenceText(docs(s, d))),
@@ -346,6 +347,15 @@ object Corpus {
        |      FROM s2)
        |SELECT doc_id, source, quality_score, src_rank FROM r WHERE src_rank <= 10""".stripMargin
 
+  /** DuckDB twin of [[CorpusOps.datasetSplit]] at val=test=10‰ — the
+    * identical hash gate, so both engines assign every doc_id to the
+    * same side. */
+  private val splitSql =
+    s"""WITH b AS (SELECT doc_id, CAST(${CorpusOps.bucketSql("doc_id")} AS BIGINT) AS bucket FROM documents)
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 10 THEN 'test' WHEN bucket < 20 THEN 'val' ELSE 'train' END AS split
+       |FROM b""".stripMargin
+
   /** DuckDB twin of [[CorpusOps.autoQualityFilter]] at q=0.5 — the
     * quantile oracle's rank machinery (same order: score, doc_id; same
     * ceil(q*N) target) composed with the gate. */
@@ -387,6 +397,7 @@ object Corpus {
     "c_report" -> reportSql,
     "c_autofilter" -> autofilterSql,
     "c_sourcecap" -> sourcecapSql,
+    "c_split" -> splitSql,
     "c_quantiles" -> quantilesSql,
     "c_shuffle" -> shuffleSql,
     "c_incr" -> incrSql,

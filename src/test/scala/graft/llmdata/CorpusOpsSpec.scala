@@ -298,6 +298,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSet == full)
   }
 
+  test("datasetSplit: total cover, deterministic sides, append-stable") {
+    val out = CorpusOps.datasetSplit(docs, valPerMille = 100, testPerMille = 100).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == docs.count())
+    // thresholds: bucket < 100 -> test, < 200 -> val, else train
+    out.values.foreach { case (b, s) =>
+      val expect = if (b < 100) "test" else if (b < 200) "val" else "train"
+      assert(s == expect, s"bucket $b labeled $s")
+    }
+    assert(out.values.map(_._2).toSet == Set("train", "val", "test"),
+      "fixture should populate all three sides")
+    // append-stability: running on a subset assigns the same sides
+    val sub = CorpusOps.datasetSplit(docs.limit(50), 100, 100).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    sub.foreach { case (id, s) => assert(out(id)._2 == s) }
+    // widening train (shrinking val) never moves a doc INTO train's history
+    val wide = CorpusOps.datasetSplit(docs, valPerMille = 50, testPerMille = 100).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    wide.foreach { case (id, s) =>
+      if (out(id)._2 == "train") assert(s == "train")
+      if (s == "test") assert(out(id)._2 == "test")
+    }
+  }
+
   test("cleanCorpus output: only en/quality survivors, no duplicate texts, no near-dup pairs") {
     val out = CorpusOps.cleanCorpus(docs)
     val ids = out.select("doc_id").as[Long].collect().toSet
