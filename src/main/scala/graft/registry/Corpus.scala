@@ -49,6 +49,18 @@ object Corpus {
     "c_autofilter" -> ((s, d) => CorpusOps.autoQualityFilter(docs(s, d))),
     "c_sourcecap" -> ((s, d) => CorpusOps.perSourceCap(docs(s, d))),
     "c_split" -> ((s, d) => CorpusOps.datasetSplit(docs(s, d))),
+    // Eval hygiene end-to-end: the held-out side of the hash split,
+    // admitted only if it has no exact or near-dup leak from the train
+    // side (and deduped within itself) — the composition c_split and
+    // c_incr exist for.
+    "c_evalset" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val all = docs(s, d)
+      val sp = CorpusOps.datasetSplit(all)
+      CorpusOps.dedupAgainstCorpus(
+        all.join(sp.filter(col("split") =!= "train").select("doc_id"), "doc_id"),
+        all.join(sp.filter(col("split") === "train").select("doc_id"), "doc_id"))
+    }),
     "c_pack" -> ((s, d) => CorpusOps.packChunks(CorpusOps.chunk(docs(s, d)))),
     "c_batches" -> ((s, d) => CorpusOps.lengthBucketedBatches(docs(s, d))),
     "c_seqtext" -> ((s, d) => CorpusOps.packedSequenceText(docs(s, d))),
@@ -269,11 +281,13 @@ object Corpus {
        |  CAST(MAX(seq_tokens) OVER (PARTITION BY shard, batch_id) AS BIGINT) AS padded_to
        |FROM rb""".stripMargin
 
-  /** Incremental-dedup oracle: every-5th-doc batch vs the rest as corpus;
-    * exact anti-join, cross-set LSH flag, intra-batch pair drop. */
-  private val incrSql =
-    s"""WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-       |cp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+  /** Incremental-dedup oracle, parameterized over the two sides' row
+    * predicates: exact anti-join, cross-set LSH flag, intra-batch pair
+    * drop. `c_incr`/`c_incr_idx` use the every-5th-doc split;
+    * `c_evalset` the train/held-out hash split. */
+  private def incrSqlSides(ndPred: String, cpPred: String) =
+    s"""WITH nd AS (SELECT doc_id, text FROM documents WHERE $ndPred),
+       |cp AS (SELECT doc_id, text FROM documents WHERE $cpPred),
        |ek AS (SELECT n.doc_id, n.text FROM nd n
        |       WHERE NOT EXISTS (SELECT 1 FROM cp c WHERE c.text = n.text)),
        |${sigBandCtes("ek", "a")},
@@ -288,6 +302,14 @@ object Corpus {
        |SELECT doc_id FROM ek
        |WHERE doc_id NOT IN (SELECT doc_id FROM xflag)
        |  AND doc_id NOT IN (SELECT id_b FROM ipairs)""".stripMargin
+
+  private val incrSql = incrSqlSides("doc_id % 5 = 0", "doc_id % 5 != 0")
+
+  /** Leakage-free eval set: the held-out hash split decontaminated
+    * against the train split with the same admission math as c_incr. */
+  private val evalsetSql = incrSqlSides(
+    s"(${CorpusOps.bucketSql("doc_id")}) < 20",
+    s"(${CorpusOps.bucketSql("doc_id")}) >= 20")
 
   /** Sequence-text oracle: the chunk/pack CTEs with the chunk text carried
     * through, assembled per sequence with an ORDER BY inside the string
@@ -398,6 +420,7 @@ object Corpus {
     "c_autofilter" -> autofilterSql,
     "c_sourcecap" -> sourcecapSql,
     "c_split" -> splitSql,
+    "c_evalset" -> evalsetSql,
     "c_quantiles" -> quantilesSql,
     "c_shuffle" -> shuffleSql,
     "c_incr" -> incrSql,

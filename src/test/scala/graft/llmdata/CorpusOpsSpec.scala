@@ -322,6 +322,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("datasetSplit + dedupAgainstCorpus composes to a leakage-free eval set") {
+    val sp = CorpusOps.datasetSplit(docs, valPerMille = 300, testPerMille = 300)
+    val held = docs.join(sp.filter($"split" =!= "train").select("doc_id"), "doc_id")
+    val train = docs.join(sp.filter($"split" === "train").select("doc_id"), "doc_id")
+    val admitted = CorpusOps.dedupAgainstCorpus(held, train)
+      .select("doc_id").as[Long].collect().toSet
+    val heldIds = held.select("doc_id").as[Long].collect().toSet
+    assert(admitted.nonEmpty && admitted.subsetOf(heldIds))
+    // the defining property: no admitted text appears verbatim in train
+    val trainTexts = train.select("text").as[String].collect().toSet
+    val admittedTexts = docs.filter($"doc_id".isin(admitted.toSeq: _*))
+      .select("text").as[String].collect()
+    assert(admittedTexts.forall(t => !trainTexts.contains(t)))
+  }
+
   test("cleanCorpus output: only en/quality survivors, no duplicate texts, no near-dup pairs") {
     val out = CorpusOps.cleanCorpus(docs)
     val ids = out.select("doc_id").as[Long].collect().toSet
