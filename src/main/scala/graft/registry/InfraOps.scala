@@ -383,6 +383,9 @@ object InfraOps {
     "st_sessions" -> (sessionsBatch _),
     "j_range" -> (rangeJoinRoundTrip _),
     "j_overlap" -> (overlapJoinRoundTrip _),
+    "s_analyze" -> ((s: SparkSession, d: String) => graft.sources.TableStats.analyze(
+      s.read.parquet(s"$d/lineitem.parquet"),
+      Seq("l_orderkey", "l_quantity", "l_returnflag"))),
     "j_asof" -> (asofRoundTrip _),
     "j_salted" -> (saltedJoinRoundTrip _),
     "j_skew_plain" -> (skewedJoinPlain _),
@@ -396,6 +399,24 @@ object InfraOps {
     "st_window" -> (windowAggBatch _),
     "st_dedup" -> (streamDedupBatch _),
     "st_neardup" -> (streamNearDupBatch _))
+
+  /** DuckDB twin of one [[graft.sources.TableStats.analyze]] output row:
+    * same null convention (min/max/NDV over the non-null population), the
+    * KMV estimate with v_kmv's exact formula over the shared polynomial
+    * hash of the string-cast value. */
+  private def analyzeColSql(c: String): String = {
+    import graft.llmdata.TextPrimitives
+    s"""SELECT '$c' AS "column",
+       |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+       |  (SELECT CAST(count(*) - count($c) AS BIGINT) FROM lineitem) AS n_nulls,
+       |  (SELECT CAST(min($c) AS VARCHAR) FROM lineitem) AS min_value,
+       |  (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_value,
+       |  (SELECT round(CASE WHEN len(l) < 32 THEN CAST(len(l) AS DOUBLE)
+       |                     ELSE 31.0 * ${TextPrimitives.P} / l[32] END, 6)
+       |   FROM (SELECT list_sort(list(DISTINCT h)) AS l
+       |         FROM (SELECT ${TextPrimitives.duckPolyHash(s"CAST($c AS VARCHAR)")} AS h
+       |               FROM lineitem WHERE $c IS NOT NULL))) AS ndv_est""".stripMargin
+  }
 
   /** One oracle for both skew variants: salting must not change a single
     * output row, only the shuffle shape. l_quantity is integer-valued, so
@@ -458,6 +479,8 @@ object InfraOps {
         |      FROM events WHERE event_id % 41 = 0)
         |SELECT p.event_id, p.k, p.evt_ts, w.win_id, w.win_start, w.win_end
         |FROM p JOIN w ON p.k = w.k AND p.evt_ts >= w.win_start AND p.evt_ts < w.win_end""".stripMargin,
+    "s_analyze" -> Seq("l_orderkey", "l_quantity", "l_returnflag")
+      .map(analyzeColSql).mkString("\nUNION ALL\n"),
     "j_overlap" ->
       """WITH a AS (SELECT event_id AS a_id, CAST(user_id % 10 AS BIGINT) AS k,
         |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS a_start,
