@@ -122,6 +122,12 @@ package object api {
       CorpusOps.shuffleOrder(docs, buckets, epoch)
     def cleanCorpus(keepLang: String = "en", minQuality: Double = 0.6): DataFrame =
       CorpusOps.cleanCorpus(docs, keepLang, minQuality)
+    def perSourceCap(cap: Int = 10): DataFrame = CorpusOps.perSourceCap(docs, cap)
+    def datasetSplit(valPerMille: Int = 10, testPerMille: Int = 10): DataFrame =
+      CorpusOps.datasetSplit(docs, valPerMille, testPerMille)
+    def bm25TopDocs(query: Seq[String], k: Int = 10): DataFrame =
+      TextAnalysis.bm25TopDocs(docs, query, k)
+    def bigramLmScore: DataFrame = TextAnalysis.bigramLmScore(docs)
   }
 
   /** Similarity search over an `(id, vec: array<float>, …)` embedding frame
@@ -161,6 +167,11 @@ package object api {
     def semDedup(threshold: Double = 0.4, nCells: Int = 16,
                  kmeansIters: Int = 1): DataFrame =
       Similarity.semDedup(embs, threshold, nCells, kmeansIters)
+    def hardNegatives(nQueries: Int = 8, skip: Int = 10, take: Int = 10): DataFrame =
+      Similarity.hardNegatives(embs, nQueries, skip, take)
+    def pcaProjection(iters: Int = 3): DataFrame = Similarity.pcaProjection(embs, iters)
+    def centroidOutliers(frac: Double = 0.05): DataFrame =
+      Similarity.centroidOutliers(embs, frac)
   }
 
   /** Column-level normalization functions (C1-C3). */

@@ -296,6 +296,13 @@ class CorpusOpsSpec extends AnyFunSuite {
         rows.sortBy(r => (-r.getDouble(1), r.getLong(0))).take(5).map(_.getLong(0))
       }.toSet
     assert(out.map(_.getLong(0)).toSet == full)
+    // scale claim: the rank filter must plant a map-side (Partial)
+    // WindowGroupLimit so the source exchange carries ~sources x cap rows
+    val plan = CorpusOps.perSourceCap(docs, cap = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"per-source cap lost its map-side group limit:\n$plan")
   }
 
   test("datasetSplit: total cover, deterministic sides, append-stable") {

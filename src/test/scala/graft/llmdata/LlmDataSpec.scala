@@ -198,6 +198,12 @@ class LlmDataSpec extends AnyFunSuite {
     assert(band.length == 40)
     assert(band.forall(r => r.getLong(1) > 5 && r.getLong(1) <= 15))
     assert(band.forall(r => deep((r.getLong(0), r.getLong(1))) == r.getLong(2)))
+    // the lower-bound conjunct must not cost the map-side partial top-k
+    val plan = Similarity.hardNegatives(embs, 4, skip = 5, take = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"rank band lost its map-side group limit:\n$plan")
   }
 
   test("brute-force top-k is symmetric-safe: k rows per query, no self") {
