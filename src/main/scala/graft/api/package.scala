@@ -172,6 +172,9 @@ package object api {
     def pcaProjection(iters: Int = 3): DataFrame = Similarity.pcaProjection(embs, iters)
     def centroidOutliers(frac: Double = 0.05): DataFrame =
       Similarity.centroidOutliers(embs, frac)
+    def rpTopK(nQueries: Int = 8, k: Int = 10, rpDims: Int = 16,
+               overfetch: Int = 3): DataFrame =
+      Similarity.rpTopK(embs, nQueries, k, rpDims, overfetch)
   }
 
   /** Column-level normalization functions (C1-C3). */

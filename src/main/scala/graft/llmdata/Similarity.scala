@@ -612,6 +612,56 @@ object Similarity {
     * the k-means and BPE trainers; the sorted-fold collect is
     * per-dimension corpus-sized and is the trainer's cost, not the
     * scorer's. */
+  /** Random-projection (Johnson–Lindenstrauss) top-k: project the corpus
+    * to `rpDims` dimensions with the LSH family's deterministic LCG weight
+    * matrix (uniform(-0.5, 0.5), generated by formula — ONE compact
+    * expression, not rpDims×64 literals, so codegen stays cheap), rank
+    * candidates by projected cosine, then exact-re-rank the
+    * `k·overfetch` survivors on the original vectors. Completes the ANN
+    * family along its fourth axis: quantization shrinks precision, IVF
+    * prunes partitions, LSH buckets hashes — RP shrinks DIMENSION:
+    * the candidate scan reads rpDims/dim of the vector bytes (16/64 =
+    * 4× less bandwidth, 4× more resident vectors per executor-GB), and at
+    * ingest the projection would be stored as its own column so full
+    * vectors are fetched only for candidates. Both ranking stages keep
+    * the broadcast-queries × corpus-scan shape with map-side partial
+    * top-k (rank filters on raw row_number).
+    *
+    * Recall is data-dependent in exactly the way JL promises: distances
+    * are preserved within ~1/√rpDims relative error, so the projection
+    * keeps a ranking whose GAPS exceed that error (clustered real
+    * embeddings — the spec measures ≥0.9 there) and scrambles one whose
+    * gaps don't (isotropic noise, where the exact ranking is itself
+    * noise). Size rpDims to the corpus's neighbor-gap scale, not to a
+    * universal constant. */
+  def rpTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+             rpDims: Int = 16, overfetch: Int = 3): DataFrame = {
+    require(rpDims > 0 && overfetch >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val rpExpr = s"transform(sequence(0, ${rpDims - 1}), r -> " +
+      s"aggregate(transform(ed, (x, i) -> x * ${planeWeightSql("r", "i")}), " +
+      "cast(0.0 as double), (s, v) -> s + v))"
+    val n = graft.core.CacheScope.persisted(
+      withNorm(embeddings)
+        .withColumn("rp", expr(rpExpr))
+        .withColumn("rpn", expr("sqrt(array_dot(rp, rp))")))
+    val queries = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"),
+        col("rp").as("qrp"), col("rpn").as("qrpn"))
+    n.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rcos", expr(sparkCosPre("rp", "qrp", "rpn", "qrpn")))
+      .withColumn("crank", row_number().over(
+        w.partitionBy("query_id").orderBy(col("rcos").desc, col("vec_id"))))
+      .filter(col("crank") <= k * overfetch)
+      .withColumn("cos", expr(sparkCosPre("ed", "q", "nrm", "qn")))
+      .withColumn("rank", row_number().over(
+        w.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id").as("nn_id"))
+  }
+
   /** Embedding-QA outlier flags: the `frac` most centroid-distant vectors
     * within each label — mislabeled rows, encoder failures, and genuine
     * novelty all surface here first. Distance is cosine against the

@@ -70,6 +70,7 @@ object LlmData {
     "e_negatives" -> ((s, d) => Similarity.hardNegatives(embs(s, d))),
     "e_pca" -> ((s, d) => Similarity.pcaProjection(embs(s, d))),
     "e_outliers" -> ((s, d) => Similarity.centroidOutliers(embs(s, d))),
+    "e_rp_topk" -> ((s, d) => Similarity.rpTopK(embs(s, d))),
     "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     "e_lsh_neardup" -> ((s, d) => Similarity.lshNearDupPairs(embs(s, d))),
@@ -522,6 +523,26 @@ object LlmData {
        |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM s)
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
 
+  /** DuckDB twin of [[Similarity.rpTopK]]: the same LCG weight formula
+    * builds the projection, same projected-cosine candidate rank at
+    * k·overfetch, same exact re-rank — identical IEEE sequences. */
+  private val rpTopkSql = {
+    val proj = s"list_transform(range(0, 16), r -> list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len(ed) + 1), i -> ed[i] * ${Similarity.planeWeightSql("r", "(i - 1)")})), (s, v) -> s + v))"
+    s"""WITH $normCte,
+       |np AS (SELECT vec_id, ed, nrm, $proj AS rp FROM n2),
+       |np2 AS (SELECT vec_id, ed, nrm, rp, sqrt(${Similarity.duckDot("rp", "rp")}) AS rpn FROM np),
+       |q AS (SELECT vec_id AS query_id, ed AS qv, nrm AS qn, rp AS qrp, rpn AS qrpn FROM np2 WHERE vec_id < 8),
+       |cs AS (SELECT query_id, e.vec_id AS nn_id, e.ed, e.nrm, qv, qn,
+       |         ${Similarity.duckCosPre("e.rp", "q.qrp", "e.rpn", "q.qrpn")} AS rcos
+       |       FROM q, np2 e WHERE e.vec_id != query_id),
+       |cr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rcos DESC, nn_id) AS crank FROM cs),
+       |cand AS (SELECT query_id, nn_id, ${Similarity.duckCosPre("ed", "qv", "nrm", "qn")} AS cos
+       |         FROM cr WHERE crank <= 30),
+       |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM cand)
+       |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
+  }
+
   /** DuckDB twin of [[Similarity.pcaProjection]]: same sorted-fold mean,
     * same dim-0 basis start vector, each power-iteration round unrolled
     * into CTEs with the same per-dimension sorted-fold sums and the same
@@ -887,6 +908,7 @@ object LlmData {
     "e_negatives" -> negativesSql,
     "e_pca" -> pcaSql,
     "e_outliers" -> outliersSql,
+    "e_rp_topk" -> rpTopkSql,
     "e_quant_topk" -> quantTopkSql,
     "e_neardup" -> neardupSql,
     "e_lsh_neardup" -> lshNeardupSql,

@@ -150,6 +150,28 @@ class LlmDataSpec extends AnyFunSuite {
     assert(trained.values.forall(v => !raw.contains(v.toSeq)))
   }
 
+  test("rpTopK: k rows per query, no self, high recall on clustered data") {
+    // JL projection preserves DISTANCE GAPS, so recall is meaningful on
+    // clustered vectors (real embeddings), not isotropic noise where the
+    // exact ranking is itself noise. 5 deterministic clusters of 8: each
+    // query's true neighbors are its cluster-mates.
+    def v(cluster: Int, member: Int): Array[Float] =
+      Array.tabulate(64) { d =>
+        val base = (((cluster * 31 + d) * 2654435761L) % 1000L) / 1000.0f - 0.5f
+        base + (((member * 17 + d) % 7) - 3) * 0.004f
+      }
+    val in = (for (c <- 0 until 5; m <- 0 until 8)
+      yield ((c * 8 + m).toLong, v(c, m))).toDF("vec_id", "embedding")
+    val rp = Similarity.rpTopK(in, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rp.length == 20)
+    assert(rp.forall { case (q, nn) => q != nn })
+    val exact = Similarity.bruteForceTopK(in, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = rp.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("centroidOutliers flags the planted outlier first, honors the ceil(frac*n) cut") {
     // 29 vectors clustered near +e1 with small wiggle, one at -e1: the
     // opposite vector must be far_rank 1; ceil(0.1 * 30) = 3 flagged.
