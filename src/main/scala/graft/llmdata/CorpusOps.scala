@@ -410,6 +410,42 @@ object CorpusOps {
         col("src_rank").cast("bigint").as("src_rank"))
   }
 
+  /** Repeat-epoch plan for target mixture weights — the UPSAMPLING
+    * complement to [[temperatureRates]]: sampling can only down-weight a
+    * stratum, repeat epochs are how under-represented strata reach their
+    * target share in the training mix. For each stratum: its token count,
+    * the target share (exact ppm), and the repeat factor
+    * `epochs = share · T / n_i` — how many passes over the stratum give
+    * it `share` of the ORIGINAL corpus token budget T. epochs > 1 means
+    * repeat, < 1 means the plan still down-samples, 0 means excluded
+    * (strata not in the weight map). The share is exact integer ppm; the
+    * repeat factor is a double with a pinned division order
+    * `(w/Σw) · (T/n_i)`, so both engines emit the identical rounded
+    * value. One tokenize pass + a strata-sized agg; the 1-row total
+    * broadcasts back — the plan itself is tiny and drives the training
+    * loop's sampler, it never touches rows. */
+  def epochPlan(documents: DataFrame, weightsPerMille: Map[String, Int],
+                stratum: String = "source"): DataFrame = {
+    require(weightsPerMille.nonEmpty && weightsPerMille.values.forall(_ >= 0)
+      && weightsPerMille.values.sum > 0, "weights must be non-negative, sum > 0")
+    val sumW = weightsPerMille.values.sum
+    val w = weightsPerMille.foldRight(lit(0): org.apache.spark.sql.Column) {
+      case ((k, v), e) =>
+        val cond = if (k == null) col(stratum).isNull else col(stratum) === k
+        when(cond, lit(v)).otherwise(e)
+    }
+    val per = documents
+      .select(col(stratum), size(tokens(col("text"))).cast("bigint").as("__n"))
+      .groupBy(stratum).agg(sum("__n").as("n_tokens"))
+      .withColumn("weight_pm", w.cast("bigint"))
+    val total = per.agg(sum("n_tokens").as("__t"))
+    per.crossJoin(broadcast(total))
+      .select(col(stratum), col("n_tokens"), col("weight_pm"),
+        expr(s"weight_pm * 1000000L div ${sumW}L").as("share_ppm"),
+        round((col("weight_pm").cast("double") / lit(sumW.toDouble)) *
+          (col("__t").cast("double") / col("n_tokens").cast("double")), 6).as("epochs"))
+  }
+
   /** Deterministic train/val/test split assignment — the same hash gate as
     * [[stratifiedSample]] (membership is a pure function of doc_id), so
     * the split is re-runnable, append-stable (new documents land in a

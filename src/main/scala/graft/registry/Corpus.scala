@@ -49,6 +49,7 @@ object Corpus {
     "c_autofilter" -> ((s, d) => CorpusOps.autoQualityFilter(docs(s, d))),
     "c_sourcecap" -> ((s, d) => CorpusOps.perSourceCap(docs(s, d))),
     "c_split" -> ((s, d) => CorpusOps.datasetSplit(docs(s, d))),
+    "c_epochs" -> ((s, d) => CorpusOps.epochPlan(docs(s, d), EpochWeights)),
     // Eval hygiene end-to-end: the held-out side of the hash split,
     // admitted only if it has no exact or near-dup leak from the train
     // side (and deduped within itself) — the composition c_split and
@@ -369,6 +370,29 @@ object Corpus {
        |      FROM s2)
        |SELECT doc_id, source, quality_score, src_rank FROM r WHERE src_rank <= 10""".stripMargin
 
+  /** Registered mixture for `c_epochs`: three sources in the mix
+    * (Σ = 1000‰ keeps the shares readable), the rest excluded. */
+  private val EpochWeights = Map("src0" -> 500, "src1" -> 300, "src2" -> 200)
+
+  /** DuckDB twin of [[CorpusOps.epochPlan]] at [[EpochWeights]]: same
+    * token counts, exact ppm share, identical pinned division order for
+    * the repeat factor. */
+  private val epochsSql = {
+    val sumW = EpochWeights.values.sum
+    val cases = EpochWeights.map { case (k, v) => s"WHEN source = '$k' THEN $v" }
+      .mkString(" ")
+    s"""WITH per AS (SELECT source, CAST(sum(len(${duckWords("text")})) AS BIGINT) AS n_tokens
+       |            FROM documents GROUP BY 1),
+       |pw AS (SELECT source, n_tokens,
+       |         CAST(CASE $cases ELSE 0 END AS BIGINT) AS weight_pm FROM per),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per)
+       |SELECT source, n_tokens, weight_pm,
+       |  CAST(weight_pm * 1000000 // $sumW AS BIGINT) AS share_ppm,
+       |  round((CAST(weight_pm AS DOUBLE) / ${sumW.toDouble}) *
+       |        (CAST(tt AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS epochs
+       |FROM pw, t""".stripMargin
+  }
+
   /** DuckDB twin of [[CorpusOps.datasetSplit]] at val=test=10‰ — the
     * identical hash gate, so both engines assign every doc_id to the
     * same side. */
@@ -420,6 +444,7 @@ object Corpus {
     "c_autofilter" -> autofilterSql,
     "c_sourcecap" -> sourcecapSql,
     "c_split" -> splitSql,
+    "c_epochs" -> epochsSql,
     "c_evalset" -> evalsetSql,
     "c_quantiles" -> quantilesSql,
     "c_shuffle" -> shuffleSql,

@@ -329,6 +329,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("epochPlan: exact shares, repeat factors from the pinned division order") {
+    val in = Seq(
+      (1L, "a", "w w w w w w w w"),  // 8 tokens
+      (2L, "b", "w w"),              // 2 tokens
+      (3L, "c", "w w"))              // 2 tokens, excluded from the mix
+      .toDF("doc_id", "source", "text")
+    // weights a=750, b=250 (sum 1000); T=12
+    // a: share 750000ppm, epochs = 0.75 * 12/8 = 1.125
+    // b: share 250000ppm, epochs = 0.25 * 12/2 = 1.5  (upsampled!)
+    // c: weight 0 -> share 0, epochs 0
+    val out = CorpusOps.epochPlan(in, Map("a" -> 750, "b" -> 250)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("a") == ((8L, 750L, 750000L, 1.125)))
+    assert(out("b") == ((2L, 250L, 250000L, 1.5)))
+    assert(out("c") == ((2L, 0L, 0L, 0.0)))
+  }
+
   test("datasetSplit + dedupAgainstCorpus composes to a leakage-free eval set") {
     val sp = CorpusOps.datasetSplit(docs, valPerMille = 300, testPerMille = 300)
     val held = docs.join(sp.filter($"split" =!= "train").select("doc_id"), "doc_id")
