@@ -386,6 +386,16 @@ object InfraOps {
     "s_analyze" -> ((s: SparkSession, d: String) => graft.sources.TableStats.analyze(
       s.read.parquet(s"$d/lineitem.parquet"),
       Seq("l_orderkey", "l_quantity", "l_returnflag"))),
+    "s_checks" -> ((s: SparkSession, d: String) => {
+      import graft.sources.Checks
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      Checks.unique(ord, "orders_pk_unique", "o_orderkey")
+        .union(Checks.references(li, "l_orderkey", ord, "o_orderkey", "lineitem_fk_orders"))
+        .union(Checks.satisfies(li, "l_quantity BETWEEN 1 AND 50", "lineitem_qty_range"))
+        .union(Checks.notNull(cust, "c_name", "customer_name_notnull"))
+    }),
     "j_asof" -> (asofRoundTrip _),
     "j_salted" -> (saltedJoinRoundTrip _),
     "j_skew_plain" -> (skewedJoinPlain _),
@@ -481,6 +491,22 @@ object InfraOps {
         |FROM p JOIN w ON p.k = w.k AND p.evt_ts >= w.win_start AND p.evt_ts < w.win_end""".stripMargin,
     "s_analyze" -> Seq("l_orderkey", "l_quantity", "l_returnflag")
       .map(analyzeColSql).mkString("\nUNION ALL\n"),
+    "s_checks" ->
+      """SELECT 'orders_pk_unique' AS "check",
+        |  CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS observed,
+        |  CASE WHEN (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0 THEN 1 ELSE 0 END AS passed
+        |UNION ALL
+        |SELECT 'lineitem_fk_orders',
+        |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+        |  CASE WHEN (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0 THEN 1 ELSE 0 END
+        |UNION ALL
+        |SELECT 'lineitem_qty_range',
+        |  CAST((SELECT count(*) FROM lineitem WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, false)) AS BIGINT),
+        |  CASE WHEN (SELECT count(*) FROM lineitem WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, false)) = 0 THEN 1 ELSE 0 END
+        |UNION ALL
+        |SELECT 'customer_name_notnull',
+        |  CAST((SELECT count(*) - count(c_name) FROM customer) AS BIGINT),
+        |  CASE WHEN (SELECT count(*) - count(c_name) FROM customer) = 0 THEN 1 ELSE 0 END""".stripMargin,
     "j_overlap" ->
       """WITH a AS (SELECT event_id AS a_id, CAST(user_id % 10 AS BIGINT) AS k,
         |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS a_start,
