@@ -386,6 +386,26 @@ object InfraOps {
     "s_analyze" -> ((s: SparkSession, d: String) => graft.sources.TableStats.analyze(
       s.read.parquet(s"$d/lineitem.parquet"),
       Seq("l_orderkey", "l_quantity", "l_returnflag"))),
+    "k_snapshot" -> ((s: SparkSession, d: String) => {
+      import graft.sink.SnapshotStore
+      val dir = scratch(s, d, "snapshot")
+      val st = new SnapshotStore(s, dir)
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .selectExpr("c_custkey", "c_acctbal")
+      st.commit(cust.where("c_custkey % 2 = 0"))
+      st.commitMerge(
+        cust.where("c_custkey % 3 = 0").selectExpr("c_custkey", "c_acctbal * 2 AS c_acctbal"),
+        Seq("c_custkey"))
+      // Time travel: BOTH versions remain readable after the merge; the
+      // per-version aggregate proves v1 was not mutated by v2's commit.
+      // Integer cents keep the sum order-independent.
+      st.versions.map { v =>
+        st.read(v).selectExpr(s"CAST($v AS BIGINT) AS version",
+          "c_custkey", "CAST(floor(c_acctbal * 100) AS BIGINT) AS cents")
+          .groupBy("version")
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      }.reduce(_ unionByName _)
+    }),
     "s_checks" -> ((s: SparkSession, d: String) => {
       import graft.sources.Checks
       val li = s.read.parquet(s"$d/lineitem.parquet")
@@ -491,6 +511,16 @@ object InfraOps {
         |FROM p JOIN w ON p.k = w.k AND p.evt_ts >= w.win_start AND p.evt_ts < w.win_end""".stripMargin,
     "s_analyze" -> Seq("l_orderkey", "l_quantity", "l_returnflag")
       .map(analyzeColSql).mkString("\nUNION ALL\n"),
+    "k_snapshot" ->
+      """WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+        |m AS (SELECT c_custkey, c_acctbal * 2 AS c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+        |v2 AS (SELECT * FROM v1 WHERE c_custkey NOT IN (SELECT c_custkey FROM m)
+        |       UNION ALL SELECT * FROM m)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) FROM v2""".stripMargin,
     "s_checks" ->
       """SELECT 'orders_pk_unique' AS "check",
         |  CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS observed,

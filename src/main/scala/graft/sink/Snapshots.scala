@@ -1,0 +1,93 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned snapshot store with time travel on plain parquet — the
+  * SEMANTICS half of what a table format (Iceberg/Delta) provides:
+  * immutable numbered snapshots, atomic publish, reads pinned to a
+  * version, merge-as-new-version, and snapshot expiry. (The PERFORMANCE
+  * half — manifests, column stats, file skipping — is covered elsewhere
+  * by [[Layouts.compact]], [[Layouts.zorderCluster]] and
+  * [[graft.sources.TableStats]]; the runtime jar for a real catalog
+  * binding can't exist in this environment, so the testable behaviors
+  * live here, shaped for an Iceberg-backed drop-in.)
+  *
+  * Layout: `root/v{N}/` parquet directories. A commit writes to a temp
+  * dir and publishes with ONE directory rename — readers either see the
+  * fully-written `v{N}` or nothing; a crash before the rename leaves only
+  * the temp dir, which the next commit clears. Unlike the mutable
+  * [[ParquetSink]] there is no swap dance: a merge reads the PREVIOUS
+  * version's files and writes a NEW directory, so the plan never replaces
+  * what it is reading. Single writer assumed (as all sinks here); version
+  * discovery is one directory listing.
+  */
+final class SnapshotStore(spark: SparkSession, root: String) {
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val VDir = "v(\\d+)".r
+
+  /** Committed versions, ascending. One listStatus — metadata cost is
+    * independent of data size. */
+  def versions: Seq[Long] = {
+    val r = new Path(root)
+    if (!fs.exists(r)) Seq.empty
+    else fs.listStatus(r).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case VDir(n) if s.isDirectory => Some(n.toLong)
+        case _ => None
+      }
+    }.sorted
+  }
+
+  def latestVersion: Option[Long] = versions.lastOption
+
+  /** Time travel: read snapshot `version` exactly as committed. Expired
+    * or never-written versions fail loudly (a silent empty frame would
+    * let downstream logic mistake history loss for an empty table). */
+  def read(version: Long): DataFrame = {
+    val have = versions
+    require(have.contains(version),
+      s"snapshot v$version does not exist under $root (have: ${have.mkString(", ")})")
+    spark.read.parquet(new Path(root, s"v$version").toString)
+  }
+
+  def readLatest(): DataFrame = latestVersion match {
+    case Some(v) => read(v)
+    case None    => throw new IllegalStateException(s"no snapshots under $root")
+  }
+
+  /** Commit `df` as the next version; returns the version number.
+    * Publish = one atomic directory rename of the fully-written temp. */
+  def commit(df: DataFrame): Long = {
+    val next = latestVersion.getOrElse(0L) + 1
+    val tmp = new Path(root, "__graft_snap_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dest = new Path(root, s"v$next")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"snapshot publish failed: $tmp -> $dest")
+    next
+  }
+
+  /** Upsert against the latest snapshot, committed as a NEW version —
+    * MERGE with history: every merge stays readable at its version. */
+  def commitMerge(incoming: DataFrame, keys: Seq[String]): Long = {
+    SinkChecks.requireUniqueKeys(incoming, keys, root)
+    latestVersion match {
+      case None    => commit(incoming)
+      case Some(v) =>
+        commit(read(v).join(incoming, keys, "left_anti").unionByName(incoming))
+    }
+  }
+
+  /** Drop all but the last `keepLast` versions; returns what was expired.
+    * Time travel to an expired version then fails loudly in [[read]]. */
+  def expire(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val drop = versions.dropRight(keepLast)
+    drop.foreach(v => fs.delete(new Path(root, s"v$v"), true))
+    drop
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sink
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class SnapshotStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore() = {
+    val dir = Files.createTempDirectory("graft_snap_spec").toString
+    new SnapshotStore(spark, s"$dir/store")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("commit numbers versions from 1; readLatest follows the head") {
+    val st = freshStore()
+    assert(st.versions.isEmpty && st.latestVersion.isEmpty)
+    assert(st.commit(Seq((1L, "a")).toDF("k", "v")) == 1L)
+    assert(st.commit(Seq((2L, "b")).toDF("k", "v")) == 2L)
+    assert(st.versions == Seq(1L, 2L))
+    assert(rows(st.readLatest()) == Set((2L, "b")))
+    assert(rows(st.read(1)) == Set((1L, "a")))
+  }
+
+  test("commitMerge upserts into a NEW version; time travel sees the old state unchanged") {
+    val st = freshStore()
+    st.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v2 = st.commitMerge(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    assert(v2 == 2L)
+    assert(rows(st.read(2)) == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // the defining table-format property: the merge did not mutate v1
+    assert(rows(st.read(1)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("a leftover temp dir (crash before publish) is invisible and cleared by the next commit") {
+    val st = freshStore()
+    st.commit(Seq((1L, "a")).toDF("k", "v"))
+    // simulate a crash: a half-written temp next to the versions
+    Seq((9L, "junk")).toDF("k", "v")
+      .write.parquet(s"${st.readLatest().inputFiles.head.split("/v1/").head}/__graft_snap_tmp")
+    assert(st.versions == Seq(1L), "temp dir must not read as a version")
+    val v2 = st.commit(Seq((2L, "b")).toDF("k", "v"))
+    assert(v2 == 2L && rows(st.read(2)) == Set((2L, "b")))
+  }
+
+  test("expire drops history oldest-first; expired reads fail loudly") {
+    val st = freshStore()
+    (1 to 4).foreach(i => st.commit(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(st.expire(keepLast = 2) == Seq(1L, 2L))
+    assert(st.versions == Seq(3L, 4L))
+    assert(rows(st.readLatest()) == Set((4L, "v4")))
+    val e = intercept[IllegalArgumentException](st.read(1))
+    assert(e.getMessage.contains("v1"))
+  }
+
+  test("commitMerge rejects duplicate incoming keys loudly") {
+    val st = freshStore()
+    st.commit(Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      st.commitMerge(Seq((2L, "x"), (2L, "y")).toDF("k", "v"), Seq("k"))
+    }
+  }
+}
