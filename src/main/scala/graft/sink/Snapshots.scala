@@ -82,6 +82,11 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** History-preserving undo: republish `toVersion`'s content as a NEW
+    * head version (never deletes or rewrites — the bad head stays
+    * readable for forensics, exactly how table formats roll back). */
+  def rollback(toVersion: Long): Long = commit(read(toVersion))
+
   /** Drop all but the last `keepLast` versions; returns what was expired.
     * Time travel to an expired version then fails loudly in [[read]]. */
   def expire(keepLast: Int): Seq[Long] = {

@@ -110,6 +110,36 @@ object DocStream {
       }
       .start()
 
+  /** Streaming ingest → SNAPSHOT lineage: like [[ingestToStore]] but the
+    * durable side is a [[graft.sink.SnapshotStore]] — every micro-batch
+    * that admits rows commits a new immutable version, so the corpus's
+    * ingestion history stays time-travelable (what did training read last
+    * Tuesday?) instead of being overwritten in place. Same
+    * first-arrival-wins admission: in-flight dedup inside the watermark
+    * horizon, then an anti-join against the CURRENT head so re-arrivals
+    * past the horizon never re-insert. Empty admissions commit nothing —
+    * idle stream, no version churn. At-least-once caveat, documented
+    * rather than hidden: a crash-replayed batch re-admits zero rows
+    * (they're in the head already) and thus creates no version, EXCEPT
+    * when the crash hit between admission and checkpoint — that replay
+    * creates one duplicate-content version, which is content-safe and
+    * visible in the lineage. */
+  def ingestToSnapshots(docs: DataFrame, store: graft.sink.SnapshotStore,
+                        checkpoint: String, watermark: String = "1 hour") =
+    dedupedIngest(docs, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val once = graft.core.Dedup.top1PerKey(
+          batch.toDF(), Seq("fingerprint"), Seq(col("doc_id").asc))
+        val fresh = store.latestVersion
+          .map(v => once.join(store.read(v).select("fingerprint"), Seq("fingerprint"), "left_anti"))
+          .getOrElse(once)
+        if (!fresh.isEmpty) store.commitMerge(fresh, Seq("fingerprint")): Unit
+      }
+      .start()
+
   /** Streaming CDC feed → versioned store: each micro-batch applies
     * through [[graft.sink.ParquetSink.applyCdcVersioned]], so the store
     * converges to the same state under every delivery schedule the

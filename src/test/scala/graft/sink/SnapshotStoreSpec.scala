@@ -57,6 +57,15 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("v1"))
   }
 
+  test("rollback republishes old content as a NEW head; the bad head stays readable") {
+    val st = freshStore()
+    st.commit(Seq((1L, "good")).toDF("k", "v"))
+    st.commit(Seq((1L, "bad")).toDF("k", "v"))
+    assert(st.rollback(1L) == 3L)
+    assert(rows(st.readLatest()) == Set((1L, "good")))
+    assert(rows(st.read(2)) == Set((1L, "bad")), "forensic history must survive rollback")
+  }
+
   test("commitMerge rejects duplicate incoming keys loudly") {
     val st = freshStore()
     st.commit(Seq((1L, "a")).toDF("k", "v"))

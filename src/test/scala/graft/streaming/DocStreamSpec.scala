@@ -125,6 +125,30 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestToSnapshots: each admitting batch commits a version; history stays time-travelable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_snap").toString
+    val store = new graft.sink.SnapshotStore(spark, s"$root/store")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.ingestToSnapshots(
+      mem.toDF().toDF("doc_id", "ts", "text"), store, s"$root/ckpt")
+    def ids(v: Long) = store.read(v).select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      mem.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma delta"))
+      q.processAllAvailable()
+      assert(store.versions == Seq(1L) && ids(1) == Set(1L, 2L))
+      // second batch: one fresh doc + one duplicate of doc 1's content —
+      // only the fresh one is admitted, as a NEW version
+      mem.addData((3L, ts(2), " alpha  beta "), (4L, ts(3), "epsilon zeta"))
+      q.processAllAvailable()
+      assert(store.versions == Seq(1L, 2L))
+      assert(ids(2) == Set(1L, 2L, 4L))
+      // time travel: v1 is exactly the first batch, unmutated
+      assert(ids(1) == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup: pairs match the batch twin, including cross-batch pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
