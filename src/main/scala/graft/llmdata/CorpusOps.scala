@@ -834,4 +834,42 @@ object CorpusOps {
     deduped.join(dropIds, Seq("doc_id"), "left_anti")
       .select("doc_id", "n_tokens", "quality_score")
   }
+
+  /** Cleaning-funnel report: how many documents each stage of
+    * [[cleanCorpus]] admits, and what each stage dropped — the
+    * observability row every production curation pipeline publishes next
+    * to its output (a silent 40% drop at one stage is a data bug long
+    * before it is a model regression). Stages are REBUILT FROM THE SAME
+    * OPERATORS cleanCorpus composes (same gate, same exact-dedup group,
+    * same LSH pair set), so the funnel's final count is definitionally
+    * the pipeline's output count — pinned by a spec, so the funnel can't
+    * drift from the pipeline it reports on. Four counts = the pipeline's
+    * own aggregates plus two 1-row counts; no extra corpus passes beyond
+    * the stages themselves. */
+  def cleanFunnel(documents: DataFrame, keepLang: String = "en",
+                  minQuality: Double = 0.6): DataFrame = {
+    val kept = TextAnalysis.withLangGuess(
+        TextAnalysis.withQuality(documents.withColumn("__words", tokens(col("text")))))
+      .filter(col("lang_guess") === keepLang && col("quality_score") >= minQuality)
+      .select("doc_id", "text")
+      .transform(graft.core.CacheScope.persisted)
+    val deduped = kept
+      .groupBy(col("text")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+      .transform(graft.core.CacheScope.persisted)
+    val dropIds = DocDedup.minhashLshPairs(deduped)
+      .select(col("id_b").as("doc_id")).distinct()
+    // One lazy plan, zero driver actions: each stage contributes a 1-row
+    // count; `dropped` is a lag over the 4-row union (trivial window).
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+    stage("1_input", documents)
+      .unionByName(stage("2_lang_quality", kept))
+      .unionByName(stage("3_exact_dedup", deduped))
+      .unionByName(stage("4_near_dedup",
+        deduped.join(dropIds, Seq("doc_id"), "left_anti")))
+      .withColumn("dropped",
+        coalesce(lag("n_docs", 1).over(w) - col("n_docs"), lit(0L)))
+  }
 }

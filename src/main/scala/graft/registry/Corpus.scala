@@ -50,6 +50,7 @@ object Corpus {
     "c_sourcecap" -> ((s, d) => CorpusOps.perSourceCap(docs(s, d))),
     "c_split" -> ((s, d) => CorpusOps.datasetSplit(docs(s, d))),
     "c_epochs" -> ((s, d) => CorpusOps.epochPlan(docs(s, d), EpochWeights)),
+    "c_funnel" -> ((s, d) => CorpusOps.cleanFunnel(docs(s, d))),
     // Eval hygiene end-to-end: the held-out side of the hash split,
     // admitted only if it has no exact or near-dup leak from the train
     // side (and deduped within itself) — the composition c_split and
@@ -217,6 +218,18 @@ object Corpus {
 
   private val corpusSql =
     s"WITH $corpusCtes\nSELECT doc_id, n_tokens, quality_score FROM final_kept"
+
+  /** DuckDB twin of [[CorpusOps.cleanFunnel]] — the SAME stage CTEs as
+    * the c_corpus oracle, counted. */
+  private val funnelSql =
+    s"""WITH $corpusCtes,
+       |f AS (SELECT '1_input' AS stage, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+       |      UNION ALL SELECT '2_lang_quality', CAST((SELECT count(*) FROM kept) AS BIGINT)
+       |      UNION ALL SELECT '3_exact_dedup', CAST((SELECT count(*) FROM dd) AS BIGINT)
+       |      UNION ALL SELECT '4_near_dedup', CAST((SELECT count(*) FROM final_kept) AS BIGINT))
+       |SELECT stage, n_docs,
+       |  CAST(coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS BIGINT) AS dropped
+       |FROM f""".stripMargin
 
   /** c_e2e oracle: chunk + pack the cleaned survivors, aggregate per
     * sequence — same math as the c_chunks/c_pack oracles over `final_kept`
@@ -445,6 +458,7 @@ object Corpus {
     "c_sourcecap" -> sourcecapSql,
     "c_split" -> splitSql,
     "c_epochs" -> epochsSql,
+    "c_funnel" -> funnelSql,
     "c_evalset" -> evalsetSql,
     "c_quantiles" -> quantilesSql,
     "c_shuffle" -> shuffleSql,

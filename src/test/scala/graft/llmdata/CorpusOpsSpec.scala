@@ -329,6 +329,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cleanFunnel: monotone stages, consistent drops, final count == cleanCorpus output") {
+    val f = CorpusOps.cleanFunnel(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(f("1_input") == ((docs.count(), 0L)))
+    val order = Seq("1_input", "2_lang_quality", "3_exact_dedup", "4_near_dedup")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(f(b)._1 <= f(a)._1, s"stage $b grew")
+      assert(f(b)._2 == f(a)._1 - f(b)._1, s"stage $b dropped-count inconsistent")
+    }
+    // the funnel reports on the REAL pipeline: its tail is cleanCorpus's output
+    assert(f("4_near_dedup")._1 == CorpusOps.cleanCorpus(docs).count())
+  }
+
   test("epochPlan: exact shares, repeat factors from the pinned division order") {
     val in = Seq(
       (1L, "a", "w w w w w w w w"),  // 8 tokens
