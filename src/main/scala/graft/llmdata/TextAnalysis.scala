@@ -495,6 +495,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("bm25_x"), col("rank").cast("bigint").as("rank"))
   }
 
+  /** Canonical text for robust dedup keys — the normalize-before-hashing
+    * step CCNet-style pipelines run so that trivially-different copies
+    * (case, accents, runs of whitespace, stray control bytes) hash
+    * identically: trim → accent-fold (the [[graft.core.Normalize]] table,
+    * shared with the reference pipelines) → strip control bytes →
+    * collapse whitespace → lowercase, plus the polynomial hash of the
+    * canonical string as the ready-made dedup key. Exact dedup on
+    * `canon_fp` then catches the near-misses raw-text dedup leaves
+    * behind, with NO change to the dedup operator itself. Narrow
+    * single-pass projection; the canonical ORDER of the steps is part of
+    * the definition (fold accents before lowering: the table maps
+    * uppercase accents to uppercase ASCII). */
+  def canonicalize(documents: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(documents.sparkSession)
+    val canon = lower(regexp_replace(regexp_replace(
+      translate(trim(col("text")),
+        graft.core.Normalize.AccentFrom, graft.core.Normalize.AccentTo),
+      "[\\x00-\\x1f\\x7f]", ""), " +", " "))
+    documents.select(col("doc_id"), canon.as("canon_text"))
+      .withColumn("canon_fp", expr("element_at(poly_hash_array(array(canon_text)), 1)"))
+  }
+
   /** Corpus-trained bigram language-model score — the CCNet-style
     * "perplexity filter" stage: train a bigram LM on the corpus itself,
     * then score every document by how typical its token transitions are.

@@ -44,6 +44,7 @@ object LlmData {
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
     "t_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(docs(s, d))),
     "t_lmscore" -> ((s, d) => TextAnalysis.bigramLmScore(docs(s, d))),
+    "t_canon" -> ((s, d) => TextAnalysis.canonicalize(docs(s, d))),
     "v_kmv" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr, round, udaf}
       graft.functions.VectorExprs.register(s)
@@ -437,6 +438,19 @@ object LlmData {
        |  CAST(sum(n * ((1000000 * c2.c2) // c1.c1)) // sum(n) AS BIGINT) AS lm_ppm
        |FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
        |GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of [[TextAnalysis.canonicalize]]: same step order (trim →
+    * accent translate → control strip → whitespace collapse → lower),
+    * same polynomial hash of the canonical string. */
+  private val canonSql = {
+    import graft.core.Normalize
+    val canon = "lower(regexp_replace(regexp_replace(" +
+      s"translate(trim(text), '${Normalize.AccentFrom}', '${Normalize.AccentTo}'), " +
+      "'[\\x00-\\x1f\\x7f]', '', 'g'), ' +', ' ', 'g'))"
+    s"""WITH c AS (SELECT doc_id, $canon AS canon_text FROM documents)
+       |SELECT doc_id, canon_text, ${duckPolyHash("canon_text")} AS canon_fp
+       |FROM c""".stripMargin
+  }
 
   /** KMV sketch width for `v_kmv` (small groups take the exact path, the
     * en stratum exercises the estimator). */
@@ -891,6 +905,7 @@ object LlmData {
     "t_tfidf" -> tfidfSql,
     "t_bm25" -> bm25Sql,
     "t_lmscore" -> lmscoreSql,
+    "t_canon" -> canonSql,
     "v_kmv" -> kmvSql,
     "t_gopher" -> gopherSql,
     "t_bpe" -> bpeSql,

@@ -176,6 +176,24 @@ class TextOpsSpec extends AnyFunSuite {
       s"terms frame not reused across branches:\n$plan")
   }
 
+  test("canonicalize: case/accent/whitespace/control variants share one dedup key") {
+    val in = Seq(
+      (1L, "Café  au LAIT"),
+      (2L, "cafe au lait"),        // the canonical form itself
+      (3L, " CAFE   AU LAIT  "),   // case + padding + runs
+      (4L, "completely different"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.canonicalize(in).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == "cafe au lait")
+    assert(Set(1L, 2L, 3L).map(out(_)._2).size == 1, "variants must share canon_fp")
+    assert(out(4L)._2 != out(1L)._2)
+    // the key plugs straight into exact dedup: 3 docs collapse to 1
+    val viaDedup = graft.llmdata.DocDedup.exact(
+      TextAnalysis.canonicalize(in).select($"doc_id", $"canon_text".as("text")))
+    assert(viaDedup.count() == 2)
+  }
+
   test("bigramLmScore: hand-computed conditional ppm, short docs excluded") {
     val in = Seq(
       (1L, "a b a b"),   // bigrams: (a,b) x2, (b,a) x1
