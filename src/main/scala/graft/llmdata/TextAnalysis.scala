@@ -495,6 +495,30 @@ object TextAnalysis {
       .select(col("doc_id"), col("bm25_x"), col("rank").cast("bigint").as("rank"))
   }
 
+  /** Blocklist term filter — the wordlist stage (NSFW/spam/badwords) every
+    * production corpus pipeline runs before the statistical filters: flag
+    * documents containing any blocked term, with occurrence and
+    * distinct-term counts so the gate can be tuned (1 stray hit in a long
+    * document vs. saturation) instead of binary. Token-level exact match
+    * after case folding — substring matching would flag "class" for
+    * "ass"; phrase patterns belong in [[scrub]]'s regex layer. Narrow
+    * single pass, the term list lives in the plan (an IN list over a
+    * lowered token array) — at any scale this is a per-row projection,
+    * zero shuffles, and the blocklist ships with the plan, not as a side
+    * table. */
+  def blocklistFilter(documents: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist would pass everything")
+    val list = terms.map(_.toLowerCase).distinct
+    documents
+      .select(col("doc_id"),
+        filter(transform(tokens(col("text")), w => lower(w)),
+          w => w.isInCollection(list)).as("__hits"))
+      .select(col("doc_id"),
+        size(col("__hits")).cast("bigint").as("n_hits"),
+        size(array_distinct(col("__hits"))).cast("bigint").as("n_terms"),
+        (size(col("__hits")) === 0).cast("int").as("keep"))
+  }
+
   /** Canonical text for robust dedup keys — the normalize-before-hashing
     * step CCNet-style pipelines run so that trivially-different copies
     * (case, accents, runs of whitespace, stray control bytes) hash

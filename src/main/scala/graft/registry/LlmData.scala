@@ -45,6 +45,8 @@ object LlmData {
     "t_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(docs(s, d))),
     "t_lmscore" -> ((s, d) => TextAnalysis.bigramLmScore(docs(s, d))),
     "t_canon" -> ((s, d) => TextAnalysis.canonicalize(docs(s, d))),
+    "t_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklistFilter(docs(s, d), BlocklistTerms)),
     "v_kmv" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr, round, udaf}
       graft.functions.VectorExprs.register(s)
@@ -438,6 +440,22 @@ object LlmData {
        |  CAST(sum(n * ((1000000 * c2.c2) // c1.c1)) // sum(n) AS BIGINT) AS lm_ppm
        |FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
        |GROUP BY 1""".stripMargin
+
+  /** Registered blocklist — fixture-vocabulary stand-ins for a production
+    * wordlist, chosen so both hit and clean documents exist. */
+  val BlocklistTerms: Seq[String] = Seq("slow", "dup")
+
+  /** DuckDB twin of [[TextAnalysis.blocklistFilter]]: same case-folded
+    * token-level IN-list, same counts and keep flag. */
+  private val blocklistSql = {
+    val list = BlocklistTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH $wordsCte,
+       |h AS (SELECT doc_id, list_filter(list_transform(words, x -> lower(x)), x -> x IN $list) AS hits FROM w)
+       |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+       |  CAST(len(list_distinct(hits)) AS BIGINT) AS n_terms,
+       |  CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS keep
+       |FROM h""".stripMargin
+  }
 
   /** DuckDB twin of [[TextAnalysis.canonicalize]]: same step order (trim →
     * accent translate → control strip → whitespace collapse → lower),
@@ -906,6 +924,7 @@ object LlmData {
     "t_bm25" -> bm25Sql,
     "t_lmscore" -> lmscoreSql,
     "t_canon" -> canonSql,
+    "t_blocklist" -> blocklistSql,
     "v_kmv" -> kmvSql,
     "t_gopher" -> gopherSql,
     "t_bpe" -> bpeSql,

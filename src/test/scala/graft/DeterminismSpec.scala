@@ -28,7 +28,12 @@ class DeterminismSpec extends AnyFunSuite {
     "c_incr",          // cross-batch LSH dedup
     "c_shuffle",       // global permutation (range-bucket offsets + rank)
     "c_quantiles",     // exact rank targets over the same machinery
-    "v_kmv")           // sketch aggregate (merge-order sensitivity)
+    "v_kmv",           // sketch aggregate (merge-order sensitivity)
+    "t_bm25",          // global top-k + integer scoring over persisted terms
+    "t_lmscore",       // bigram LM (partial-agg table + weighted mean)
+    "e_pca",           // power iteration (per-dim sorted folds across rounds)
+    "c_sourcecap",     // per-source rank under partial WindowGroupLimit
+    "c_funnel")        // staged counts over shared persisted frames
 
   private def run(name: String, parts: Int): Seq[String] = {
     // Drop blocks persisted by the previous run: CacheManager substitutes

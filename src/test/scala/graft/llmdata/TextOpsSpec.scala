@@ -176,6 +176,21 @@ class TextOpsSpec extends AnyFunSuite {
       s"terms frame not reused across branches:\n$plan")
   }
 
+  test("blocklistFilter: token-exact case-folded hits, no substring matches") {
+    val in = Seq(
+      (1L, "clean text here"),
+      (2L, "BAD word and bad again"),   // 2 hits, 1 distinct (case-folded)
+      (3L, "badge is not bad-free"),    // 'badge'/'bad-free' must NOT match 'bad'
+      (4L, "bad ugly"))                 // both terms
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(in, Seq("bad", "ugly")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((0L, 0L, 1)))
+    assert(out(2L) == ((2L, 1L, 0)))
+    assert(out(3L) == ((0L, 0L, 1)), "substring matched — token-level contract broken")
+    assert(out(4L) == ((2L, 2L, 0)))
+  }
+
   test("canonicalize: case/accent/whitespace/control variants share one dedup key") {
     val in = Seq(
       (1L, "Café  au LAIT"),
