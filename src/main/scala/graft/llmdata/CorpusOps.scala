@@ -449,11 +449,14 @@ object CorpusOps {
   /** Deterministic train/val/test split assignment — the same hash gate as
     * [[stratifiedSample]] (membership is a pure function of doc_id), so
     * the split is re-runnable, append-stable (new documents land in a
-    * split without moving old ones), and leakage-free by construction: a
-    * document can never change sides between runs, which is the property
-    * eval hygiene actually needs. Low buckets go to test, then val, so
-    * widening the training share later never moves a held-out document
-    * INTO train's history. Narrow single pass, no shuffle at any size. */
+    * split without moving old ones), and — at FIXED shares — leakage-free
+    * by construction: a document never changes sides between runs. Low
+    * buckets go to test first, so the TEST split additionally survives
+    * share changes: widening train (shrinking val) can move former VAL
+    * documents into train, but a test document stays test as long as
+    * testPerMille doesn't shrink — put the eval sets you must protect
+    * long-term in test, use val for the re-carvable dev split. Narrow
+    * single pass, no shuffle at any size. */
   def datasetSplit(documents: DataFrame,
                    valPerMille: Int = 10, testPerMille: Int = 10): DataFrame = {
     require(valPerMille >= 0 && testPerMille >= 0 && valPerMille + testPerMille <= 1000,

@@ -590,28 +590,6 @@ object Similarity {
       .select(col("label"), col("pos"),
         round(col("__s") / col("n"), 6).as("c"), col("n"))
 
-  /** Top principal component by in-plan power iteration, emitted as each
-    * vector's projection onto it — the 1-D PCA embedding (whitening /
-    * dedup-diversity / outlier axes all start here). Deterministic
-    * end-to-end: the mean and every per-dimension sum are sorted-fold
-    * aggregations (bit-stable under any partitioning — float addition is
-    * not associative, a plain `sum` is run-unstable), the start vector is
-    * the dim-0 basis vector, and `iters` is fixed — so both engines walk
-    * identical IEEE sequences and even the component's SIGN matches.
-    * Projections are rounded at the very end (output decimal, not an
-    * intermediate).
-    *
-    * Everything is ONE lazy plan — mean, the `iters` mat-vec rounds, and
-    * the final projection — with zero driver actions (the kmeans trainer's
-    * pattern): each round is a corpus pass producing a 1-row (mu, v) frame
-    * that broadcasts into the next. The normalized corpus frame is
-    * persisted once and re-read per round. At 100 TB, train the component
-    * on a deterministic sample (the leading eigenvector converges long
-    * before the corpus is exhausted) and apply the frozen (mu, v) as a
-    * narrow broadcast projection — the same freeze-then-apply policy as
-    * the k-means and BPE trainers; the sorted-fold collect is
-    * per-dimension corpus-sized and is the trainer's cost, not the
-    * scorer's. */
   /** Random-projection (Johnson–Lindenstrauss) top-k: project the corpus
     * to `rpDims` dimensions with the LSH family's deterministic LCG weight
     * matrix (uniform(-0.5, 0.5), generated by formula — ONE compact
@@ -695,7 +673,14 @@ object Similarity {
     val counts = embeddings.groupBy("label").agg(count(lit(1)).as("__cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("label").orderBy(col("cos").asc, col("vec_id"))
-    n.join(broadcast(cents), "label")
+    // Zero-norm vectors have no direction: their cosine is NULL, and the
+    // two engines rank NULLs at OPPOSITE ends (Spark ASC = nulls first,
+    // DuckDB ASC = nulls last) — exclude them explicitly rather than emit
+    // a NULL distance at an engine-dependent rank. They are an upstream
+    // encoder failure; flag them with a Checks.satisfies("nrm > 0") row,
+    // not with an undefined angle.
+    n.filter(col("nrm") > 0)
+      .join(broadcast(cents), "label")
       .withColumn("cos", expr(sparkCosPre("ed", "ced", "nrm", "cnrm")))
       .join(broadcast(counts), "label")
       .withColumn("__rn", row_number().over(w))
@@ -705,6 +690,28 @@ object Similarity {
         col("__rn").cast("bigint").as("far_rank"))
   }
 
+  /** Top principal component by in-plan power iteration, emitted as each
+    * vector's projection onto it — the 1-D PCA embedding (whitening /
+    * dedup-diversity / outlier axes all start here). Deterministic
+    * end-to-end: the mean and every per-dimension sum are sorted-fold
+    * aggregations (bit-stable under any partitioning — float addition is
+    * not associative, a plain `sum` is run-unstable), the start vector is
+    * the dim-0 basis vector, and `iters` is fixed — so both engines walk
+    * identical IEEE sequences and even the component's SIGN matches.
+    * Projections are rounded at the very end (output decimal, not an
+    * intermediate).
+    *
+    * Everything is ONE lazy plan — mean, the `iters` mat-vec rounds, and
+    * the final projection — with zero driver actions (the kmeans trainer's
+    * pattern): each round is a corpus pass producing a 1-row (mu, v) frame
+    * that broadcasts into the next. The normalized corpus frame is
+    * persisted once and re-read per round. At 100 TB, train the component
+    * on a deterministic sample (the leading eigenvector converges long
+    * before the corpus is exhausted) and apply the frozen (mu, v) as a
+    * narrow broadcast projection — the same freeze-then-apply policy as
+    * the k-means and BPE trainers; the sorted-fold collect is
+    * per-dimension corpus-sized and is the trainer's cost, not the
+    * scorer's. */
   def pcaProjection(embeddings: DataFrame, iters: Int = 3): DataFrame = {
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
     val mu = n.select(posexplode(col("ed")))

@@ -451,9 +451,12 @@ object TextAnalysis {
     * tf = 1, dl = avgdl the saturation term is exactly 1000 — the curve's
     * defining normalization point. Floor divisions are part of the
     * operator's definition, not a lossy approximation of it: both engines
-    * compute identical integers at any corpus size, and every intermediate
-    * fits a BIGINT even at 100 TB (22000·tf and 1000·dl are bounded by
-    * document length; idf_ppm by 1e6·N ≈ 1e16 for N = 1e10 docs).
+    * compute identical integers. Overflow bound, stated honestly: the
+    * per-term product is ≤ idf_ppm · 2200 ≤ 2.2e9 · N, so BIGINT is safe
+    * for corpora up to N ≈ 4×10⁹ documents; past that, drop the idf scale
+    * to 1e3 per extra decade of N (ranking unchanged — it is a monotone
+    * rescale) before the silent-wraparound regime, where Spark would wrap
+    * negative while DuckDB raises.
     *
     * Shape, in order: ONE tokenize pass builds the per-(doc, term) counts
     * (persisted — it feeds document lengths, corpus totals, AND the posting
@@ -522,21 +525,27 @@ object TextAnalysis {
   /** Canonical text for robust dedup keys — the normalize-before-hashing
     * step CCNet-style pipelines run so that trivially-different copies
     * (case, accents, runs of whitespace, stray control bytes) hash
-    * identically: trim → accent-fold (the [[graft.core.Normalize]] table,
-    * shared with the reference pipelines) → strip control bytes →
-    * collapse whitespace → lowercase, plus the polynomial hash of the
+    * identically: collapse whitespace/control runs to one space → trim →
+    * accent-fold (the [[graft.core.Normalize]] table, shared with the
+    * reference pipelines) → lowercase, plus the polynomial hash of the
     * canonical string as the ready-made dedup key. Exact dedup on
     * `canon_fp` then catches the near-misses raw-text dedup leaves
     * behind, with NO change to the dedup operator itself. Narrow
     * single-pass projection; the canonical ORDER of the steps is part of
-    * the definition (fold accents before lowering: the table maps
-    * uppercase accents to uppercase ASCII). */
+    * the definition (whitespace and control bytes collapse TO A SPACE —
+    * never stripped, which would glue words; accents fold before
+    * lowering: the table maps uppercase accents to uppercase ASCII). */
   def canonicalize(documents: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(documents.sparkSession)
-    val canon = lower(regexp_replace(regexp_replace(
-      translate(trim(col("text")),
-        graft.core.Normalize.AccentFrom, graft.core.Normalize.AccentTo),
-      "[\\x00-\\x1f\\x7f]", ""), " +", " "))
+    // Whitespace AND control bytes collapse to ONE SPACE in a single
+    // class — stripping controls separately would glue words together
+    // ("alpha\nbeta" -> "alphabeta"), both missing the real duplicate and
+    // colliding with genuinely different text. Collapse first, then trim
+    // (plain trim only eats 0x20, so a leading "\n" must become a leading
+    // space before trim can see it).
+    val canon = lower(translate(
+      trim(regexp_replace(col("text"), "[\\s\\x00-\\x1f\\x7f]+", " ")),
+      graft.core.Normalize.AccentFrom, graft.core.Normalize.AccentTo))
     documents.select(col("doc_id"), canon.as("canon_text"))
       .withColumn("canon_fp", expr("element_at(poly_hash_array(array(canon_text)), 1)"))
   }

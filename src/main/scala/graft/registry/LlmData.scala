@@ -462,9 +462,9 @@ object LlmData {
     * same polynomial hash of the canonical string. */
   private val canonSql = {
     import graft.core.Normalize
-    val canon = "lower(regexp_replace(regexp_replace(" +
-      s"translate(trim(text), '${Normalize.AccentFrom}', '${Normalize.AccentTo}'), " +
-      "'[\\x00-\\x1f\\x7f]', '', 'g'), ' +', ' ', 'g'))"
+    val canon = "lower(translate(trim(" +
+      "regexp_replace(text, '[\\s\\x00-\\x1f\\x7f]+', ' ', 'g')), " +
+      s"'${Normalize.AccentFrom}', '${Normalize.AccentTo}'))"
     s"""WITH c AS (SELECT doc_id, $canon AS canon_text FROM documents)
        |SELECT doc_id, canon_text, ${duckPolyHash("canon_text")} AS canon_fp
        |FROM c""".stripMargin
@@ -619,7 +619,8 @@ object LlmData {
        |ct AS (SELECT label, list(m ORDER BY pos) AS ced FROM mp GROUP BY label),
        |ctn AS (SELECT label, ced, sqrt(${Similarity.duckDot("ced", "ced")}) AS cnrm FROM ct),
        |sc AS (SELECT em.label, n2.vec_id, $cos AS cos
-       |       FROM n2 JOIN embeddings em ON em.vec_id = n2.vec_id JOIN ctn c ON c.label = em.label),
+       |       FROM n2 JOIN embeddings em ON em.vec_id = n2.vec_id JOIN ctn c ON c.label = em.label
+       |       WHERE n2.nrm > 0),
        |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM embeddings GROUP BY 1),
        |r AS (SELECT label, vec_id, cos, row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id) AS rn FROM sc)
        |SELECT r.label, r.vec_id, round(1.0 - cos, 6) AS dist, CAST(rn AS BIGINT) AS far_rank

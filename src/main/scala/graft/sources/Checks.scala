@@ -39,12 +39,12 @@ object Checks {
       .agg(count(lit(1)).as("observed")))
 
   /** Predicate conformance: observed = rows violating `predicateSql`
-    * (a Spark SQL boolean; NULL counts as a violation). */
+    * (a Spark SQL boolean; NULL counts as a violation). One conditional
+    * aggregate — one scan, like every other check. */
   def satisfies(df: DataFrame, predicateSql: String, name: String): DataFrame =
     report(name, df.agg(
-      count(lit(1)).as("__n")).crossJoin(
-        df.filter(expr(s"coalesce($predicateSql, false)")).agg(count(lit(1)).as("__ok")))
-      .select((col("__n") - col("__ok")).as("observed")))
+      (count(lit(1)) - count(when(expr(s"coalesce($predicateSql, false)"), 1)))
+        .as("observed")))
 
   /** Null conformance: observed = null rows in `c`. */
   def notNull(df: DataFrame, c: String, name: String): DataFrame =

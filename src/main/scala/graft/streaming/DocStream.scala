@@ -133,10 +133,17 @@ object DocStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val once = graft.core.Dedup.top1PerKey(
           batch.toDF(), Seq("fingerprint"), Seq(col("doc_id").asc))
+        // Persisted for the batch's lifetime: the admission plan (dedup +
+        // anti-join vs the head snapshot) is otherwise recomputed by the
+        // isEmpty probe, the merge's key check, AND the commit write —
+        // three head-snapshot rescans per trigger on the streaming hot
+        // path, growing with every version.
         val fresh = store.latestVersion
           .map(v => once.join(store.read(v).select("fingerprint"), Seq("fingerprint"), "left_anti"))
           .getOrElse(once)
-        if (!fresh.isEmpty) store.commitMerge(fresh, Seq("fingerprint")): Unit
+          .persist()
+        try { if (!fresh.isEmpty) store.commitMerge(fresh, Seq("fingerprint")): Unit }
+        finally { fresh.unpersist(blocking = false): Unit }
       }
       .start()
 

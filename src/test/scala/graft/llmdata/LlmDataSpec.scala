@@ -177,13 +177,18 @@ class LlmDataSpec extends AnyFunSuite {
     // opposite vector must be far_rank 1; ceil(0.1 * 30) = 3 flagged.
     val in = ((0 until 29).map { i =>
       (i.toLong, "a", Array(1.0f, (i % 5) * 0.01f, 0.0f))
-    } :+ ((29L, "a", Array(-1.0f, 0.0f, 0.0f))))
+    } :+ ((29L, "a", Array(-1.0f, 0.0f, 0.0f)))
+      :+ ((30L, "a", Array(0.0f, 0.0f, 0.0f))))  // zero-norm: no direction
       .toDF("vec_id", "label", "embedding")
     val out = Similarity.centroidOutliers(in, frac = 0.1).collect()
       .map(r => (r.getLong(1), r.getLong(3)))
-    assert(out.length == 3)
+    // ceil(0.1 * 31) = 4 by the count base, but the zero-norm vector is
+    // excluded from SCORING (cosine undefined, and the engines rank NULLs
+    // at opposite ends) — flag encoder failures with a nrm > 0 check, not
+    // an undefined angle
+    assert(!out.exists(_._1 == 30L), "zero-norm vector must not be ranked")
     assert(out.contains((29L, 1L)), s"planted outlier not rank 1: ${out.toSeq}")
-    assert(out.forall(_._2 <= 3))
+    assert(out.forall(_._2 <= 4))
   }
 
   test("pcaProjection recovers the dominant axis: centered, proportional, run-stable") {

@@ -196,17 +196,21 @@ class TextOpsSpec extends AnyFunSuite {
       (1L, "Café  au LAIT"),
       (2L, "cafe au lait"),        // the canonical form itself
       (3L, " CAFE   AU LAIT  "),   // case + padding + runs
-      (4L, "completely different"))
+      (4L, "completely different"),
+      (5L, "cafe\nau\tlait"),      // newline/tab separators -> SPACES, not glue
+      (6L, "cafeaulait"))          // must NOT collide with the separated form
       .toDF("doc_id", "text")
     val out = TextAnalysis.canonicalize(in).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(out(1L)._1 == "cafe au lait")
-    assert(Set(1L, 2L, 3L).map(out(_)._2).size == 1, "variants must share canon_fp")
+    assert(Set(1L, 2L, 3L, 5L).map(out(_)._2).size == 1, "variants must share canon_fp")
     assert(out(4L)._2 != out(1L)._2)
-    // the key plugs straight into exact dedup: 3 docs collapse to 1
+    assert(out(6L)._2 != out(1L)._2, "word boundaries must survive canonicalization")
+    // the key plugs straight into exact dedup: the 4 variants collapse to
+    // 1, leaving 3 distinct canonical texts
     val viaDedup = graft.llmdata.DocDedup.exact(
       TextAnalysis.canonicalize(in).select($"doc_id", $"canon_text".as("text")))
-    assert(viaDedup.count() == 2)
+    assert(viaDedup.count() == 3)
   }
 
   test("bigramLmScore: hand-computed conditional ppm, short docs excluded") {
