@@ -579,6 +579,34 @@ object CorpusOps {
   def dedupClusters(documents: DataFrame): DataFrame =
     clusterLabels(DocDedup.minhashLshPairs(documents), iterations = 3)
 
+  /** Quality-aware canonical selection: for every near-dup cluster, keep
+    * the HIGHEST-QUALITY member (ties broken by doc_id), not the
+    * first-by-id one — min-id keepers are fine for exactness but throw
+    * away the best copy when a cluster mixes a clean original with
+    * boilerplate-injected mirrors; production pipelines keep the best.
+    * Emits (cluster, keeper_id, quality_score, n_members) so downstream
+    * can both select keepers and audit cluster sizes.
+    *
+    * Shape: cluster labels come from the edge-set propagation
+    * ([[dedupClusters]] — loops over pairs, never documents), quality is
+    * one narrow pass joined cluster-members-only (the join input is the
+    * near-dup population, a sliver of the corpus), the keeper is a
+    * per-cluster argmax window and the member count a same-keyed agg —
+    * both shuffle on `cluster`, whose cardinality is the number of dup
+    * groups. */
+  def keepBestPerCluster(documents: DataFrame): DataFrame = {
+    val labels = dedupClusters(documents)
+    val scored = TextAnalysis.quality(documents)
+      .select(col("doc_id"), col("quality_score"))
+    val joined = labels.join(scored, "doc_id")
+    val members = labels.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    graft.core.Dedup.top1PerKey(joined, Seq("cluster"),
+        Seq(col("quality_score").desc, col("doc_id").asc))
+      .join(members, "cluster")
+      .select(col("cluster"), col("doc_id").as("keeper_id"),
+        col("quality_score"), col("n_members"))
+  }
+
   // ---- Incremental (cross-batch) dedup -----------------------------------
 
   /** Dedup a NEW batch against an EXISTING corpus — the incremental

@@ -51,6 +51,7 @@ object Corpus {
     "c_split" -> ((s, d) => CorpusOps.datasetSplit(docs(s, d))),
     "c_epochs" -> ((s, d) => CorpusOps.epochPlan(docs(s, d), EpochWeights)),
     "c_funnel" -> ((s, d) => CorpusOps.cleanFunnel(docs(s, d))),
+    "c_keepbest" -> ((s, d) => CorpusOps.keepBestPerCluster(docs(s, d))),
     // Eval hygiene end-to-end: the held-out side of the hash split,
     // admitted only if it has no exact or near-dup leak from the train
     // side (and deduped within itself) — the composition c_split and
@@ -165,20 +166,22 @@ object Corpus {
 
   /** Unrolled min-label propagation (3 rounds — same fixed count as
     * [[CorpusOps.dedupClusters]]). */
-  private val clustersSql = {
+  private val clustersCtes = {
     val rounds = (1 to 3).map { i =>
       s"""m$i AS (SELECT e.src AS doc_id, min(x.cluster) AS nbr
          |        FROM edges e JOIN l${i - 1} x ON e.dst = x.doc_id GROUP BY e.src),
          |l$i AS (SELECT l.doc_id, least(l.cluster, coalesce(m.nbr, l.cluster)) AS cluster
          |        FROM l${i - 1} l LEFT JOIN m$i m USING (doc_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${minhashPairCtes("documents", "")},
+    s"""${minhashPairCtes("documents", "")},
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),
        |l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster FROM edges),
-       |$rounds
-       |SELECT doc_id, cluster FROM l3""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private val clustersSql =
+    s"WITH $clustersCtes\nSELECT doc_id, cluster FROM l3"
 
   /** End-to-end cleaning CTE chain (language-ID + quality in one pass over
     * the token lists, survivor exact-dedup, minhash pair chain, anti-join),
@@ -218,6 +221,21 @@ object Corpus {
 
   private val corpusSql =
     s"WITH $corpusCtes\nSELECT doc_id, n_tokens, quality_score FROM final_kept"
+
+  /** DuckDB twin of [[CorpusOps.keepBestPerCluster]]: the cluster chain
+    * composed with the c_corpus oracle's proven quality replica (`scored`
+    * — unreferenced heavy CTEs in the chain are never evaluated), same
+    * (quality desc, doc_id) keeper argmax. */
+  private val keepbestSql =
+    s"""WITH $corpusCtes,
+       |$clustersCtes,
+       |j AS (SELECT l.cluster, l.doc_id, s.quality_score
+       |      FROM l3 l JOIN scored s USING (doc_id)),
+       |mm AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM j GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+       |        ORDER BY quality_score DESC, doc_id) AS rn FROM j)
+       |SELECT r.cluster, r.doc_id AS keeper_id, r.quality_score, mm.n_members
+       |FROM r JOIN mm USING (cluster) WHERE rn = 1""".stripMargin
 
   /** DuckDB twin of [[CorpusOps.cleanFunnel]] — the SAME stage CTEs as
     * the c_corpus oracle, counted. */
@@ -459,6 +477,7 @@ object Corpus {
     "c_split" -> splitSql,
     "c_epochs" -> epochsSql,
     "c_funnel" -> funnelSql,
+    "c_keepbest" -> keepbestSql,
     "c_evalset" -> evalsetSql,
     "c_quantiles" -> quantilesSql,
     "c_shuffle" -> shuffleSql,

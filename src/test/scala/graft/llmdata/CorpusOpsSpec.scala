@@ -329,6 +329,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keepBestPerCluster: keeper is the max-quality member of its own cluster") {
+    val out = CorpusOps.keepBestPerCluster(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty, "fixture should contain near-dup clusters")
+    // independent recomputation of membership and quality
+    val labels = CorpusOps.dedupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val q = TextAnalysis.quality(docs).select($"doc_id", $"quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(out.keySet == byCluster.keySet)
+    out.foreach { case (cluster, (keeper, score, n)) =>
+      val members = byCluster(cluster)
+      assert(members.contains(keeper), s"keeper $keeper not in cluster $cluster")
+      assert(n == members.length)
+      assert(score == q(keeper))
+      val best = members.map(m => (-q(m), m)).min._2
+      assert(keeper == best, s"cluster $cluster kept $keeper, best is $best")
+    }
+  }
+
   test("cleanFunnel: monotone stages, consistent drops, final count == cleanCorpus output") {
     val f = CorpusOps.cleanFunnel(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
