@@ -598,11 +598,15 @@ object CorpusOps {
     val labels = dedupClusters(documents)
     val scored = TextAnalysis.quality(documents)
       .select(col("doc_id"), col("quality_score"))
-    val joined = labels.join(scored, "doc_id")
-    val members = labels.groupBy("cluster").agg(count(lit(1)).as("n_members"))
-    graft.core.Dedup.top1PerKey(joined, Seq("cluster"),
+    // n_members rides the SAME cluster partitioning as the keeper argmax
+    // (one exchange, two window functions) — a separate groupBy+join
+    // would both add a shuffle and turn `labels` into a twice-consumed
+    // unpersisted diamond re-running the propagation chain per branch.
+    val withCount = labels.join(scored, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+    graft.core.Dedup.top1PerKey(withCount, Seq("cluster"),
         Seq(col("quality_score").desc, col("doc_id").asc))
-      .join(members, "cluster")
       .select(col("cluster"), col("doc_id").as("keeper_id"),
         col("quality_score"), col("n_members"))
   }
