@@ -579,6 +579,42 @@ object CorpusOps {
   def dedupClusters(documents: DataFrame): DataFrame =
     clusterLabels(DocDedup.minhashLshPairs(documents), iterations = 3)
 
+  /** Deterministic source-interleaved training order — stride scheduling
+    * (the lottery/stride scheduler from OS theory, reborn as the data
+    * loader's mixing policy): documents of each source are consumed in a
+    * stable per-source order, and sources interleave in proportion to
+    * their per-mille weights, with NO RNG — document i of a
+    * weight-w source sits at schedule key `i · (1 000 000 div w)`, so a
+    * weight-500 source appears twice as often as a weight-250 one, evenly
+    * spread rather than in bursts (what epoch-level mixing can't give
+    * you). Total order = (sched_key, source, src_rank): deterministic,
+    * re-runnable, and a PREFIX of it preserves the mixture — truncating
+    * the curriculum at any step keeps the weights, which is the property
+    * batch-level mixing needs. Zero-weight sources are excluded.
+    *
+    * Shape: one per-source rank window (the only shuffle, keyed on the
+    * stratum), a per-row integer key, no global sort materialized — the
+    * ORDER lives in the key, consumers range-partition on it exactly like
+    * [[shuffleOrder]]'s output. */
+  def strideMixOrder(documents: DataFrame, weightsPerMille: Map[String, Int],
+                     stratum: String = "source"): DataFrame = {
+    require(weightsPerMille.values.forall(_ >= 0) && weightsPerMille.values.sum > 0,
+      "weights must be non-negative, sum > 0")
+    val w = weightsPerMille.foldRight(lit(0): org.apache.spark.sql.Column) {
+      case ((k, v), e) =>
+        val cond = if (k == null) col(stratum).isNull else col(stratum) === k
+        when(cond, lit(v)).otherwise(e)
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy("doc_id")
+    documents
+      .withColumn("weight_pm", w.cast("bigint"))
+      .filter(col("weight_pm") > 0)
+      .withColumn("src_rank", row_number().over(win).cast("bigint"))
+      .select(col("doc_id"), col(stratum), col("src_rank"),
+        expr("src_rank * (1000000L div weight_pm)").as("sched_key"))
+  }
+
   /** Quality-aware canonical selection: for every near-dup cluster, keep
     * the HIGHEST-QUALITY member (ties broken by doc_id), not the
     * first-by-id one — min-id keepers are fine for exactness but throw

@@ -52,6 +52,7 @@ object Corpus {
     "c_epochs" -> ((s, d) => CorpusOps.epochPlan(docs(s, d), EpochWeights)),
     "c_funnel" -> ((s, d) => CorpusOps.cleanFunnel(docs(s, d))),
     "c_keepbest" -> ((s, d) => CorpusOps.keepBestPerCluster(docs(s, d))),
+    "c_mixorder" -> ((s, d) => CorpusOps.strideMixOrder(docs(s, d), EpochWeights)),
     // Eval hygiene end-to-end: the held-out side of the hash split,
     // admitted only if it has no exact or near-dup leak from the train
     // side (and deduped within itself) — the composition c_split and
@@ -424,6 +425,21 @@ object Corpus {
        |FROM pw, t""".stripMargin
   }
 
+  /** DuckDB twin of [[CorpusOps.strideMixOrder]] at [[EpochWeights]]:
+    * same per-source rank, same integer stride key. */
+  private val mixorderSql = {
+    val cases = EpochWeights.map { case (k, v) => s"WHEN source = '$k' THEN $v" }
+      .mkString(" ")
+    s"""WITH pw AS (SELECT doc_id, source,
+       |         CAST(CASE $cases ELSE 0 END AS BIGINT) AS weight_pm FROM documents),
+       |r AS (SELECT doc_id, source, weight_pm,
+       |        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS src_rank
+       |      FROM pw WHERE weight_pm > 0)
+       |SELECT doc_id, source, src_rank,
+       |  CAST(src_rank * (1000000 // weight_pm) AS BIGINT) AS sched_key
+       |FROM r""".stripMargin
+  }
+
   /** DuckDB twin of [[CorpusOps.datasetSplit]] at val=test=10‰ — the
     * identical hash gate, so both engines assign every doc_id to the
     * same side. */
@@ -478,6 +494,7 @@ object Corpus {
     "c_epochs" -> epochsSql,
     "c_funnel" -> funnelSql,
     "c_keepbest" -> keepbestSql,
+    "c_mixorder" -> mixorderSql,
     "c_evalset" -> evalsetSql,
     "c_quantiles" -> quantilesSql,
     "c_shuffle" -> shuffleSql,

@@ -329,6 +329,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("strideMixOrder: weights hold in every prefix, interleave is even, no RNG") {
+    val in = ((1 to 8).map(i => (i.toLong, "a", "x")) ++
+      (101 to 104).map(i => (i.toLong, "b", "x")) ++
+      Seq((200L, "c", "x")))  // zero-weight -> excluded
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.strideMixOrder(in, Map("a" -> 500, "b" -> 250)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(!out.exists(_._2 == "c"))
+    // total order = (sched_key, source, src_rank); a (stride 2000) appears
+    // twice per b (stride 4000), evenly: a a b a a b ...
+    val ordered = out.sortBy(r => (r._4, r._2, r._3)).map(_._2).toSeq
+    assert(ordered == Seq("a", "a", "b", "a", "a", "b", "a", "a", "b", "a", "a", "b"))
+    // every prefix at a b-boundary holds the 2:1 mixture
+    Seq(3, 6, 9, 12).foreach { n =>
+      val p = ordered.take(n)
+      assert(p.count(_ == "a") == 2 * p.count(_ == "b"), s"prefix $n: $p")
+    }
+    // re-runnable: identical output on a second invocation
+    val again = CorpusOps.strideMixOrder(in, Map("a" -> 500, "b" -> 250)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("keepBestPerCluster: keeper is the max-quality member of its own cluster") {
     val out = CorpusOps.keepBestPerCluster(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
