@@ -128,6 +128,17 @@ package object api {
     def bm25TopDocs(query: Seq[String], k: Int = 10): DataFrame =
       TextAnalysis.bm25TopDocs(docs, query, k)
     def bigramLmScore: DataFrame = TextAnalysis.bigramLmScore(docs)
+    def canonicalize: DataFrame = TextAnalysis.canonicalize(docs)
+    def blocklistFilter(terms: Seq[String]): DataFrame =
+      TextAnalysis.blocklistFilter(docs, terms)
+    def cleanFunnel(keepLang: String = "en", minQuality: Double = 0.6): DataFrame =
+      CorpusOps.cleanFunnel(docs, keepLang, minQuality)
+    def epochPlan(weightsPerMille: Map[String, Int], stratum: String = "source"): DataFrame =
+      CorpusOps.epochPlan(docs, weightsPerMille, stratum)
+    def keepBestPerCluster: DataFrame = CorpusOps.keepBestPerCluster(docs)
+    def strideMixOrder(weightsPerMille: Map[String, Int],
+                       stratum: String = "source"): DataFrame =
+      CorpusOps.strideMixOrder(docs, weightsPerMille, stratum)
   }
 
   /** Similarity search over an `(id, vec: array<float>, …)` embedding frame
