@@ -94,4 +94,31 @@ object AsofJoin {
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                   leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
     asof(left, right, keys, leftTs, rightTs, payload, forward = true)
+
+  /** Backward as-of with a maximum-STALENESS tolerance (pandas
+    * `merge_asof(tolerance=...)`): a snapshot older than
+    * `toleranceSeconds` at event time is REJECTED — the row NULL-extends
+    * — instead of silently served stale. The difference matters exactly
+    * where as-of joins live: a price/config/feature older than the
+    * freshness SLA is an error signal, not an answer.
+    *
+    * Same union-window plan as [[asofBackward]] (one shuffle + sort,
+    * never a range product): the matched right TIMESTAMP rides the
+    * payload struct, and the tolerance check is a per-row projection on
+    * the result — zero extra shuffles. NULL-extension is all-or-nothing
+    * per row (the whole snapshot is rejected, never a column mix). */
+  def asofBackwardTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                            leftTs: String, rightTs: String, payload: Seq[String],
+                            toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0)
+    val taken = (left.columns ++ right.columns).toSet
+    val mts = freeName("__graft_asof_matchts", taken)
+    val joined = asof(left, right.withColumn(mts, col(rightTs)),
+      keys, leftTs, rightTs, payload :+ mts, forward = false)
+    val fresh = col(leftTs).cast("timestamp").cast("double") -
+      col(mts).cast("timestamp").cast("double") <= toleranceSeconds
+    joined
+      .select(left.columns.map(col) ++
+        payload.map(p => when(fresh, col(p)).as(p)): _*)
+  }
 }

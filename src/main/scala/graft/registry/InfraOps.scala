@@ -242,6 +242,23 @@ object InfraOps {
       Seq("snap_id", "snap_ts"))
   }
 
+  /** Tolerance variant of the as-of round-trip: snapshots older than 7
+    * days at event time are rejected (NULL-extended) — events in the
+    * first week keep their match, later ones null out, so both outcomes
+    * are exercised. Oracle = DuckDB's native ASOF LEFT JOIN with the
+    * identical staleness CASE. */
+  def asofToleranceRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val left = ev.selectExpr(
+      "event_id", "cast(user_id % 50 as bigint) as k", "ts as evt_ts")
+    val right = ev.where("event_id % 31 = 0 and user_id % 50 < 40").selectExpr(
+      "cast(user_id % 50 as bigint) as k",
+      "TIMESTAMP_NTZ'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, event_id) as snap_ts",
+      "case when event_id % 7 = 0 then cast(null as bigint) else event_id end as snap_id")
+    graft.core.AsofJoin.asofBackwardTolerance(left, right, Seq("k"), "evt_ts", "snap_ts",
+      Seq("snap_id", "snap_ts"), toleranceSeconds = 604800L)
+  }
+
   /** Range-join round-trip: events against derived per-key "maintenance
     * windows" (every 41st event opens a 1-5 hour window). The bucketized
     * equi-join must equal the plain inequality join the DuckDB oracle
@@ -417,6 +434,7 @@ object InfraOps {
         .union(Checks.notNull(cust, "c_name", "customer_name_notnull"))
     }),
     "j_asof" -> (asofRoundTrip _),
+    "j_asof_tol" -> (asofToleranceRoundTrip _),
     "j_salted" -> (saltedJoinRoundTrip _),
     "j_skew_plain" -> (skewedJoinPlain _),
     "j_skew_salted" -> (skewedJoinSalted _),
@@ -557,6 +575,16 @@ object InfraOps {
         |             CASE WHEN event_id % 7 = 0 THEN CAST(NULL AS BIGINT) ELSE event_id END AS snap_id
         |      FROM events WHERE event_id % 31 = 0 AND user_id % 50 < 40)
         |SELECT l.event_id, l.k, l.evt_ts, r.snap_id, r.snap_ts
+        |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.evt_ts >= r.snap_ts""".stripMargin,
+    "j_asof_tol" ->
+      """WITH l AS (SELECT event_id, CAST(user_id % 50 AS BIGINT) AS k, CAST(ts AS TIMESTAMP) AS evt_ts FROM events),
+        |r AS (SELECT CAST(user_id % 50 AS BIGINT) AS k,
+        |             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (event_id) SECOND AS snap_ts,
+        |             CASE WHEN event_id % 7 = 0 THEN CAST(NULL AS BIGINT) ELSE event_id END AS snap_id
+        |      FROM events WHERE event_id % 31 = 0 AND user_id % 50 < 40)
+        |SELECT l.event_id, l.k, l.evt_ts,
+        |  CASE WHEN epoch(l.evt_ts - r.snap_ts) <= 604800 THEN r.snap_id END AS snap_id,
+        |  CASE WHEN epoch(l.evt_ts - r.snap_ts) <= 604800 THEN r.snap_ts END AS snap_ts
         |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.evt_ts >= r.snap_ts""".stripMargin,
     "j_salted" ->
       """SELECT k, r_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty

@@ -33,6 +33,23 @@ class AsofJoinSpec extends AnyFunSuite {
       4L -> None))
   }
 
+  test("tolerance: stale matches NULL-extend whole-row, fresh ones survive") {
+    // id=1 matches at 0s staleness, id=2 at 30min — a 10-minute tolerance
+    // keeps 1 and rejects 2 (BOTH payload columns null together)
+    val out = AsofJoin.asofBackwardTolerance(left, right, Seq("k"), "ts", "snap_ts",
+        Seq("snap_id", "snap_ts"), toleranceSeconds = 600L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4))))).toMap
+    assert(out(1L) == ((Some(100L), Some(t("2026-01-01 10:00:00")))))
+    assert(out(2L) == ((None, None)), "stale snapshot must reject whole-row")
+    assert(out(3L) == ((None, None)) && out(4L) == ((None, None)))
+    // a large tolerance degrades to plain backward as-of
+    val wide = AsofJoin.asofBackwardTolerance(left, right, Seq("k"), "ts", "snap_ts",
+        Seq("snap_id"), toleranceSeconds = 86400L)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(wide == Map(1L -> Some(100L), 2L -> Some(200L), 3L -> None, 4L -> None))
+  }
+
   test("forward as-of: earliest snapshot at-or-after") {
     val out = AsofJoin.asofForward(left, right, Seq("k"), "ts", "snap_ts",
       Seq("snap_id", "snap_ts"))
