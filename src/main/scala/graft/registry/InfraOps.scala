@@ -242,6 +242,22 @@ object InfraOps {
       Seq("snap_id", "snap_ts"))
   }
 
+  /** Forward as-of round-trip (earliest snapshot at-or-AFTER event time —
+    * the "next scheduled change" join): same fixture as j_asof, opposite
+    * direction; DuckDB's native ASOF with a `<=` condition is the
+    * independent cross-check. */
+  def asofForwardRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val left = ev.selectExpr(
+      "event_id", "cast(user_id % 50 as bigint) as k", "ts as evt_ts")
+    val right = ev.where("event_id % 31 = 0 and user_id % 50 < 40").selectExpr(
+      "cast(user_id % 50 as bigint) as k",
+      "TIMESTAMP_NTZ'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, event_id) as snap_ts",
+      "case when event_id % 7 = 0 then cast(null as bigint) else event_id end as snap_id")
+    graft.core.AsofJoin.asofForward(left, right, Seq("k"), "evt_ts", "snap_ts",
+      Seq("snap_id", "snap_ts"))
+  }
+
   /** Tolerance variant of the as-of round-trip: snapshots older than 7
     * days at event time are rejected (NULL-extended) — events in the
     * first week keep their match, later ones null out, so both outcomes
@@ -435,6 +451,7 @@ object InfraOps {
     }),
     "j_asof" -> (asofRoundTrip _),
     "j_asof_tol" -> (asofToleranceRoundTrip _),
+    "j_asof_fwd" -> (asofForwardRoundTrip _),
     "j_salted" -> (saltedJoinRoundTrip _),
     "j_skew_plain" -> (skewedJoinPlain _),
     "j_skew_salted" -> (skewedJoinSalted _),
@@ -576,6 +593,14 @@ object InfraOps {
         |      FROM events WHERE event_id % 31 = 0 AND user_id % 50 < 40)
         |SELECT l.event_id, l.k, l.evt_ts, r.snap_id, r.snap_ts
         |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.evt_ts >= r.snap_ts""".stripMargin,
+    "j_asof_fwd" ->
+      """WITH l AS (SELECT event_id, CAST(user_id % 50 AS BIGINT) AS k, CAST(ts AS TIMESTAMP) AS evt_ts FROM events),
+        |r AS (SELECT CAST(user_id % 50 AS BIGINT) AS k,
+        |             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (event_id) SECOND AS snap_ts,
+        |             CASE WHEN event_id % 7 = 0 THEN CAST(NULL AS BIGINT) ELSE event_id END AS snap_id
+        |      FROM events WHERE event_id % 31 = 0 AND user_id % 50 < 40)
+        |SELECT l.event_id, l.k, l.evt_ts, r.snap_id, r.snap_ts
+        |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.evt_ts <= r.snap_ts""".stripMargin,
     "j_asof_tol" ->
       """WITH l AS (SELECT event_id, CAST(user_id % 50 AS BIGINT) AS k, CAST(ts AS TIMESTAMP) AS evt_ts FROM events),
         |r AS (SELECT CAST(user_id % 50 AS BIGINT) AS k,
