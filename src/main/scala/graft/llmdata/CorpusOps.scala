@@ -442,8 +442,15 @@ object CorpusOps {
     per.crossJoin(broadcast(total))
       .select(col(stratum), col("n_tokens"), col("weight_pm"),
         expr(s"weight_pm * 1000000L div ${sumW}L").as("share_ppm"),
-        round((col("weight_pm").cast("double") / lit(sumW.toDouble)) *
-          (col("__t").cast("double") / col("n_tokens").cast("double")), 6).as("epochs"))
+        // A stratum present in the data but with zero tokens (every doc
+        // empty) would make the repeat factor corpus_tokens/0 = Infinity,
+        // whose rendering is engine-dependent; emit NULL instead — "no
+        // tokens to repeat" has no meaningful epoch count. Oracle twin
+        // carries the same CASE guard.
+        when(col("n_tokens") > lit(0L),
+          round((col("weight_pm").cast("double") / lit(sumW.toDouble)) *
+            (col("__t").cast("double") / col("n_tokens").cast("double")), 6))
+          .as("epochs"))
   }
 
   /** Deterministic train/val/test split assignment — the same hash gate as

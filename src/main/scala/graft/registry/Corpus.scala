@@ -83,8 +83,7 @@ object Corpus {
     "c_incr_idx" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val all = docs(s, d)
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_dedup_idx_${Integer.toHexString(d.hashCode)}").toString
+      val dir = graft.core.RunScratch.dir("graft_dedup_idx", d)
       CorpusOps.buildDedupIndex(all.filter(col("doc_id") % 5 =!= 0), dir)
       CorpusOps.dedupAgainstIndex(all.filter(col("doc_id") % 5 === 0), dir)
     }))
@@ -420,8 +419,10 @@ object Corpus {
        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per)
        |SELECT source, n_tokens, weight_pm,
        |  CAST(weight_pm * 1000000 // $sumW AS BIGINT) AS share_ppm,
-       |  round((CAST(weight_pm AS DOUBLE) / ${sumW.toDouble}) *
-       |        (CAST(tt AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS epochs
+       |  CASE WHEN n_tokens > 0 THEN
+       |    round((CAST(weight_pm AS DOUBLE) / ${sumW.toDouble}) *
+       |          (CAST(tt AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6)
+       |  END AS epochs
        |FROM pw, t""".stripMargin
   }
 

@@ -121,8 +121,7 @@ object LlmData {
     // the in-plan operator's bit for bit, so it shares ivfTopkSql.
     "e_ivf_index" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_index_${Integer.toHexString(d.hashCode)}").toString
+      val dir = graft.core.RunScratch.dir("graft_ivf_index", d)
       Similarity.buildIvfIndex(embs(s, d), dir)
       Similarity.ivfTopKFromIndex(s, dir, embs(s, d).filter(col("vec_id") < 8))
     }),
@@ -134,8 +133,7 @@ object LlmData {
     // count: max(vec_id) folds in-plan and broadcasts.
     "e_ivf_incr" -> ((s, d) => {
       import org.apache.spark.sql.functions.{broadcast, col, expr, max}
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_incr_${Integer.toHexString(d.hashCode)}").toString
+      val dir = graft.core.RunScratch.dir("graft_ivf_incr", d)
       val emb = embs(s, d)
       val half = broadcast(emb.agg(expr("(max(vec_id) + 1) div 2").as("__h")))
       Similarity.buildIvfIndex(
@@ -457,9 +455,13 @@ object LlmData {
        |FROM h""".stripMargin
   }
 
-  /** DuckDB twin of [[TextAnalysis.canonicalize]]: same step order (trim →
-    * accent translate → control strip → whitespace collapse → lower),
-    * same polynomial hash of the canonical string. */
+  /** DuckDB twin of [[TextAnalysis.canonicalize]]: same step order
+    * (whitespace/control collapse → trim → accent-fold → lower — read
+    * the expression inside-out), same polynomial hash of the canonical
+    * string. The order matters: collapsing before trim is what lets a
+    * leading tab-then-space become empty, and folding before lower keeps
+    * the accent table's case mapping exact — "restoring" any other
+    * documented order breaks the t_canon hash compare. */
   private val canonSql = {
     import graft.core.Normalize
     val canon = "lower(translate(trim(" +

@@ -59,7 +59,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   }
 
   /** Commit `df` as the next version; returns the version number.
-    * Publish = one atomic directory rename of the fully-written temp. */
+    * Publish = one atomic directory rename of the fully-written temp.
+    * Atomicity caveat (same contract as the sinks' crash-safe swap):
+    * this holds only on filesystems with atomic directory rename —
+    * HDFS and local FS. On object stores (S3A), "rename" is copy+delete,
+    * so a concurrent reader could observe a partially-published v{N};
+    * there, front the store with a manifest/catalog commit instead. */
   def commit(df: DataFrame): Long = {
     val next = latestVersion.getOrElse(0L) + 1
     val tmp = new Path(root, "__graft_snap_tmp")

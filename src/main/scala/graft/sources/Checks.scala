@@ -23,7 +23,14 @@ object Checks {
       col("observed").cast("bigint").as("observed"),
       (col("observed") === 0L).cast("int").as("passed"))
 
-  /** Key uniqueness: observed = rows minus distinct keys (0 = unique). */
+  /** Key uniqueness: observed = rows minus distinct keys (0 = unique).
+    * NULL convention: `count_distinct` ignores rows whose key is NULL
+    * while `count(*)` includes them, so NULL-keyed rows count as
+    * violations — a nullable-but-otherwise-unique key reports observed
+    * > 0. That is the strict reading (a NULL key can't prove itself
+    * distinct) and matches the DuckDB oracle's convention; use
+    * [[satisfies]] with an `IS NOT NULL` predicate first if you need
+    * to separate null-ness from duplication. */
   def unique(df: DataFrame, name: String, keyCols: String*): DataFrame =
     report(name, df.agg(
       (count(lit(1)) - count_distinct(col(keyCols.head), keyCols.tail.map(col): _*))
