@@ -154,4 +154,35 @@ object Runner {
         None
     }
   }
+
+  /** EP2 with time travel: the year loop publishing into a
+    * [[SnapshotStore]]. Each year's refresh commits a NEW snapshot
+    * version that replaces only that year's rows
+    * ([[SnapshotStore.commitReplacePartitions]] on the stamped `ano`
+    * column) — the snapshot twin of [[runRessarcimentoPartitioned]],
+    * with every previous refresh still readable at its version: a bad
+    * source drop is one `rollback` away, and "what did 2024 hold before
+    * this month's refresh" is a `read(v-1)`. An EMPTY year commits a
+    * version WITHOUT that year's rows (delete-with-history, mirroring
+    * `deletePartition`) unless the store has no versions yet, in which
+    * case there is nothing to delete and no version is burned.
+    *
+    * Returns year -> committed version (NOT row counts — the version is
+    * the handle a snapshot consumer needs; row counts belong to the
+    * mutable-sink paths). As in the partitioned path, an explicit
+    * `years` override bypasses the day-1-to-5 due gate: the override
+    * exists for targeted re-runs. */
+  def runRessarcimentoSnapshot(spark: SparkSession, config: Map[String, String],
+                               store: graft.sink.SnapshotStore, today: LocalDate,
+                               firstYear: Int = 2023,
+                               years: Option[Seq[Int]] = None): Map[Int, Long] = {
+    if (years.isEmpty && !ressarcimentoDue(today)) return Map.empty
+    yearLoop(spark, config, years.getOrElse(ressarcimentoYears(today, firstYear))) {
+      case (year, Some(df)) =>
+        Some(store.commitReplacePartitions(
+          df.withColumn("ano", org.apache.spark.sql.functions.lit(year)), "ano"))
+      case (year, None) =>
+        store.commitDeletePartition("ano", year)
+    }
+  }
 }

@@ -87,6 +87,36 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Partition-scoped MERGE with history: commit a NEW version in which
+    * every partition (distinct `partCol` value) present in `incoming` is
+    * replaced wholesale by incoming's rows, all other partitions carried
+    * over unchanged. This is the snapshot twin of
+    * [[PartitionedParquetSink]]'s dynamic partition overwrite — the same
+    * replace-the-partition contract, plus time travel to every previous
+    * refresh. The carry-over side anti-joins the previous head on the
+    * distinct partition values (one row per partition, broadcastable), so
+    * the incremental plan cost over a plain [[commit]] is a broadcast
+    * anti-join — not a second full scan. */
+  def commitReplacePartitions(incoming: DataFrame, partCol: String): Long =
+    latestVersion match {
+      case None    => commit(incoming)
+      case Some(v) =>
+        val parts = broadcast(incoming.select(partCol).distinct())
+        commit(read(v).join(parts, Seq(partCol), "left_anti").unionByName(incoming))
+    }
+
+  /** Partition delete with history: commit a NEW version without
+    * `value`'s rows — the delete-then-still-time-travelable twin of
+    * [[PartitionedParquetSink.deletePartition]]. Null-safe comparison,
+    * so a NULL partition value deletes the NULL partition. Returns None
+    * (and commits nothing) when the store has no versions yet: there is
+    * no history to preserve and an empty v1 would pin a schema-less
+    * marker as the table's origin. */
+  def commitDeletePartition(partCol: String, value: Any): Option[Long] =
+    latestVersion.map { v =>
+      commit(read(v).filter(!(col(partCol) <=> lit(value))))
+    }
+
   /** History-preserving undo: republish `toVersion`'s content as a NEW
     * head version (never deletes or rewrites — the bad head stays
     * readable for forensics, exactly how table formats roll back). */

@@ -2,7 +2,7 @@ package graft.job
 
 import graft.TestSpark
 import graft.fixtures.RefFixtures
-import graft.sink.{ParquetSink, PartitionedParquetSink, WriteMode}
+import graft.sink.{ParquetSink, PartitionedParquetSink, SnapshotStore, WriteMode}
 import java.nio.file.Files
 import java.time.LocalDate
 import org.apache.spark.sql.functions._
@@ -127,5 +127,66 @@ class RunnerIntegrationSpec extends AnyFunSuite {
       firstYear = 1997, years = Some(Seq(1998)))
     assert(w4.keySet == Set(1998))
     assert(w4(1998) > 0)
+  }
+
+  test("runRessarcimentoSnapshot: each year commits a version; a re-run is a NEW version with the old one readable") {
+    val root = Files.createTempDirectory("graft_monthly_snap").toString
+    val keys = Seq("fornecedor", "aporte_cab", "aporte_det", "dim_produto", "coleta_cab",
+      "coleta_det", "volume_tipo", "negociacao", "debito", "pagamento", "dim_sap")
+    keys.foreach { k =>
+      RefFixtures.byName(k).df(spark, sfDir).write.mode("overwrite").parquet(s"$root/$k")
+    }
+    val config = keys.map(k => k -> s"$root/$k").toMap
+    val store = new SnapshotStore(spark, s"$root/snap_rst")
+    val today = LocalDate.of(1998, 8, 3)
+    def contentHash(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(xxhash64(df.columns.sorted.map(col): _*))).head().getLong(0)
+
+    // due gate holds for the snapshot path too
+    assert(Runner.runRessarcimentoSnapshot(spark, config, store, LocalDate.of(1998, 8, 12)).isEmpty)
+    assert(store.versions.isEmpty)
+    // an empty year against an EMPTY store burns no version (nothing to delete)
+    assert(Runner.runRessarcimentoSnapshot(spark, config, store, today,
+      firstYear = 1997, years = Some(Seq(1994))).isEmpty)
+    assert(store.versions.isEmpty)
+
+    // 1997 and 1998 each publish a version, in year order
+    val w1 = Runner.runRessarcimentoSnapshot(spark, config, store, today, firstYear = 1997)
+    assert(w1 == Map(1997 -> 1L, 1998 -> 2L))
+    // v1 holds only 1997; the head holds both (1998's commit carried 1997 over)
+    assert(store.read(1).select("ano").distinct().collect().map(_.getInt(0)).toSet == Set(1997))
+    val rows1997 = store.readLatest().filter(col("ano") === 1997).count()
+    val rows1998 = store.readLatest().filter(col("ano") === 1998).count()
+    assert(rows1997 > 0 && rows1998 > 0)
+    val h1997v2 = contentHash(store.read(2).filter(col("ano") === 1997))
+    val h1998v2 = contentHash(store.read(2).filter(col("ano") === 1998))
+
+    // Re-run ONLY 1998: a NEW version appears, 1997 carries over
+    // byte-identical, and the OLD version still reads its original
+    // content — the time-travel contract the mutable sinks can't give.
+    val w2 = Runner.runRessarcimentoSnapshot(spark, config, store, today,
+      firstYear = 1997, years = Some(Seq(1998)))
+    assert(w2 == Map(1998 -> 3L))
+    assert(store.latestVersion.contains(3L))
+    assert(contentHash(store.read(3).filter(col("ano") === 1997)) == h1997v2)
+    assert(contentHash(store.read(3).filter(col("ano") === 1998)) == h1998v2,
+      "deterministic refresh: the re-run year rebuilds identical content")
+    assert(contentHash(store.read(2).filter(col("ano") === 1998)) == h1998v2,
+      "the pre-re-run version must stay readable, unchanged")
+
+    // An EMPTY year deletes its rows as a NEW version (history keeps them):
+    // seed a bogus ano=1994 (fixture data starts 1995, so its view is empty)
+    store.commitReplacePartitions(
+      store.readLatest().filter(col("ano") === 1998).limit(5).withColumn("ano", lit(1994)), "ano") // v4
+    assert(store.readLatest().filter(col("ano") === 1994).count() == 5)
+    val w3 = Runner.runRessarcimentoSnapshot(spark, config, store, today,
+      firstYear = 1997, years = Some(Seq(1994)))
+    assert(w3 == Map(1994 -> 5L))
+    assert(store.readLatest().filter(col("ano") === 1994).count() == 0)
+    assert(store.read(4).filter(col("ano") === 1994).count() == 5,
+      "time travel must still read the deleted year at its version")
+    // and the delete is undone by a history-preserving rollback
+    store.rollback(4)
+    assert(store.readLatest().filter(col("ano") === 1994).count() == 5)
   }
 }
