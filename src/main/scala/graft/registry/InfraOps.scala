@@ -6,6 +6,7 @@ import graft.streaming.{DocStream, EventStream}
 import java.time.LocalDate
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** CORRECTNESS rows for the infrastructure operators that aren't plain
@@ -20,9 +21,10 @@ import org.apache.spark.sql.functions._
 object InfraOps {
 
   private def scratch(spark: SparkSession, sfDir: String, name: String): String = {
-    val dir = new Path(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_${name}_${Integer.toHexString(sfDir.hashCode)}")
+    // Per-JVM path (RunScratch) so two concurrent Verify/Bench runs on the
+    // same sfDir can't race each other's scaffolding; still deleted on
+    // entry so repeated invocations WITHIN a JVM start fresh.
+    val dir = new Path(graft.core.RunScratch.dir(s"graft_$name", sfDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
     dir.toString
@@ -161,6 +163,60 @@ object InfraOps {
     * frame is oracle-checked against DuckDB. */
   def streamNearDupBatch(spark: SparkSession, sfDir: String): DataFrame =
     DocStream.lshNearDupEstBatchTwin(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** The STREAMING ingest path itself as a correctness row — not a batch
+    * twin: the documents corpus is replayed through a real MemoryStream →
+    * [[DocStream.ingestToStore]] query in scripted micro-batches, and what
+    * the oracle checks is the FINAL STORE CONTENTS after the stream stops.
+    *
+    * Batch scripting is what makes the run deterministic: micro-batch i
+    * carries every dedup key's i-th copy (row_number by doc_id within the
+    * (fingerprint, fingerprint2) pair), so no batch contains a
+    * within-batch duplicate — the one place where
+    * `dropDuplicatesWithinWatermark` would keep an arbitrary row. The
+    * first-copy batch arrives first, so the stream's first-arrival-wins
+    * contract coincides with min-doc_id-wins, which the DuckDB twin can
+    * compute statically. All rows share one event time, so the watermark
+    * never declares anything late. The driver-side collect is the test
+    * harness feeding the stream (`MemoryStream.addData` takes local rows,
+    * exactly as the streaming specs do), not operator logic — the
+    * admission path under test runs fully distributed. */
+  def streamIngestStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = scratch(spark, sfDir, "st_ingest_store")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("fingerprint", "fingerprint2").orderBy("doc_id")
+    val all = DocStream.withFingerprint(docs)
+      .select(col("doc_id"), col("text"), row_number().over(win).as("rk"))
+      .collect()
+    val byRank = all.groupBy(_.getInt(2)).toSeq.sortBy(_._1)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val tLate = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    val sink = new ParquetSink(spark, s"$root/store")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = DocStream.ingestToStore(
+      mem.toDF().toDF("doc_id", "ts", "text"), sink, s"$root/ckpt")
+    try {
+      byRank.foreach { case (_, rows) =>
+        mem.addData(rows.toSeq.map(r => (r.getLong(0), t0, r.getString(1))))
+        q.processAllAvailable()
+      }
+      // Past-horizon replay — the scenario only the STORE can defend
+      // against. First a watermark advancer 2h ahead (itself a duplicate,
+      // dropped in flight, admits nothing) evicts the t0-keyed dedup
+      // state; then EVERY document re-arrives with a new doc_id and
+      // whitespace-mutated text (same fingerprint). The streaming state is
+      // gone, so each replay reaches the sink's anti-join — which must
+      // reject all of them, or the oracle sees foreign doc_ids.
+      mem.addData(Seq((9000000L, tLate, all.head.getString(1))))
+      q.processAllAvailable()
+      mem.addData(all.toSeq.map(r => (r.getLong(0) + 1000000L, tLate, " " + r.getString(1) + " ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    sink.read().select("doc_id", "fingerprint")
+  }
 
   /** Bucketed co-located join round-trip: bucket lineitem and orders on
     * their join key at write time, then join + aggregate the catalog
@@ -463,7 +519,8 @@ object InfraOps {
     "s3_dayrange" -> (dayRangeRoundTrip _),
     "st_window" -> (windowAggBatch _),
     "st_dedup" -> (streamDedupBatch _),
-    "st_neardup" -> (streamNearDupBatch _))
+    "st_neardup" -> (streamNearDupBatch _),
+    "st_ingest_store" -> (streamIngestStore _))
 
   /** DuckDB twin of one [[graft.sources.TableStats.analyze]] output row:
     * same null convention (min/max/NDV over the non-null population), the
@@ -656,6 +713,18 @@ object InfraOps {
          |FROM w)
          |SELECT min(doc_id) AS doc_id, fingerprint, fingerprint2, CAST(count(*) AS BIGINT) AS n_copies
          |FROM fp GROUP BY fingerprint, fingerprint2""".stripMargin
+    },
+    "st_ingest_store" -> {
+      import graft.llmdata.TextPrimitives.{duckPolyHashArray, duckWords, P}
+      // The store merges on `fingerprint` alone (fingerprint2 exists only
+      // to widen the IN-FLIGHT dedup key), so the final state is one row
+      // per distinct fingerprint, first arrival = min doc_id under the
+      // scripted rank-ordered batches.
+      s"""WITH w AS (SELECT doc_id, ${duckPolyHashArray(duckWords("text"))} AS th FROM documents),
+         |fp AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), th), (h, c) -> (h * 37 + c) % $P) AS fingerprint
+         |FROM w)
+         |SELECT min(doc_id) AS doc_id, fingerprint FROM fp GROUP BY fingerprint""".stripMargin
     },
     "st_neardup" -> {
       import graft.llmdata.DocDedup
