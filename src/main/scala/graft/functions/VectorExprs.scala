@@ -197,11 +197,25 @@ object HashKernels {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane p, dim d):
-    * an LCG step mapped to [-0.5, 0.5). The SAME integer math as the
-    * DuckDB oracle's `planeWeightSql` (Long == BIGINT, exact), so both
-    * engines project onto bit-identical planes. */
-  def planeWeight(p: Int, d: Int): Double =
-    ((1103515245L * (p * 64L + d) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+    * an LCG step followed by a QUADRATIC mix, mapped to [-0.5, 0.5). The
+    * SAME integer math as the DuckDB oracle's `planeWeightSql` (Long ==
+    * BIGINT, exact, never overflows: s < 2^31 so s*s < 2^62), so both
+    * engines project onto bit-identical planes.
+    *
+    * The quadratic step is load-bearing, found at the sf1 scale rehearsal:
+    * a bare LCG's consecutive outputs lie on a coarse lattice, so the
+    * 8-dim weight prefixes of "independent" planes were directionally
+    * clustered (mean pairwise |cos| 0.63, a third of pairs above 0.9) —
+    * on low-rank inputs (the 8-dim multimodal features) 20-bit bands
+    * then collapsed to a few effective bits and chance candidates grew
+    * quadratically (measured 3.9% pair collision vs 0.06% after mixing,
+    * a 67× candidate cut at equal recall; squaring breaks the lattice
+    * because the composition of linear congruences is linear, a square
+    * is not). */
+  def planeWeight(p: Int, d: Int): Double = {
+    val s = (1103515245L * (p * 64L + d) + 12345L) % 2147483648L
+    (((s * s) % 2147483648L * 31L + s) % 2147483648L).toDouble / 2147483648.0 - 0.5
+  }
 
   /** Plane table precomputed once per JVM (64 planes × 64 dims) so the
     * per-row signature loop reads a double[] instead of re-running the LCG

@@ -167,10 +167,16 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane p, dim d):
-    * an LCG step mapped to [-0.5, 0.5). Fixed integers so both engines (and
-    * any future round) reproduce identical planes. */
-  def planeWeightSql(p: String, d: String): String =
-    s"(CAST(((CAST(1103515245 AS BIGINT) * (($p) * 64 + ($d)) + 12345) % 2147483648) AS DOUBLE) / 2147483648.0 - 0.5)"
+    * an LCG step + quadratic mix mapped to [-0.5, 0.5). Fixed integers so
+    * both engines (and any future round) reproduce identical planes —
+    * MUST stay in lockstep with [[graft.functions.HashKernels.planeWeight]]
+    * (see there for why the quadratic step exists: a bare LCG's lattice
+    * made the planes directionally clustered and candidate counts
+    * quadratic on low-rank inputs). */
+  def planeWeightSql(p: String, d: String): String = {
+    val s = s"((CAST(1103515245 AS BIGINT) * (($p) * 64 + ($d)) + 12345) % 2147483648)"
+    s"(CAST((($s * $s) % 2147483648 * 31 + $s) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+  }
 
   val LshPlanes = 32
   val LshBandBits = 4
