@@ -185,7 +185,15 @@ object InfraOps {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val root = scratch(spark, sfDir, "st_ingest_store")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    // Deterministic quarter of the corpus: every micro-batch pays fixed
+    // streaming overhead (state-store commits × 32 partitions, checkpoint
+    // writes, a crash-safe store rewrite), so the full corpus made this
+    // the bench's most expensive row (~20 s at sf0.1) while proving
+    // nothing more IN KIND than a quarter does — the scripted dup-rank
+    // batches, watermark eviction, and full replay rejection below are
+    // corpus-size-independent behaviors. Oracle carries the same gate.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") % 4 === 0)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("fingerprint", "fingerprint2").orderBy("doc_id")
     val all = DocStream.withFingerprint(docs)
@@ -196,25 +204,40 @@ object InfraOps {
     val tLate = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
     val sink = new ParquetSink(spark, s"$root/store")
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
-    val q = DocStream.ingestToStore(
-      mem.toDF().toDF("doc_id", "ts", "text"), sink, s"$root/ckpt")
+    // The dedup state is partitioned by spark.sql.shuffle.partitions AT
+    // QUERY START and every micro-batch commits every state partition
+    // (delta files + snapshot bookkeeping), so at the session's 32 the
+    // scripted ~5-batch run spent its time on 160 state commits of a few
+    // hundred rows each — not on data. 4 partitions is plenty for the
+    // row's corpus and is a per-query setting (restored immediately), not
+    // a semantic change: at real scale the state sizing follows the real
+    // ingest rate, exactly as a production streaming job would size it.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // The conf is captured into each micro-batch's plan as it runs, so it
+    // stays pinned for the stream's whole life and is restored whatever
+    // happens — everything after this row runs at the session's 32.
     try {
-      byRank.foreach { case (_, rows) =>
-        mem.addData(rows.toSeq.map(r => (r.getLong(0), t0, r.getString(1))))
+      val q = DocStream.ingestToStore(
+        mem.toDF().toDF("doc_id", "ts", "text"), sink, s"$root/ckpt")
+      try {
+        byRank.foreach { case (_, rows) =>
+          mem.addData(rows.toSeq.map(r => (r.getLong(0), t0, r.getString(1))))
+          q.processAllAvailable()
+        }
+        // Past-horizon replay — the scenario only the STORE can defend
+        // against. First a watermark advancer 2h ahead (itself a duplicate,
+        // dropped in flight, admits nothing) evicts the t0-keyed dedup
+        // state; then EVERY document re-arrives with a new doc_id and
+        // whitespace-mutated text (same fingerprint). The streaming state is
+        // gone, so each replay reaches the sink's anti-join — which must
+        // reject all of them, or the oracle sees foreign doc_ids.
+        mem.addData(Seq((9000000L, tLate, all.head.getString(1))))
         q.processAllAvailable()
-      }
-      // Past-horizon replay — the scenario only the STORE can defend
-      // against. First a watermark advancer 2h ahead (itself a duplicate,
-      // dropped in flight, admits nothing) evicts the t0-keyed dedup
-      // state; then EVERY document re-arrives with a new doc_id and
-      // whitespace-mutated text (same fingerprint). The streaming state is
-      // gone, so each replay reaches the sink's anti-join — which must
-      // reject all of them, or the oracle sees foreign doc_ids.
-      mem.addData(Seq((9000000L, tLate, all.head.getString(1))))
-      q.processAllAvailable()
-      mem.addData(all.toSeq.map(r => (r.getLong(0) + 1000000L, tLate, " " + r.getString(1) + " ")))
-      q.processAllAvailable()
-    } finally q.stop()
+        mem.addData(all.toSeq.map(r => (r.getLong(0) + 1000000L, tLate, " " + r.getString(1) + " ")))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     sink.read().select("doc_id", "fingerprint")
   }
 
@@ -720,7 +743,8 @@ object InfraOps {
       // to widen the IN-FLIGHT dedup key), so the final state is one row
       // per distinct fingerprint, first arrival = min doc_id under the
       // scripted rank-ordered batches.
-      s"""WITH w AS (SELECT doc_id, ${duckPolyHashArray(duckWords("text"))} AS th FROM documents),
+      s"""WITH w AS (SELECT doc_id, ${duckPolyHashArray(duckWords("text"))} AS th FROM documents
+         |           WHERE doc_id % 4 = 0),
          |fp AS (SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), th), (h, c) -> (h * 37 + c) % $P) AS fingerprint
          |FROM w)
