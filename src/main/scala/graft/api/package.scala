@@ -149,12 +149,12 @@ package object api {
     def cosineNearDupPairs(threshold: Double = 0.4): DataFrame =
       Similarity.cosineNearDupPairs(embs, threshold)
     def lshNearDupPairs(threshold: Double = 0.4,
-                        planes: Int = Similarity.LshPlanes,
-                        bandBits: Int = Similarity.LshBandBits): DataFrame =
+                        planes: Int = Similarity.LshDupPlanes,
+                        bandBits: Int = Similarity.LshDupBandBits): DataFrame =
       Similarity.lshNearDupPairs(embs, threshold, planes, bandBits)
     def lshNearDupAgainst(corpus: DataFrame, threshold: Double = 0.4,
-                          planes: Int = Similarity.LshPlanes,
-                          bandBits: Int = Similarity.LshBandBits): DataFrame =
+                          planes: Int = Similarity.LshDupPlanes,
+                          bandBits: Int = Similarity.LshDupBandBits): DataFrame =
       Similarity.lshNearDupAgainst(embs, corpus, threshold, planes, bandBits)
     def lshTopK(nQueries: Int = 8, k: Int = 10,
                 planes: Int = Similarity.LshPlanes,

@@ -182,6 +182,35 @@ object Similarity {
   val LshBandBits = 4
   val LshBands: Int = LshPlanes / LshBandBits
 
+  /** Banding for CORPUS-WIDE near-dup pairing ([[lshNearDupPairs]],
+    * [[lshNearDupAgainst]]): 7 bands × 8 bits off a 56-plane signature
+    * (one BIGINT; the codegen'd kernel caps at 63 planes).
+    *
+    * Why these differ from the top-k knobs above: a pair survives an
+    * r-bit band with probability p^r (p = 1 − θ/π), so a CHANCE pair
+    * (θ≈90°, p≈½) survives ≥1 of b bands with ≈ b·2^−r — for the
+    * query-bounded top-k probe (cost ≤ queries × bucket) the narrow
+    * r=4 keeps recall and the cost is bounded anyway, but corpus-wide
+    * pairing multiplies that survival by N²/2 candidate pairs. The sf1
+    * rehearsal measured it: at r=4, b=8 the chance survival is 8·2⁻⁴ ≈
+    * 40% — 81.1 M of 200 M pairs became candidates at 20 k vectors and
+    * the "filter" cost 39.5 s where the codegen'd exact product verifies
+    * ALL pairs in 6.9 s. r=8 drops chance survival to 7·2⁻⁸ ≈ 2.7%
+    * (15×), while true near-dups — the operator's design point, cos ≥
+    * 0.9 — still collide on some band with prob ≥ 1−(1−p₁⁸)⁷ ≈ 0.9.
+    *
+    * The honest scale limit, so nobody rediscovers it: FIXED banding
+    * passes a constant FRACTION of chance pairs, so any fixed config is
+    * Θ(N²) with a small constant; the classic sub-quadratic regime
+    * (candidates ∝ N^(1+ρ), ρ = ln p₁ / ln p₂) needs r to grow with
+    * log N and b ≈ N^ρ — pass `planes`/`bandBits` explicitly to follow
+    * N. And for MODERATE thresholds (cos ≈ 0.4, ρ ≈ 0.67) even that is
+    * near-quadratic — use the cell-local [[semDedup]] (k ∝ N keeps
+    * per-cell cost O(1)) instead of banding there. */
+  val LshDupPlanes = 56
+  val LshDupBandBits = 8
+  val LshDupBands: Int = LshDupPlanes / LshDupBandBits
+
   /** Keep each row's `keep` best cells by centroid cosine: broadcast the
     * (≤ nCells)-row centroid set against the side, rank per id. Shared by
     * k-means training (keep=1 assignment) and IVF probing (keep=nProbe). */
@@ -516,9 +545,13 @@ object Similarity {
     * sharing at least one signature band (bucket join on (band, band_val)),
     * each verified with the exact cosine. Near-identical vectors agree on
     * every plane, so recall at high thresholds is ~1 (a pair at cos θ
-    * collides on a given 4-bit band with prob (1 - θ_angle/π)^4; across 8
-    * bands misses are rare and vanish as cos → 1 — the standard banding
-    * trade, tested against the exact baseline in the suite).
+    * collides on a given r-bit band with prob (1 - θ_angle/π)^r; across
+    * [[LshDupBands]] bands misses are rare and vanish as cos → 1 — the
+    * standard banding trade, tested against the exact baseline in the
+    * suite). Defaults are the wide [[LshDupPlanes]]×[[LshDupBandBits]]
+    * dup banding — see that constant's doc for the measured sf1 numbers
+    * behind it and for why moderate-threshold pairing should use
+    * [[semDedup]] instead.
     *
     * Banding only separates what the planes can see: inputs clustered in
     * one orthant need `sigCenterDims`/`sigCenterAt` (see [[lshSigExpr]]) so
@@ -528,7 +561,7 @@ object Similarity {
     * re-attached to the (rare) deduped candidate ids afterwards, so the wide
     * embedding arrays never enter the candidate shuffle. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
-                      planes: Int = LshPlanes, bandBits: Int = LshBandBits,
+                      planes: Int = LshDupPlanes, bandBits: Int = LshDupBandBits,
                       sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
     val (n, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = true,
       sigCenterDims, sigCenterAt)
@@ -552,7 +585,7 @@ object Similarity {
     * |batch| × |corpus| — and the wide embedding arrays are re-attached
     * only to the deduped candidate ids. */
   def lshNearDupAgainst(batch: DataFrame, corpus: DataFrame, threshold: Double = 0.4,
-                        planes: Int = LshPlanes, bandBits: Int = LshBandBits,
+                        planes: Int = LshDupPlanes, bandBits: Int = LshDupBandBits,
                         sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
     def sigBands(embs: DataFrame, idAs: String): (DataFrame, DataFrame) = {
       val (n, bands) = normAndBands(embs, planes, bandBits, persistNorm = true,

@@ -93,23 +93,24 @@ object LlmData {
     // the assertions in SimilarityKnobsSpec (synthetic positive-orthant
     // fixture + this query's rows on real sf0.001 data) — the oracle gate
     // alone can't catch a knob regression mirrored into the DuckDB twin.
-    // emb_8x4 = e_lsh_neardup's knobs (moderate threshold 0.4 needs narrow
-    // bands for recall); emb_4x8 = the wide-band alternative (high
-    // thresholds only — at 0.4 its per-pair recall is ~10%);
+    // emb_7x8 = the neardup family's wide dup banding (the production
+    // config — chance-pair survival ~7·2⁻⁸ ≈ 2.7%); emb_8x4 = the
+    // legacy narrow banding kept as the measured CONTRAST (the sf1
+    // rehearsal caught it passing ~40% of all pairs — slower than the
+    // exact product; see Similarity.LshDupPlanes);
     // mm_centered_2x20 = m_embed_neardup_lsh's centered wide-band config.
-    // The two emb_* counts band-split ONE shared signature pass.
     "e_lsh_selectivity" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       def cnt(cfg: String, cand: DataFrame): DataFrame =
         cand.groupBy().agg(count(lit(1)).as("candidates"))
           .select(lit(cfg).as("cfg"), col("candidates"))
-      val Seq((_, cand4), (_, cand8)) = Similarity.lshPairCandidatesByWidth(
-        embs(s, d), Similarity.LshPlanes, Seq(Similarity.LshBandBits, 8))
       val mm = Multimodal.featurize(s, docs(s, d))
         .select(col("doc_id").as("vec_id"),
           Similarity.padToSigDims(col("feature")).as("embedding"))
-      cnt("emb_8x4", cand4)
-        .unionByName(cnt("emb_4x8", cand8))
+      cnt("emb_8x4", Similarity.lshPairCandidates(embs(s, d),
+          Similarity.LshPlanes, Similarity.LshBandBits))
+        .unionByName(cnt("emb_7x8", Similarity.lshPairCandidates(embs(s, d),
+          Similarity.LshDupPlanes, Similarity.LshDupBandBits)))
         .unionByName(cnt("mm_centered_2x20",
           Similarity.lshPairCandidates(mm, 40, 20, 8, 0.5)))
     }),
@@ -690,15 +691,16 @@ object LlmData {
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
   }
 
-  /** DuckDB twin of Similarity.lshNearDupPairs: same planes/bands as the
-    * top-k oracle, pair candidates instead of query candidates, exact
-    * cosine verification. */
+  /** DuckDB twin of Similarity.lshNearDupPairs at its wide 7×8 dup
+    * banding (56-plane signature — NOT the top-k oracle's 32/4 knobs;
+    * see [[Similarity.LshDupPlanes]] for the measured reasoning), pair
+    * candidates instead of query candidates, exact cosine verification. */
   private val lshNeardupSql = {
-    val mask = (1 << Similarity.LshBandBits) - 1
+    val mask = (1 << Similarity.LshDupBandBits) - 1
     s"""WITH $normCte,
-       |sig AS (SELECT vec_id, $lshSigTerms AS s FROM n2),
-       |bands AS (SELECT vec_id, c AS band, (s >> (c * ${Similarity.LshBandBits})) & $mask AS band_val
-       |          FROM sig, (SELECT unnest(range(0, ${Similarity.LshBands})) AS c)),
+       |sig AS (SELECT vec_id, ${lshSigTermsOver("ed", Similarity.LshDupPlanes)} AS s FROM n2),
+       |bands AS (SELECT vec_id, c AS band, (s >> (c * ${Similarity.LshDupBandBits})) & $mask AS band_val
+       |          FROM sig, (SELECT unnest(range(0, ${Similarity.LshDupBands})) AS c)),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b
@@ -707,19 +709,19 @@ object LlmData {
   }
 
   /** DuckDB twin of Similarity.lshNearDupAgainst over the registered 1-in-5
-    * batch/corpus split: same planes, bands, and exact-cosine verify as the
-    * within-set oracle, bucket join BETWEEN the two sides. */
+    * batch/corpus split: same wide 7×8 dup banding and exact-cosine verify
+    * as the within-set oracle, bucket join BETWEEN the two sides. */
   private val crossNeardupSql = {
-    val mask = (1 << Similarity.LshBandBits) - 1
+    val mask = (1 << Similarity.LshDupBandBits) - 1
     s"""WITH $normCte,
        |nb AS (SELECT vec_id, ed, nrm FROM n2 WHERE vec_id % 5 = 0),
        |nc AS (SELECT vec_id, ed, nrm FROM n2 WHERE vec_id % 5 != 0),
-       |sgb AS (SELECT vec_id, $lshSigTerms AS s FROM nb),
-       |sgc AS (SELECT vec_id, $lshSigTerms AS s FROM nc),
-       |bb AS (SELECT vec_id AS new_id, c AS band, (s >> (c * ${Similarity.LshBandBits})) & $mask AS band_val
-       |       FROM sgb, (SELECT unnest(range(0, ${Similarity.LshBands})) AS c)),
-       |bc AS (SELECT vec_id AS old_id, c AS band, (s >> (c * ${Similarity.LshBandBits})) & $mask AS band_val
-       |       FROM sgc, (SELECT unnest(range(0, ${Similarity.LshBands})) AS c)),
+       |sgb AS (SELECT vec_id, ${lshSigTermsOver("ed", Similarity.LshDupPlanes)} AS s FROM nb),
+       |sgc AS (SELECT vec_id, ${lshSigTermsOver("ed", Similarity.LshDupPlanes)} AS s FROM nc),
+       |bb AS (SELECT vec_id AS new_id, c AS band, (s >> (c * ${Similarity.LshDupBandBits})) & $mask AS band_val
+       |       FROM sgb, (SELECT unnest(range(0, ${Similarity.LshDupBands})) AS c)),
+       |bc AS (SELECT vec_id AS old_id, c AS band, (s >> (c * ${Similarity.LshDupBandBits})) & $mask AS band_val
+       |       FROM sgc, (SELECT unnest(range(0, ${Similarity.LshDupBands})) AS c)),
        |cand AS (SELECT DISTINCT new_id, old_id FROM bb JOIN bc USING (band, band_val))
        |SELECT new_id, old_id
        |FROM cand JOIN nb a ON cand.new_id = a.vec_id JOIN nc b ON cand.old_id = b.vec_id
@@ -888,8 +890,8 @@ object LlmData {
 
   /** DuckDB twin of `e_lsh_selectivity`: the same three banding configs,
     * each counting its DISTINCT surviving candidate pairs — embeddings at
-    * 8×4 (e_lsh_neardup's knobs) and 4×8, plus the featurize composition
-    * at its centered 2×20 production config. */
+    * the legacy-narrow 8×4 and the production dup 7×8, plus the featurize
+    * composition at its centered 2×20 production config. */
   private val lshSelectivitySql = {
     def bandCte(sigRel: String, planes: Int, bandBits: Int): String = {
       val nBands = planes / bandBits
@@ -904,8 +906,9 @@ object LlmData {
     val pad = graft.functions.HashKernels.SigDims - 8
     s"""WITH $normCte,
        |sig AS (SELECT vec_id, $lshSigTerms AS s FROM n2),
+       |sig56 AS (SELECT vec_id, ${lshSigTermsOver("ed", Similarity.LshDupPlanes)} AS s FROM n2),
        |b4 AS (${bandCte("sig", Similarity.LshPlanes, Similarity.LshBandBits)}),
-       |b8 AS (${bandCte("sig", Similarity.LshPlanes, 8)}),
+       |b78 AS (${bandCte("sig56", Similarity.LshDupPlanes, Similarity.LshDupBandBits)}),
        |f AS (SELECT doc_id AS vec_id,
        |  list_transform(range(0, 8), j -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(j + 1, length(text) + 1, 8), i -> CAST(ord(text[i]) AS BIGINT))), (h, c) -> (h * 31 + c) % ${P}) AS DOUBLE) / ${P}.0) AS f8
        |FROM documents),
@@ -913,7 +916,7 @@ object LlmData {
        |sigm AS (SELECT vec_id, ${lshSigTermsOver("cd", 40)} AS s FROM p),
        |bm AS (${bandCte("sigm", 40, 20)})
        |SELECT 'emb_8x4' AS cfg, ${candCount("b4")} AS candidates
-       |UNION ALL SELECT 'emb_4x8', ${candCount("b8")}
+       |UNION ALL SELECT 'emb_7x8', ${candCount("b78")}
        |UNION ALL SELECT 'mm_centered_2x20', ${candCount("bm")}""".stripMargin
   }
 

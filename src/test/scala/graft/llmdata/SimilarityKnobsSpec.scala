@@ -123,10 +123,13 @@ class SimilarityKnobsSpec extends AnyFunSuite {
     val mmFrac = rows("mm_centered_2x20").toDouble / (nDocs * (nDocs - 1) / 2)
     assert(mmFrac < 0.25,
       s"centered 2x20 banding degenerated on the featurize fixture: $mmFrac of all pairs")
-    assert(rows("emb_4x8") <= rows("emb_8x4"),
-      s"wider bands must never pass more candidates: ${rows("emb_4x8")} vs ${rows("emb_8x4")}")
+    val dupFrac = rows("emb_7x8").toDouble / (nEmb * (nEmb - 1) / 2)
+    assert(dupFrac < 0.25,
+      s"the production 7x8 dup banding degenerated on real embeddings: $dupFrac of all pairs")
+    assert(rows("emb_7x8") <= rows("emb_8x4"),
+      s"8-bit bands passing more than 4-bit bands: ${rows("emb_7x8")} vs ${rows("emb_8x4")}")
     assert(rows("emb_8x4").toDouble / (nEmb * (nEmb - 1) / 2) < 0.75,
-      "even the narrow-band config must prune something on real embeddings")
+      "even the legacy narrow-band config must prune something on real embeddings")
   }
 
   test("lshPairCandidatesByWidth band-splits one signature pass identically to per-call runs") {
