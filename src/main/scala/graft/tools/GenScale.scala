@@ -3,12 +3,16 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Generator for SCALE REHEARSALS (`runMain graft.tools.GenScale [out]`):
-  * a 10× fixture set derived from sf0.1 as ten key-shifted replicas,
-  * written under tmp/sf1 by default (the real testdata tree is read-only
-  * for this repo). Feeds the sf0.1-vs-sf1 scaling-exponent table in
-  * SCALING.md — re-run it whenever a new operator's scale behavior needs
-  * an empirical check instead of a plan audit.
+/** Generator for SCALE REHEARSALS
+  * (`runMain graft.tools.GenScale [out] [replicas]`): an N× fixture set
+  * derived from sf0.1 as key-shifted replicas, written under tmp/sf1 by
+  * default (the real testdata tree is read-only for this repo). Feeds
+  * the sf0.1-vs-sf1(-vs-sf10) scaling-exponent tables in SCALING.md —
+  * re-run it whenever a new operator's scale behavior needs an
+  * empirical check instead of a plan audit. The default 10-replica
+  * output is byte-stable across the r8 extension to 100 replicas: the
+  * extra decorrelation stages below are identity transforms for r < 26
+  * (text) and r < 64 (embeddings).
   *
   * Replicas must not be byte-copies or every dedup/ANN operator would see
   * a corpus where EVERYTHING has 10 identical twins — candidate
@@ -45,16 +49,26 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/root/repo/tmp/sf1")
+    val replicas = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val lower = "abcdefghijklmnopqrstuvwxyz"
+    // Letter substitution per replica: an AFFINE alphabet i -> a*i + b
+    // (mod 26), a coprime to 26 so it stays a bijection. b = r%26 alone
+    // (a=1, the plain Caesar) repeats every 26 replicas — two replicas 26
+    // apart would share every shingle and dedup candidate structures
+    // would degenerate; cycling a through the coprimes gives 12*26 = 312
+    // distinct alphabets. a is 1 for r < 26, so pre-r8 sf1 output is
+    // unchanged.
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     def caesar(c: org.apache.spark.sql.Column, r: Int) = {
-      val lo = lower.drop(r % 26) + lower.take(r % 26)
+      val a = coprimes((r / 26) % coprimes.length)
+      val lo = (0 until 26).map(i => lower((a * i + r) % 26)).mkString
       translate(translate(c, lower, lo), lower.toUpperCase, lo.toUpperCase)
     }
     def bump(df: DataFrame, cols: Map[String, Long], r: Int): DataFrame =
       cols.foldLeft(df) { case (d, (c, off)) => d.withColumn(c, col(c) + lit(r * off)) }
     def gen(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      (0 until 10).map(r => tx(base, r)).reduce(_ unionByName _)
+      (0 until replicas).map(r => tx(base, r)).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[gen] $name done")
     }
@@ -67,9 +81,22 @@ object GenScale {
     gen("events")((d, r) => bump(d, Map("event_id" -> IdOff, "user_id" -> IdOff), r))
     gen("documents")((d, r) =>
       bump(d, Map("doc_id" -> IdOff), r).withColumn("text", caesar(col("text"), r)))
-    gen("embeddings")((d, r) => bump(d, Map("vec_id" -> IdOff), r).withColumn("embedding",
-      if (r == 0) col("embedding")
-      else expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), slice(embedding, 1, $r))")))
+    // Circular rotation decorrelates cross-replica cosine, but repeats
+    // every 64 replicas (the fixture's dim count); past that, compose a
+    // per-(r div 64) SIGN-FLIP mask — an orthogonal transform, so norms
+    // and within-replica geometry stay exact while replicas 64 apart
+    // (same rotation, different flips) land near-orthogonal. Identity
+    // for r < 64, so pre-r8 sf1 output is unchanged.
+    gen("embeddings")((d, r) => bump(d, Map("vec_id" -> IdOff), r).withColumn("embedding", {
+      val rot = r % 64
+      val rotated =
+        if (rot == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), slice(embedding, 1, $rot))")
+      val flipGen = r / 64
+      if (flipGen == 0) rotated
+      else transform(rotated, (x, i) =>
+        when((lit(flipGen) * (i + lit(1))) % 2 === 1, -x).otherwise(x))
+    }))
     Seq("nation", "region").foreach { n =>
       spark.read.parquet(s"$src/$n.parquet").write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
