@@ -26,21 +26,28 @@ object LshProbe {
       System.gc()
     }
 
-    // deduped candidates (the operator's candidate stage as-is)
-    time("cand_distinct") {
-      graft.llmdata.Similarity.lshPairCandidates(embs).count()
+    // optional knob override: LshProbe <sfDir> <planes> <bandBits> — the
+    // "r follows log N" recipe in action (see Similarity.LshDupPlanes)
+    val planes = args.drop(1).headOption.map(_.toInt)
+      .getOrElse(graft.llmdata.Similarity.LshDupPlanes)
+    val bandBits = args.drop(2).headOption.map(_.toInt)
+      .getOrElse(graft.llmdata.Similarity.LshDupBandBits)
+    // deduped candidates (the operator's candidate stage at these knobs)
+    time(s"cand_distinct_${planes}x$bandBits") {
+      graft.llmdata.Similarity.lshPairCandidates(embs, planes, bandBits).count()
     }
     // full operator
-    time("full_verify") {
-      graft.llmdata.Similarity.lshNearDupPairs(embs).count()
+    time(s"full_verify_${planes}x$bandBits") {
+      graft.llmdata.Similarity.lshNearDupPairs(embs, 0.4, planes, bandBits).count()
     }
-    time("full_verify_warm") {
-      graft.llmdata.Similarity.lshNearDupPairs(embs).count()
+    time(s"full_verify_warm_${planes}x$bandBits") {
+      graft.llmdata.Similarity.lshNearDupPairs(embs, 0.4, planes, bandBits).count()
     }
-    // exact baseline for comparison (guard-size allowing)
-    time("exact_baseline") {
-      graft.llmdata.Similarity.cosineNearDupPairs(embs, maxRows = 200000).count()
-    }
+    // exact baseline for comparison (guard-size allowing; skipped past 30k)
+    if (embs.limit(30001).count() <= 30000)
+      time("exact_baseline") {
+        graft.llmdata.Similarity.cosineNearDupPairs(embs, maxRows = 30000).count()
+      }
     spark.stop()
   }
 }
