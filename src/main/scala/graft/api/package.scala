@@ -149,12 +149,10 @@ package object api {
     def cosineNearDupPairs(threshold: Double = 0.4): DataFrame =
       Similarity.cosineNearDupPairs(embs, threshold)
     def lshNearDupPairs(threshold: Double = 0.4,
-                        planes: Int = Similarity.LshDupPlanes,
-                        bandBits: Int = Similarity.LshDupBandBits): DataFrame =
+                        planes: Int = 0, bandBits: Int = 0): DataFrame =
       Similarity.lshNearDupPairs(embs, threshold, planes, bandBits)
     def lshNearDupAgainst(corpus: DataFrame, threshold: Double = 0.4,
-                          planes: Int = Similarity.LshDupPlanes,
-                          bandBits: Int = Similarity.LshDupBandBits): DataFrame =
+                          planes: Int = 0, bandBits: Int = 0): DataFrame =
       Similarity.lshNearDupAgainst(embs, corpus, threshold, planes, bandBits)
     def lshTopK(nQueries: Int = 8, k: Int = 10,
                 planes: Int = Similarity.LshPlanes,
@@ -175,7 +173,7 @@ package object api {
     def appendToIvfIndex(indexDir: String): Unit =
       Similarity.appendToIvfIndex(embs, indexDir)
     /** SemDeDup: within-k-means-cell near-dup removal (min-id keeper). */
-    def semDedup(threshold: Double = 0.4, nCells: Int = 16,
+    def semDedup(threshold: Double = 0.4, nCells: Int = 0,
                  kmeansIters: Int = 1): DataFrame =
       Similarity.semDedup(embs, threshold, nCells, kmeansIters)
     def hardNegatives(nQueries: Int = 8, skip: Int = 10, take: Int = 10): DataFrame =

@@ -61,5 +61,21 @@ object GraftExtensions {
             "hyperplane_sig planes must be a literal")
         }
         ArrayHyperplaneSig(c.head, planes)
+      }),
+    (FunctionIdentifier("hyperplane_sig_at"),
+      new ExpressionInfo(classOf[ArrayHyperplaneSigAt].getName, "hyperplane_sig_at"),
+      arity("hyperplane_sig_at", 3) { c =>
+        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int =
+          e match {
+            case f if f.foldable => f.eval() match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case other => throw new IllegalArgumentException(
+                s"hyperplane_sig_at $what must be an int literal, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              s"hyperplane_sig_at $what must be a literal")
+          }
+        ArrayHyperplaneSigAt(c.head, lit(c(1), "offset"), lit(c(2), "count"))
       }))
 }

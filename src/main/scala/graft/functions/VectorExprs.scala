@@ -217,11 +217,17 @@ object HashKernels {
     (((s * s) % 2147483648L * 31L + s) % 2147483648L).toDouble / 2147483648.0 - 0.5
   }
 
-  /** Plane table precomputed once per JVM (64 planes × 64 dims) so the
-    * per-row signature loop reads a double[] instead of re-running the LCG
-    * 64×planes times per vector. */
+  /** Largest plane index any kernel will read. Sized for the size-adaptive
+    * dup banding ([[graft.llmdata.Similarity.dupBanding]]): its steepest
+    * rung is 31 bands × 17 bits = 527 planes; 1024 leaves headroom. The
+    * table is 1024×64 doubles = 512 KB per JVM — still negligible. */
+  final val MaxPlanes = 1024
+
+  /** Plane table precomputed once per JVM ([[MaxPlanes]] planes × 64 dims)
+    * so the per-row signature loop reads a double[] instead of re-running
+    * the LCG 64×planes times per vector. */
   private val PlaneTable: Array[Array[Double]] =
-    Array.tabulate(64, 64)(planeWeight)
+    Array.tabulate(MaxPlanes, 64)(planeWeight)
 
   /** The signature's pinned dimensionality. The plane-weight index is
     * `p*64 + d`, so weights for d >= 64 would COLLIDE with plane p+1's
@@ -251,6 +257,33 @@ object HashKernels {
       }
       if (s >= 0) sig |= (1L << p)
       p += 1
+    }
+    sig
+  }
+
+  /** One BAND of a hyperplane signature: bit i (0 ≤ i < count) is set iff
+    * dot(v, plane_{offset+i}) >= 0 — the same planes, same dim-ascending
+    * IEEE add order as [[hyperplaneSig]], just starting at an arbitrary
+    * plane. `hyperplaneSigAt(v, c*r, r)` therefore equals
+    * `(hyperplaneSig(v, b*r) >> (c*r)) & ((1<<r)-1)` wherever both are
+    * defined — but unlike the packed form, total planes (bands × bits) is
+    * bounded by [[MaxPlanes]], not by the 63 bits of one BIGINT. This is
+    * what lets the dup banding follow N (r ∝ log N needs b ≈ N^ρ bands to
+    * hold recall — 23×15 = 345 planes at 200 k vectors, far past 63). */
+  def hyperplaneSigAt(v: ArrayData, offset: Int, count: Int): Long = {
+    if (v.numElements() != SigDims) return 0L
+    var sig = 0L
+    var i = 0
+    while (i < count) {
+      val row = PlaneTable(offset + i)
+      var s = 0.0
+      var d = 0
+      while (d < SigDims) {
+        s += v.getDouble(d) * row(d)
+        d += 1
+      }
+      if (s >= 0) sig |= (1L << i)
+      i += 1
     }
     sig
   }
@@ -383,6 +416,38 @@ case class ArrayHyperplaneSig(child: Expression, planes: Int) extends UnaryExpre
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr =>
       s"${ev.value} = graft.functions.HashKernels.hyperplaneSig($arr, $planes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One band of a hyperplane signature ([[HashKernels.hyperplaneSigAt]]):
+  * bits of planes [offset, offset+count) as a BIGINT. The per-band form of
+  * [[ArrayHyperplaneSig]] — band values are bit-identical to extracting the
+  * same bit range from the packed signature, but the TOTAL plane budget is
+  * [[HashKernels.MaxPlanes]] instead of 63, which is what the size-adaptive
+  * dup banding needs (bands × bits grows with corpus size). */
+case class ArrayHyperplaneSigAt(child: Expression, offset: Int, count: Int)
+    extends UnaryExpression {
+  require(count >= 1 && count <= 63,
+    s"hyperplane_sig_at count must be in [1, 63], got $count")
+  require(offset >= 0 && offset + count <= HashKernels.MaxPlanes,
+    s"hyperplane_sig_at planes [$offset, ${offset + count}) outside [0, ${HashKernels.MaxPlanes})")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_sig_at requires array<double>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig_at"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.hyperplaneSigAt(v.asInstanceOf[ArrayData], offset, count)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.HashKernels.hyperplaneSigAt($arr, $offset, $count);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

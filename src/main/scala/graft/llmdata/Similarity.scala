@@ -203,13 +203,77 @@ object Similarity {
     * passes a constant FRACTION of chance pairs, so any fixed config is
     * Θ(N²) with a small constant; the classic sub-quadratic regime
     * (candidates ∝ N^(1+ρ), ρ = ln p₁ / ln p₂) needs r to grow with
-    * log N and b ≈ N^ρ — pass `planes`/`bandBits` explicitly to follow
-    * N. And for MODERATE thresholds (cos ≈ 0.4, ρ ≈ 0.67) even that is
-    * near-quadratic — use the cell-local [[semDedup]] (k ∝ N keeps
+    * log N and b ≈ N^ρ — which is what the dup family now does by
+    * default ([[dupBanding]]; the sf10 decade measured the fixed config
+    * at exp 1.33 before the change). These constants remain as the
+    * small-corpus anchor of that ladder and as pinned audit configs. And
+    * for MODERATE thresholds (cos ≈ 0.4, ρ ≈ 0.67) even adaptive banding
+    * is near-quadratic — use the cell-local [[semDedup]] (k ∝ N keeps
     * per-cell cost O(1)) instead of banding there. */
   val LshDupPlanes = 56
   val LshDupBandBits = 8
   val LshDupBands: Int = LshDupPlanes / LshDupBandBits
+
+  /** Bands per band-width for the size-adaptive dup banding: the smallest
+    * b with recall ≥ 0.9 at the cos ≥ 0.9 design point (per-plane collision
+    * p₁ = 1 − acos(0.9)/π ≈ 0.8564; b = ⌈ln 0.1 / ln(1 − p₁^r)⌉). Grows
+    * ≈ N^ρ (ρ ≈ 0.22) as the theory says it must — which is exactly why
+    * the packed single-BIGINT signature had to go: b·r reaches 527 planes
+    * at the top rung. MUST stay in lockstep with the CASE ladder in the
+    * DuckDB twins ([[graft.registry.LlmData]]). */
+  val DupBandsFor: Map[Int, Int] = Map(
+    8 -> 7, 9 -> 9, 10 -> 10, 11 -> 12, 12 -> 14,
+    13 -> 17, 14 -> 19, 15 -> 23, 16 -> 27, 17 -> 31)
+
+  /** Size-adaptive banding for corpus-wide near-dup pairing: (planes,
+    * bandBits) as a pure function of corpus size N. Band width r tracks
+    * log₂ N (r = 8 + #{k ∈ [11,19] : N > 2^k}, i.e. ceil(log₂ N) − 3
+    * clamped to [8, 17]) so the CHANCE-pair survival b·2⁻ʳ decays ∝ 1/N
+    * and candidate volume stays ~linear-in-N instead of Θ(N²); bands
+    * b = [[DupBandsFor]](r) holds recall ≥ 0.9 at cos 0.9. The ladder is
+    * integer-exact comparison arithmetic so the DuckDB twins derive the
+    * SAME knobs from `count(*)` — no float log in either engine.
+    *
+    * Anchors: N ≤ 2048 → 7×8 (the former fixed [[LshDupPlanes]] config, so
+    * small-corpus results are unchanged); N = 20 k (sf1) → 14×12; N = 200 k
+    * (sf10) → 23×15 — measured motivation in SCALING.md's sf10 decade
+    * (fixed 7×8 went exp 1.33 in the second decade; scaled knobs ran the
+    * same sf10 workload 7× faster). Past the 2^19 rung the ladder caps at
+    * 31×17: beyond ~500 k vectors, shard the corpus (the banding is
+    * per-shard) or use the cell-local [[semDedup]] (k ∝ N). */
+  def dupBanding(n: Long): (Int, Int) = {
+    val r = 8 + (11 to 19).count(k => n > (1L << k))
+    (DupBandsFor(r) * r, r)
+  }
+
+  /** [[dupBanding]] for CENTERED low-rank inputs (the multimodal feature
+    * path): band count stays at 2 — the operator's design point is
+    * identical-feature duplicates, which center to identical signatures
+    * and collide on every band at any width, so recall on true dups does
+    * not pay for width — while width r = 20 + #{k ∈ [10,20] : N > 2^k}
+    * (cap 31, one BIGINT-width band) grows with N to push down the
+    * chance-alignment fraction that fixed 2×20 banding passes as a
+    * constant (measured exp 1.33 over sf1→sf10). N ≤ 1024 → the former
+    * fixed 2×20 config. */
+  def centeredDupBanding(n: Long): (Int, Int) = {
+    val r = 20 + (10 to 20).count(k => n > (1L << k))
+    (2 * r, r)
+  }
+
+  /** Size-adaptive cell count for [[semDedup]]: k = 16·2^⌈rungs/2⌉ with
+    * one rung per doubling of N past 2048 — i.e. k ∝ √N, doubling every
+    * OTHER doubling of the corpus. √N (not ∝ N) because flat assignment
+    * costs N·k while within-cell pairing costs N²/k: k ∝ √N equalizes
+    * them at N^1.5 (the single-level optimum); k ∝ N would just move the
+    * quadratic from the pair join to the assignment join. Anchors:
+    * N ≤ 2048 → 16 (the former fixed default, so small-corpus results
+    * are unchanged), sf1 (20 k) → 64, sf10 (200 k) → 256. Integer-exact
+    * comparison-and-shift arithmetic, in lockstep with the CASE ladder
+    * in the DuckDB twin. */
+  def semDedupCells(n: Long): Int = {
+    val rungs = (11 to 25).count(k => n > (1L << k))
+    16 << ((rungs + 1) / 2)
+  }
 
   /** Keep each row's `keep` best cells by centroid cosine: broadcast the
     * (≤ nCells)-row centroid set against the side, rank per id. Shared by
@@ -317,15 +381,21 @@ object Similarity {
     * Scale shape: centroids train on [[kmeansCentroids]] (sample-trainable
     * at 100 TB), assignment is one broadcast join + per-id argmax, and the
     * pair join shuffles on `cell` — each reducer sees one cell's members.
-    * Keep cells bounded by scaling nCells with the corpus (~N/1000); for
-    * fat cells compose with [[lshPairCandidates]] inside the cell. The
+    * The default cell count is SIZE-ADAPTIVE ([[semDedupCells]]): fixed
+    * cells mean cell population ∝ N and within-cell pairing Θ(N²) — the
+    * sf10 decade measured exp 1.51 at the former fixed 16. The ladder
+    * grows k ∝ √N, balancing the two cost terms (flat assignment N·k vs
+    * pairing N²/k — both N^1.5 at k ∝ √N, the best a single-level
+    * clustering can do; the next decade's fix is hierarchical assignment,
+    * coarse√k × fine√k, which restores k ∝ N with N·√k assignment). The
     * assigned frame is persisted: it self-joins (a/b sides), and
     * unpinned the whole k-means tower would execute twice. */
   def semDedup(embeddings: DataFrame, threshold: Double = 0.4,
-               nCells: Int = 16, kmeansIters: Int = 1): DataFrame = {
+               nCells: Int = 0, kmeansIters: Int = 1): DataFrame = {
+    val cells = if (nCells > 0) nCells else semDedupCells(embeddings.count())
     val n = withNorm(embeddings)
     val centroids = graft.core.CacheScope.persisted(
-      kmeansCentroids(embeddings, nCells, kmeansIters))
+      kmeansCentroids(embeddings, cells, kmeansIters))
     val assigned = graft.core.CacheScope.persisted(
       nearestCells(n, centroids, "vec_id", 1)
         .select(col("cell"), col("vec_id"), col("ed"), col("nrm")))
@@ -448,23 +518,51 @@ object Similarity {
 
   /** Normalized frame + band-bucket frame for one embedding set — the ONE
     * construction of the LSH banding pipeline (used by [[lshCandidates]],
-    * [[lshNearDupPairs]], [[lshNearDupAgainst]]). The narrow
-    * (vec_id, __sig) frame — 16 bytes/row — is persisted so the signature
-    * kernel runs once however many times the bands are consumed; the
-    * exploded band form is deliberately NOT cached (bands-per-vector×
-    * larger — re-running the shift-and-mask explode off the cached
-    * signatures beats materializing it at corpus scale). `persistNorm`
-    * additionally caches the normalized vectors when the caller re-attaches
-    * them repeatedly. */
+    * [[lshNearDupPairs]], [[lshNearDupAgainst]]). Band values are computed
+    * PER BAND via the codegen'd `hyperplane_sig_at` kernel (band c = bits
+    * of planes [c·r, (c+1)·r)) — bit-identical to extracting the same
+    * range from the packed `hyperplane_sig` BIGINT wherever both exist,
+    * but total planes (bands × bits) is bounded by the plane table
+    * (1024), not by 63 signature bits: the size-adaptive [[dupBanding]]
+    * needs 345 planes at 200 k vectors. The narrow (vec_id, __bands)
+    * frame — 8·b bytes/row — is persisted so the signature kernel runs
+    * once however many times the bands are consumed; the exploded band
+    * form is deliberately NOT cached (re-running posexplode off the
+    * cached arrays beats materializing it at corpus scale). `persistNorm`
+    * additionally caches the normalized vectors when the caller
+    * re-attaches them repeatedly. */
   private def normAndBands(embs: DataFrame, planes: Int, bandBits: Int,
                            persistNorm: Boolean,
                            sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): (DataFrame, DataFrame) = {
     val n0 = withNorm(embs)
     val n = if (persistNorm) graft.core.CacheScope.persisted(n0) else n0
+    (n, bandsOf(n, planes, bandBits, sigCenterDims, sigCenterAt))
+  }
+
+  /** The band-bucket frame (vec_id, band, band_val) off a pre-normalized
+    * frame — see [[normAndBands]]. Split out so callers that resolve
+    * size-adaptive knobs from a count of the SAME persisted frame don't
+    * build the normalization twice. */
+  private def bandsOf(n: DataFrame, planes: Int, bandBits: Int,
+                      sigCenterDims: Int, sigCenterAt: Double): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 63, s"bandBits $bandBits out of [1, 63]")
+    require(planes % bandBits == 0, s"planes $planes not divisible by bandBits $bandBits")
+    require(planes <= graft.functions.HashKernels.MaxPlanes,
+      s"planes $planes exceeds the plane table (${graft.functions.HashKernels.MaxPlanes})")
+    val bands = planes / bandBits
+    // Center ONCE into a scratch column (not per band): at 31 bands the
+    // centering lambda would otherwise be codegen'd 31×.
+    val src =
+      if (sigCenterDims <= 0) n.withColumn("__ced", col("ed"))
+      else n.withColumn("__ced",
+        expr(s"transform(ed, (x, i) -> IF(i < $sigCenterDims, x - ${sigCenterAt}D, x))"))
+    val arr = (0 until bands)
+      .map(c => s"hyperplane_sig_at(__ced, ${c * bandBits}, $bandBits)")
+      .mkString("array(", ", ", ")")
     val sig = graft.core.CacheScope.persisted(
-      n.withColumn("__sig", expr(lshSigExpr(planes, sigCenterDims, sigCenterAt)))
-        .select("vec_id", "__sig"))
-    (n, explodeBands(sig, Seq("vec_id"), planes, bandBits))
+      src.withColumn("__bands", expr(arr)).select("vec_id", "__bands"))
+    sig.select(col("vec_id"), posexplode(col("__bands")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
   }
 
   /** Deduped (query_id, nn_id) LSH candidate pairs — the bucket join that
@@ -548,10 +646,14 @@ object Similarity {
     * collides on a given r-bit band with prob (1 - θ_angle/π)^r; across
     * [[LshDupBands]] bands misses are rare and vanish as cos → 1 — the
     * standard banding trade, tested against the exact baseline in the
-    * suite). Defaults are the wide [[LshDupPlanes]]×[[LshDupBandBits]]
-    * dup banding — see that constant's doc for the measured sf1 numbers
-    * behind it and for why moderate-threshold pairing should use
-    * [[semDedup]] instead.
+    * suite). The default banding is SIZE-ADAPTIVE ([[dupBanding]]): any
+    * fixed config passes a constant fraction of chance pairs (Θ(N²) with
+    * a small constant — measured exp 1.33 over sf1→sf10 at the former
+    * fixed 7×8), so band width follows log N and band count follows the
+    * recall table; at ≤ 2048 vectors this resolves to the former
+    * [[LshDupPlanes]]×[[LshDupBandBits]] config exactly. See
+    * [[LshDupPlanes]]'s doc for the measured numbers and for why
+    * moderate-threshold pairing should use [[semDedup]] instead.
     *
     * Banding only separates what the planes can see: inputs clustered in
     * one orthant need `sigCenterDims`/`sigCenterAt` (see [[lshSigExpr]]) so
@@ -561,10 +663,17 @@ object Similarity {
     * re-attached to the (rare) deduped candidate ids afterwards, so the wide
     * embedding arrays never enter the candidate shuffle. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
-                      planes: Int = LshDupPlanes, bandBits: Int = LshDupBandBits,
+                      planes: Int = 0, bandBits: Int = 0,
                       sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
-    val (n, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = true,
-      sigCenterDims, sigCenterAt)
+    // planes <= 0 (the default) = size-adaptive: derive the banding from a
+    // count of the persisted norm frame via [[dupBanding]] — one cheap
+    // count job that also materializes the cache the verify step re-reads.
+    // Callers with expensive upstream plans should persist them first (the
+    // registered queries feed raw tables). Explicit knobs pin a config
+    // (audits, the probe tool, the centered multimodal path).
+    val n = graft.core.CacheScope.persisted(withNorm(embeddings))
+    val (p, r) = if (planes > 0) (planes, bandBits) else dupBanding(n.count())
+    val bands = bandsOf(n, p, r, sigCenterDims, sigCenterAt)
     pairCandIds(bands)
       .join(n.select(col("vec_id").as("id_a"), col("ed").as("ea"), col("nrm").as("na")), "id_a")
       .join(n.select(col("vec_id").as("id_b"), col("ed").as("eb"), col("nrm").as("nb")), "id_b")
@@ -585,15 +694,19 @@ object Similarity {
     * |batch| × |corpus| — and the wide embedding arrays are re-attached
     * only to the deduped candidate ids. */
   def lshNearDupAgainst(batch: DataFrame, corpus: DataFrame, threshold: Double = 0.4,
-                        planes: Int = LshDupPlanes, bandBits: Int = LshDupBandBits,
+                        planes: Int = 0, bandBits: Int = 0,
                         sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
-    def sigBands(embs: DataFrame, idAs: String): (DataFrame, DataFrame) = {
-      val (n, bands) = normAndBands(embs, planes, bandBits, persistNorm = true,
-        sigCenterDims, sigCenterAt)
-      (n, bands.withColumnsRenamed(Map("vec_id" -> idAs)))
-    }
-    val (nNew, newBands) = sigBands(batch, "new_id")
-    val (nOld, oldBands) = sigBands(corpus, "old_id")
+    // Size-adaptive default: knobs derive from the CORPUS side (the scale
+    // driver) and are shared by both sides — bucket keys only match when
+    // the two sides band identically, so per-side auto-knobs would be a
+    // silent recall hole.
+    val nOld = graft.core.CacheScope.persisted(withNorm(corpus))
+    val (p, r) = if (planes > 0) (planes, bandBits) else dupBanding(nOld.count())
+    val nNew = graft.core.CacheScope.persisted(withNorm(batch))
+    val newBands = bandsOf(nNew, p, r, sigCenterDims, sigCenterAt)
+      .withColumnsRenamed(Map("vec_id" -> "new_id"))
+    val oldBands = bandsOf(nOld, p, r, sigCenterDims, sigCenterAt)
+      .withColumnsRenamed(Map("vec_id" -> "old_id"))
     val candIds = newBands
       .join(oldBands, Seq("band", "band_val"))
       .select("new_id", "old_id")

@@ -173,21 +173,26 @@ object LlmData {
     // (round 5: 94.5% of all pairs survived banding as candidates) — so
     // the SIGNATURES are computed over mean-centered dims (population mean
     // 0.5 is a distributional constant of the featurizer, not a data
-    // pass), with 40 planes in 2×20-bit bands. Measured on the sf0.1
-    // fixture: 3.3% of all pairs survive as candidates (415,867 of
-    // 12,497,500). Exact verify still scores the RAW cosines. The recall
-    // trade is real and deliberate: of the exact baseline's 1,008 pairs at
-    // cos>=0.99, only 8 are identical-feature duplicates (all retained —
+    // pass), with 2 wide bands whose width FOLLOWS corpus size
+    // (Similarity.centeredDupBanding: 2×20 bits at <= 1024 docs — the
+    // former fixed config — growing to 2×29 at sf10's 500 k docs; the
+    // fixed 2×20 measured exp 1.33 over the sf1→sf10 decade because any
+    // fixed banding passes a constant chance-pair fraction). Exact verify
+    // still scores the RAW cosines. The recall trade is real and
+    // deliberate: of the exact baseline's 1,008 pairs at cos>=0.99 (sf0.1),
+    // only 8 are identical-feature duplicates (all retained at ANY width —
     // identical vectors center to identical signatures); the rest are
-    // chance angular alignments of 8-dim hash features, of which wide
-    // bands keep ~37%. SCALING.md tabulates the config space.
+    // chance angular alignments of 8-dim hash features, which wider bands
+    // progressively shed. SCALING.md tabulates the config space. The twin
+    // derives the same width from count(*) with the same integer ladder.
     "m_embed_neardup_lsh" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
+      val (p, r) = Similarity.centeredDupBanding(docs(s, d).count())
       Similarity.lshNearDupPairs(
         Multimodal.featurize(s, docs(s, d))
           .select(col("doc_id").as("vec_id"),
             Similarity.padToSigDims(col("feature")).as("embedding")),
-        threshold = 0.99, planes = 40, bandBits = 20, sigCenterDims = 8, sigCenterAt = 0.5)
+        threshold = 0.99, planes = p, bandBits = r, sigCenterDims = 8, sigCenterAt = 0.5)
     }),
     "m_features" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -691,42 +696,64 @@ object LlmData {
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
   }
 
-  /** DuckDB twin of Similarity.lshNearDupPairs at its wide 7×8 dup
-    * banding (56-plane signature — NOT the top-k oracle's 32/4 knobs;
-    * see [[Similarity.LshDupPlanes]] for the measured reasoning), pair
-    * candidates instead of query candidates, exact cosine verification. */
-  private val lshNeardupSql = {
-    val mask = (1 << Similarity.LshDupBandBits) - 1
+  /** Knob CTEs for the size-adaptive dup banding, in LOCKSTEP with
+    * [[Similarity.dupBanding]]: `kb` derives (r, b) from `count(*)` of
+    * `src` with the same integer comparison ladder and the same bands
+    * table — no float log in either engine, so both resolve identical
+    * knobs for identical row counts. */
+  private def dupKnobsCte(src: String): String = {
+    val rung = (11 to 19)
+      .map(k => s"CASE WHEN n > ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
+    val bCase = Similarity.DupBandsFor.toSeq.sorted
+      .map { case (r, b) => s"WHEN $r THEN $b" }.mkString(" ")
+    s"""cnt AS (SELECT count(*) AS n FROM $src),
+       |kb AS (SELECT (8 + $rung) AS r, (CASE (8 + $rung) $bCase ELSE 7 END) AS b FROM cnt)""".stripMargin
+  }
+
+  /** Band-bucket CTE pair at the knobs in `kb`: band c of row v =
+    * Σ_i [dot(v, plane_{c·r+i}) ≥ 0]·2^i over planes c·r..c·r+r−1 — the
+    * identical per-band construction (and identical IEEE add order) as
+    * the Spark side's `hyperplane_sig_at` array. r and b are COLUMNS
+    * here (joined from `kb`), which is the whole point: the banding
+    * follows the corpus size the query actually ran on. */
+  private def dynBandsCte(name: String, src: String, edCol: String): String =
+    s"""${name}_x AS (SELECT vec_id, $edCol AS __ed, unnest(range(0, kb.b)) AS band, kb.r AS r FROM $src, kb),
+       |$name AS (SELECT vec_id, band,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, r), i ->
+       |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), j -> __ed[j] * ${Similarity.planeWeightSql("(band * r + i)", "(j - 1)")})), (s, v) -> s + v) >= 0
+       |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (s, v) -> s + v) AS band_val
+       |  FROM ${name}_x)""".stripMargin
+
+  /** DuckDB twin of Similarity.lshNearDupPairs at its SIZE-ADAPTIVE dup
+    * banding (see [[Similarity.dupBanding]]; at the sf0.01 oracle scale
+    * the ladder resolves to the former fixed 7×8 config), pair candidates
+    * instead of query candidates, exact cosine verification. */
+  private val lshNeardupSql =
     s"""WITH $normCte,
-       |sig AS (SELECT vec_id, ${lshSigTermsOver("ed", Similarity.LshDupPlanes)} AS s FROM n2),
-       |bands AS (SELECT vec_id, c AS band, (s >> (c * ${Similarity.LshDupBandBits})) & $mask AS band_val
-       |          FROM sig, (SELECT unnest(range(0, ${Similarity.LshDupBands})) AS c)),
+       |${dupKnobsCte("n2")},
+       |${dynBandsCte("bands", "n2", "ed")},
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b
        |FROM cand JOIN n2 a ON cand.id_a = a.vec_id JOIN n2 b ON cand.id_b = b.vec_id
        |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
-  }
 
   /** DuckDB twin of Similarity.lshNearDupAgainst over the registered 1-in-5
-    * batch/corpus split: same wide 7×8 dup banding and exact-cosine verify
-    * as the within-set oracle, bucket join BETWEEN the two sides. */
-  private val crossNeardupSql = {
-    val mask = (1 << Similarity.LshDupBandBits) - 1
+    * batch/corpus split: size-adaptive knobs derived from the CORPUS side
+    * (as the operator does — both sides must band identically for bucket
+    * keys to match), exact-cosine verify, bucket join BETWEEN the sides. */
+  private val crossNeardupSql =
     s"""WITH $normCte,
        |nb AS (SELECT vec_id, ed, nrm FROM n2 WHERE vec_id % 5 = 0),
        |nc AS (SELECT vec_id, ed, nrm FROM n2 WHERE vec_id % 5 != 0),
-       |sgb AS (SELECT vec_id, ${lshSigTermsOver("ed", Similarity.LshDupPlanes)} AS s FROM nb),
-       |sgc AS (SELECT vec_id, ${lshSigTermsOver("ed", Similarity.LshDupPlanes)} AS s FROM nc),
-       |bb AS (SELECT vec_id AS new_id, c AS band, (s >> (c * ${Similarity.LshDupBandBits})) & $mask AS band_val
-       |       FROM sgb, (SELECT unnest(range(0, ${Similarity.LshDupBands})) AS c)),
-       |bc AS (SELECT vec_id AS old_id, c AS band, (s >> (c * ${Similarity.LshDupBandBits})) & $mask AS band_val
-       |       FROM sgc, (SELECT unnest(range(0, ${Similarity.LshDupBands})) AS c)),
-       |cand AS (SELECT DISTINCT new_id, old_id FROM bb JOIN bc USING (band, band_val))
+       |${dupKnobsCte("nc")},
+       |${dynBandsCte("bb", "nb", "ed")},
+       |${dynBandsCte("bc", "nc", "ed")},
+       |cand AS (SELECT DISTINCT a.vec_id AS new_id, c.vec_id AS old_id
+       |         FROM bb a JOIN bc c ON a.band = c.band AND a.band_val = c.band_val)
        |SELECT new_id, old_id
        |FROM cand JOIN nb a ON cand.new_id = a.vec_id JOIN nc b ON cand.old_id = b.vec_id
        |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
-  }
 
   /** DuckDB twin of [[DocDedup.consensusPairs]] — the text and embedding
     * pair oracles composed with the same FULL JOIN classification. */
@@ -801,10 +828,32 @@ object LlmData {
     * ([[kmeansCte]]), same argmax cell assignment as the IVF oracles, then
     * within-cell lower-id pairs verified on exact cosine — removed =
     * distinct higher ids. */
+  /** `e_semdedup`'s twin at the SIZE-ADAPTIVE cell count: the same
+    * deterministic one-round k-means as [[kmeansCteWhere]], but seeded
+    * with `vec_id < k` where k derives from `count(*)` via the identical
+    * integer ladder as [[Similarity.semDedupCells]] (16 at the sf0.01
+    * oracle scale — the former fixed config). */
   private val semDedupSql = {
     val cellCos = Similarity.duckCosPre("v.ed", "c.ced", "v.nrm", "c.cnrm")
+    val rung = (11 to 25)
+      .map(k => s"CASE WHEN n > ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $normCte,
-       |$kmeansCte,
+       |kc AS (SELECT CAST(16 << ((($rung) + 1) // 2) AS BIGINT) AS k FROM (SELECT count(*) AS n FROM n2)),
+       |seed AS (SELECT CAST(vec_id AS INT) AS cell, ed AS ced, nrm AS cnrm FROM n2, kc WHERE vec_id < kc.k),
+       |asg0 AS (SELECT vec_id, ed, cell FROM (
+       |  SELECT v.vec_id, v.ed, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, c.cell ASC) AS r
+       |  FROM n2 v, seed c) WHERE r = 1),
+       |xk AS (SELECT cell, CAST(u.pos AS INT) AS pos, CAST(u.v AS DOUBLE) AS v
+       |       FROM (SELECT cell, unnest(list_transform(range(1, len(ed) + 1),
+       |                     i -> {'pos': i - 1, 'v': ed[i]})) AS u FROM asg0)),
+       |mk AS (SELECT cell, pos,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(v))), (s, y) -> s + y)
+       |           / count(*) AS m
+       |       FROM xk GROUP BY 1, 2),
+       |centn AS (SELECT cell, ced,
+       |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ced, v -> v * v)), (s, v) -> s + v)) AS cnrm
+       |          FROM (SELECT cell, list(m ORDER BY pos) AS ced FROM mk GROUP BY cell)),
        |ranked AS (SELECT v.vec_id, v.ed, v.nrm, c.cell,
        |             row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, c.cell ASC) AS r
        |           FROM n2 v, centn c),
@@ -860,27 +909,27 @@ object LlmData {
     * math as [[embedNeardupSql]]) zero-padded to the signature width, then
     * the LSH machinery at the composition's knobs — signatures over the
     * MEAN-CENTERED dims (x − 0.5, the featurizer's population mean; the
-    * identical double subtraction the Spark side performs), 40 planes in
-    * 2 bands × 20 bits, exact verify on the RAW padded vectors at 0.99.
-    * Padding is cosine-invariant, so the verify step scores the same
-    * doubles as the unpadded form. */
+    * identical double subtraction the Spark side performs), 2 wide bands
+    * whose width derives from `count(*)` of documents with the same
+    * integer ladder as [[Similarity.centeredDupBanding]] (20 bits at the
+    * sf0.01 oracle scale — the former fixed config), exact verify on the
+    * RAW padded vectors at 0.99. Padding is cosine-invariant, so the
+    * verify step scores the same doubles as the unpadded form. */
   private val embedNeardupLshSql = {
-    val planes = 40
-    val bandBits = 20
-    val nBands = planes / bandBits
-    val mask = (1L << bandBits) - 1
     val pad = graft.functions.HashKernels.SigDims - 8
+    val rung = (10 to 20)
+      .map(k => s"CASE WHEN n > ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH f AS (SELECT doc_id AS vec_id,
        |  list_transform(range(0, 8), j -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(j + 1, length(text) + 1, 8), i -> CAST(ord(text[i]) AS BIGINT))), (h, c) -> (h * 31 + c) % ${P}) AS DOUBLE) / ${P}.0) AS f8
        |FROM documents),
+       |cnt AS (SELECT count(*) AS n FROM documents),
+       |kb AS (SELECT (20 + $rung) AS r, 2 AS b FROM cnt),
        |p AS (SELECT vec_id,
        |  list_concat(f8, list_transform(range(0, $pad), i -> CAST(0.0 AS DOUBLE))) AS ed,
        |  list_concat(list_transform(f8, x -> x - 0.5), list_transform(range(0, $pad), i -> CAST(0.0 AS DOUBLE))) AS cd
        |FROM f),
        |n2 AS (SELECT vec_id, ed, cd, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ed, v -> v * v)), (s, v) -> s + v)) AS nrm FROM p),
-       |sig AS (SELECT vec_id, ${lshSigTermsOver("cd", planes)} AS s FROM n2),
-       |bands AS (SELECT vec_id, c AS band, (s >> (c * $bandBits)) & $mask AS band_val
-       |          FROM sig, (SELECT unnest(range(0, $nBands)) AS c)),
+       |${dynBandsCte("bands", "n2", "cd")},
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b

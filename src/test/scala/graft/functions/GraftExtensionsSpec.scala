@@ -20,9 +20,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
   private def arr(dt: org.apache.spark.sql.types.DataType, vs: Any*) =
     Literal.create(ArrayData.toArrayData(vs.toArray), ArrayType(dt))
 
-  test("extension builders cover all five custom functions") {
+  test("extension builders cover all six custom functions") {
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("array_dot", "hyperplane_sig", "minhash_sigs", "poly_hash_array", "simhash32"))
+      Seq("array_dot", "hyperplane_sig", "hyperplane_sig_at", "minhash_sigs",
+        "poly_hash_array", "simhash32"))
   }
 
   test("hyperplane_sig builder matches the plane-weight kernel sign pattern") {

@@ -1,0 +1,119 @@
+package graft.llmdata
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the size-adaptive LSH banding and cell-count ladders (the
+  * sf10-decade fix: any FIXED banding/cell config passes a constant
+  * fraction of chance pairs, so its cost is Θ(N²) with a small constant —
+  * measured exp 1.33 / 1.51 over sf1→sf10 before these ladders).
+  *
+  * The anchors below are load-bearing: the DuckDB twins derive the same
+  * knobs from `count(*)` with a mirrored integer CASE ladder, so a change
+  * here that isn't mirrored there breaks the oracle hash compare — and
+  * the small-N anchors must keep resolving to the former fixed configs or
+  * every small-corpus oracle row changes. */
+class AdaptiveBandingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def vecs(n: Int): org.apache.spark.sql.DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), j -> CAST(abs(hash(vec_id * 64 + j)) % 997 AS DOUBLE) / 997.0 - 0.5)")
+        .as("embedding"))
+
+  test("dupBanding anchors: former fixed 7x8 at small N, 14x12 at sf1 scale, 23x15 at sf10 scale") {
+    assert(Similarity.dupBanding(200L) == (56, 8))   // sf0.01 oracle scale
+    assert(Similarity.dupBanding(2048L) == (56, 8))  // last pre-rung count
+    assert(Similarity.dupBanding(2049L) == (81, 9))  // first rung
+    assert(Similarity.dupBanding(20000L) == (168, 12))
+    assert(Similarity.dupBanding(200000L) == (345, 15))
+    // ladder caps at 31x17 — past it the doc says shard or semDedup
+    assert(Similarity.dupBanding(100000000L) == (527, 17))
+  }
+
+  test("dupBanding: width is monotone in N and chance survival b*2^-r decays") {
+    val ns = Seq(100L, 3000L, 30000L, 300000L, 3000000L)
+    val knobs = ns.map(Similarity.dupBanding)
+    assert(knobs.map(_._2) == knobs.map(_._2).sorted)
+    val survival = knobs.map { case (p, r) => (p / r).toDouble * math.pow(2.0, -r) }
+    assert(survival == survival.sorted.reverse, s"survival not decaying: $survival")
+  }
+
+  test("centeredDupBanding: 2 bands always, former 2x20 at small N, growing width, 2x31 cap") {
+    assert(Similarity.centeredDupBanding(500L) == (40, 20))  // sf0.01 docs
+    assert(Similarity.centeredDupBanding(50000L) == (52, 26))
+    assert(Similarity.centeredDupBanding(500000L) == (58, 29))
+    assert(Similarity.centeredDupBanding(10000000L) == (62, 31))
+    Seq(100L, 10000L, 1000000L).foreach { n =>
+      val (p, r) = Similarity.centeredDupBanding(n)
+      assert(p == 2 * r)
+    }
+  }
+
+  test("semDedupCells: former fixed 16 at small N, k grows ~sqrt(N)") {
+    assert(Similarity.semDedupCells(200L) == 16)    // sf0.01
+    assert(Similarity.semDedupCells(2000L) == 16)   // sf0.1
+    assert(Similarity.semDedupCells(20000L) == 64)  // sf1
+    assert(Similarity.semDedupCells(200000L) == 256) // sf10
+    // ~sqrt scaling: 100x the rows -> ~sqrt(100)=10x cells (8..16 by rung parity)
+    val ratio = Similarity.semDedupCells(200000L).toDouble / Similarity.semDedupCells(2000L)
+    assert(ratio >= 8.0 && ratio <= 16.0)
+  }
+
+  // The builder requires LITERAL offsets (the production bandsOf path
+  // unrolls one call per band with constant offsets), so the specs below
+  // unroll bands the same way instead of computing offsets in a lambda.
+  test("hyperplane_sig_at band values equal packed-signature bit ranges (56x8)") {
+    graft.functions.VectorExprs.register(spark)
+    val bands = (0 until 7)
+      .map(c => s"hyperplane_sig_at(ed, ${c * 8}, 8)").mkString("array(", ", ", ")")
+    val packed = (0 until 7)
+      .map(c => s"shiftright(hyperplane_sig(ed, 56), ${c * 8}) & 255").mkString("array(", ", ", ")")
+    val n = vecs(64).withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val mismatches = n.select(expr(bands).as("bands"), expr(packed).as("packed"))
+      .filter(col("bands") =!= col("packed"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("hyperplane_sig_at reaches planes past the 63-bit packed cap") {
+    graft.functions.VectorExprs.register(spark)
+    // bands 20-22 at 15 bits read planes 300..344 — inexpressible as one
+    // packed BIGINT
+    val high = (20 to 22)
+      .map(c => s"hyperplane_sig_at(ed, ${c * 15}, 15)").mkString("array(", ", ", ")")
+    val distinctVals = vecs(32)
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(explode(expr(high)).as("bv"))
+      .select(countDistinct(col("bv")))
+      .head().getLong(0)
+    // high planes must still discriminate: expect many distinct band values
+    assert(distinctVals > 10L)
+  }
+
+  test("auto knobs produce the same pairs as explicitly passing dupBanding(count)") {
+    val in = vecs(300)
+    val auto = Similarity.lshNearDupPairs(in, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (p, r) = Similarity.dupBanding(300L)
+    val explicit = Similarity.lshNearDupPairs(in, threshold = 0.2, planes = p, bandBits = r)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    assert(auto == explicit)
+  }
+
+  test("lshNearDupAgainst shares corpus-derived knobs across both sides (pairs found across the split)") {
+    // 2100 corpus rows crosses the first rung (r=9) while a 50-row batch
+    // alone would resolve r=8: per-side auto-knobs would band the sides
+    // differently and silently find nothing. Exact duplicates of corpus
+    // vectors MUST surface regardless of the resolved width.
+    val corpus = vecs(2100)
+    val batch = vecs(50).withColumn("vec_id", col("vec_id") + 1000000L)
+    val dups = Similarity.lshNearDupAgainst(batch, corpus, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch vec i is vecs(50) row i = corpus row i duplicated exactly
+    (0 until 50).foreach { i =>
+      assert(dups.contains((i + 1000000L, i.toLong)), s"exact dup $i not found")
+    }
+  }
+}

@@ -19,7 +19,10 @@ out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/tmp/verify_out"
 con = duckdb.connect()
 for p in sorted(glob.glob(f"{sf}/*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver testdata tables are single files; locally generated scale
+    # fixtures (GenScale) are Spark-written directories of part files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
