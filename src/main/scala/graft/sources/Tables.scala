@@ -27,13 +27,22 @@ object Tables {
     spark.read.parquet(path)
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
-    * long (nanosAsLong). Convert ns → µs → TimestampNTZ here, once, so the
-    * rest of the engine sees a normal NTZ column (the data is µs-resolution;
-    * `div` floors, matching DuckDB/pyarrow's ns→µs handling). */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark 4 only reads as a long (nanosAsLong) — or plain TIMESTAMP(MICROS)
+    * NTZ, depending on the generator run. Normalize on the read schema,
+    * once, so the rest of the engine always sees a µs-resolution
+    * TimestampNTZ column: longs convert ns → µs (`div` floors, matching
+    * DuckDB/pyarrow's ns→µs handling); timestamp physical types cast
+    * straight to NTZ. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case org.apache.spark.sql.types.TimestampNTZType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    }
+  }
 
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")

@@ -21,16 +21,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Source of the streaming events feed over the repo's `events.parquet`
-    * layout: the file stores ts as TIMESTAMP(NANOS), which Spark 4 only
-    * reads as BIGINT (nanosAsLong pin) — declare it so and apply the same
-    * ns → µs → NTZ conversion as the batch reader (`Tables.events`), so
-    * stream and batch see identical event times. */
-  def fileSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    * layout. The file has stored ts as either TIMESTAMP(NANOS) — which
+    * Spark 4 only reads as BIGINT (nanosAsLong pin) — or plain
+    * TIMESTAMP(MICROS) NTZ, depending on the generator run; a stream source
+    * must DECLARE its schema, so sniff the physical type from one batch
+    * footer read (driver-side, O(1)) and declare accordingly. Long feeds
+    * get the same ns → µs → NTZ conversion as the batch reader
+    * (`Tables.events`), so stream and batch see identical event times. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame = {
+    val tsIsLong =
+      spark.read.parquet(dir).schema("ts").dataType == org.apache.spark.sql.types.LongType
+    if (tsIsLong)
+      spark.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .parquet(dir)
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    else
+      spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE")
+        .parquet(dir)
+  }
 
   /** The ONE tumbling-window aggregate both forms share — streaming and
     * batch differ only in watermarking and which time column drives the

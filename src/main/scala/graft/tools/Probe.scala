@@ -18,10 +18,7 @@ object Probe {
       val df = spark.read.parquet(s"$dir/$t.parquet")
       println(s"== $t: ${df.schema.treeString}")
     }
-    import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-      .show(3, truncate = false)
+    graft.sources.Tables.events(spark, dir).show(3, truncate = false)
     println("ansi=" + spark.conf.get("spark.sql.ansi.enabled"))
     spark.stop()
   }

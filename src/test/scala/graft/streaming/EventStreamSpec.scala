@@ -161,9 +161,9 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("file source end to end: declared-schema parquet stream matches the batch twin") {
     import org.apache.spark.sql.functions._
-    // Lay the events fixture out as 3 separate parquet files (the raw
-    // BIGINT-nanos ts layout fileSource declares), as a micro-batch file
-    // feed would arrive.
+    // Lay the events fixture out as 3 separate parquet files (whatever raw
+    // ts layout the generator shipped — fileSource sniffs it), as a
+    // micro-batch file feed would arrive.
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_files").toString
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("value", expr("cast(floor(value) as double)"))
@@ -184,13 +184,16 @@ class EventStreamSpec extends AnyFunSuite {
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
       val streamed = rows(spark.table("file_win_rev"))
-      // Batch twin over the identical files with the identical ns->NTZ
-      // conversion; values floored on both sides so the double sums are
-      // exact and order-independent.
-      val batch = rows(EventStream.windowedRevenueBatch(
-        spark.read.schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
-          .parquet(s"$dir/*")
-          .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))))
+      // Batch twin over the identical files with the identical ts
+      // normalization (long-nanos feeds convert, NTZ feeds pass through);
+      // values floored on both sides so the double sums are exact and
+      // order-independent.
+      val batchIn = spark.read.parquet(s"$dir/*")
+      val batchNorm =
+        if (batchIn.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          batchIn.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        else batchIn
+      val batch = rows(EventStream.windowedRevenueBatch(batchNorm))
       assert(streamed.nonEmpty)
       assert(streamed == batch)
     } finally q.stop()
