@@ -77,6 +77,10 @@ package object api {
     /** Pairs sharing a verbatim `window`-token run (rolling-hash windows). */
     def substrNearDupPairs(window: Int = DocDedup.SubstrWindow): DataFrame =
       DocDedup.substrPairs(docs, window)
+    /** Rewrite the corpus with every duplicated `window`-token run removed
+      * (the removal half of ExactSubstr). */
+    def removeDuplicateSpans(window: Int = DocDedup.SubstrWindow): DataFrame =
+      DocDedup.removeDuplicateSpans(docs, window)
     /** Text × embedding near-dup consensus (both/text_only/embedding_only). */
     def consensusNearDupPairs(embeddings: DataFrame,
                               textThreshold: Double = 0.5,
@@ -135,6 +139,11 @@ package object api {
       CorpusOps.cleanFunnel(docs, keepLang, minQuality)
     def epochPlan(weightsPerMille: Map[String, Int], stratum: String = "source"): DataFrame =
       CorpusOps.epochPlan(docs, weightsPerMille, stratum)
+    /** DSIR-style importance score vs a target slice (ln-free integer form). */
+    def importanceScore(isTarget: org.apache.spark.sql.Column =
+                          org.apache.spark.sql.functions.col("lang") === "en",
+                        buckets: Int = CorpusOps.DsirBuckets): DataFrame =
+      CorpusOps.importanceScore(docs, isTarget, buckets)
     def keepBestPerCluster: DataFrame = CorpusOps.keepBestPerCluster(docs)
     def strideMixOrder(weightsPerMille: Map[String, Int],
                        stratum: String = "source"): DataFrame =

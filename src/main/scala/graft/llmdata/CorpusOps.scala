@@ -1,6 +1,6 @@
 package graft.llmdata
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators that sit above the per-document primitives:
@@ -957,5 +957,77 @@ object CorpusOps {
         deduped.join(dropIds, Seq("doc_id"), "left_anti")))
       .withColumn("dropped",
         coalesce(lag("n_docs", 1).over(w) - col("n_docs"), lit(0L)))
+  }
+
+  // ---- Target-distribution importance scoring (DSIR-style) ---------------
+
+  /** Feature-hash bucket count for [[importanceScore]]. 2^10 buckets keep
+    * the bucket models broadcast-trivial while leaving hash collisions rare
+    * on the fixture vocabulary; production corpora use the paper's 10k-1M
+    * range — the model stays a broadcast either way. */
+  val DsirBuckets = 1024
+
+  /** Hashed-n-gram importance score against a target distribution — the
+    * selection signal of DSIR (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit bag-of-hashed-feature
+    * models on the TARGET slice (`isTarget`, e.g. a trusted high-quality
+    * subset) and on the RAW corpus, then score every document by how much
+    * more target-like than raw-like its features are. Documents with
+    * `keep = 1` (positive score) lean toward the target distribution — the
+    * resampling step then samples by score instead of uniformly.
+    *
+    * Deviation from the paper, pinned deliberately: the per-feature weight
+    * is the smoothed probability DIFFERENCE in ppm, not the log-likelihood
+    * ratio — `ln` has no cross-engine bit-exact form (same policy as the
+    * BM25/LM rows' ln-free scoring), and the induced per-document ordering
+    * agrees wherever it matters (monotone in each feature's target lean).
+    * All arithmetic is exact integer: add-1-smoothed ppm per bucket, and
+    * the mean shifts by +1e6 before the floor division so the numerator
+    * stays positive (Spark `div` truncates toward zero, DuckDB `//` floors
+    * — they only agree on non-negatives).
+    *
+    * Shape: ONE tokenize+hash pass feeds both models and the scoring join
+    * (persisted diamond); the bucket models are ≤ `buckets`-row aggregates
+    * joined back by broadcast, so the whole operator is one shuffle on
+    * (doc, bucket) plus broadcast joins — linear scan cost at 100 TB. The
+    * production policy is freeze-then-apply, as with k-means/BPE/PCA/LM:
+    * fit the two bucket models once (on a sample), persist them, and score
+    * any amount of new data with the frozen model as a pure broadcast
+    * projection. */
+  def importanceScore(documents: DataFrame,
+                      isTarget: Column = col("lang") === "en",
+                      buckets: Int = DsirBuckets): DataFrame = {
+    graft.functions.VectorExprs.register(documents.sparkSession)
+    val feats = documents
+      .withColumn("__w", transform(tokens(col("text")), w => lower(w)))
+      .withColumn("__h", sparkPolyHashArray("__w"))
+      .select(col("doc_id"), isTarget.cast("int").as("__t"),
+        explode(expr(s"transform(__h, h -> cast(h % $buckets AS INT))")).as("bucket"))
+      .groupBy("doc_id", "__t", "bucket").agg(count(lit(1)).as("n"))
+      .transform(graft.core.CacheScope.persisted)
+    val tgt = feats.filter(col("__t") === 1).groupBy("bucket").agg(sum("n").as("ct"))
+    val raw = feats.groupBy("bucket").agg(sum("n").as("cr"))
+    val model = raw.join(tgt, Seq("bucket"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+    val tot = model.agg(sum("ct").as("__tt"), sum("cr").as("__tr"))
+    val ppm = model.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr(s"((ct + 1L) * 1000000L) div (__tt + ${buckets}L)").as("ppm_t"),
+        expr(s"((cr + 1L) * 1000000L) div (__tr + ${buckets}L)").as("ppm_r"))
+    // keep = above the CORPUS-AVERAGE target lean: after the ln-free
+    // rescale an absolute zero crossing is meaningless (the raw model fits
+    // raw data better, so the corpus-wide mean sits below zero by
+    // construction) — and resampling is relative anyway. Same +1e6 shift
+    // before the floor division (scores are in [-1e6, 1e6]).
+    val scored = feats.join(broadcast(ppm), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"),
+        expr("(sum(n * (ppm_t - ppm_r + 1000000L)) div sum(n)) - 1000000L").as("dsir_ppm"))
+      .transform(graft.core.CacheScope.persisted)
+    val thr = scored.agg(
+      expr("(sum(dsir_ppm + 1000000L) div count(1)) - 1000000L").as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_ppm"),
+        when(col("dsir_ppm") > col("__thr"), 1).otherwise(0).as("keep"))
   }
 }

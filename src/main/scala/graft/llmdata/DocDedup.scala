@@ -244,6 +244,63 @@ object DocDedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_docs"))
       .select("doc_id", "simhash", "n_docs")
 
+  /** The REMOVAL half of ExactSubstr (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): [[substrPairs]] only
+    * *finds* documents sharing a verbatim `window`-token run; production
+    * pipelines REWRITE the corpus so no such duplicated run survives
+    * anywhere. Every token position covered by a window whose rolling hash
+    * occurs more than once in the corpus — across documents or repeated
+    * within one — is dropped, and the document is re-assembled from the
+    * surviving tokens (the paper's policy: remove ALL copies, not all but
+    * one; the span's content usually survives in whichever document carries
+    * it uniquely at a different length).
+    *
+    * Shape: same window-hash explode as [[substrPairs]] (O(n·window) fold
+    * per doc, uniform 64-bit shuffle keys), then ONE count aggregate on the
+    * window hash (never a pair join — removal needs multiplicity, not
+    * partners, so the quadratic candidate step disappears entirely), a
+    * per-doc `collect_set` of duplicated start positions, and a narrow
+    * rebuild projection (position filter over the token array — whole-stage
+    * codegen, no shuffle). Three shuffles total regardless of duplication
+    * factor, which is the 100 TB shape: cost tracks corpus size, not
+    * pair count. Docs shorter than `window` contribute their whole token
+    * stream as one window (the [[substrPairs]] fallback), so a short doc
+    * duplicated anywhere is removed in full (`text_clean = ''`) rather
+    * than slipping under the window. */
+  def removeDuplicateSpans(documents: DataFrame, window: Int = SubstrWindow): DataFrame = {
+    graft.functions.VectorExprs.register(documents.sparkSession)
+    // Persisted: consumed by the window explode AND the rebuild join.
+    val toks = documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__th", sparkPolyHashArray("__words"))
+      .select("doc_id", "__words", "__th")
+      .transform(graft.core.CacheScope.persisted)
+    val wins = toks.select(col("doc_id"), explode(expr(
+      s"""CASE WHEN size(__th) >= $window
+         | THEN transform(sequence(0, size(__th) - $window),
+         |        i -> struct(i + 1 AS start, aggregate(slice(__th, i + 1, $window), 0L, (h, c) -> (h * 31 + c) % $P) AS whash))
+         | ELSE array(struct(1 AS start, aggregate(__th, 0L, (h, c) -> (h * 31 + c) % $P) AS whash)) END"""
+        .stripMargin.replace("\n", " "))).as("w"))
+      .select(col("doc_id"), col("w.start").as("start"), col("w.whash").as("whash"))
+    // count(*) > 1 counts POSITIONS, so an intra-doc repeat duplicates too.
+    val dupStarts = wins
+      .join(wins.groupBy("whash").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1L).select("whash"), "whash")
+      .groupBy("doc_id").agg(collect_set(col("start")).as("__starts"))
+    toks.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("__starts", coalesce(col("__starts"), expr("cast(array() as array<int>)")))
+      .withColumn("__weff", least(size(col("__words")), lit(window)))
+      .withColumn("__keep", expr(
+        s"""filter(CASE WHEN size(__words) < 1 THEN cast(array() as array<int>)
+           |       ELSE sequence(1, size(__words)) END,
+           | p -> NOT exists(__starts, s -> p >= s AND p < s + __weff))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("doc_id"),
+        size(col("__words")).cast("bigint").as("n_tokens"),
+        (size(col("__words")) - size(col("__keep"))).cast("bigint").as("n_removed"),
+        expr("concat_ws(' ', transform(__keep, p -> element_at(__words, p)))").as("text_clean"))
+  }
+
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = simhashFingerprints(documents)
     val chunks = fp.select(

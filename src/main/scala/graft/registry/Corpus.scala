@@ -76,6 +76,7 @@ object Corpus {
         all.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0),
         all.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0))
     }),
+    "c_dsir" -> ((s, d) => CorpusOps.importanceScore(docs(s, d))),
     // Same split, but the corpus side served from a STORED dedup index
     // (shingles + band keys materialized at "ingest") — admission math is
     // identical, so it shares c_incr's oracle; what changes is the
@@ -487,7 +488,34 @@ object Corpus {
        |FROM s2 GROUP BY 1, 2""".stripMargin
   }
 
+  /** DuckDB twin of [[CorpusOps.importanceScore]] — same hashed-unigram
+    * buckets, add-1-smoothed integer ppm models, +1e6-shifted floor
+    * divisions (`//` ≡ Spark `div` on the shifted non-negatives), and the
+    * corpus-mean keep threshold. */
+  private val dsirSql = {
+    val B = CorpusOps.DsirBuckets
+    s"""WITH w AS (SELECT doc_id, lang, ${duckWords("text")} AS words FROM documents),
+       |f AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+       |    unnest(list_transform(${duckPolyHashArray("lw")}, h -> CAST(h % $B AS INT))) AS bucket
+       |  FROM (SELECT doc_id, lang, list_transform(words, x -> lower(x)) AS lw FROM w)),
+       |fc AS (SELECT doc_id, t, bucket, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2, 3),
+       |tgt AS (SELECT bucket, sum(n) AS ct FROM fc WHERE t = 1 GROUP BY 1),
+       |rw AS (SELECT bucket, sum(n) AS cr FROM fc GROUP BY 1),
+       |m0 AS (SELECT rw.bucket AS bucket, coalesce(ct, 0) AS ct, cr FROM rw LEFT JOIN tgt USING (bucket)),
+       |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM m0),
+       |ppm AS (SELECT bucket, ((ct + 1) * 1000000) // (tt + $B) AS ppm_t,
+       |    ((cr + 1) * 1000000) // (tr + $B) AS ppm_r FROM m0, tot),
+       |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    CAST((sum(n * (ppm_t - ppm_r + 1000000)) // sum(n)) - 1000000 AS BIGINT) AS dsir_ppm
+       |  FROM fc JOIN ppm USING (bucket) GROUP BY 1),
+       |thr AS (SELECT (sum(dsir_ppm + 1000000) // count(*)) - 1000000 AS t FROM sc)
+       |SELECT doc_id, n_tokens, dsir_ppm,
+       |  CAST(CASE WHEN dsir_ppm > t THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM sc, thr""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "c_dsir" -> dsirSql,
     "c_report" -> reportSql,
     "c_autofilter" -> autofilterSql,
     "c_sourcecap" -> sourcecapSql,

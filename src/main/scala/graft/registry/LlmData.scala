@@ -67,6 +67,7 @@ object LlmData {
     "d_ngram" -> ((s, d) => DocDedup.ngramJaccardPairs(docs(s, d))),
     "d_minhash" -> ((s, d) => DocDedup.minhashLshPairs(docs(s, d))),
     "d_substr" -> ((s, d) => DocDedup.substrPairs(docs(s, d))),
+    "d_substr_rm" -> ((s, d) => DocDedup.removeDuplicateSpans(docs(s, d))),
     "x_consensus" -> ((s, d) => DocDedup.consensusPairs(docs(s, d), embs(s, d))),
     "d_simhash" -> ((s, d) => DocDedup.simhashGroups(docs(s, d))),
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
@@ -332,6 +333,34 @@ object LlmData {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_windows
        |FROM wins a JOIN wins b ON a.whash = b.whash AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB twin of [[DocDedup.removeDuplicateSpans]] — same positioned
+    * window hashes as [[substrSql]] (struct-unnested so each window carries
+    * its 1-based start), same corpus-wide multiplicity count, same
+    * position-cover rebuild. `array_to_string` returns NULL on an empty
+    * list where Spark's `concat_ws` returns `''` — hence the coalesce on
+    * fully-removed documents. */
+  private val substrRmSql = {
+    import graft.llmdata.DocDedup.SubstrWindow
+    val fold = "(h, c) -> (h * 31 + c) % " + graft.llmdata.TextPrimitives.P
+    s"""WITH $wordsCte,
+       |th AS (SELECT doc_id, words, ${duckPolyHashArray("words")} AS th FROM w),
+       |wins AS (SELECT doc_id, unnest(CASE WHEN len(th) >= $SubstrWindow
+       |  THEN list_transform(range(0, len(th) - ${SubstrWindow - 1}),
+       |         i -> {'start': i + 1, 'whash': list_reduce(list_prepend(CAST(0 AS BIGINT), th[i + 1:i + $SubstrWindow]), $fold)})
+       |  ELSE [{'start': 1, 'whash': list_reduce(list_prepend(CAST(0 AS BIGINT), th), $fold)}] END, recursive := true) FROM th),
+       |dup AS (SELECT whash FROM wins GROUP BY 1 HAVING count(*) > 1),
+       |st AS (SELECT doc_id, list(DISTINCT start) AS starts FROM wins JOIN dup USING (whash) GROUP BY 1),
+       |base AS (SELECT th.doc_id AS doc_id, words, len(words) AS n,
+       |    least(len(words), $SubstrWindow) AS weff, coalesce(starts, []) AS starts
+       |  FROM th LEFT JOIN st USING (doc_id)),
+       |k AS (SELECT doc_id, n, words,
+       |    list_filter(range(1, n + 1), p -> len(list_filter(starts, s -> p >= s AND p < s + weff)) = 0) AS keep
+       |  FROM base)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(n - len(keep) AS BIGINT) AS n_removed,
+       |  coalesce(array_to_string(list_transform(keep, p -> words[p]), ' '), '') AS text_clean
+       |FROM k""".stripMargin
   }
 
   private val langidSql = {
@@ -991,6 +1020,7 @@ object LlmData {
     "d_ngram" -> ngramSql,
     "d_minhash" -> minhashSql,
     "d_substr" -> substrSql,
+    "d_substr_rm" -> substrRmSql,
     "x_consensus" -> consensusSql,
     "d_simhash" -> simhashSql,
     "e_topk" -> topkSql,
