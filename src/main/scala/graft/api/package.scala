@@ -65,6 +65,12 @@ package object api {
       TextAnalysis.bpeMerges(docs, nMerges)
     /** Apply a learned merge table; returns the subword vocabulary. */
     def bpeApply(merges: DataFrame): DataFrame = TextAnalysis.bpeApply(docs, merges)
+    /** Chars-per-BPE-token compression quality signal per document. */
+    def bpeFertility(merges: DataFrame): DataFrame = TextAnalysis.bpeFertility(docs, merges)
+    /** Count-min sketch term-frequency estimates audited vs exact counts. */
+    def cmsTermEstimates(depth: Int = TextAnalysis.CmsDepth,
+                         width: Int = TextAnalysis.CmsWidth): DataFrame =
+      TextAnalysis.cmsTermEstimates(docs, depth, width)
     /** Per-(source, lang) corpus report with exact ppm means. */
     def corpusReport: DataFrame = CorpusOps.corpusReport(docs)
 

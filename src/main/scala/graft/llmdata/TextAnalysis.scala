@@ -334,25 +334,60 @@ object TextAnalysis {
     * same broadcast fold applied to `__words` directly is the
     * per-document TOKENIZATION projection — one scan, no shuffle — when
     * the output should be token streams rather than counts. */
-  def bpeApply(documents: DataFrame, merges: DataFrame): DataFrame = {
-    val table = merges
-      .groupBy()
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(merge_idx, pair_a, pair_b, merged))), " +
-          "m -> named_struct('a', m.pair_a, 'b', m.pair_b, 'merged', m.merged))").as("__m"))
-    val applyWord =
-      """aggregate(__m, split(w, ''), (syms, m) ->
-        |  aggregate(syms, cast(array() as array<string>), (acc, tk) -> CASE
-        |    WHEN size(acc) = 0 THEN array(tk)
-        |    WHEN tk = m.b AND element_at(acc, -1) = m.a
-        |      THEN concat(slice(acc, 1, size(acc) - 1), array(m.merged))
-        |    ELSE concat(acc, array(tk)) END))""".stripMargin.replace("\n", " ")
+  /** 1-row merge-table aggregate shared by [[bpeApply]] and
+    * [[bpeFertility]]: the trained merges as an ordered struct array,
+    * broadcastable next to any word column. */
+  private def mergeTable(merges: DataFrame): DataFrame = merges
+    .groupBy()
+    .agg(expr(
+      "transform(array_sort(collect_list(struct(merge_idx, pair_a, pair_b, merged))), " +
+        "m -> named_struct('a', m.pair_a, 'b', m.pair_b, 'merged', m.merged))").as("__m"))
+
+  /** SQL fold applying the broadcast merge table `__m` to one word `w`
+    * (chars → symbols, each merge replayed in training order). */
+  private val applyWord =
+    """aggregate(__m, split(w, ''), (syms, m) ->
+      |  aggregate(syms, cast(array() as array<string>), (acc, tk) -> CASE
+      |    WHEN size(acc) = 0 THEN array(tk)
+      |    WHEN tk = m.b AND element_at(acc, -1) = m.a
+      |      THEN concat(slice(acc, 1, size(acc) - 1), array(m.merged))
+      |    ELSE concat(acc, array(tk)) END))""".stripMargin.replace("\n", " ")
+
+  def bpeApply(documents: DataFrame, merges: DataFrame): DataFrame =
     documents
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
-      .crossJoin(broadcast(table))
+      .crossJoin(broadcast(mergeTable(merges)))
       .select(col("wcnt"), explode(expr(applyWord)).as("token"))
       .groupBy("token").agg(sum("wcnt").as("cnt"))
+
+  /** Tokenizer-fertility quality signal: characters per applied-BPE token,
+    * per document (the compression-ratio filter family — text a trained
+    * tokenizer compresses poorly is disproportionately boilerplate, noise,
+    * or out-of-distribution; Gopher's C4-style filters use the same
+    * signal). `chars_ppt` is ppm-scaled chars-per-token, exact integer.
+    *
+    * Same vocabulary-form trick as [[bpeApply]]: a word type's subword
+    * count depends only on its content, so the merge fold runs once per
+    * DISTINCT word (vocab-sized, merge table broadcast) and joins back to
+    * the per-(doc, word) counts — ~corpus/vocab cheaper than folding every
+    * occurrence, and the join is broadcast (vocab side) so the whole
+    * operator is one (doc, word) shuffle. Freeze-then-apply at 100 TB:
+    * train the merges on a sample, score everything with the frozen
+    * table. */
+  def bpeFertility(documents: DataFrame, merges: DataFrame): DataFrame = {
+    val wf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      .transform(graft.core.CacheScope.persisted)
+    val sub = wf.select("w").distinct()
+      .crossJoin(broadcast(mergeTable(merges)))
+      .select(col("w"), expr(s"size($applyWord)").as("n_sub"),
+        length(col("w")).as("n_ch"))
+    wf.join(broadcast(sub), "w")
+      .groupBy("doc_id")
+      .agg(sum(expr("n * n_sub")).as("n_bpe"),
+        expr("(1000000L * sum(n * n_ch)) div sum(n * n_sub)").as("chars_ppt"))
   }
 
   /** Email pattern for [[scrub]]. Same match semantics under Java regex
@@ -596,5 +631,60 @@ object TextAnalysis {
       .agg(
         sum(col("n")).as("n_bigrams"),
         expr("sum(n * ((1000000L * c2) div c1)) div sum(n)").as("lm_ppm"))
+  }
+
+  /** Count-min sketch depth (hash rows) and width (counters per row).
+    * Collision probability per row ≈ vocab/width on the fixture; at
+    * production widths (2^20+) the estimate error is ≤ e·N/width with
+    * probability 1 − e^−depth, the classic CMS bound. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Count-min sketch term-frequency estimates (Cormode & Muthukrishnan
+    * 2005) — the FREQUENCY sketch next to the KMV CARDINALITY sketch
+    * (`v_kmv`): every token occurrence increments `depth` counters
+    * (row i at bucket `(a_i·h + b_i) mod P mod width`, the MinHash
+    * permutation family so both engines share constants); a term's
+    * estimate is the MIN of its counters, always ≥ the true count.
+    *
+    * The registered row audits the sketch against the exact counts for
+    * every distinct corpus token (`overcount = est − exact ≥ 0`, with
+    * equality unless buckets collide) — the same self-auditing pattern as
+    * `e_lsh_selectivity`.
+    *
+    * Scale shape: the sketch build is the whole point at 100 TB — the
+    * shuffle carries at most depth×width counter partials PER PARTITION
+    * (map-side combine absorbs every occurrence), so sketch cost is
+    * independent of vocabulary size, unlike the exact `t_vocab` aggregate
+    * whose shuffle is vocab-keyed. Sketches from disjoint shards merge by
+    * elementwise addition (counters are sums), giving frequency estimates
+    * over federated corpora without ever co-shuffling them. The exact
+    * side here is the verification baseline, corpus-bounded by design. */
+  def cmsTermEstimates(documents: DataFrame,
+                       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    graft.functions.VectorExprs.register(documents.sparkSession)
+    val A = graft.functions.HashKernels.MinHashA
+    val B = graft.functions.HashKernels.MinHashB
+    require(depth <= A.length, s"depth $depth exceeds the hash family (${A.length})")
+    val buckets = (0 until depth).map(i =>
+        s"named_struct('row', $i, 'bucket', cast(((${A(i)}L * __h + ${B(i)}L) % $P) % $width as int))")
+      .mkString("array(", ", ", ")")
+    // One tokenize+hash pass feeds the sketch build AND the exact probe side.
+    val occ = documents
+      .select(explode(transform(tokens(col("text")), w => lower(w))).as("token"))
+      .withColumn("__h", expr("element_at(poly_hash_array(array(token)), 1)"))
+      .transform(graft.core.CacheScope.persisted)
+    val sketch = occ.select(explode(expr(buckets)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    occ.groupBy("token").agg(count(lit(1)).as("exact_cnt"), min("__h").as("__h"))
+      .select(col("token"), col("exact_cnt"), explode(expr(buckets)).as("rb"))
+      .select(col("token"), col("exact_cnt"),
+        col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy("token")
+      .agg(min("cnt").as("est_cnt"), min("exact_cnt").as("exact_cnt"))
+      .select(col("token"), col("est_cnt"), col("exact_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overcount"))
   }
 }

@@ -61,6 +61,9 @@ object LlmData {
     "t_rarity" -> ((s, d) => TextAnalysis.rarityScore(docs(s, d))),
     "t_bpe_apply" -> ((s, d) =>
       TextAnalysis.bpeApply(docs(s, d), TextAnalysis.bpeMerges(docs(s, d)))),
+    "t_fertility" -> ((s, d) =>
+      TextAnalysis.bpeFertility(docs(s, d), TextAnalysis.bpeMerges(docs(s, d)))),
+    "v_cms" -> ((s, d) => TextAnalysis.cmsTermEstimates(docs(s, d))),
     "t_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "d_exact" -> ((s, d) => DocDedup.exact(docs(s, d))),
@@ -306,6 +309,39 @@ object LlmData {
        |  SELECT unnest(string_split(ws, ' ')) AS tk
        |  FROM (SELECT unnest(syms) AS ws FROM d$bpeRounds))
        |GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of [[TextAnalysis.bpeFertility]] — the trained rounds'
+    * final per-doc symbol state, counted and char-summed per document
+    * (removing the fold's spaces restores each word's characters). */
+  private val fertilitySql =
+    s"""$bpeCtes
+       |SELECT doc_id,
+       |  CAST(sum(len(string_split(ws, ' '))) AS BIGINT) AS n_bpe,
+       |  CAST((1000000 * sum(length(replace(ws, ' ', '')))) // sum(len(string_split(ws, ' '))) AS BIGINT) AS chars_ppt
+       |FROM (SELECT doc_id, unnest(syms) AS ws FROM d$bpeRounds)
+       |GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of [[TextAnalysis.cmsTermEstimates]] — same MinHash-family
+    * (a_i·h + b_i) mod P mod width bucket rows, counter build, and min-over-
+    * rows estimate ('r' instead of 'row' internally — ROW is reserved). */
+  private val cmsSql = {
+    import graft.llmdata.TextAnalysis.{CmsDepth, CmsWidth}
+    val A = graft.functions.HashKernels.MinHashA
+    val B = graft.functions.HashKernels.MinHashB
+    val buckets = (0 until CmsDepth).map(i =>
+        s"{'r': $i, 'bucket': CAST(((${A(i)} * h + ${B(i)}) % $P) % $CmsWidth AS INT)}")
+      .mkString("[", ", ", "]")
+    s"""WITH $wordsCte,
+       |occ AS (SELECT lower(t) AS token FROM (SELECT unnest(words) AS t FROM w)),
+       |oh AS (SELECT token, ${duckPolyHash("token")} AS h FROM occ),
+       |rb AS (SELECT unnest($buckets, recursive := true) FROM oh),
+       |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM rb GROUP BY 1, 2),
+       |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt, min(h) AS h FROM oh GROUP BY 1),
+       |pb AS (SELECT token, exact_cnt, unnest($buckets, recursive := true) FROM ex),
+       |est AS (SELECT token, min(exact_cnt) AS exact_cnt, min(cnt) AS est_cnt
+       |  FROM pb JOIN sk USING (r, bucket) GROUP BY token)
+       |SELECT token, est_cnt, exact_cnt, est_cnt - exact_cnt AS overcount FROM est""".stripMargin
+  }
 
   /** DuckDB twin of [[TextAnalysis.rarityScore]] — same exact integer
     * rational (`//` floor division ≡ Spark `div` on positives). */
@@ -1013,6 +1049,8 @@ object LlmData {
     "t_gopher" -> gopherSql,
     "t_bpe" -> bpeSql,
     "t_bpe_apply" -> bpeApplySql,
+    "t_fertility" -> fertilitySql,
+    "v_cms" -> cmsSql,
     "t_rarity" -> raritySql,
     "t_langid" -> langidSql,
     "t_fingerprint" -> fingerprintSql,

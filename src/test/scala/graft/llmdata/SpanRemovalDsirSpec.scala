@@ -60,6 +60,35 @@ class SpanRemovalDsirSpec extends AnyFunSuite {
     assert(out(3L)._3 == 0 && out(4L)._3 == 0)
   }
 
+  test("bpeFertility: merged-away words compress, others stay at chars-per-char") {
+    // "ab" repeated dominates pair counts, so training merges a+b first;
+    // every "ab" then costs 1 BPE token for 2 chars (2e6 ppt), while "cd"
+    // only benefits from later merges if trained — with 1 merge round it
+    // stays 2 tokens for 2 chars (1e6 ppt).
+    val in = Seq(
+      (1L, "ab ab ab ab"),
+      (2L, "cd cd cd"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(in, nMerges = 1)
+    val f = TextAnalysis.bpeFertility(in, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(f(1L) == ((4L, 2000000L)))  // 4 single-token words, 8 chars
+    assert(f(2L) == ((6L, 1000000L)))  // 2 tokens per word, 6 chars
+  }
+
+  test("cmsTermEstimates: estimates are exact without collisions and never undercount") {
+    val in = Seq(
+      (1L, "x x x y"),
+      (2L, "y z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cmsTermEstimates(in).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("x")._2 == 3L && out("y")._2 == 2L && out("z")._2 == 1L)
+    assert(out.values.forall { case (est, exact, over) => est >= exact && over == est - exact })
+    // 3 tokens into 4x256 counters: no collisions, estimates exact.
+    assert(out.values.forall { case (est, exact, _) => est == exact })
+  }
+
   test("importanceScore is deterministic across runs") {
     val in = Seq(
       (1L, "en", "alpha beta gamma"),
