@@ -518,6 +518,24 @@ object InfraOps {
           .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
       }.reduce(_ unionByName _)
     }),
+    // The audit half of time travel: what did v2's merge DO to v1 —
+    // inserts (new keys), updates (doubled balances), old/new side by
+    // side. Same two commits as k_snapshot, then the keyed diff.
+    "k_snapshot_diff" -> ((s: SparkSession, d: String) => {
+      import graft.sink.SnapshotStore
+      val dir = scratch(s, d, "snapshot_diff")
+      val st = new SnapshotStore(s, dir)
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .selectExpr("c_custkey", "c_acctbal")
+      st.commit(cust.where("c_custkey % 2 = 0"))
+      st.commitMerge(
+        cust.where("c_custkey % 3 = 0").selectExpr("c_custkey", "c_acctbal * 2 AS c_acctbal"),
+        Seq("c_custkey"))
+      st.diff(1L, 2L, Seq("c_custkey"))
+        .selectExpr("change", "c_custkey",
+          "CAST(floor(c_acctbal_old * 100) AS BIGINT) AS cents_old",
+          "CAST(floor(c_acctbal_new * 100) AS BIGINT) AS cents_new")
+    }),
     "s_checks" -> ((s: SparkSession, d: String) => {
       import graft.sources.Checks
       val li = s.read.parquet(s"$d/lineitem.parquet")
@@ -636,6 +654,22 @@ object InfraOps {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
         |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) FROM v2""".stripMargin,
+    "k_snapshot_diff" ->
+      """WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+        |m AS (SELECT c_custkey, c_acctbal * 2 AS c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+        |v2 AS (SELECT * FROM v1 WHERE c_custkey NOT IN (SELECT c_custkey FROM m)
+        |       UNION ALL SELECT * FROM m),
+        |d AS (SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+        |        a.c_acctbal AS old_b, b.c_acctbal AS new_b,
+        |        CASE WHEN a.c_custkey IS NULL THEN 'insert'
+        |             WHEN b.c_custkey IS NULL THEN 'delete'
+        |             WHEN a.c_acctbal IS DISTINCT FROM b.c_acctbal THEN 'update'
+        |             ELSE 'same' END AS change
+        |      FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+        |SELECT change, c_custkey,
+        |  CAST(floor(old_b * 100) AS BIGINT) AS cents_old,
+        |  CAST(floor(new_b * 100) AS BIGINT) AS cents_new
+        |FROM d WHERE change <> 'same'""".stripMargin,
     "s_checks" ->
       """SELECT 'orders_pk_unique' AS "check",
         |  CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS observed,

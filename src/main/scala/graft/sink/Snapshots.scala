@@ -130,4 +130,37 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     drop.foreach(v => fs.delete(new Path(root, s"v$v"), true))
     drop
   }
+
+  /** Keyed diff between two versions — the audit half of time travel
+    * (table formats call this table_changes/CDF): every key classified as
+    * `insert` (only in `v2`), `delete` (only in `v1`), or `update` (in
+    * both, payload differs; null-safe comparison so null payload fields
+    * never mis-classify), with the old and new payload columns side by
+    * side. Unchanged keys are excluded. Diffing `(v2, v1)` reverses the
+    * classification, so one operator answers both "what did this commit
+    * do" and "what would rolling it back do".
+    *
+    * Shape: one full-outer shuffle join on the keys — both sides
+    * partition by the diff key, the classification and payload flattening
+    * are narrow projections; nothing about the diff grows faster than the
+    * changed-row count. */
+  def diff(v1: Long, v2: Long, keys: Seq[String]): DataFrame = {
+    val a = read(v1)
+    val b = read(v2)
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"version schemas differ: v$v1 ${a.columns.mkString(",")} vs v$v2 ${b.columns.mkString(",")}")
+    val nonKey = a.columns.filterNot(keys.contains).toSeq
+    val l = a.select(keys.map(col) :+ struct(nonKey.map(col): _*).as("__l"): _*)
+    val r = b.select(keys.map(col) :+ struct(nonKey.map(col): _*).as("__r"): _*)
+    val olds = nonKey.map(c => col("__l").getField(c).as(s"${c}_old"))
+    val news = nonKey.map(c => col("__r").getField(c).as(s"${c}_new"))
+    l.join(r, keys, "full_outer")
+      .withColumn("change",
+        when(col("__l").isNull, lit("insert"))
+          .when(col("__r").isNull, lit("delete"))
+          .when(!(col("__l") <=> col("__r")), lit("update"))
+          .otherwise(lit("same")))
+      .filter(col("change") =!= "same")
+      .select(col("change") +: keys.map(col) ++: (olds ++ news): _*)
+  }
 }

@@ -60,6 +60,18 @@ class SpanRemovalDsirSpec extends AnyFunSuite {
     assert(out(3L)._3 == 0 && out(4L)._3 == 0)
   }
 
+  test("removeDuplicateSpans: zero-token docs share the empty fallback window but nothing is removed") {
+    // Two all-whitespace docs both hash the empty token stream to the same
+    // fallback window (so it counts as duplicated), but the effective
+    // width is 0 — no position is covered, and both engines emit ''.
+    val in = Seq((1L, "   "), (2L, "a b c d"), (3L, " ")).toDF("doc_id", "text")
+    val out = DocDedup.removeDuplicateSpans(in, window = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((0L, 0L, "")))
+    assert(out(2L) == ((4L, 0L, "a b c d")))
+    assert(out(3L) == ((0L, 0L, "")))
+  }
+
   test("bpeFertility: merged-away words compress, others stay at chars-per-char") {
     // "ab" repeated dominates pair counts, so training merges a+b first;
     // every "ab" then costs 1 BPE token for 2 chars (2e6 ppt), while "cd"

@@ -73,4 +73,30 @@ class SnapshotStoreSpec extends AnyFunSuite {
       st.commitMerge(Seq((2L, "x"), (2L, "y")).toDF("k", "v"), Seq("k"))
     }
   }
+
+  test("diff classifies insert/update, excludes unchanged, and reverses into deletes") {
+    val st = freshStore()
+    st.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    st.commitMerge(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    def d(a: Long, b: Long) = st.diff(a, b, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    // forward: key 1 unchanged (absent), key 2 updated, key 3 inserted
+    assert(d(1, 2) == Set(
+      ("update", 2L, "b", "B"),
+      ("insert", 3L, null, "c")))
+    // reverse diff answers "what would rollback do": the insert becomes a delete
+    assert(d(2, 1) == Set(
+      ("update", 2L, "B", "b"),
+      ("delete", 3L, "c", null)))
+  }
+
+  test("diff is null-safe: a null payload equal on both sides is not an update") {
+    val st = freshStore()
+    st.commit(Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "v"))
+    st.commitMerge(Seq((2L, Option.empty[String])).toDF("k", "v"), Seq("k"))
+    val out = st.diff(1, 2, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // key 1: null -> null = unchanged; key 2: "x" -> null = update
+    assert(out == Set(("update", 2L)))
+  }
 }
