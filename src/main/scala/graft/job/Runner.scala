@@ -182,7 +182,15 @@ object Runner {
         Some(store.commitReplacePartitions(
           df.withColumn("ano", org.apache.spark.sql.functions.lit(year)), "ano"))
       case (year, None) =>
-        store.commitDeletePartition("ano", year)
+        // Only burn a delete version when the head actually carries the
+        // year: an empty year that is already absent would otherwise
+        // commit a byte-identical version on every due-window run (up to
+        // 5 no-op versions per month), polluting the time-travel lineage.
+        val headHasYear = store.latestVersion.exists { v =>
+          !store.read(v)
+            .filter(org.apache.spark.sql.functions.col("ano") <=> year).isEmpty
+        }
+        if (headHasYear) store.commitDeletePartition("ano", year) else None
     }
   }
 }

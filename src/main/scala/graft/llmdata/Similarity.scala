@@ -392,8 +392,12 @@ object Similarity {
     * unpinned the whole k-means tower would execute twice. */
   def semDedup(embeddings: DataFrame, threshold: Double = 0.4,
                nCells: Int = 0, kmeansIters: Int = 1): DataFrame = {
-    val cells = if (nCells > 0) nCells else semDedupCells(embeddings.count())
-    val n = withNorm(embeddings)
+    // Adaptive-knob count runs on the PERSISTED norm frame (withNorm drops
+    // no rows, so the count is identical) — the count job doubles as cache
+    // materialization instead of re-executing an expensive upstream plan,
+    // the same pattern as lshNearDupPairs' knob count.
+    val n = graft.core.CacheScope.persisted(withNorm(embeddings))
+    val cells = if (nCells > 0) nCells else semDedupCells(n.count())
     val centroids = graft.core.CacheScope.persisted(
       kmeansCentroids(embeddings, cells, kmeansIters))
     val assigned = graft.core.CacheScope.persisted(
@@ -671,6 +675,8 @@ object Similarity {
     // Callers with expensive upstream plans should persist them first (the
     // registered queries feed raw tables). Explicit knobs pin a config
     // (audits, the probe tool, the centered multimodal path).
+    require((planes > 0) == (bandBits > 0),
+      s"planes and bandBits pin a config together (got planes=$planes, bandBits=$bandBits); leave both 0 for size-adaptive banding")
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
     val (p, r) = if (planes > 0) (planes, bandBits) else dupBanding(n.count())
     val bands = bandsOf(n, p, r, sigCenterDims, sigCenterAt)
@@ -700,6 +706,8 @@ object Similarity {
     // driver) and are shared by both sides — bucket keys only match when
     // the two sides band identically, so per-side auto-knobs would be a
     // silent recall hole.
+    require((planes > 0) == (bandBits > 0),
+      s"planes and bandBits pin a config together (got planes=$planes, bandBits=$bandBits); leave both 0 for size-adaptive banding")
     val nOld = graft.core.CacheScope.persisted(withNorm(corpus))
     val (p, r) = if (planes > 0) (planes, bandBits) else dupBanding(nOld.count())
     val nNew = graft.core.CacheScope.persisted(withNorm(batch))

@@ -96,13 +96,18 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * refresh. The carry-over side anti-joins the previous head on the
     * distinct partition values (one row per partition, broadcastable), so
     * the incremental plan cost over a plain [[commit]] is a broadcast
-    * anti-join — not a second full scan. */
+    * anti-join — not a second full scan. Null-safe on the partition
+    * column (like [[commitDeletePartition]]): incoming rows with a NULL
+    * partition REPLACE the head's NULL partition rather than duplicating
+    * beside it. */
   def commitReplacePartitions(incoming: DataFrame, partCol: String): Long =
     latestVersion match {
       case None    => commit(incoming)
       case Some(v) =>
-        val parts = broadcast(incoming.select(partCol).distinct())
-        commit(read(v).join(parts, Seq(partCol), "left_anti").unionByName(incoming))
+        val prev = read(v)
+        val parts = broadcast(incoming.select(col(partCol).as("__graft_part")).distinct())
+        commit(prev.join(parts, prev(partCol) <=> col("__graft_part"), "left_anti")
+          .unionByName(incoming))
     }
 
   /** Partition delete with history: commit a NEW version without

@@ -29,8 +29,13 @@ object EventStream {
     * get the same ns → µs → NTZ conversion as the batch reader
     * (`Tables.events`), so stream and batch see identical event times. */
   def fileSource(spark: SparkSession, dir: String): DataFrame = {
+    // An empty / not-yet-populated feed directory (normal cold-start order:
+    // stream first, producer later) has no footer to sniff — fall back to
+    // the NTZ layout the current generator ships; a long-nanos feed only
+    // needs the sniff once files exist.
     val tsIsLong =
-      spark.read.parquet(dir).schema("ts").dataType == org.apache.spark.sql.types.LongType
+      try spark.read.parquet(dir).schema("ts").dataType == org.apache.spark.sql.types.LongType
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (tsIsLong)
       spark.readStream
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")

@@ -50,6 +50,13 @@ object GenScale {
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/root/repo/tmp/sf1")
     val replicas = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    // The sign-flip mask below depends only on (r div 64)'s PARITY, so at
+    // r = 128 the composed transform repeats r = 0 exactly — every vector
+    // would gain a byte-identical cross-replica twin, the degenerate
+    // candidate structure the decorrelation exists to prevent. Fail loudly
+    // rather than silently generating artifact-producing fixtures.
+    require(replicas <= 128,
+      s"sign-flip decorrelation repeats past 128 replicas (got $replicas); extend the mask (e.g. Walsh rows) before generating larger sets")
     val lower = "abcdefghijklmnopqrstuvwxyz"
     // Letter substitution per replica: an AFFINE alphabet i -> a*i + b
     // (mod 26), a coprime to 26 so it stays a bijection. b = r%26 alone

@@ -44,6 +44,23 @@ class SimilarityKnobsSpec extends AnyFunSuite {
     assert(globalPairs.contains((3L, 4L)))
   }
 
+  test("lshNearDupPairs rejects a partially-specified knob pair loudly") {
+    import spark.implicits._
+    val e = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // planes without bandBits used to reach bandsOf and throw a cryptic
+    // range error; bandBits without planes was silently ignored. Both are
+    // now a clear contract error at the operator boundary.
+    intercept[IllegalArgumentException] {
+      Similarity.lshNearDupPairs(e, planes = 56)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshNearDupPairs(e, bandBits = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshNearDupAgainst(e, e, bandBits = 8)
+    }
+  }
+
   test("cosineNearDupPairs guard trips past maxRows and admits inputs at the limit") {
     // The guard must fail at PLAN BUILD (before any N² job is scheduled),
     // so the assertion is on the builder call itself.

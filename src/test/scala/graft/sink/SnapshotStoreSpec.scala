@@ -74,6 +74,17 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("commitReplacePartitions replaces the NULL partition instead of duplicating beside it") {
+    val st = freshStore()
+    st.commit(Seq((Option.empty[String], "old_null"), (Some("p1"), "old_p1"))
+      .toDF("part", "v"))
+    st.commitReplacePartitions(
+      Seq((Option.empty[String], "new_null")).toDF("part", "v"), "part")
+    val head = st.readLatest().collect()
+      .map(r => (Option(r.getString(0)), r.getString(1))).toSet
+    assert(head == Set((None, "new_null"), (Some("p1"), "old_p1")))
+  }
+
   test("diff classifies insert/update, excludes unchanged, and reverses into deletes") {
     val st = freshStore()
     st.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))

@@ -159,6 +159,14 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file source starts cleanly on an empty feed directory (cold-start order)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_empty").toString
+    // No files yet — the schema sniff must fall back, not fail the stream.
+    val src = EventStream.fileSource(spark, s"$dir/*")
+    assert(src.isStreaming)
+    assert(src.schema.fieldNames.contains("ts"))
+  }
+
   test("file source end to end: declared-schema parquet stream matches the batch twin") {
     import org.apache.spark.sql.functions._
     // Lay the events fixture out as 3 separate parquet files (whatever raw
