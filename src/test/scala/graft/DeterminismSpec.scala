@@ -33,7 +33,11 @@ class DeterminismSpec extends AnyFunSuite {
     "t_lmscore",       // bigram LM (partial-agg table + weighted mean)
     "e_pca",           // power iteration (per-dim sorted folds across rounds)
     "c_sourcecap",     // per-source rank under partial WindowGroupLimit
-    "c_funnel")        // staged counts over shared persisted frames
+    "c_funnel",        // staged counts over shared persisted frames
+    "d_substr_rm",     // window multiplicity + collect_set cover rebuild
+    "c_dsir",          // bucket models + shifted integer divisions
+    "v_cms",           // counter-partial merge order (sketch = sums, min over rows)
+    "k_snapshot_diff") // full-outer diff classification over committed stores
 
   private def run(name: String, parts: Int): Seq[String] = {
     // Drop blocks persisted by the previous run: CacheManager substitutes
