@@ -669,15 +669,27 @@ object TextAnalysis {
     val buckets = (0 until depth).map(i =>
         s"named_struct('row', $i, 'bucket', cast(((${A(i)}L * __h + ${B(i)}L) % $P) % $width as int))")
       .mkString("array(", ", ", ")")
-    // One tokenize+hash pass feeds the sketch build AND the exact probe side.
+    // One tokenize+hash pass feeds the sketch build AND the exact probe
+    // side — PRE-AGGREGATED to (token, __h, count) before the persist:
+    // the exact verification side needs the vocab-keyed aggregate anyway,
+    // and counters are sums, so the sketch build weights each token's
+    // buckets by its count instead of exploding per occurrence. The
+    // cached footprint is vocabulary-sized, not corpus-token-sized (the
+    // raw occurrence stream at 100 TB IS the corpus). A production
+    // sketch-only build (no exact audit) would skip even this groupBy:
+    // occurrences → per-partition counter partials directly, the
+    // vocab-independent shape the docstring describes — it's the
+    // registered row's exact-baseline audit that makes vocab-keyed work
+    // unavoidable here.
     val occ = documents
       .select(explode(transform(tokens(col("text")), w => lower(w))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
       .withColumn("__h", expr("element_at(poly_hash_array(array(token)), 1)"))
       .transform(graft.core.CacheScope.persisted)
-    val sketch = occ.select(explode(expr(buckets)).as("rb"))
+    val sketch = occ.select(col("exact_cnt"), explode(expr(buckets)).as("rb"))
       .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    occ.groupBy("token").agg(count(lit(1)).as("exact_cnt"), min("__h").as("__h"))
+      .agg(sum("exact_cnt").as("cnt"))
+    occ
       .select(col("token"), col("exact_cnt"), explode(expr(buckets)).as("rb"))
       .select(col("token"), col("exact_cnt"),
         col("rb.row").as("row"), col("rb.bucket").as("bucket"))

@@ -152,20 +152,36 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def diff(v1: Long, v2: Long, keys: Seq[String]): DataFrame = {
     val a = read(v1)
     val b = read(v2)
-    require(a.columns.sorted.sameElements(b.columns.sorted),
-      s"version schemas differ: v$v1 ${a.columns.mkString(",")} vs v$v2 ${b.columns.mkString(",")}")
-    val nonKey = a.columns.filterNot(keys.contains).toSeq
-    val l = a.select(keys.map(col) :+ struct(nonKey.map(col): _*).as("__l"): _*)
-    val r = b.select(keys.map(col) :+ struct(nonKey.map(col): _*).as("__r"): _*)
+    // Schema compare includes TYPES, not just names: a column whose type
+    // drifted between versions (e.g. int widened to bigint by a writer
+    // change) would otherwise flow into the payload structs and classify
+    // every key as `update` — a schema problem masquerading as data churn.
+    def shape(df: DataFrame) =
+      df.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).sortBy(_._1)
+    require(shape(a).sameElements(shape(b)),
+      s"version schemas differ: v$v1 ${a.schema.simpleString} vs v$v2 ${b.schema.simpleString}")
+    // Key names resolve CASE-INSENSITIVELY, matching Spark's own column
+    // resolution: an exact-match filter here would let a caller-cased key
+    // (`DOC_ID` vs stored `doc_id`) silently land in the payload struct —
+    // self-joined on nothing and struct-compared against itself, flipping
+    // the classification. Unknown keys fail loudly for the same reason.
+    val resolvedKeys = keys.map { k =>
+      a.columns.find(_.equalsIgnoreCase(k)).getOrElse(throw new IllegalArgumentException(
+        s"diff key `$k` not in snapshot schema (${a.columns.mkString(",")})"))
+    }
+    val keySet = resolvedKeys.map(_.toLowerCase).toSet
+    val nonKey = a.columns.filterNot(c => keySet.contains(c.toLowerCase)).toSeq
+    val l = a.select(resolvedKeys.map(col) :+ struct(nonKey.map(col): _*).as("__l"): _*)
+    val r = b.select(resolvedKeys.map(col) :+ struct(nonKey.map(col): _*).as("__r"): _*)
     val olds = nonKey.map(c => col("__l").getField(c).as(s"${c}_old"))
     val news = nonKey.map(c => col("__r").getField(c).as(s"${c}_new"))
-    l.join(r, keys, "full_outer")
+    l.join(r, resolvedKeys, "full_outer")
       .withColumn("change",
         when(col("__l").isNull, lit("insert"))
           .when(col("__r").isNull, lit("delete"))
           .when(!(col("__l") <=> col("__r")), lit("update"))
           .otherwise(lit("same")))
       .filter(col("change") =!= "same")
-      .select(col("change") +: keys.map(col) ++: (olds ++ news): _*)
+      .select(col("change") +: resolvedKeys.map(col) ++: (olds ++ news): _*)
   }
 }

@@ -32,15 +32,22 @@ object Tables {
     * NTZ, depending on the generator run. Normalize on the read schema,
     * once, so the rest of the engine always sees a µs-resolution
     * TimestampNTZ column: longs convert ns → µs (`div` floors, matching
-    * DuckDB/pyarrow's ns→µs handling); timestamp physical types cast
-    * straight to NTZ. */
+    * DuckDB/pyarrow's ns→µs handling). Any OTHER physical type fails
+    * loudly: in particular a tz-aware TIMESTAMP → NTZ cast is
+    * session-timezone-dependent, so a silent fallback cast could shift
+    * every event time relative to an engine reading the file naively —
+    * a wrong-answer class of bug, which a loud error converts into a
+    * visible "teach the reader this layout" task. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       case org.apache.spark.sql.types.TimestampNTZType => raw
-      case _ => raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts read as $other; expected BIGINT (nanos-as-long) or TIMESTAMP_NTZ. " +
+          "Refusing a session-timezone-dependent cast that could silently shift event " +
+          "times — extend Tables.events with the new layout's explicit conversion instead")
     }
   }
 

@@ -32,10 +32,20 @@ object EventStream {
     // An empty / not-yet-populated feed directory (normal cold-start order:
     // stream first, producer later) has no footer to sniff — fall back to
     // the NTZ layout the current generator ships; a long-nanos feed only
-    // needs the sniff once files exist.
-    val tsIsLong =
-      try spark.read.parquet(dir).schema("ts").dataType == org.apache.spark.sql.types.LongType
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    // needs the sniff once files exist. CONSTRAINT, stated rather than
+    // hidden: the sniff runs ONCE at source construction and the declared
+    // schema is pinned for the stream's whole life. If a nanos-as-long
+    // producer populates the dir only AFTER an empty-dir start, the
+    // pinned NTZ schema makes the first batch fail loudly (parquet
+    // type-mismatch) — restart the stream to re-sniff; it will never
+    // silently misread the longs as timestamps. The catch is deliberately
+    // broad (Try, not just AnalysisException): ANY inference failure on an
+    // unpopulated dir — missing path, no footers, FS hiccup — means "no
+    // evidence of the long layout", and the NTZ default plus the loud
+    // mismatch above is the safe resolution for all of them.
+    val tsIsLong = scala.util.Try(
+      spark.read.parquet(dir).schema("ts").dataType == org.apache.spark.sql.types.LongType
+    ).getOrElse(false)
     if (tsIsLong)
       spark.readStream
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")

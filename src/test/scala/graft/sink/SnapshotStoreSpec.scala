@@ -110,4 +110,25 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // key 1: null -> null = unchanged; key 2: "x" -> null = update
     assert(out == Set(("update", 2L)))
   }
+
+  test("diff resolves caller-cased keys like Spark does; unknown keys fail loudly") {
+    val st = freshStore()
+    st.commit(Seq((1L, "a")).toDF("k", "v"))
+    st.commitMerge(Seq((1L, "A"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    // `K` must resolve to stored `k` — exact-match key filtering would
+    // struct-wrap the key as payload and classify every row insert+delete.
+    val out = st.diff(1, 2, Seq("K")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("update", 1L), ("insert", 2L)))
+    val err = intercept[IllegalArgumentException](st.diff(1, 2, Seq("nope")))
+    assert(err.getMessage.contains("nope"))
+  }
+
+  test("diff refuses a payload TYPE drift instead of classifying it as mass updates") {
+    val st = freshStore()
+    st.commit(Seq((1L, 1)).toDF("k", "v"))                    // v: int
+    st.commit(Seq((1L, 1L)).toDF("k", "v"))                   // v: bigint
+    val err = intercept[IllegalArgumentException](st.diff(1, 2, Seq("k")))
+    assert(err.getMessage.contains("schemas differ"))
+  }
 }
