@@ -57,34 +57,47 @@ object Bench {
       // gc again reclaims them inside this query's untimed gap.
       System.gc(); Thread.sleep(25); System.gc()
     }
-    // Queries whose round-over-round story depends on an ORDERING between
-    // variants (mitigation vs baseline) get extra warm reps with min taken:
-    // a single warm shot is exposed to in-session block churn, which in r7
-    // flipped j_skew_salted (isolated 3.49s) above j_skew_plain (isolated
-    // 7.67s) in the official record. min-of-3 bounds the one-sided noise
-    // (churn only ever ADDS time) without tripling the whole 105-query run.
-    val flagged = Set("j_skew_plain", "j_skew_salted")
+    // EVERY query's warm number is min-of-3: a single warm shot is exposed
+    // to in-session block churn, which manufactured phantom regressions
+    // three rounds running (r7: flipped j_skew_salted above j_skew_plain —
+    // isolated 3.49s vs 7.67s; r8: c_keepbest official 9.33s vs 5.6s
+    // isolated, 1.67×). min bounds the one-sided noise (churn only ever
+    // ADDS time), making the official per-query record trustworthy without
+    // a separate BenchIso cross-check. Cost: the session runs ~2× longer —
+    // the price of per-query numbers that can be read as regressions
+    // without a manual isolation pass.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def rep(): Double = {
         val t0 = System.nanoTime()
         // A failed query must be visible in the JSON (-1 sentinel), not
-        // recorded as a fast success of elapsed-until-crash seconds.
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // recorded as a fast success of elapsed-until-crash seconds. A
+        // tripped scale guard (-2) is NOT a failure: at sf1+ the bounded
+        // quadratic baselines are DESIGNED to refuse, and an artifact
+        // where that looks like an error forces a manual diff against the
+        // guard list every scale session.
+        val dt =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case _: graft.core.ScaleGuardRefusal => -2.0
+            case _: Throwable => -1.0
+          }
         cleanup()
         dt
       }
       val cold = rep()
-      val warmReps = if (flagged(name)) 3 else 1
       val warm =
-        if (cold < 0) -1.0
-        else Seq.fill(warmReps)(rep()).min
+        if (cold < 0) cold
+        else Seq.fill(3)(rep()).min
       (name, cold, warm)
     }
     def toJson(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = toJson(results.map { case (n, _, w) => n -> w })
     val colds = toJson(results.map { case (n, c, _) => n -> c })
+    // Guard-refused rows listed BY NAME so a scale-session artifact reads
+    // as "these N rows refused by design", zero rows merely looking failed.
+    val skipped = results.collect { case (n, c, _) if c == -2.0 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._3).filter(_ >= 0).sum
     // Two lines, detail FIRST: the driver keeps only the last ~2 kB of
     // stdout, and the full per-query map (64 warm + 64 cold entries) is
@@ -92,7 +105,7 @@ object Bench {
     // round's headline parses as null (round 5's bench was lost exactly
     // this way). The final line is the parse target: short (<1 kB), no
     // per-query maps, guaranteed to fit any tail buffer.
-    val detail = s"""{"metric":"detail","warm":$qs,"cold":$colds,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"detail","warm":$qs,"cold":$colds,"skipped_guard":$skipped,"sf":"$sfDir"}"""
     println(detail)
     // The driver's stdout capture keeps only the last ~2 kB; at 105
     // queries the detail line alone is ~4.7 kB, so per-query history was

@@ -132,7 +132,11 @@ object Similarity {
     * pass; that one small job at plan-build time is the explicit price of
     * making the quadratic baseline un-misusable. */
   private def requireSmall(embeddings: DataFrame, maxRows: Int, op: String): Unit = {
-    require(embeddings.limit(maxRows + 1).count() <= maxRows,
+    // ScaleGuardRefusal (not a bare require): scale sessions run the whole
+    // registry where this refusal is the DESIGNED outcome at sf1+ — the
+    // bench harnesses catch the type and record `skipped_guard`, keeping
+    // tripped guards distinguishable from real failures in the artifact.
+    graft.core.ScaleGuard.require(embeddings.limit(maxRows + 1).count() <= maxRows,
       s"$op is the quadratic all-pairs verification baseline and its input exceeds " +
         s"maxRows=$maxRows; use the LSH bucket path (lshNearDupPairs / lshNearDupAgainst) " +
         s"at scale, or raise maxRows explicitly for a deliberate oversized verification run")

@@ -16,16 +16,23 @@ object BenchIso {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        System.gc() // let ContextCleaner reap dead broadcasts, as Bench does
-        dt
+      try {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          System.gc() // let ContextCleaner reap dead broadcasts, as Bench does
+          dt
+        }
+        println(f"$name%-14s ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      } catch {
+        // At sf1+ the bounded quadratic baselines refuse by design; a
+        // triage session over many names must record that and move on,
+        // not die mid-list looking like the query crashed.
+        case _: graft.core.ScaleGuardRefusal => println(f"$name%-14s skipped_guard")
       }
-      println(f"$name%-14s ${ts.map(t => f"$t%.2f").mkString(" ")}")
     }
     spark.stop()
   }
