@@ -395,13 +395,17 @@ object Similarity {
     * assigned frame is persisted: it self-joins (a/b sides), and
     * unpinned the whole k-means tower would execute twice. */
   def semDedup(embeddings: DataFrame, threshold: Double = 0.4,
-               nCells: Int = 0, kmeansIters: Int = 1): DataFrame = {
-    // Adaptive-knob count runs on the PERSISTED norm frame (withNorm drops
-    // no rows, so the count is identical) — the count job doubles as cache
-    // materialization instead of re-executing an expensive upstream plan,
-    // the same pattern as lshNearDupPairs' knob count.
+               nCells: Int = 0, kmeansIters: Int = 1, nHint: Long = 0L): DataFrame = {
+    // Adaptive-knob sizing, cheapest evidence first: a caller-supplied
+    // `nHint` (parquet footer counts via ParquetMeta / TableStats rows —
+    // metadata, no corpus scan) wins; absent that, the count runs on the
+    // PERSISTED norm frame (withNorm drops no rows, so the count is
+    // identical) and doubles as cache materialization. At 100 TB the hint
+    // path is the difference between "choose knobs from the catalog" and
+    // "materialize the corpus once just to size the banding".
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
-    val cells = if (nCells > 0) nCells else semDedupCells(n.count())
+    val cells = if (nCells > 0) nCells
+      else semDedupCells(if (nHint > 0) nHint else n.count())
     val centroids = graft.core.CacheScope.persisted(
       kmeansCentroids(embeddings, cells, kmeansIters))
     val assigned = graft.core.CacheScope.persisted(
@@ -672,17 +676,21 @@ object Similarity {
     * embedding arrays never enter the candidate shuffle. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
                       planes: Int = 0, bandBits: Int = 0,
-                      sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
-    // planes <= 0 (the default) = size-adaptive: derive the banding from a
-    // count of the persisted norm frame via [[dupBanding]] — one cheap
-    // count job that also materializes the cache the verify step re-reads.
-    // Callers with expensive upstream plans should persist them first (the
-    // registered queries feed raw tables). Explicit knobs pin a config
-    // (audits, the probe tool, the centered multimodal path).
+                      sigCenterDims: Int = 0, sigCenterAt: Double = 0.0,
+                      nHint: Long = 0L): DataFrame = {
+    // planes <= 0 (the default) = size-adaptive: banding from `nHint` when
+    // the caller already knows N (parquet footers / table stats — metadata
+    // cost, no corpus scan; footer counts are exact so both paths pick
+    // identical knobs, spec-pinned), else from a count of the persisted
+    // norm frame via [[dupBanding]] — one count job that also materializes
+    // the cache the verify step re-reads. Callers with expensive upstream
+    // plans should persist them first or pass the hint. Explicit knobs pin
+    // a config (audits, the probe tool, the centered multimodal path).
     require((planes > 0) == (bandBits > 0),
       s"planes and bandBits pin a config together (got planes=$planes, bandBits=$bandBits); leave both 0 for size-adaptive banding")
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
-    val (p, r) = if (planes > 0) (planes, bandBits) else dupBanding(n.count())
+    val (p, r) = if (planes > 0) (planes, bandBits)
+      else dupBanding(if (nHint > 0) nHint else n.count())
     val bands = bandsOf(n, p, r, sigCenterDims, sigCenterAt)
     pairCandIds(bands)
       .join(n.select(col("vec_id").as("id_a"), col("ed").as("ea"), col("nrm").as("na")), "id_a")
@@ -705,15 +713,18 @@ object Similarity {
     * only to the deduped candidate ids. */
   def lshNearDupAgainst(batch: DataFrame, corpus: DataFrame, threshold: Double = 0.4,
                         planes: Int = 0, bandBits: Int = 0,
-                        sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
+                        sigCenterDims: Int = 0, sigCenterAt: Double = 0.0,
+                        corpusNHint: Long = 0L): DataFrame = {
     // Size-adaptive default: knobs derive from the CORPUS side (the scale
     // driver) and are shared by both sides — bucket keys only match when
     // the two sides band identically, so per-side auto-knobs would be a
-    // silent recall hole.
+    // silent recall hole. `corpusNHint` supplies the corpus size from
+    // metadata (footers / table stats) so knob choice needn't scan it.
     require((planes > 0) == (bandBits > 0),
       s"planes and bandBits pin a config together (got planes=$planes, bandBits=$bandBits); leave both 0 for size-adaptive banding")
     val nOld = graft.core.CacheScope.persisted(withNorm(corpus))
-    val (p, r) = if (planes > 0) (planes, bandBits) else dupBanding(nOld.count())
+    val (p, r) = if (planes > 0) (planes, bandBits)
+      else dupBanding(if (corpusNHint > 0) corpusNHint else nOld.count())
     val nNew = graft.core.CacheScope.persisted(withNorm(batch))
     val newBands = bandsOf(nNew, p, r, sigCenterDims, sigCenterAt)
       .withColumnsRenamed(Map("vec_id" -> "new_id"))

@@ -80,7 +80,11 @@ object LlmData {
     "e_rp_topk" -> ((s, d) => Similarity.rpTopK(embs(s, d))),
     "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
-    "e_lsh_neardup" -> ((s, d) => Similarity.lshNearDupPairs(embs(s, d))),
+    // nHint from parquet footers: knob choice costs metadata, not a corpus
+    // scan — the DuckDB twin's count(*) is itself a footer read, so the
+    // two engines still derive identical knobs.
+    "e_lsh_neardup" -> ((s, d) => Similarity.lshNearDupPairs(embs(s, d),
+      nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))),
     // cross-set semantic dedup: every 5th vector plays the incoming batch,
     // the rest the standing corpus (mirrors c_incr's text-side split)
     "e_cross_neardup" -> ((s, d) => {
@@ -118,7 +122,8 @@ object LlmData {
         .unionByName(cnt("mm_centered_2x20",
           Similarity.lshPairCandidates(mm, 40, 20, 8, 0.5)))
     }),
-    "e_semdedup" -> ((s, d) => Similarity.semDedup(embs(s, d))),
+    "e_semdedup" -> ((s, d) => Similarity.semDedup(embs(s, d),
+      nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     // Index round trip: build + store the IVF layout (cell-partitioned),
@@ -191,7 +196,8 @@ object LlmData {
     // derives the same width from count(*) with the same integer ladder.
     "m_embed_neardup_lsh" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val (p, r) = Similarity.centeredDupBanding(docs(s, d).count())
+      val (p, r) = Similarity.centeredDupBanding(
+        graft.sources.ParquetMeta.footerRows(s, s"$d/documents.parquet"))
       Similarity.lshNearDupPairs(
         Multimodal.featurize(s, docs(s, d))
           .select(col("doc_id").as("vec_id"),
