@@ -241,6 +241,69 @@ object InfraOps {
     sink.read().select("doc_id", "fingerprint")
   }
 
+  /** L83 as a real oracle row — the SNAPSHOT twin of [[streamIngestStore]]:
+    * the corpus replays through [[DocStream.ingestToSnapshots]] in scripted
+    * micro-batches and what the oracle checks is the final VERSION LINEAGE
+    * (every version's full contents, version numbers included) — i.e. not
+    * just where the store ended up but the exact history the stream
+    * committed getting there.
+    *
+    * Scripting: rows rank per FINGERPRINT (the admission key) by doc_id.
+    * The rank-1 rows (each fingerprint's first arrival) feed in three
+    * deterministic slices by `(doc_id/4) % 3` — one fingerprint belongs to
+    * exactly one slice, so the run commits exactly v1 ⊂ v2 ⊂ v3 and slice
+    * membership is statically computable by the DuckDB twin. Everything
+    * after must commit NOTHING: per-rank duplicate batches (admission
+    * anti-join hits), then a watermark advance plus a whitespace-mutated
+    * full replay past the horizon (streaming state evicted, so rejection
+    * must come from the HEAD anti-join — and an empty admission must not
+    * burn a version). A wrong version count, a version containing a
+    * replayed doc_id, or churn versions from empty batches all surface as
+    * oracle row mismatches. Same quarter-corpus gate and state-partition
+    * sizing rationale as `st_ingest_store`. */
+  def streamIngestSnapshots(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = scratch(spark, sfDir, "st_snapshot_lineage")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") % 4 === 0)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("fingerprint").orderBy("doc_id")
+    val all = DocStream.withFingerprint(docs)
+      .select(col("doc_id"), col("text"), row_number().over(win).as("rk"))
+      .collect()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val tLate = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    val store = new graft.sink.SnapshotStore(spark, s"$root/snaps")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = DocStream.ingestToSnapshots(
+        mem.toDF().toDF("doc_id", "ts", "text"), store, s"$root/ckpt")
+      try {
+        (0 until 3).foreach { slice =>
+          val rows = all.filter(r => r.getInt(2) == 1 && (r.getLong(0) / 4) % 3 == slice)
+          mem.addData(rows.toSeq.map(r => (r.getLong(0), t0, r.getString(1))))
+          q.processAllAvailable()
+        }
+        val maxRk = all.map(_.getInt(2)).max
+        (2 to maxRk).foreach { rk =>
+          val rows = all.filter(_.getInt(2) == rk)
+          mem.addData(rows.toSeq.map(r => (r.getLong(0), t0, r.getString(1))))
+          q.processAllAvailable()
+        }
+        mem.addData(Seq((9000000L, tLate, all.head.getString(1))))
+        q.processAllAvailable()
+        mem.addData(all.toSeq.map(r => (r.getLong(0) + 1000000L, tLate, " " + r.getString(1) + " ")))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    store.versions
+      .map(v => store.read(v).select(lit(v).as("version"), col("doc_id"), col("fingerprint")))
+      .reduce(_ unionByName _)
+  }
+
   /** Bucketed co-located join round-trip: bucket lineitem and orders on
     * their join key at write time, then join + aggregate the catalog
     * tables. The join runs with NO exchange on either side (asserted in
@@ -561,7 +624,8 @@ object InfraOps {
     "st_window" -> (windowAggBatch _),
     "st_dedup" -> (streamDedupBatch _),
     "st_neardup" -> (streamNearDupBatch _),
-    "st_ingest_store" -> (streamIngestStore _))
+    "st_ingest_store" -> (streamIngestStore _),
+    "st_snapshot_lineage" -> (streamIngestSnapshots _))
 
   /** DuckDB twin of one [[graft.sources.TableStats.analyze]] output row:
     * same null convention (min/max/NDV over the non-null population), the
@@ -783,6 +847,22 @@ object InfraOps {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), th), (h, c) -> (h * 37 + c) % $P) AS fingerprint
          |FROM w)
          |SELECT min(doc_id) AS doc_id, fingerprint FROM fp GROUP BY fingerprint""".stripMargin
+    },
+    "st_snapshot_lineage" -> {
+      import graft.llmdata.TextPrimitives.{duckPolyHashArray, duckWords, P}
+      // The lineage is static under the scripted slices: version v holds
+      // every fingerprint whose FIRST copy (min doc_id) lands in slice
+      // (doc_id/4) % 3 < v. Exactly versions 1..3 may exist — an extra
+      // churn version or a replayed doc_id would emit unmatched rows.
+      s"""WITH w AS (SELECT doc_id, ${duckPolyHashArray(duckWords("text"))} AS th FROM documents
+         |           WHERE doc_id % 4 = 0),
+         |fp AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), th), (h, c) -> (h * 37 + c) % $P) AS fingerprint
+         |FROM w),
+         |firsts AS (SELECT min(doc_id) AS doc_id, fingerprint FROM fp GROUP BY fingerprint)
+         |SELECT CAST(v.version AS BIGINT) AS version, f.doc_id, f.fingerprint
+         |FROM firsts f JOIN (VALUES (1), (2), (3)) v(version)
+         |  ON ((f.doc_id // 4) % 3) < v.version""".stripMargin
     },
     "st_neardup" -> {
       import graft.llmdata.DocDedup
