@@ -29,19 +29,40 @@ object Runner {
   def ressarcimentoYears(today: LocalDate, firstYear: Int = 2023): Seq[Int] =
     firstYear to today.getYear
 
-  /** EP1: the daily flagship — day-range scans of both POS feeds, the
-    * broadcast join, keyed upsert on `etiqueta` (`etl_job.py:28-85`). */
-  def runDaily(spark: SparkSession, config: Map[String, String], sink: Sink,
-               today: LocalDate): Long = {
+  /** The daily flagship view for `today`'s period — day-range scans of
+    * both POS feeds, the broadcast join (`etl_job.py:28-85`); shared by
+    * the mutable-sink and snapshot publishing paths so the two can never
+    * drift in WHAT they compute, only in how the result is stored. */
+  private def dailyFlagship(spark: SparkSession, config: Map[String, String],
+                            today: LocalDate): DataFrame = {
     val Period(start, end) = period(today)
     val cosmosFeed = Tables.dayRangeScan(spark, config("bucket"), config("cosmos_system"), start, end)
     val preVendaFeed = Tables.dayRangeScan(spark, config("bucket"), config("pre_venda_system"), start, end)
     val cupom = SuperDesconto.cupom(cosmosFeed, preVendaFeed)
     val autorizador = SuperDesconto.autorizador(Tables.pathScan(spark, config("autorizacao")))
     val produto = SuperDesconto.produto(Tables.pathScan(spark, config("produto")))
-    val flagship = SuperDesconto.flagship(cupom, autorizador, produto)
-    sink.mergeByKey(flagship, Seq("etiqueta"))
+    SuperDesconto.flagship(cupom, autorizador, produto)
   }
+
+  /** EP1: the daily flagship — keyed upsert on `etiqueta` into a mutable
+    * sink (`etl_job.py:28-85`). */
+  def runDaily(spark: SparkSession, config: Map[String, String], sink: Sink,
+               today: LocalDate): Long =
+    sink.mergeByKey(dailyFlagship(spark, config, today), Seq("etiqueta"))
+
+  /** EP1 with time travel: the same daily MERGE published as a NEW
+    * [[SnapshotStore]] version per run — the Pipeline A twin of
+    * [[runRessarcimentoSnapshot]] (Pipeline B got snapshots first; the
+    * daily job wrote in place, so "what did the flagship table hold
+    * before this morning's merge" had no answer). `commitMerge` carries
+    * unmatched prior keys forward and replaces matched ones, exactly the
+    * mutable path's MERGE semantic, so the HEAD always equals what
+    * [[runDaily]] into a [[graft.sink.ParquetSink]] would contain — with
+    * every previous day still readable at its version and a bad feed one
+    * `rollback` away. Returns the committed version. */
+  def runDailySnapshot(spark: SparkSession, config: Map[String, String],
+                       store: graft.sink.SnapshotStore, today: LocalDate): Long =
+    store.commitMerge(dailyFlagship(spark, config, today), Seq("etiqueta"))
 
   /** EP2: the monthly ressarcimento refresh — one job per year since 2023,
     * replace on the first WRITTEN year then append, skipping empty years

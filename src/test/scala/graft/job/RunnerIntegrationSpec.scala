@@ -189,4 +189,44 @@ class RunnerIntegrationSpec extends AnyFunSuite {
     store.rollback(4)
     assert(store.readLatest().filter(col("ano") === 1994).count() == 5)
   }
+
+  test("runDailySnapshot: each daily merge is a version; day 1 stays readable after day 2 and the head matches the mutable path") {
+    val root = Files.createTempDirectory("graft_daily_snap").toString
+    val day1 = LocalDate.of(2026, 8, 6)
+    val day2 = day1.plusDays(1)
+    // feeds laid out over day-2's (wider) window: day 1's run sees one
+    // fewer file, so the second merge genuinely brings new rows
+    val Runner.Period(start, end) = Runner.period(day2)
+    for ((sys, fix) <- Seq("cosmos" -> RefFixtures.cosmos, "pre_venda" -> RefFixtures.preVenda)) {
+      val feed = fix.df(spark, sfDir).cache()
+      val days = Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end)).toSeq
+      days.zipWithIndex.foreach { case (d, i) =>
+        feed.filter(abs(hash(col(feed.columns.head))) % days.length === i)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(f"$root/$sys/${d.getYear}%04d/${d.getMonthValue}%02d/${d.getDayOfMonth}%02d.parquet")
+      }
+      feed.unpersist()
+    }
+    RefFixtures.autorizacao.df(spark, sfDir).write.mode("overwrite").parquet(s"$root/autorizacao")
+    RefFixtures.produto.df(spark, sfDir).write.mode("overwrite").parquet(s"$root/produto")
+    val config = Map(
+      "bucket" -> root, "cosmos_system" -> "cosmos", "pre_venda_system" -> "pre_venda",
+      "autorizacao" -> s"$root/autorizacao", "produto" -> s"$root/produto")
+
+    val store = new SnapshotStore(spark, s"$root/snap_flagship")
+    assert(Runner.runDailySnapshot(spark, config, store, day1) == 1L)
+    val d1Keys = store.read(1).select("etiqueta").collect().map(_.getString(0)).toSet
+    assert(d1Keys.nonEmpty)
+    assert(Runner.runDailySnapshot(spark, config, store, day2) == 2L)
+    // day-1's table is still readable AFTER day-2's merge, unchanged
+    assert(store.read(1).select("etiqueta").collect().map(_.getString(0)).toSet == d1Keys)
+    val headKeys = store.readLatest().select("etiqueta").collect().map(_.getString(0)).toSet
+    assert(headKeys.size > d1Keys.size, "day 2's wider window must add keys")
+    // the head equals the mutable-sink path run day-by-day: same MERGE semantic
+    val sink = new ParquetSink(spark, s"$root/sink_flagship")
+    Runner.runDaily(spark, config, sink, day1)
+    Runner.runDaily(spark, config, sink, day2)
+    assert(sink.read().select("etiqueta").collect().map(_.getString(0)).toSet == headKeys)
+    assert(sink.read().count() == store.readLatest().count())
+  }
 }
