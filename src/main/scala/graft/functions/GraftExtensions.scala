@@ -77,5 +77,20 @@ object GraftExtensions {
               s"hyperplane_sig_at $what must be a literal")
           }
         ArrayHyperplaneSigAt(c.head, lit(c(1), "offset"), lit(c(2), "count"))
+      }),
+    (FunctionIdentifier("rp_project"),
+      new ExpressionInfo(classOf[ArrayRpProject].getName, "rp_project"),
+      arity("rp_project", 2) { c =>
+        val planes = c(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"rp_project planes must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "rp_project planes must be a literal")
+        }
+        ArrayRpProject(c.head, planes)
       }))
 }

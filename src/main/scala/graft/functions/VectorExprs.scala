@@ -287,6 +287,32 @@ object HashKernels {
     }
     sig
   }
+
+  /** Random-hyperplane PROJECTION: the raw dots with planes [0, planes) —
+    * what [[hyperplaneSig]] signs, kept as doubles (the random-projection
+    * coarse space of `rpTopK`). Same [[PlaneTable]], same dim-ascending
+    * IEEE add order, so projections are bit-identical to the
+    * `aggregate(transform(...))` lambda form this replaces and to the
+    * DuckDB `list_reduce` twin. Null (not a partial value) for non-64-dim
+    * input, mirroring the kernels above: a ragged embedding must surface,
+    * not project onto a weight prefix that collides with plane p+1. */
+  def rpProject(v: ArrayData, planes: Int): Array[Double] = {
+    if (v.numElements() != SigDims) return null
+    val out = new Array[Double](planes)
+    var p = 0
+    while (p < planes) {
+      val row = PlaneTable(p)
+      var s = 0.0
+      var d = 0
+      while (d < SigDims) {
+        s += v.getDouble(d) * row(d)
+        d += 1
+      }
+      out(p) = s
+      p += 1
+    }
+    out
+  }
 }
 
 /** Codegen'd per-element polynomial hash: `array<string>` → `array<bigint>`.
@@ -448,6 +474,47 @@ case class ArrayHyperplaneSigAt(child: Expression, offset: Int, count: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr =>
       s"${ev.value} = graft.functions.HashKernels.hyperplaneSigAt($arr, $offset, $count);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane projection ([[HashKernels.rpProject]]): the dots of a
+  * 64-dim embedding with planes [0, planes) as `array<double>` — the
+  * codegen-weight fix for `rpTopK`'s coarse space, same rationale as
+  * [[ArrayHyperplaneSig]]: the lambda form it replaces re-ran the LCG
+  * weight formula planes×64 times per row through interpreted
+  * higher-order functions AND billed its janino compile to every cold
+  * run. Null for non-64-dim input (see [[HashKernels.SigDims]]). */
+case class ArrayRpProject(child: Expression, planes: Int) extends UnaryExpression {
+  require(planes >= 1 && planes <= HashKernels.MaxPlanes,
+    s"rp_project planes must be in [1, ${HashKernels.MaxPlanes}], got $planes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rp_project requires array<double>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rp_project"
+
+  override def nullSafeEval(v: Any): Any = {
+    val out = HashKernels.rpProject(v.asInstanceOf[ArrayData], planes)
+    if (out == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val tmp = ctx.freshName("rp")
+      s"""double[] $tmp = graft.functions.HashKernels.rpProject($arr, $planes);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp);
+         |}""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

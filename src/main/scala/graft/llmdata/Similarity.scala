@@ -767,9 +767,13 @@ object Similarity {
 
   /** Random-projection (Johnson–Lindenstrauss) top-k: project the corpus
     * to `rpDims` dimensions with the LSH family's deterministic LCG weight
-    * matrix (uniform(-0.5, 0.5), generated by formula — ONE compact
-    * expression, not rpDims×64 literals, so codegen stays cheap), rank
-    * candidates by projected cosine, then exact-re-rank the
+    * matrix (uniform(-0.5, 0.5), the shared LCG plane family via the
+    * codegen'd `rp_project` kernel — the same compile-once static-call
+    * shape as `hyperplane_sig`; the earlier lambda form re-derived the
+    * weight formula 1024× per row through interpreted higher-order
+    * functions and billed a janino compile of the inlined formula to
+    * every cold run), rank candidates by projected cosine, then
+    * exact-re-rank the
     * `k·overfetch` survivors on the original vectors. Completes the ANN
     * family along its fourth axis: quantization shrinks precision, IVF
     * prunes partitions, LSH buckets hashes — RP shrinks DIMENSION:
@@ -791,12 +795,9 @@ object Similarity {
              rpDims: Int = 16, overfetch: Int = 3): DataFrame = {
     require(rpDims > 0 && overfetch >= 1)
     val w = org.apache.spark.sql.expressions.Window
-    val rpExpr = s"transform(sequence(0, ${rpDims - 1}), r -> " +
-      s"aggregate(transform(ed, (x, i) -> x * ${planeWeightSql("r", "i")}), " +
-      "cast(0.0 as double), (s, v) -> s + v))"
     val n = graft.core.CacheScope.persisted(
       withNorm(embeddings)
-        .withColumn("rp", expr(rpExpr))
+        .withColumn("rp", expr(s"rp_project(ed, $rpDims)"))
         .withColumn("rpn", expr("sqrt(array_dot(rp, rp))")))
     val queries = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"),

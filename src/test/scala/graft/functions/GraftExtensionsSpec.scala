@@ -20,10 +20,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
   private def arr(dt: org.apache.spark.sql.types.DataType, vs: Any*) =
     Literal.create(ArrayData.toArrayData(vs.toArray), ArrayType(dt))
 
-  test("extension builders cover all six custom functions") {
+  test("extension builders cover all seven custom functions") {
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
       Seq("array_dot", "hyperplane_sig", "hyperplane_sig_at", "minhash_sigs",
-        "poly_hash_array", "simhash32"))
+        "poly_hash_array", "rp_project", "simhash32"))
+  }
+
+  test("rp_project equals the lambda aggregate form it replaced, bit for bit") {
+    // e_0: plane p's projection is exactly planeWeight(p, 0); a generic
+    // vector must match a direct fold in the same dim order.
+    val v = (1 to 64).map(d => d * 0.125 - 4.0)
+    val e = builder("rp_project")(Seq(arr(DoubleType, v: _*), Literal(4)))
+    val out = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    (0 until 4).foreach { p =>
+      var s = 0.0
+      (0 until 64).foreach(d => s += v(d) * HashKernels.planeWeight(p, d))
+      assert(out(p) == s, s"plane $p")
+    }
+    // non-64-dim input surfaces as NULL, never a prefix projection
+    assert(builder("rp_project")(Seq(arr(DoubleType, 1.0, 2.0), Literal(4))).eval() == null)
   }
 
   test("hyperplane_sig builder matches the plane-weight kernel sign pattern") {
