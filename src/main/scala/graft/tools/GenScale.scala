@@ -41,6 +41,25 @@ object GenScale {
   val PartOff  = 1000000L   // p_partkey ≈ 2e4 max
   val SuppOff  = 10000L     // s_suppkey ≈ 1e3 max; as DAYS stays < 300 years
   val IdOff    = 100000000L // doc_id / vec_id / event_id / user_id: no temporal use
+
+  /** Per-replica letter-substitution alphabet — the text decorrelation.
+    * An AFFINE bijection i -> a*i + b (mod 26) (a cycling the 12 units of
+    * Z26, b = r mod 26: 312 distinct maps; a = 1 for r < 26 so the first
+    * sf1 set stayed byte-stable across the r8 extension), composed from
+    * r9 with g^(r/312) where g is a fixed NON-affine scramble (qwerty
+    * order) — 1248 distinct bijections, identity-compatible with every
+    * replica the committed sf1/sf10 sets used. Distinctness of all 1248
+    * strings is spec-pinned (an affine collision g^k = f2 ∘ f1⁻¹ would
+    * surface there as a duplicate). */
+  def alphabet(r: Int): String = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = coprimes((r / 26) % coprimes.length)
+    val affine = (0 until 26).map(i => lower((a * i + r) % 26)).mkString
+    val g = "qwertyuiopasdfghjklzxcvbnm"
+    (0 until r / 312).foldLeft(affine)((s, _) => s.map(ch => g(ch - 'a')))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -50,33 +69,39 @@ object GenScale {
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/root/repo/tmp/sf1")
     val replicas = args.drop(1).headOption.map(_.toInt).getOrElse(10)
-    // The sign-flip mask below depends only on (r div 64)'s PARITY, so at
-    // r = 128 the composed transform repeats r = 0 exactly — every vector
-    // would gain a byte-identical cross-replica twin, the degenerate
-    // candidate structure the decorrelation exists to prevent. Fail loudly
-    // rather than silently generating artifact-producing fixtures.
-    require(replicas <= 128,
-      s"sign-flip decorrelation repeats past 128 replicas (got $replicas); extend the mask (e.g. Walsh rows) before generating larger sets")
+    // Optional 3rd arg: comma-separated table subset (e.g.
+    // "documents,embeddings" for the sf100 dedup/ANN spot-check — the
+    // other tables at 1000 replicas are ~15 GB of lineitem nobody reads).
+    val only = args.drop(2).headOption.map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String) = only.forall(_.contains(name))
+    // r9 extension (the r8 guard sat at 128): text alphabets now compose a
+    // fixed non-affine scramble g every 312 replicas and the sign-flip
+    // mask is a Walsh row per (r div 64) — 1248 / 4096 distinct transforms
+    // respectively, both identity-compatible with every replica the sf1
+    // and sf10 fixture sets already used (spec-pinned), so those stay
+    // byte-stable. Fail loudly past the SMALLER family, not silently
+    // repeat: a repeated transform gives some replica a byte-identical
+    // twin — the degenerate candidate structure decorrelation prevents.
+    require(replicas <= 1248,
+      s"alphabet decorrelation repeats past 1248 replicas (got $replicas); extend the permutation family before generating larger sets")
     val lower = "abcdefghijklmnopqrstuvwxyz"
-    // Letter substitution per replica: an AFFINE alphabet i -> a*i + b
-    // (mod 26), a coprime to 26 so it stays a bijection. b = r%26 alone
-    // (a=1, the plain Caesar) repeats every 26 replicas — two replicas 26
-    // apart would share every shingle and dedup candidate structures
-    // would degenerate; cycling a through the coprimes gives 12*26 = 312
-    // distinct alphabets. a is 1 for r < 26, so pre-r8 sf1 output is
-    // unchanged.
-    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     def caesar(c: org.apache.spark.sql.Column, r: Int) = {
-      val a = coprimes((r / 26) % coprimes.length)
-      val lo = (0 until 26).map(i => lower((a * i + r) % 26)).mkString
-      translate(translate(c, lower, lo), lower.toUpperCase, lo.toUpperCase)
+      translate(translate(c, lower, alphabet(r)),
+        lower.toUpperCase, alphabet(r).toUpperCase)
     }
     def bump(df: DataFrame, cols: Map[String, Long], r: Int): DataFrame =
       cols.foldLeft(df) { case (d, (c, off)) => d.withColumn(c, col(c) + lit(r * off)) }
-    def gen(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+    def gen(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = if (wanted(name)) {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      (0 until replicas).map(r => tx(base, r)).reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // Chunked write: one 1000-branch union is a needlessly giant plan;
+      // 50-replica unions appended in sequence keep planning/codegen flat
+      // while producing the same rows (append order is irrelevant to
+      // every consumer — the fixtures are read as unordered tables).
+      (0 until replicas).grouped(50).zipWithIndex.foreach { case (chunk, ci) =>
+        val mode = if (ci == 0) "overwrite" else "append"
+        chunk.map(r => tx(base, r)).reduce(_ unionByName _)
+          .write.mode(mode).parquet(s"$out/$name.parquet")
+      }
       println(s"[gen] $name done")
     }
     gen("customer")((d, r) => bump(d, Map("c_custkey" -> CustOff), r))
@@ -101,10 +126,17 @@ object GenScale {
         else expr(s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), slice(embedding, 1, $rot))")
       val flipGen = r / 64
       if (flipGen == 0) rotated
+      // Walsh-row mask: flip position i iff popcount(flipGen & (i+1)) is
+      // odd. 64 distinct orthogonal rows (flipGen < 64 at the 1248-replica
+      // guard), and row 1 reduces to the r8 parity mask (flip even i), so
+      // the committed sf10 set (flipGen ≤ 1) is byte-stable. Sign flips
+      // are orthogonal transforms: norms and within-replica geometry stay
+      // exact; replicas 64 apart differ by a Walsh row xor — half the
+      // positions — so cross-replica cosines stay decorrelated.
       else transform(rotated, (x, i) =>
-        when((lit(flipGen) * (i + lit(1))) % 2 === 1, -x).otherwise(x))
+        when(bit_count(lit(flipGen).bitwiseAND(i + lit(1))) % 2 === 1, -x).otherwise(x))
     }))
-    Seq("nation", "region").foreach { n =>
+    Seq("nation", "region").filter(wanted).foreach { n =>
       spark.read.parquet(s"$src/$n.parquet").write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
     spark.stop()
