@@ -68,3 +68,22 @@ final class KmvDistinct(k: Int) extends Aggregator[Long, KmvState, Double] {
   override def bufferEncoder: Encoder[KmvState] = Encoders.product[KmvState]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** [[KmvDistinct]] with the sketch STATE as the output (sorted ≤ k
+  * smallest distinct hashes) instead of the finished estimate — the form
+  * incremental statistics need: two KMV states over disjoint (or even
+  * overlapping) inputs merge by `distinct ∪ → sort → take k`, and the
+  * merged state is EXACTLY the state a direct pass over the union would
+  * produce (KMV is a pure set function). That identity is what lets
+  * `TableStats.mergeStats` fold a new batch's stats into a standing
+  * table's without rescanning the table ([[graft.sources.TableStats]]). */
+final class KmvSketch(k: Int) extends Aggregator[Long, KmvState, Seq[Long]] {
+  private val inner = new KmvDistinct(k)
+  override def zero: KmvState = inner.zero
+  override def reduce(s: KmvState, v: Long): KmvState = inner.reduce(s, v)
+  override def merge(a: KmvState, b: KmvState): KmvState = inner.merge(a, b)
+  override def finish(s: KmvState): Seq[Long] = s.values.toSeq
+  override def bufferEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

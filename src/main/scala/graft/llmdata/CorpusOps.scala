@@ -367,6 +367,72 @@ object CorpusOps {
       .select(col("q"), col("score").as("cutoff"))
   }
 
+  /** Size-adaptive sample rate for [[sampledQuantiles]]: keep 1 row in
+    * 2^(#{k ∈ [0,13] : n > target·2^k}) — the power-of-two rate that bounds
+    * the expected sample to (target/2, target]. n ≤ target → rate 1 (the
+    * sample IS the corpus, estimates exact — the small-SF anchor). Integer
+    * comparison ladder, mirrored as the CASE sum in the `v_squant` DuckDB
+    * twin. */
+  def sampleRateFor(n: Long, target: Long = 4096L): Long =
+    1L << (0 to 13).count(k => n > (target << k))
+
+  /** Sampled quantile estimates with a built-in error audit — the sketch
+    * answer to [[scoreQuantiles]]'s exact one. At 100 TB an exact quantile
+    * costs a corpus shuffle; a deterministic hash-gated sample (keep rows
+    * with `polyhash(doc_id) mod rate = 0`, rate from [[sampleRateFor]])
+    * bounds the ranked set to ~`target` rows at ANY corpus size, with rank
+    * error O(1/√target) — and unlike `TABLESAMPLE`/`rand()`, the gate is a
+    * pure function of the data, so the estimate is reproducible by any
+    * engine (the DuckDB twin hash-matches it).
+    *
+    * Shape: the gate is a per-row projection+filter (pushes into the scan;
+    * no corpus shuffle) → the ≤ target-row sample ranks under one folded
+    * `partitionBy(lit(0))` window — accepted for the same reason as
+    * [[globalRank]]'s offsets cumsum: its input is bounded by the KNOB,
+    * never by the data. The audit pass (exact rank of each estimate) is
+    * one conditional aggregation over the corpus against the broadcast
+    * ≤ qs.size estimate rows — a scan, not a shuffle, and the part a
+    * production pipeline can skip once the error is characterized.
+    *
+    * Output per q: (q, est_cutoff, exact_rank, err_ppm) where exact_rank =
+    * #{n_chars ≤ est_cutoff} over the FULL corpus and err_ppm =
+    * |exact_rank/N − q| · 1e6 — the observed rank error, integer-exact.
+    *
+    * `nHint` (footer rows / table stats) picks the rate without a corpus
+    * scan; 0 falls back to one count of the persisted base frame. */
+  def sampledQuantiles(documents: DataFrame,
+                       qs: Seq[Double] = DefaultQuantiles,
+                       target: Long = 4096L, nHint: Long = 0L): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val sp = documents.sparkSession
+    graft.functions.VectorExprs.register(sp)
+    import sp.implicits._
+    val base = documents.select(col("doc_id"), col("n_chars"))
+      .filter(col("n_chars").isNotNull && col("doc_id").isNotNull)
+      .transform(graft.core.CacheScope.persisted)
+    val n = if (nHint > 0) nHint else base.count()
+    val rate = sampleRateFor(n, target)
+    val sample = base
+      .withColumn("__h", expr("element_at(poly_hash_array(array(cast(doc_id as string))), 1)"))
+      .filter(col("__h") % rate === 0)
+      .transform(graft.core.CacheScope.persisted)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = sample.withColumn("__rn", row_number().over(w))
+    val targets = broadcast(sample.agg(count(lit(1)).as("__s"))
+      .crossJoin(qs.toDF("q"))
+      .select(col("q"), ceil(col("q") * col("__s")).cast("bigint").as("__t")))
+    val est = ranked.join(targets, col("__rn") === col("__t"))
+      .select(col("q"), col("n_chars").as("est_cutoff"))
+    base.crossJoin(broadcast(est))
+      .groupBy("q", "est_cutoff")
+      .agg(sum(when(col("n_chars") <= col("est_cutoff"), 1L).otherwise(0L)).as("exact_rank"))
+      .select(col("q"), col("est_cutoff"), col("exact_rank"),
+        abs(expr(s"exact_rank * 1000000L div ${n}L") -
+          expr("cast(round(q * 1000000) as bigint)")).as("err_ppm"))
+  }
+
   /** Data-driven quality gate: keep documents whose quality score is at or
     * above the corpus's exact q-quantile — the composition the exact
     * quantiles exist for (percentile cutoffs chosen from the data, not

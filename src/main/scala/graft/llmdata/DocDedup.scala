@@ -301,6 +301,89 @@ object DocDedup {
         expr("concat_ws(' ', transform(__keep, p -> element_at(__words, p)))").as("text_clean"))
   }
 
+  /** Bloom-filter hash-function constants, shared with the DuckDB twin:
+    * bit_i(h) = ((h · A_i + B_i) mod P) mod m. h < P ≈ 1e9, A ≤ 8191, so
+    * the product stays far from Long overflow. Three functions — with the
+    * size-adaptive m ≥ 16·N the false-positive rate stays ≈ (1 − e^(−3/16))³
+    * ≈ 0.4 % at every corpus size. */
+  val BloomHashA: Seq[Long] = Seq(1L, 131L, 8191L)
+  val BloomHashB: Seq[Long] = Seq(0L, 7L, 97L)
+
+  /** Size-adaptive Bloom width: m = 2^(12 + #{k ∈ [8,21] : n > 2^k}) —
+    * the power of two ≥ 16 bits per corpus key, clamped to [2^12, 2^26].
+    * Integer-exact comparison ladder (no float log), mirrored as the CASE
+    * sum in the `d_bloom_incr` DuckDB twin so both engines derive the
+    * same m from the same row count. */
+  def bloomBitsFor(n: Long): Long =
+    1L << (12 + (8 to 21).count(k => n > (1L << k)))
+
+  /** Bloom-gated incremental dedup: classify each document of an incoming
+    * `batch` against a standing `corpus` WITHOUT shuffling the corpus — the
+    * ingest-time membership pattern at 100 TB, where the corpus is orders
+    * of magnitude larger than any batch and an exact anti-join per batch
+    * would re-shuffle it daily.
+    *
+    * Shape, in order:
+    *   1. corpus → Bloom bitmap: each text's polynomial hash sets 3 bits
+    *      in an m-bit filter ([[bloomBitsFor]] — m ≥ 16·N keeps FP ≈ 0.4%).
+    *      The bitmap is built as a hash AGGREGATION, not driver state:
+    *      `groupBy(bit div 32).agg(bit_or(1 << bit mod 32))` → ≤ m/32 rows
+    *      of (word index, 32-bit word in a BIGINT) — ~8 MB of frame at
+    *      m = 2^26, a natural broadcast however big the corpus, and
+    *      map-side partial `bit_or` collapses each partition's bits before
+    *      the exchange (OR is the canonical mergeable sketch).
+    *   2. batch probe: explode each batch doc's 3 bit positions, broadcast-
+    *      join the word table, doc passes iff all 3 bits are set. Cost:
+    *      3 rows per BATCH doc against a broadcast — zero corpus involvement.
+    *   3. exact verify: only Bloom-POSITIVE texts (true dups + the ~0.4%
+    *      FPs) are checked against the corpus — a broadcast semi-join
+    *      pushed INTO the corpus scan, so the corpus is read once and
+    *      never shuffled. Bloom misses are definitely novel (no false
+    *      negatives), so they skip verification entirely.
+    *
+    * Output per batch doc: (doc_id, bloom_hit, exact_dup, false_pos) —
+    * false_pos audits the filter's actual FP rate, the number a production
+    * ingest pipeline alerts on when the filter saturates.
+    *
+    * `nHint` sizes m from table stats / parquet footers (metadata cost);
+    * 0 falls back to one count of the persisted corpus-hash frame. */
+  def bloomGateDedup(batch: DataFrame, corpus: DataFrame, nHint: Long = 0L): DataFrame = {
+    graft.functions.VectorExprs.register(batch.sparkSession)
+    val corpusH = corpus
+      .select(expr("element_at(poly_hash_array(array(text)), 1)").as("__h"), col("text"))
+      .transform(graft.core.CacheScope.persisted)
+    val m = bloomBitsFor(if (nHint > 0) nHint else corpusH.count())
+    def bitsExpr = BloomHashA.zip(BloomHashB)
+      .map { case (a, b) => s"((__h * ${a}L + ${b}L) % $P) % ${m}L" }
+      .mkString("array(", ", ", ")")
+    val words = corpusH
+      .select(explode(expr(bitsExpr)).as("__bit"))
+      .groupBy(expr("__bit div 32").as("__w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(__bit % 32 as int)))").as("__word"))
+    val probe = batch
+      .select(col("doc_id"), col("text"),
+        expr("element_at(poly_hash_array(array(text)), 1)").as("__h"))
+      .withColumn("__bit", explode(expr(bitsExpr)))
+      .withColumn("__w", expr("__bit div 32"))
+      .join(broadcast(words), Seq("__w"), "left")
+      .groupBy("doc_id", "text")
+      .agg((sum(expr("CASE WHEN __word IS NOT NULL AND (__word & shiftleft(1L, cast(__bit % 32 as int))) != 0 THEN 1 ELSE 0 END"))
+        === BloomHashA.size).as("bloom_hit"))
+      .transform(graft.core.CacheScope.persisted)
+    // Exact verify only the Bloom-positive texts: the survivors broadcast
+    // into the corpus scan (corpus side stays shuffle-free), and the match
+    // set that comes back is ≤ the survivor count.
+    val survivors = probe.filter(col("bloom_hit")).select("text")
+    val confirmed = corpusH.join(broadcast(survivors), Seq("text"), "left_semi")
+      .select(col("text")).distinct()
+      .withColumn("__dup", lit(true))
+    probe.join(confirmed, Seq("text"), "left")
+      .select(col("doc_id"),
+        col("bloom_hit").cast("bigint").as("bloom_hit"),
+        coalesce(col("__dup"), lit(false)).cast("bigint").as("exact_dup"),
+        (col("bloom_hit") && !coalesce(col("__dup"), lit(false))).cast("bigint").as("false_pos"))
+  }
+
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = simhashFingerprints(documents)
     val chunks = fp.select(

@@ -561,6 +561,19 @@ object InfraOps {
     "s_analyze" -> ((s: SparkSession, d: String) => graft.sources.TableStats.analyze(
       s.read.parquet(s"$d/lineitem.parquet"),
       Seq("l_orderkey", "l_quantity", "l_returnflag"))),
+    // Incremental stats maintenance: partial stats per split, folded with
+    // mergeStats — the oracle is s_analyze's own SQL over the WHOLE table,
+    // which proves merged ≡ direct (KMV merge is a pure set function).
+    "s_analyze_merge" -> ((s: SparkSession, d: String) => {
+      import graft.sources.TableStats
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
+      TableStats.mergeStats(
+        Seq(li.filter(col("l_orderkey") % 10 < 8),
+            li.filter(col("l_orderkey") % 10 >= 8))
+          .map(TableStats.analyzePartial(_, cols)),
+        cols)
+    }),
     "k_snapshot" -> ((s: SparkSession, d: String) => {
       import graft.sink.SnapshotStore
       val dir = scratch(s, d, "snapshot")
@@ -707,6 +720,10 @@ object InfraOps {
         |SELECT p.event_id, p.k, p.evt_ts, w.win_id, w.win_start, w.win_end
         |FROM p JOIN w ON p.k = w.k AND p.evt_ts >= w.win_start AND p.evt_ts < w.win_end""".stripMargin,
     "s_analyze" -> Seq("l_orderkey", "l_quantity", "l_returnflag")
+      .map(analyzeColSql).mkString("\nUNION ALL\n"),
+    // Deliberately the SAME oracle as s_analyze: the merged partials must
+    // reproduce a direct single-pass ANALYZE of the whole table exactly.
+    "s_analyze_merge" -> Seq("l_orderkey", "l_quantity", "l_returnflag")
       .map(analyzeColSql).mkString("\nUNION ALL\n"),
     "k_snapshot" ->
       """WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0),

@@ -67,6 +67,31 @@ object LlmData {
     "t_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "t_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "d_exact" -> ((s, d) => DocDedup.exact(docs(s, d))),
+    // Bloom-gated incremental batch-vs-corpus dedup: every 5th doc plays
+    // the incoming batch (the c_incr / e_cross_neardup split), PLUS every
+    // 7th corpus doc re-keyed as a replay — the fixture split alone has
+    // zero cross-side duplicates, and a membership row that never sees a
+    // true member would leave the exact-verify path vacuously green. The
+    // Bloom width m sizes from the parquet footer row count (an upper
+    // bound on the corpus side — metadata cost, and the DuckDB twin's
+    // count(*) is itself a footer read, so both engines derive the same m).
+    "d_bloom_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") % 5 =!= 0)
+      val batch = all.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+      DocDedup.bloomGateDedup(batch, corpus,
+        nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/documents.parquet"))
+    }),
+    // Sampled quantile estimates + error audit: the rate knob and the
+    // err_ppm denominator both derive from the TABLE row count (footers
+    // here, count(*) in the twin) so the two engines can never disagree
+    // on the knob even if a future fixture carries NULL rows.
+    "v_squant" -> ((s, d) => graft.llmdata.CorpusOps.sampledQuantiles(docs(s, d),
+      nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/documents.parquet"))),
     "d_ngram" -> ((s, d) => DocDedup.ngramJaccardPairs(docs(s, d))),
     "d_minhash" -> ((s, d) => DocDedup.minhashLshPairs(docs(s, d))),
     "d_substr" -> ((s, d) => DocDedup.substrPairs(docs(s, d))),
@@ -1040,7 +1065,64 @@ object LlmData {
        |UNION ALL SELECT 'mm_centered_2x20', ${candCount("bm")}""".stripMargin
   }
 
+  /** DuckDB twin of [[DocDedup.bloomGateDedup]] on the %5 batch/corpus
+    * split: same polynomial text hash, same 3 affine bit functions, and
+    * the same integer m-ladder (`m = 2^(12 + #{k ∈ [8,21] : n > 2^k})`)
+    * over the same table row count, so both engines build bit-identical
+    * filters. The bit membership is spelled as a set join (the bitmap is
+    * an engine-side optimization, not a semantic). */
+  private val bloomIncrSql = {
+    val mLadder = (8 to 21)
+      .map(k => s"(CASE WHEN n > ${1L << k} THEN 1 ELSE 0 END)").mkString(" + ")
+    val h = duckPolyHash("text")
+    s"""WITH nrow AS (SELECT count(*) AS n FROM documents),
+       |mv AS (SELECT CAST(power(2, 12 + $mLadder) AS BIGINT) AS m FROM nrow),
+       |hf AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(0 AS BIGINT)), (131, 7), (8191, 97)) f(a, b)),
+       |base AS (SELECT doc_id, text, $h AS h FROM documents),
+       |corpus AS (SELECT doc_id, text, h FROM base WHERE doc_id % 5 <> 0),
+       |batch AS (SELECT doc_id, text, h FROM base WHERE doc_id % 5 = 0
+       |          UNION ALL SELECT doc_id + 10000000, text, h FROM corpus WHERE doc_id % 7 = 0),
+       |cbits AS (SELECT DISTINCT ((c.h * f.a + f.b) % ${TextPrimitives.P}) % mv.m AS bit
+       |          FROM corpus c, hf f, mv),
+       |probe AS (SELECT b.doc_id, b.text,
+       |            count(*) FILTER (WHERE ((b.h * f.a + f.b) % ${TextPrimitives.P}) % mv.m
+       |                             IN (SELECT bit FROM cbits)) AS nhit
+       |          FROM batch b, hf f, mv GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN nhit = 3 THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+       |  CAST(CASE WHEN nhit = 3 AND text IN (SELECT text FROM corpus) THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+       |  CAST(CASE WHEN nhit = 3 AND text NOT IN (SELECT text FROM corpus) THEN 1 ELSE 0 END AS BIGINT) AS false_pos
+       |FROM probe""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.llmdata.CorpusOps.sampledQuantiles]]: same
+    * hash-gated sample (rate ladder over the table count), same
+    * (n_chars, doc_id) sample ranking, same exact-rank audit. */
+  private val squantSql = {
+    val rLadder = (0 to 13)
+      .map(k => s"(CASE WHEN n > ${4096L << k} THEN 1 ELSE 0 END)").mkString(" + ")
+    val qList = graft.llmdata.CorpusOps.DefaultQuantiles.mkString("[", ", ", "]")
+    val h = duckPolyHash("CAST(doc_id AS VARCHAR)")
+    s"""WITH nrow AS (SELECT count(*) AS n FROM documents),
+       |rt AS (SELECT CAST(power(2, $rLadder) AS BIGINT) AS r FROM nrow),
+       |base AS (SELECT doc_id, n_chars FROM documents
+       |         WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+       |samp AS (SELECT doc_id, n_chars FROM base, rt WHERE ($h) % rt.r = 0),
+       |rs AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn FROM samp),
+       |sc AS (SELECT count(*) AS s FROM samp),
+       |qv AS (SELECT unnest($qList) AS q),
+       |est AS (SELECT qv.q AS q, rs.n_chars AS est_cutoff
+       |        FROM rs, sc, qv WHERE rs.rn = CAST(ceil(qv.q * sc.s) AS BIGINT))
+       |SELECT e.q, e.est_cutoff,
+       |  CAST((SELECT count(*) FROM base b WHERE b.n_chars <= e.est_cutoff) AS BIGINT) AS exact_rank,
+       |  abs(CAST((SELECT count(*) FROM base b WHERE b.n_chars <= e.est_cutoff) AS BIGINT) * 1000000 // nrow.n
+       |      - CAST(round(e.q * 1000000) AS BIGINT)) AS err_ppm
+       |FROM est e, nrow""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "d_bloom_incr" -> bloomIncrSql,
+    "v_squant" -> squantSql,
     "t_tokens" -> tokensSql,
     "t_quality" -> qualitySql,
     "t_repeat" -> repeatSql,

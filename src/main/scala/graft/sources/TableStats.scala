@@ -52,4 +52,68 @@ object TableStats {
       .selectExpr("column", "cast(n_rows as bigint) as n_rows",
         "cast(n_nulls as bigint) as n_nulls", "min_value", "max_value", "ndv_est")
   }
+
+  /** MERGEABLE one-row partial stats — the incremental-maintenance half of
+    * [[analyze]]. Per column: non-null count, TYPED min/max (typing matters:
+    * merging string-cast mins would order "9" > "10"; the cast to string
+    * happens only at [[mergeStats]]'s final projection), and the KMV sketch
+    * STATE (sorted ≤ k min hashes, [[graft.functions.KmvSketch]]) instead
+    * of the finished estimate. At 100 TB this is the shape that makes
+    * ANALYZE affordable: each ingest batch pays one scan of ITSELF, and the
+    * standing table's stats fold in at metadata cost — never rescanned. */
+  def analyzePartial(df: DataFrame, cols: Seq[String], kmvK: Int = 32): DataFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(cols.nonEmpty && missing.isEmpty,
+      s"unknown column(s): ${missing.mkString(", ")}")
+    val spark = df.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    spark.udf.register(s"graft_kmvsketch_$kmvK",
+      udaf(new graft.functions.KmvSketch(kmvK)))
+    val aggExprs = cols.flatMap { c =>
+      Seq(
+        expr(s"count(`$c`)").as(s"__cnt_$c"),
+        expr(s"min(`$c`)").as(s"__min_$c"),
+        expr(s"max(`$c`)").as(s"__max_$c"),
+        expr(s"graft_kmvsketch_$kmvK(element_at(poly_hash_array(array(cast(`$c` as string))), 1)) " +
+          s"FILTER (WHERE `$c` IS NOT NULL)").as(s"__kmv_$c"))
+    } :+ expr("count(1)").as("__rows")
+    df.agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  /** Merge any number of [[analyzePartial]] frames into the [[analyze]]
+    * output schema, without touching the underlying data: counts add,
+    * typed min/max fold, and the KMV states union-merge (`distinct →
+    * sort → take k`) — a pure set function, so the merged estimate is
+    * BIT-IDENTICAL to a direct [[analyze]] of the unioned input (the
+    * oracle for `s_analyze_merge` is literally `s_analyze`'s SQL over the
+    * whole table). The input frames are one row each, so every aggregate
+    * here runs on ≤ parts.size rows — metadata cost. */
+  def mergeStats(parts: Seq[DataFrame], cols: Seq[String], kmvK: Int = 32): DataFrame = {
+    require(parts.nonEmpty, "need at least one partial stats frame")
+    import graft.llmdata.TextPrimitives.P
+    val unioned = parts.reduce(_ unionByName _)
+    val aggExprs = cols.flatMap { c =>
+      Seq(
+        expr(s"sum(__cnt_$c)").as(s"__cnt_$c"),
+        expr(s"cast(min(__min_$c) as string)").as(s"__min_$c"),
+        expr(s"cast(max(__max_$c) as string)").as(s"__max_$c"),
+        expr(s"slice(array_sort(array_distinct(flatten(collect_list(__kmv_$c)))), 1, $kmvK)")
+          .as(s"__kmvm_$c"))
+    } :+ expr("sum(__rows)").as("__rows")
+    val merged = unioned.agg(aggExprs.head, aggExprs.tail: _*)
+      .select((cols.flatMap(c => Seq(col(s"__cnt_$c"), col(s"__min_$c"), col(s"__max_$c"))) ++
+        cols.map { c =>
+          // Same estimator as KmvDistinct.finish / the analyze oracle:
+          // below k the sketch IS the distinct set; at k, (k-1)·P / h_k.
+          expr(s"CASE WHEN size(__kmvm_$c) < $kmvK THEN cast(size(__kmvm_$c) as double) " +
+            s"ELSE ${kmvK - 1}.0 * ${P}.0 / element_at(__kmvm_$c, $kmvK) END").as(s"__ndv_$c")
+        } :+ col("__rows")): _*)
+    val stacked = cols.map(c =>
+      s"'$c', __rows, __rows - __cnt_$c, __min_$c, __max_$c, round(__ndv_$c, 6)")
+      .mkString(", ")
+    merged.selectExpr(
+        s"stack(${cols.size}, $stacked) as (column, n_rows, n_nulls, min_value, max_value, ndv_est)")
+      .selectExpr("column", "cast(n_rows as bigint) as n_rows",
+        "cast(n_nulls as bigint) as n_nulls", "min_value", "max_value", "ndv_est")
+  }
 }
