@@ -227,7 +227,16 @@ object Similarity {
     * DuckDB twins ([[graft.registry.LlmData]]). */
   val DupBandsFor: Map[Int, Int] = Map(
     8 -> 7, 9 -> 9, 10 -> 10, 11 -> 12, 12 -> 14,
-    13 -> 17, 14 -> 19, 15 -> 23, 16 -> 27, 17 -> 31)
+    13 -> 17, 14 -> 19, 15 -> 23, 16 -> 27, 17 -> 31,
+    // Third-decade rungs (sf100 rehearsal): same recall-0.9 formula,
+    // b = ⌈ln 0.1 / ln(1 − p₁^r)⌉ continued past the former r=17 cap.
+    18 -> 37, 19 -> 43, 20 -> 50, 21 -> 59, 22 -> 69, 23 -> 81, 24 -> 94)
+
+  /** Rung exponents of the dup-banding ladder: one rung per doubling of N
+    * past 2^11, capping r at 8 + 16 = 24 (n > 2^26 ≈ 67 M vectors — past
+    * that, shard). Single-sourced here because the DuckDB twins' CASE
+    * ladder must test the IDENTICAL exponent set. */
+  val DupRungExps: Range = 11 to 26
 
   /** Size-adaptive banding for corpus-wide near-dup pairing: (planes,
     * bandBits) as a pure function of corpus size N. Band width r tracks
@@ -242,11 +251,17 @@ object Similarity {
     * small-corpus results are unchanged); N = 20 k (sf1) → 14×12; N = 200 k
     * (sf10) → 23×15 — measured motivation in SCALING.md's sf10 decade
     * (fixed 7×8 went exp 1.33 in the second decade; scaled knobs ran the
-    * same sf10 workload 7× faster). Past the 2^19 rung the ladder caps at
-    * 31×17: beyond ~500 k vectors, shard the corpus (the banding is
-    * per-shard) or use the cell-local [[semDedup]] (k ∝ N). */
+    * same sf10 workload 7× faster). The sf100 rehearsal extended the
+    * rungs through r=24 (sf100's 20 M vectors → 69×22); the ladder now
+    * caps at 94×24 past 2^26 ≈ 67 M vectors — beyond that, shard the
+    * corpus (the banding is per-shard) or use the cell-local [[semDedup]]
+    * (k ∝ N^⅔ with hierarchical assignment). Candidate volume under the
+    * ladder grows ∝ N^(1+ρ), ρ = ln p₁ / ln p₂ ≈ 0.22 — mildly
+    * super-linear is the THEORETICAL floor for banding at cos 0.9; the
+    * exactly-linear alternative at huge N is [[semDedup]]'s cell
+    * partitioning. */
   def dupBanding(n: Long): (Int, Int) = {
-    val r = 8 + (11 to 19).count(k => n > (1L << k))
+    val r = 8 + DupRungExps.count(k => n > (1L << k))
     (DupBandsFor(r) * r, r)
   }
 
@@ -279,17 +294,70 @@ object Similarity {
     16 << ((rungs + 1) / 2)
   }
 
-  /** Keep each row's `keep` best cells by centroid cosine: broadcast the
-    * (≤ nCells)-row centroid set against the side, rank per id. Shared by
-    * k-means training (keep=1 assignment) and IVF probing (keep=nProbe). */
+  /** [[semDedup]]'s full knob: (kCoarse, kFine). kCoarse = 0 → single-level
+    * at [[semDedupCells]](n) cells (every rung up to n = 2^19 — all the
+    * scales any oracle or published measurement runs at, so those stay
+    * bit-identical). Past 2^19 the sf100 rehearsal showed single-level
+    * k-means is the binding constraint, and with hierarchical (coarse ×
+    * fine) assignment the per-row cost drops from k to kc + kf ≈ 2√k
+    * cosines — which frees the TOTAL cell count to grow ∝ N^(2/3), the
+    * two-level balance point (assignment N·√k vs pairing N²/k equalize at
+    * k = N^(2/3), total N^(4/3) — vs N^1.5 single-level): k = 2^((2·(11 +
+    * rungs)) div 3), split kc = 2^⌈e/2⌉ × kf = 2^⌊e/2⌋. At the 2^25 cap:
+    * 256 × 256 = 65 536 cells — the SemDeDup paper's 50 k-cluster regime,
+    * reached by ladder instead of by hand. */
+  def semDedupKnobs(n: Long): (Int, Int) = {
+    val rungs = (11 to 25).count(k => n > (1L << k))
+    if (rungs <= 8) (0, semDedupCells(n))
+    else {
+      val e = (2 * (11 + rungs)) / 3
+      (1 << ((e + 1) / 2), 1 << (e / 2))
+    }
+  }
+
+  /** Keep each row's `keep` best cells by centroid cosine. keep=1 (the
+    * assignment hot path: every k-means round, every corpus cell
+    * assignment) routes to [[assignArgmax]]; keep>1 (IVF probing — a
+    * bounded QUERY set, never the corpus) keeps the broadcast-join +
+    * window form. */
   private def nearestCells(side: DataFrame, centroids: DataFrame,
                            idCol: String, keep: Int): DataFrame =
-    side.join(broadcast(centroids))
+    if (keep == 1) assignArgmax(side, centroids)
+    else side.join(broadcast(centroids))
       .withColumn("ccos", expr(sparkCosPre("ed", "ced", "nrm", "cnrm")))
       .withColumn("__r", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(idCol).orderBy(col("ccos").desc, col("cell").asc)))
       .filter(col("__r") <= keep)
       .drop("ced", "cnrm", "ccos", "__r")
+
+  /** Argmax cell assignment as ONE codegen'd projection — the sf100
+    * rehearsal's headline fix. The former shape (broadcast nested-loop
+    * join → per-id window) materializes N·k rows and SHUFFLES them for
+    * the row_number: at 20 M vectors × 2048 cells that is 4·10¹⁰ rows
+    * through an exchange — the run the rehearsal had to kill. Packing the
+    * centroid set into one broadcast ARRAY and folding the argmax inside
+    * a `transform`+`array_max` projection keeps the plan at N rows, zero
+    * shuffle, N·k·d flops in whole-stage codegen — the shape that scales
+    * to any k a broadcast can hold.
+    *
+    * Value-identical to the window form, tie-for-tie: `array_max` on
+    * (ccos, −cell) structs picks the highest cosine and, on exact ties,
+    * the LOWEST cell — the window's (ccos DESC, cell ASC) order. A NULL
+    * cosine (zero norm) coalesces to −2.0, strictly below any real
+    * cosine, replicating the window's NULLS-LAST default. Spec-pinned
+    * against the window form; every existing oracle row (e_kmeans,
+    * e_semdedup, e_ivf_*) re-verifies the swap end-to-end. */
+  private[llmdata] def assignArgmax(side: DataFrame, centroids: DataFrame): DataFrame = {
+    val packed = broadcast(centroids.agg(
+      expr("array_sort(collect_list(struct(cell, ced, cnrm)))").as("__cents")))
+    side.crossJoin(packed)
+      .withColumn("__best", expr(
+        "array_max(transform(__cents, c -> struct(" +
+          s"coalesce(${sparkCosPre("ed", "c.ced", "nrm", "c.cnrm")}, CAST(-2.0 AS DOUBLE)) AS ccos, " +
+          "-c.cell AS ncell)))"))
+      .withColumn("cell", expr("CAST(-__best.ncell AS INT)"))
+      .drop("__cents", "__best")
+  }
 
   /** Deterministic spherical k-means: seeds = the first `nCells` vectors by
     * id (no driver action — plan-build touches no data), then `iters`
@@ -404,13 +472,23 @@ object Similarity {
     // path is the difference between "choose knobs from the catalog" and
     // "materialize the corpus once just to size the banding".
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
-    val cells = if (nCells > 0) nCells
-      else semDedupCells(if (nHint > 0) nHint else n.count())
-    val centroids = graft.core.CacheScope.persisted(
-      kmeansCentroids(embeddings, cells, kmeansIters))
-    val assigned = graft.core.CacheScope.persisted(
-      nearestCells(n, centroids, "vec_id", 1)
-        .select(col("cell"), col("vec_id"), col("ed"), col("nrm")))
+    val (kc, kf) = if (nCells > 0) (0, nCells)
+      else semDedupKnobs(if (nHint > 0) nHint else n.count())
+    if (kc > 0) semDedupHier(embeddings, threshold, kc, kf, kmeansIters)
+    else {
+      val centroids = graft.core.CacheScope.persisted(
+        kmeansCentroids(embeddings, kf, kmeansIters))
+      val assigned = graft.core.CacheScope.persisted(
+        nearestCells(n, centroids, "vec_id", 1)
+          .select(col("cell"), col("vec_id"), col("ed"), col("nrm")))
+      withinCellPairs(assigned, threshold)
+    }
+  }
+
+  /** The within-cell half of SemDeDup, shared by the single-level and
+    * hierarchical variants: self-join on `cell`, lower-id keeper, exact
+    * cosine verify — removed = distinct (cell, higher id). */
+  private def withinCellPairs(assigned: DataFrame, threshold: Double): DataFrame = {
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("ed").as("ea"), col("nrm").as("na"))
     a.join(assigned, Seq("cell"))
@@ -418,6 +496,88 @@ object Similarity {
       .filter(expr(sparkCosPre("ea", "ed", "na", "nrm")) >= threshold)
       .select(col("cell"), col("vec_id"))
       .distinct()
+  }
+
+  /** Hierarchical (coarse × fine) cell assignment: train kCoarse top-level
+    * centroids ([[kmeansCentroids]] — deterministic seeds + Lloyd rounds),
+    * assign every vector to its coarse cell, then train kFine centroids
+    * WITHIN each coarse cell (seeds = the cell's first kFine ids by
+    * vec_id, same sorted-fold means) and assign within-cell. Final cell
+    * id = ccell · kFine + fcell.
+    *
+    * Scale shape: both assignment levels are [[assignArgmax]] projections
+    * (zero shuffle, N·kc + N·kf cosines); the fine level's centroid set is
+    * grouped into per-coarse-cell arrays and BROADCAST-hash-joined on
+    * `ccell`, so each row folds only its own cell's kFine candidates —
+    * never the full kc·kf set. That is what makes total cell counts
+    * ∝ N^(2/3) affordable ([[semDedupKnobs]]): per-row work is 2√k
+    * cosines, and the kc·kf centroid table (≤ 65 536 × 64 doubles ≈
+    * 34 MB at the ladder cap) still broadcasts. Fine training cost is one
+    * explode + sorted-fold per (ccell, fcell, dim) group, same as the
+    * flat trainer's per-(cell, dim). */
+  def hierAssign(embeddings: DataFrame, kCoarse: Int, kFine: Int,
+                 kmeansIters: Int = 1): DataFrame = {
+    require(kCoarse > 0 && kFine > 0, "hierAssign needs both levels > 0")
+    val n = graft.core.CacheScope.persisted(withNorm(embeddings))
+    val coarse = graft.core.CacheScope.persisted(
+      kmeansCentroids(embeddings, kCoarse, kmeansIters))
+    val cAsg = graft.core.CacheScope.persisted(
+      nearestCells(n, coarse, "vec_id", 1)
+        .select(col("cell").as("ccell"), col("vec_id"), col("ed"), col("nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ccell").orderBy("vec_id")
+    val seeds = cAsg.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= kFine)
+      .select(col("ccell"), (col("__r") - 1).cast("int").as("cell"),
+        col("ed").as("ced"), col("nrm").as("cnrm"))
+    val fine = (1 to kmeansIters).foldLeft(seeds) { (cents, _) =>
+      assignFine(cAsg, cents)
+        .select(col("ccell"), col("cell"), posexplode(col("ed")))
+        .select(col("ccell"), col("cell"), col("pos"), col("col").as("v"))
+        .groupBy("ccell", "cell", "pos")
+        .agg(
+          expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (s, x) -> s + x)").as("__s"),
+          count(lit(1)).as("__n"))
+        .withColumn("m", col("__s") / col("__n"))
+        .groupBy("ccell", "cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ced"))
+        .withColumn("cnrm", expr("sqrt(array_dot(ced, ced))"))
+        .select("ccell", "cell", "ced", "cnrm")
+    }
+    assignFine(cAsg, fine)
+      .select((col("ccell").cast("bigint") * kFine + col("cell")).as("cell"),
+        col("vec_id"), col("ed"), col("nrm"))
+  }
+
+  /** [[assignArgmax]] at the fine level: fine centroids packed into one
+    * sorted array PER COARSE CELL, broadcast-joined on `ccell` — each row
+    * sees only its own coarse cell's kFine candidates. Same (ccos, −cell)
+    * argmax, so tie-breaks match the window form exactly. */
+  private def assignFine(side: DataFrame, fineCents: DataFrame): DataFrame = {
+    val packed = broadcast(fineCents.groupBy("ccell")
+      .agg(expr("array_sort(collect_list(struct(cell, ced, cnrm)))").as("__cents")))
+    side.join(packed, Seq("ccell"))
+      .withColumn("__best", expr(
+        "array_max(transform(__cents, c -> struct(" +
+          s"coalesce(${sparkCosPre("ed", "c.ced", "nrm", "c.cnrm")}, CAST(-2.0 AS DOUBLE)) AS ccos, " +
+          "-c.cell AS ncell)))"))
+      .withColumn("cell", expr("CAST(-__best.ncell AS INT)"))
+      .drop("__cents", "__best")
+  }
+
+  /** SemDeDup with two-level cells — [[semDedup]] delegates here past the
+    * [[semDedupKnobs]] boundary (n > 2^19); also directly callable with
+    * pinned knobs (the `e_semdedup_h` oracle row runs 4 × 4 over the
+    * fixture so the hierarchical math is cross-engine-verified at a scale
+    * DuckDB can replay). Same removed-rows contract as [[semDedup]];
+    * near-dups straddling a FINE cell boundary are missed, same as the
+    * flat variant's documented recall trade. */
+  def semDedupHier(embeddings: DataFrame, threshold: Double = 0.4,
+                   kCoarse: Int = 4, kFine: Int = 4,
+                   kmeansIters: Int = 1): DataFrame = {
+    val assigned = graft.core.CacheScope.persisted(
+      hierAssign(embeddings, kCoarse, kFine, kmeansIters))
+    withinCellPairs(assigned, threshold)
   }
 
   /** Build and STORE an IVF index: centroids (tiny, one parquet) plus the

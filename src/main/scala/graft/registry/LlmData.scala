@@ -147,6 +147,12 @@ object LlmData {
         .unionByName(cnt("mm_centered_2x20",
           Similarity.lshPairCandidates(mm, 40, 20, 8, 0.5)))
     }),
+    // Hierarchical SemDeDup at pinned 4×4 knobs: the two-level (coarse ×
+    // fine) k-means assignment semDedup switches to past n = 2^19
+    // (semDedupKnobs), replayed here at a scale DuckDB can mirror so the
+    // hierarchical math carries a full cross-engine oracle row.
+    "e_semdedup_h" -> ((s, d) => Similarity.semDedupHier(embs(s, d),
+      kCoarse = 4, kFine = 4)),
     "e_semdedup" -> ((s, d) => Similarity.semDedup(embs(s, d),
       nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
@@ -798,7 +804,7 @@ object LlmData {
     * table — no float log in either engine, so both resolve identical
     * knobs for identical row counts. */
   private def dupKnobsCte(src: String): String = {
-    val rung = (11 to 19)
+    val rung = Similarity.DupRungExps
       .map(k => s"CASE WHEN n > ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
     val bCase = Similarity.DupBandsFor.toSeq.sorted
       .map { case (r, b) => s"WHEN $r THEN $b" }.mkString(" ")
@@ -956,6 +962,62 @@ object LlmData {
        |assign AS (SELECT vec_id, ed, nrm, cell FROM ranked WHERE r = 1)
        |SELECT DISTINCT b.cell, b.vec_id
        |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.semDedupHier]] at the registered 4×4
+    * knobs: coarse k-means (seeds vec_id < 4, one sorted-fold Lloyd
+    * round), argmax coarse assignment, per-coarse-cell fine seeds (first
+    * 4 ids by vec_id), one fine Lloyd round grouped by coarse cell,
+    * argmax fine assignment, final cell = ccell·4 + fcell, then the
+    * within-cell lower-id pair verify. Every argmax mirrors Spark's
+    * (cos DESC, cell ASC) tie order. */
+  private val semDedupHierSql = {
+    val cos = Similarity.duckCosPre("v.ed", "c.ced", "v.nrm", "c.cnrm")
+    s"""WITH $normCte,
+       |cseed AS (SELECT CAST(vec_id AS INT) AS cell, ed AS ced, nrm AS cnrm FROM n2 WHERE vec_id < 4),
+       |casg0 AS (SELECT vec_id, ed, cell FROM (
+       |  SELECT v.vec_id, v.ed, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cos DESC, c.cell ASC) AS r
+       |  FROM n2 v, cseed c) WHERE r = 1),
+       |cxk AS (SELECT cell, CAST(u.pos AS INT) AS pos, CAST(u.v AS DOUBLE) AS v
+       |        FROM (SELECT cell, unnest(list_transform(range(1, len(ed) + 1),
+       |                      i -> {'pos': i - 1, 'v': ed[i]})) AS u FROM casg0)),
+       |cmk AS (SELECT cell, pos,
+       |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(v))), (s, y) -> s + y)
+       |            / count(*) AS m
+       |        FROM cxk GROUP BY 1, 2),
+       |ccentn AS (SELECT cell, ced,
+       |             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ced, v -> v * v)), (s, v) -> s + v)) AS cnrm
+       |           FROM (SELECT cell, list(m ORDER BY pos) AS ced FROM cmk GROUP BY cell)),
+       |casg AS (SELECT vec_id, ed, nrm, cell AS ccell FROM (
+       |  SELECT v.vec_id, v.ed, v.nrm, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cos DESC, c.cell ASC) AS r
+       |  FROM n2 v, ccentn c) WHERE r = 1),
+       |fseed AS (SELECT ccell, CAST(rn - 1 AS INT) AS cell, ed AS ced, nrm AS cnrm FROM (
+       |  SELECT ccell, vec_id, ed, nrm,
+       |    row_number() OVER (PARTITION BY ccell ORDER BY vec_id) AS rn FROM casg) WHERE rn <= 4),
+       |fasg0 AS (SELECT ccell, vec_id, ed, cell FROM (
+       |  SELECT v.ccell, v.vec_id, v.ed, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cos DESC, c.cell ASC) AS r
+       |  FROM casg v JOIN fseed c ON v.ccell = c.ccell) WHERE r = 1),
+       |fxk AS (SELECT ccell, cell, CAST(u.pos AS INT) AS pos, CAST(u.v AS DOUBLE) AS v
+       |        FROM (SELECT ccell, cell, unnest(list_transform(range(1, len(ed) + 1),
+       |                      i -> {'pos': i - 1, 'v': ed[i]})) AS u FROM fasg0)),
+       |fmk AS (SELECT ccell, cell, pos,
+       |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(v))), (s, y) -> s + y)
+       |            / count(*) AS m
+       |        FROM fxk GROUP BY 1, 2, 3),
+       |fcentn AS (SELECT ccell, cell, ced,
+       |             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ced, v -> v * v)), (s, v) -> s + v)) AS cnrm
+       |           FROM (SELECT ccell, cell, list(m ORDER BY pos) AS ced FROM fmk GROUP BY ccell, cell)),
+       |fasg AS (SELECT ccell, vec_id, ed, nrm, cell FROM (
+       |  SELECT v.ccell, v.vec_id, v.ed, v.nrm, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cos DESC, c.cell ASC) AS r
+       |  FROM casg v JOIN fcentn c ON v.ccell = c.ccell) WHERE r = 1),
+       |final AS (SELECT CAST(ccell AS BIGINT) * 4 + cell AS cell, vec_id, ed, nrm FROM fasg)
+       |SELECT DISTINCT b.cell, b.vec_id
+       |FROM final a JOIN final b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4""".stripMargin
   }
 
@@ -1160,6 +1222,7 @@ object LlmData {
     "e_lsh_selectivity" -> lshSelectivitySql,
     "e_cross_neardup" -> crossNeardupSql,
     "e_semdedup" -> semDedupSql,
+    "e_semdedup_h" -> semDedupHierSql,
     "e_lsh_topk" -> lshTopkSql,
     "e_ivf_topk" -> ivfTopkSql,
     "e_ivf_index" -> ivfTopkSql,

@@ -28,8 +28,10 @@ class AdaptiveBandingSpec extends AnyFunSuite {
     assert(Similarity.dupBanding(2049L) == (81, 9))  // first rung
     assert(Similarity.dupBanding(20000L) == (168, 12))
     assert(Similarity.dupBanding(200000L) == (345, 15))
-    // ladder caps at 31x17 — past it the doc says shard or semDedup
-    assert(Similarity.dupBanding(100000000L) == (527, 17))
+    // third-decade rungs (sf100 rehearsal): 69x22 at 20M vectors
+    assert(Similarity.dupBanding(20000000L) == (1518, 22))
+    // ladder caps at 94x24 past 2^26 — past it the doc says shard or semDedup
+    assert(Similarity.dupBanding(100000000L) == (2256, 24))
   }
 
   test("dupBanding: width is monotone in N and chance survival b*2^-r decays") {
@@ -59,6 +61,68 @@ class AdaptiveBandingSpec extends AnyFunSuite {
     // ~sqrt scaling: 100x the rows -> ~sqrt(100)=10x cells (8..16 by rung parity)
     val ratio = Similarity.semDedupCells(200000L).toDouble / Similarity.semDedupCells(2000L)
     assert(ratio >= 8.0 && ratio <= 16.0)
+  }
+
+  test("semDedupKnobs: single-level at every published scale, hierarchical past 2^19") {
+    // every scale any oracle or committed measurement runs at stays
+    // single-level at the OLD cell counts — bit-identical results
+    assert(Similarity.semDedupKnobs(2048L) == ((0, 16)))
+    assert(Similarity.semDedupKnobs(20000L) == ((0, 64)))
+    assert(Similarity.semDedupKnobs(200000L) == ((0, 256)))
+    assert(Similarity.semDedupKnobs(1L << 19) == ((0, 256)))
+    // past the boundary: two-level, k = kc*kf grows ~N^(2/3)
+    assert(Similarity.semDedupKnobs((1L << 19) + 1) == ((128, 64)))   // k=8192
+    assert(Similarity.semDedupKnobs(20000000L) == ((256, 256)))       // sf100: k=65536
+    // per-row assignment work kc+kf stays ~2*sqrt(k)
+    Seq(1000000L, 10000000L, 50000000L).foreach { n =>
+      val (kc, kf) = Similarity.semDedupKnobs(n)
+      assert(kc > 0 && kc + kf <= 4 * math.sqrt(kc.toLong * kf).toInt, s"n=$n")
+    }
+  }
+
+  test("argmax assignment (keep=1) is tie-for-tie identical to the window form") {
+    graft.functions.VectorExprs.register(spark)
+    val n = vecs(200).withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr("sqrt(array_dot(ed, ed))"))
+    // centroids with cells 0 and 2 EXACTLY EQUAL: every row's cosine ties
+    // between them, so the tie-break (lowest cell wins) decides every
+    // assignment — the window form must never pick cell 2
+    val cents = vecs(4)
+      .withColumn("cell", col("vec_id").cast("int"))
+      .withColumn("ced", expr(
+        "CASE WHEN vec_id IN (0, 2) THEN transform(sequence(1, 64), j -> CAST(j AS DOUBLE)) " +
+          "ELSE transform(embedding, x -> CAST(x AS DOUBLE)) END"))
+      .withColumn("cnrm", expr("sqrt(array_dot(ced, ced))"))
+      .select("cell", "ced", "cnrm")
+    val viaWindow = n.join(broadcast(cents))
+      .withColumn("ccos", expr("array_dot(ed, ced) / (nrm * cnrm)"))
+      .withColumn("__r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cell").asc)))
+      .filter(col("__r") === 1)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaArgmax = Similarity.assignArgmax(n, cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaArgmax == viaWindow)
+    // the tie case actually fired: some rows sit on the duplicated centroid
+    assert(viaArgmax.values.exists(_ == 0) && !viaArgmax.values.exists(_ == 2))
+  }
+
+  test("semDedupHier finds planted within-cell duplicates and never a fine-cell mix-up") {
+    graft.functions.VectorExprs.register(spark)
+    // plant exact duplicates: rows 100..109 duplicate rows 0..9
+    val base = vecs(100)
+    val dups = vecs(10).withColumn("vec_id", col("vec_id") + 100L)
+    val removed = Similarity.semDedupHier(base.unionByName(dups),
+      threshold = 0.999, kCoarse = 2, kFine = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // an exact duplicate lands in the same coarse AND fine cell as its
+    // twin (identical cosines everywhere), so the higher id must be removed
+    (100L to 109L).foreach(id => assert(removed.contains(id), s"dup $id kept"))
+    // keepers are never removed by their own duplicate
+    (0L to 9L).foreach(id => assert(!removed.contains(id), s"keeper $id removed"))
   }
 
   // The builder requires LITERAL offsets (the production bandsOf path
