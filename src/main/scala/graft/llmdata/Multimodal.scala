@@ -175,16 +175,29 @@ object Multimodal {
     * payload (polynomial byte-window hashes scaled to [0,1)) — the schema
     * and batch shape a real vision encoder would produce, feeding directly
     * into [[Similarity]] operators. */
-  def featurize(spark: SparkSession, documents: DataFrame): DataFrame = {
+  /** Feature width for a corpus of n media items. 8 dims up to 2^21 items
+    * (every oracle scale and both committed decades — results unchanged),
+    * 16 past that: the sf100 rehearsal showed 8-dim features SATURATE
+    * angularly at millions of items — the fraction of chance pairs within
+    * the near-dup family's cos ≥ 0.99 cone scales ~(sin 8°)^(d−1), so at
+    * d=8 it is ~1e-6 and N²·1e-6 turns quadratic past ~1e6 docs no matter
+    * how wide the banding gets. d=16 pushes the cone fraction to ~1e-13,
+    * sub-linear in N² through ~1e9 items. Integer step, mirrored (as a
+    * documented constant-8 resolution) in the `m_embed_neardup_lsh` twin,
+    * which only ever runs at oracle scales below the boundary. */
+  def featurizeDims(n: Long): Int = if (n > (1L << 21)) 16 else 8
+
+  def featurize(spark: SparkSession, documents: DataFrame,
+                dims: Int = 8): DataFrame = {
     import spark.implicits._
     withPayload(documents)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, _, bytes) =>
-          val feat = Array.tabulate(8) { j =>
+          val feat = Array.tabulate(dims) { j =>
             var h = 0L
             var i = j
-            while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 8 }
+            while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += dims }
             h.toDouble / 1000000007.0
           }
           (id, feat)

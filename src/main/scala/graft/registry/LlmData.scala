@@ -227,13 +227,18 @@ object LlmData {
     // derives the same width from count(*) with the same integer ladder.
     "m_embed_neardup_lsh" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val (p, r) = Similarity.centeredDupBanding(
-        graft.sources.ParquetMeta.footerRows(s, s"$d/documents.parquet"))
+      val n = graft.sources.ParquetMeta.footerRows(s, s"$d/documents.parquet")
+      val (p, r) = Similarity.centeredDupBanding(n)
+      // Feature width follows corpus size too (featurizeDims: 8 at every
+      // oracle scale, 16 past 2^21 docs) — banding can only shed chance
+      // pairs the FEATURE SPACE can distinguish, and 8 dims saturate at
+      // millions of docs (see featurizeDims).
+      val dims = Multimodal.featurizeDims(n)
       Similarity.lshNearDupPairs(
-        Multimodal.featurize(s, docs(s, d))
+        Multimodal.featurize(s, docs(s, d), dims)
           .select(col("doc_id").as("vec_id"),
             Similarity.padToSigDims(col("feature")).as("embedding")),
-        threshold = 0.99, planes = p, bandBits = r, sigCenterDims = 8, sigCenterAt = 0.5)
+        threshold = 0.99, planes = p, bandBits = r, sigCenterDims = dims, sigCenterAt = 0.5)
     }),
     "m_features" -> ((s, d) => {
       import org.apache.spark.sql.functions._

@@ -63,6 +63,27 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(got(3L) == Multimodal.FakeCodec.decode(3L, "text/plain", rows(2)._3))
   }
 
+  test("featurizeDims: 8 at every oracle/decade scale, 16 past 2^21 docs") {
+    // every scale an oracle or committed measurement runs at stays 8-dim
+    Seq(500L, 5000L, 50000L, 500000L, 1L << 21).foreach(n =>
+      assert(Multimodal.featurizeDims(n) == 8, s"n=$n"))
+    // the sf100 boundary: 8-dim features saturate angularly — see scaladoc
+    Seq((1L << 21) + 1, 5000000L, 1000000000L).foreach(n =>
+      assert(Multimodal.featurizeDims(n) == 16, s"n=$n"))
+  }
+
+  test("featurize at 16 dims: wider stride, same per-dim hash family, dup-preserving") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (3L, "completely different content here")).toDF("doc_id", "text")
+    val f = Multimodal.featurize(spark, docs, dims = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(f(1L).size == 16)
+    // identical payloads featurize identically at any width
+    assert(f(1L) == f(2L))
+    assert(f(1L) != f(3L))
+  }
+
   test("m_meta's registered form still rides the deterministic stub (oracle contract)") {
     val docs = Seq((1L, "en", "abc")).toDF("doc_id", "lang", "text")
     val m = Multimodal.decodeMeta(spark, docs).collect().head
