@@ -837,7 +837,7 @@ object Similarity {
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
                       planes: Int = 0, bandBits: Int = 0,
                       sigCenterDims: Int = 0, sigCenterAt: Double = 0.0,
-                      nHint: Long = 0L): DataFrame = {
+                      nHint: Long = 0L, maxBucket: Long = 0L): DataFrame = {
     // planes <= 0 (the default) = size-adaptive: banding from `nHint` when
     // the caller already knows N (parquet footers / table stats — metadata
     // cost, no corpus scan; footer counts are exact so both paths pick
@@ -851,12 +851,78 @@ object Similarity {
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
     val (p, r) = if (planes > 0) (planes, bandBits)
       else dupBanding(if (nHint > 0) nHint else n.count())
-    val bands = bandsOf(n, p, r, sigCenterDims, sigCenterAt)
+    val bands0 = bandsOf(n, p, r, sigCenterDims, sigCenterAt)
+    // maxBucket > 0 drops oversized buckets from CANDIDATE GENERATION —
+    // the hot-bucket guard the sf100 rehearsal forced: on low-rank inputs
+    // the sign-region distribution is skewed enough that single chance
+    // buckets held 4% of 5 M rows (2.3·10¹⁰ pairs in ONE reducer task).
+    // Same recall trade as ngramJaccardPairs' maxDocFreq df-cap; callers
+    // who must not lose identical-vector pairs compose through
+    // [[collapsedNearDupPairs]], which finds those exactly BEFORE the cap.
+    // The size filter is one count agg + join on the bucket key (the band
+    // frame's sig base is persisted, so re-exploding is a projection).
+    val bands = if (maxBucket <= 0) bands0 else {
+      val keep = bands0.groupBy("band", "band_val")
+        .agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") <= maxBucket).select("band", "band_val")
+      bands0.join(keep, Seq("band", "band_val"))
+    }
     pairCandIds(bands)
       .join(n.select(col("vec_id").as("id_a"), col("ed").as("ea"), col("nrm").as("na")), "id_a")
       .join(n.select(col("vec_id").as("id_b"), col("ed").as("eb"), col("nrm").as("nb")), "id_b")
       .filter(expr(sparkCosPre("ea", "eb", "na", "nb")) >= threshold)
       .select("id_a", "id_b")
+  }
+
+  /** Bucket cap for the centered multimodal banding: no cap up to 2^21
+    * docs (every oracle/decade scale — [[collapsedNearDupPairs]] is then
+    * EXACTLY the direct operator), 4096 past it. Paired with
+    * [[graft.llmdata.Multimodal.featurizeDims]]'s width step at the same
+    * boundary. */
+  def mmBucketCap(n: Long): Long = if (n > (1L << 21)) 4096L else 0L
+
+  /** Near-dup pairs with an identical-vector COLLAPSE in front of the
+    * banding — the composition that makes [[lshNearDupPairs]]'s
+    * `maxBucket` hot-bucket guard safe for the multimodal family, whose
+    * design point is identical-feature duplicates:
+    *
+    *   1. group by the full embedding (one hash shuffle, d_exact's shape);
+    *      every intra-group pair IS a dup (cos = 1) and is emitted exactly
+    *      — no banding, no cap, recall 1.0 on the design point by
+    *      construction;
+    *   2. band only the DISTINCT representatives, with the bucket cap —
+    *      chance sign-regions (the 4%-of-corpus buckets the sf100 probe
+    *      measured: 4.1·10¹⁰ candidate pairs, 90% from two buckets) get
+    *      dropped, never a true identical pair;
+    *   3. expand rep-level near-dup pairs back through both groups'
+    *      members (cosines are invariant within a group, so this is
+    *      output-exact, and the join is bounded by real dup structure).
+    *
+    * With maxBucket = 0 the result is IDENTICAL to the direct operator
+    * (identical vectors share every band, so rep collision ⇔ member
+    * collision) — spec-pinned, which is why the registered multimodal row
+    * uses this path at every scale and only the CAP is size-gated. */
+  def collapsedNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
+                            planes: Int = 0, bandBits: Int = 0,
+                            sigCenterDims: Int = 0, sigCenterAt: Double = 0.0,
+                            nHint: Long = 0L, maxBucket: Long = 0L): DataFrame = {
+    val f = graft.core.CacheScope.persisted(embeddings.select("vec_id", "embedding"))
+    val groups = graft.core.CacheScope.persisted(
+      f.groupBy("embedding").agg(min("vec_id").as("__rep")))
+    val members = graft.core.CacheScope.persisted(
+      f.join(groups, Seq("embedding")).select(col("vec_id"), col("__rep")))
+    val exactPairs = members.as("a").join(members.as("b"),
+        col("a.__rep") === col("b.__rep") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val reps = groups.select(col("__rep").as("vec_id"), col("embedding"))
+    val repPairs = lshNearDupPairs(reps, threshold, planes, bandBits,
+      sigCenterDims, sigCenterAt, nHint, maxBucket)
+    val expanded = repPairs
+      .join(members.select(col("__rep").as("id_a"), col("vec_id").as("ma")), "id_a")
+      .join(members.select(col("__rep").as("id_b"), col("vec_id").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"))
+    exactPairs.unionByName(expanded).distinct()
   }
 
   /** CROSS-set semantic dedup: batch vectors that have an LSH-bucketed

@@ -232,13 +232,17 @@ object LlmData {
       // Feature width follows corpus size too (featurizeDims: 8 at every
       // oracle scale, 16 past 2^21 docs) — banding can only shed chance
       // pairs the FEATURE SPACE can distinguish, and 8 dims saturate at
-      // millions of docs (see featurizeDims).
+      // millions of docs (see featurizeDims). The collapse-first
+      // composition + size-gated bucket cap (mmBucketCap: 0 below 2^21,
+      // so EXACTLY the former direct operator at every oracle scale) is
+      // the sf100 hot-bucket fix — see collapsedNearDupPairs.
       val dims = Multimodal.featurizeDims(n)
-      Similarity.lshNearDupPairs(
+      Similarity.collapsedNearDupPairs(
         Multimodal.featurize(s, docs(s, d), dims)
           .select(col("doc_id").as("vec_id"),
             Similarity.padToSigDims(col("feature")).as("embedding")),
-        threshold = 0.99, planes = p, bandBits = r, sigCenterDims = dims, sigCenterAt = 0.5)
+        threshold = 0.99, planes = p, bandBits = r, sigCenterDims = dims,
+        sigCenterAt = 0.5, maxBucket = Similarity.mmBucketCap(n))
     }),
     "m_features" -> ((s, d) => {
       import org.apache.spark.sql.functions._

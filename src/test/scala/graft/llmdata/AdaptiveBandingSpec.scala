@@ -110,6 +110,48 @@ class AdaptiveBandingSpec extends AnyFunSuite {
     assert(viaArgmax.values.exists(_ == 0) && !viaArgmax.values.exists(_ == 2))
   }
 
+  test("collapsedNearDupPairs at cap=0 is output-identical to the direct operator") {
+    graft.functions.VectorExprs.register(spark)
+    // base vectors + planted identical duplicates (groups of 3)
+    val base = vecs(150)
+    val dups = vecs(20).withColumn("vec_id", col("vec_id") + 200L)
+      .unionByName(vecs(20).withColumn("vec_id", col("vec_id") + 300L))
+    val all = base.unionByName(dups)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = pairs(Similarity.lshNearDupPairs(all, threshold = 0.9,
+      planes = 56, bandBits = 8))
+    val collapsed = pairs(Similarity.collapsedNearDupPairs(all, threshold = 0.9,
+      planes = 56, bandBits = 8))
+    assert(collapsed == direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("bucket cap never loses identical-vector pairs (collapse finds them first)") {
+    graft.functions.VectorExprs.register(spark)
+    // one identical group of 50 copies — its bucket size (50) exceeds the
+    // forced cap of 8, so the CAPPED banding alone would drop every pair;
+    // the collapse stage must still emit all 50*49/2 of them
+    val group = vecs(1).filter(col("vec_id") === 0)
+      .withColumn("vec_id",
+        explode(expr("transform(sequence(0, 49), i -> 1000 + CAST(i AS BIGINT))")))
+    val out = Similarity.collapsedNearDupPairs(
+      vecs(100).unionByName(group), threshold = 0.999,
+      planes = 56, bandBits = 8, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // vec 0 plus its 50 re-keyed copies: every cross pair present
+    val ids = 0L +: (1000L until 1050L).toVector
+    for (a <- ids; b <- ids if a < b)
+      assert(out.contains((a, b)), s"identical pair ($a,$b) lost under cap")
+  }
+
+  test("mmBucketCap: uncapped at every oracle/decade scale, 4096 past 2^21") {
+    Seq(500L, 5000L, 500000L, 1L << 21).foreach(n =>
+      assert(Similarity.mmBucketCap(n) == 0L, s"n=$n"))
+    assert(Similarity.mmBucketCap((1L << 21) + 1) == 4096L)
+    assert(Similarity.mmBucketCap(5000000L) == 4096L)
+  }
+
   test("semDedupHier finds planted within-cell duplicates and never a fine-cell mix-up") {
     graft.functions.VectorExprs.register(spark)
     // plant exact duplicates: rows 100..109 duplicate rows 0..9
