@@ -119,6 +119,13 @@ package object api {
       CorpusOps.autoQualityFilter(docs, q, buckets)
     def dedupAgainst(corpus: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
       CorpusOps.dedupAgainstCorpus(docs, corpus, k, threshold)
+    /** Bloom-gated membership vs a standing corpus (no corpus shuffle). */
+    def bloomDedupAgainst(corpus: DataFrame, nHint: Long = 0L): DataFrame =
+      DocDedup.bloomGateDedup(docs, corpus, nHint)
+    /** Sampled quantile estimates of n_chars + exact-rank error audit. */
+    def sampledQuantiles(qs: Seq[Double] = CorpusOps.DefaultQuantiles,
+                         target: Long = 4096L, nHint: Long = 0L): DataFrame =
+      CorpusOps.sampledQuantiles(docs, qs, target, nHint)
     /** Incremental dedup against a stored index ([[CorpusOps.buildDedupIndex]]). */
     def dedupAgainstIndex(indexDir: String, k: Int = 3, threshold: Double = 0.5): DataFrame =
       CorpusOps.dedupAgainstIndex(docs, indexDir, k, threshold)
@@ -191,6 +198,15 @@ package object api {
     def semDedup(threshold: Double = 0.4, nCells: Int = 0,
                  kmeansIters: Int = 1): DataFrame =
       Similarity.semDedup(embs, threshold, nCells, kmeansIters)
+    /** SemDeDup with explicit two-level (coarse × fine) cells. */
+    def semDedupHier(threshold: Double = 0.4, kCoarse: Int = 4, kFine: Int = 4,
+                     kmeansIters: Int = 1): DataFrame =
+      Similarity.semDedupHier(embs, threshold, kCoarse, kFine, kmeansIters)
+    /** Near-dup pairs with identical-vector collapse + hot-bucket cap. */
+    def collapsedNearDupPairs(threshold: Double = 0.4, planes: Int = 0,
+                              bandBits: Int = 0, maxBucket: Long = 0L): DataFrame =
+      Similarity.collapsedNearDupPairs(embs, threshold, planes, bandBits,
+        maxBucket = maxBucket)
     def hardNegatives(nQueries: Int = 8, skip: Int = 10, take: Int = 10): DataFrame =
       Similarity.hardNegatives(embs, nQueries, skip, take)
     def pcaProjection(iters: Int = 3): DataFrame = Similarity.pcaProjection(embs, iters)
