@@ -1042,6 +1042,105 @@ object Similarity {
         col("vec_id").as("nn_id"))
   }
 
+  /** Sub-vector slice SQL (identical text shape for Spark; DuckDB twin in
+    * the registry): the LOW half `[1 .. d/2]` and HIGH half `[d/2+1 .. d]`
+    * of column `c`, with all width arithmetic in-plan (`size`), so the
+    * operator needs no dimension literal and one plan serves any d. */
+  private[llmdata] def sliceLo(c: String) = s"slice($c, 1, size($c) div 2)"
+  private[llmdata] def sliceHi(c: String) =
+    s"slice($c, size($c) div 2 + 1, size($c) - size($c) div 2)"
+
+  /** The [[assignArgmax]] kernel over caller-named columns: argmax cosine
+    * (ties: lowest cell) of sub-vector `v`/`vn` against the packed
+    * centroid array column `cents`, as one codegen'd projection. */
+  private def argmaxSql(cents: String, v: String, vn: String): String =
+    s"array_max(transform($cents, c -> struct(" +
+      s"coalesce(${sparkCosPre(v, "c.ced", vn, "c.cnrm")}, CAST(-2.0 AS DOUBLE)) AS ccos, " +
+      "-c.cell AS ncell)))"
+
+  /** Product-quantization top-k (Jégou, Douze & Schmid 2011, "Product
+    * quantization for nearest neighbor search") — the ANN family's
+    * MEMORY axis, beside LSH (hash axis), IVF (partition axis) and RP
+    * (dimension axis): split each vector into two sub-vectors, train an
+    * independent `kSub`-centroid codebook per subspace
+    * ([[kmeansCentroids]] — deterministic seeds, sorted-fold Lloyd
+    * rounds), and represent every corpus vector by its two code ids.
+    * Candidate score is the asymmetric distance computation (ADC):
+    * `cos ≈ (dot(q_lo, c_lo) + dot(q_hi, c_hi)) / (|q|·√(|c_lo|²+|c_hi|²))`
+    * — the query meets only CODEBOOK entries, never raw corpus floats.
+    * Top `k·overfetch` ADC candidates per query are exact-cosine
+    * re-ranked (same two-window shape as [[rpTopK]]).
+    *
+    * Scale shape: codebooks are ≤ 2·kSub rows (trainable on a sample at
+    * 100 TB — freeze-then-apply like every trained operator here);
+    * encoding is one zero-shuffle argmax projection per subspace over
+    * broadcast codebooks; the candidate scan touches only the
+    * (vec_id, c0, c1) code table — ~10 bytes/vector instead of d floats,
+    * the whole point of PQ: at 64-dim float that is a ~25× smaller scan,
+    * and the per-row work is two broadcast-hash lookups + one add, no
+    * d-wide dot. Exact re-rank touches full vectors only for the
+    * ≤ nQueries·k·overfetch winners (broadcast semi-join into one corpus
+    * probe). Everything is deterministic (no RNG, ulp-stable rank
+    * ordering), so the DuckDB oracle replicates it bit-for-bit. */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+             kSub: Int = 8, overfetch: Int = 3, kmeansIters: Int = 1): DataFrame = {
+    require(kSub > 0 && overfetch >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val n = graft.core.CacheScope.persisted(withNorm(embeddings))
+    // Per-subspace codebooks: kmeansCentroids re-derives ed/nrm from the
+    // handed `embedding` column, so a sliced view trains unchanged.
+    def sub(slice: String => String) =
+      n.select(col("vec_id"), expr(slice("ed")).as("embedding"))
+    val cb0 = graft.core.CacheScope.persisted(kmeansCentroids(sub(sliceLo), kSub, kmeansIters))
+    val cb1 = graft.core.CacheScope.persisted(kmeansCentroids(sub(sliceHi), kSub, kmeansIters))
+    def packed(cb: DataFrame, as: String) = broadcast(cb.agg(
+      expr("array_sort(collect_list(struct(cell, ced, cnrm)))").as(as)))
+    // Encode: ONE projection pass over the corpus — both sub-argmaxes
+    // against broadcast codebooks, emitting the narrow code table.
+    val codes = n
+      .withColumn("__lo", expr(sliceLo("ed")))
+      .withColumn("__hi", expr(sliceHi("ed")))
+      .withColumn("__lon", expr("sqrt(array_dot(__lo, __lo))"))
+      .withColumn("__hin", expr("sqrt(array_dot(__hi, __hi))"))
+      .crossJoin(packed(cb0, "__cb0")).crossJoin(packed(cb1, "__cb1"))
+      .withColumn("__b0", expr(argmaxSql("__cb0", "__lo", "__lon")))
+      .withColumn("__b1", expr(argmaxSql("__cb1", "__hi", "__hin")))
+      .select(col("vec_id"), expr("CAST(-__b0.ncell AS INT)").as("c0"),
+        expr("CAST(-__b1.ncell AS INT)").as("c1"))
+    val queries = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"))
+    // ADC tables: nQueries × kSub rows per subspace — query-to-codebook
+    // dots precomputed once, broadcast to the code scan.
+    val adc0 = queries.select(col("query_id"), col("qn"), expr(sliceLo("q")).as("qs"))
+      .crossJoin(cb0)
+      .select(col("query_id"), col("qn"), col("cell").as("c0"),
+        expr("array_dot(qs, ced)").as("ip0"), col("cnrm").as("cn0"))
+    val adc1 = queries.select(col("query_id"), expr(sliceHi("q")).as("qs"))
+      .crossJoin(cb1)
+      .select(col("query_id"), col("cell").as("c1"),
+        expr("array_dot(qs, ced)").as("ip1"), col("cnrm").as("cn1"))
+    val cand = codes
+      .join(broadcast(adc0), Seq("c0"))
+      .join(broadcast(adc1), Seq("query_id", "c1"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("acos", expr("(ip0 + ip1) / (qn * sqrt(cn0 * cn0 + cn1 * cn1))"))
+      .withColumn("crank", row_number().over(
+        w.partitionBy("query_id").orderBy(col("acos").desc, col("vec_id"))))
+      .filter(col("crank") <= k * overfetch)
+      .select("query_id", "vec_id")
+    // Exact re-rank: the tiny winner set probes the corpus once for full
+    // vectors (broadcast-hash, no corpus shuffle).
+    n.select(col("vec_id"), col("ed"), col("nrm"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", expr(sparkCosPre("ed", "q", "nrm", "qn")))
+      .withColumn("rank", row_number().over(
+        w.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id").as("nn_id"))
+  }
+
   /** Embedding-QA outlier flags: the `frac` most centroid-distant vectors
     * within each label — mislabeled rows, encoder failures, and genuine
     * novelty all surface here first. Distance is cosine against the

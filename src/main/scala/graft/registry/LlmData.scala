@@ -104,6 +104,7 @@ object LlmData {
     "e_outliers" -> ((s, d) => Similarity.centroidOutliers(embs(s, d))),
     "e_rp_topk" -> ((s, d) => Similarity.rpTopK(embs(s, d))),
     "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
+    "e_pq_topk" -> ((s, d) => Similarity.pqTopK(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     // nHint from parquet footers: knob choice costs metadata, not a corpus
     // scan — the DuckDB twin's count(*) is itself a footer read, so the
@@ -694,6 +695,73 @@ object LlmData {
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** One subspace of the PQ twin: slice every vector with `sliceSql`
+    * (over `n2.ed`), train the 8-centroid codebook with the same
+    * deterministic one-round sorted-fold k-means as [[kmeansCteWhere]],
+    * and encode every vector to its argmax-cosine cell (ties: lower
+    * cell; zero-norm slices coalesce below any real cosine — Spark's
+    * `assignArgmax` order). All CTE names carry prefix `p`. */
+  private def pqSubCte(p: String, sliceSql: String) = {
+    val cellCos = Similarity.duckCosPre("v.ed", "c.ced", "v.nrm", "c.cnrm")
+    s"""${p}s AS (SELECT vec_id, $sliceSql AS ed FROM n2),
+       |${p}n AS (SELECT vec_id, ed, sqrt(${Similarity.duckDot("ed", "ed")}) AS nrm FROM ${p}s),
+       |${p}seed AS (SELECT CAST(vec_id AS INT) AS cell, ed AS ced, nrm AS cnrm FROM ${p}n WHERE vec_id < 8),
+       |${p}asg0 AS (SELECT vec_id, ed, cell FROM (
+       |  SELECT v.vec_id, v.ed, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, c.cell ASC) AS r
+       |  FROM ${p}n v, ${p}seed c) WHERE r = 1),
+       |${p}xk AS (SELECT cell, CAST(u.pos AS INT) AS pos, CAST(u.v AS DOUBLE) AS v
+       |       FROM (SELECT cell, unnest(list_transform(range(1, len(ed) + 1),
+       |                     i -> {'pos': i - 1, 'v': ed[i]})) AS u FROM ${p}asg0)),
+       |${p}mk AS (SELECT cell, pos,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(v))), (s, y) -> s + y)
+       |           / count(*) AS m
+       |       FROM ${p}xk GROUP BY 1, 2),
+       |${p}cent AS (SELECT cell, ced,
+       |            sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ced, v -> v * v)), (s, v) -> s + v)) AS cnrm
+       |          FROM (SELECT cell, list(m ORDER BY pos) AS ced FROM ${p}mk GROUP BY cell)),
+       |${p}code AS (SELECT vec_id, cell FROM (
+       |  SELECT v.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY coalesce($cellCos, CAST(-2.0 AS DOUBLE)) DESC, c.cell ASC) AS r
+       |  FROM ${p}n v, ${p}cent c) WHERE r = 1)""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.pqTopK]] at the registered knobs
+    * (8 queries, k=10, kSub=8, overfetch=3): same half-split slices, the
+    * same per-subspace one-round k-means codebooks and argmax encoding
+    * ([[pqSubCte]]), the same ADC candidate score
+    * `(ip0+ip1)/(qn·√(cn0²+cn1²))` with the same add order, and the same
+    * two-window candidate → exact-re-rank tail as the RP twin —
+    * identical IEEE sequences end to end. */
+  private val pqTopkSql = {
+    val lo = "ed[1:(len(ed) // 2)]"
+    val hi = "ed[(len(ed) // 2 + 1):len(ed)]"
+    val qlo = "q[1:(len(q) // 2)]"
+    val qhi = "q[(len(q) // 2 + 1):len(q)]"
+    s"""WITH $normCte,
+       |${pqSubCte("p0", lo)},
+       |${pqSubCte("p1", hi)},
+       |qs AS (SELECT vec_id AS query_id, ed AS q, nrm AS qn FROM n2 WHERE vec_id < 8),
+       |adc0 AS (SELECT query_id, qn, c.cell AS c0, ${Similarity.duckDot("qv.qs", "c.ced")} AS ip0, c.cnrm AS cn0
+       |         FROM (SELECT query_id, qn, $qlo AS qs FROM qs) qv, p0cent c),
+       |adc1 AS (SELECT query_id, c.cell AS c1, ${Similarity.duckDot("qv.qs", "c.ced")} AS ip1, c.cnrm AS cn1
+       |         FROM (SELECT query_id, $qhi AS qs FROM qs) qv, p1cent c),
+       |codes AS (SELECT a.vec_id, a.cell AS c0, b.cell AS c1 FROM p0code a JOIN p1code b USING (vec_id)),
+       |cs AS (SELECT t0.query_id, codes.vec_id,
+       |         (ip0 + ip1) / (qn * sqrt(cn0 * cn0 + cn1 * cn1)) AS acos
+       |       FROM codes JOIN adc0 t0 ON codes.c0 = t0.c0
+       |                  JOIN adc1 t1 ON t1.query_id = t0.query_id AND codes.c1 = t1.c1
+       |       WHERE codes.vec_id != t0.query_id),
+       |cr AS (SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id ASC) AS crank FROM cs),
+       |cand AS (SELECT c.query_id, c.vec_id AS nn_id,
+       |           ${Similarity.duckCosPre("e.ed", "q.q", "e.nrm", "q.qn")} AS cos
+       |         FROM cr c JOIN n2 e ON c.vec_id = e.vec_id JOIN qs q ON c.query_id = q.query_id
+       |         WHERE c.crank <= 30),
+       |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM cand)
+       |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
+  }
+
   /** DuckDB twin of [[Similarity.pcaProjection]]: same sorted-fold mean,
     * same dim-0 basis start vector, each power-iteration round unrolled
     * into CTEs with the same per-dimension sorted-fold sums and the same
@@ -1226,6 +1294,7 @@ object LlmData {
     "e_outliers" -> outliersSql,
     "e_rp_topk" -> rpTopkSql,
     "e_quant_topk" -> quantTopkSql,
+    "e_pq_topk" -> pqTopkSql,
     "e_neardup" -> neardupSql,
     "e_lsh_neardup" -> lshNeardupSql,
     "e_lsh_selectivity" -> lshSelectivitySql,
