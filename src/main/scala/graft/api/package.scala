@@ -79,6 +79,10 @@ package object api {
       DocDedup.ngramJaccardPairs(docs, k, threshold, maxDocFreq)
     def minhashNearDupPairs(k: Int = 3, threshold: Double = 0.5): DataFrame =
       DocDedup.minhashLshPairs(docs, k, threshold)
+    /** EXACT Jaccard ≥ t pairs via prefix filtering (PPJoin family):
+      * only each doc's rarest shingles are indexed, no recall loss. */
+    def ppJoinPairs(k: Int = 3, thresholdPpm: Long = 500000L): DataFrame =
+      DocDedup.ppJoinPairs(docs, k, thresholdPpm)
     def simhashGroups: DataFrame = DocDedup.simhashGroups(docs)
     /** Pairs sharing a verbatim `window`-token run (rolling-hash windows). */
     def substrNearDupPairs(window: Int = DocDedup.SubstrWindow): DataFrame =
@@ -135,6 +139,10 @@ package object api {
     /** Keep each doc with probability weight/max(weight) — deterministic PPS. */
     def ppsSample(weightCol: String = "n_chars"): DataFrame =
       CorpusOps.ppsSample(docs, weightCol)
+    /** FIXED-size weighted sample + unbiased ŵ = max(w, τ) estimator
+      * (priority sampling). */
+    def prioritySample(n: Int = 100, weightCol: String = "n_chars"): DataFrame =
+      CorpusOps.prioritySample(docs, n, weightCol)
     def shuffleOrder(buckets: Int = 256, epoch: Long = 0L): DataFrame =
       CorpusOps.shuffleOrder(docs, buckets, epoch)
     def cleanCorpus(keepLang: String = "en", minQuality: Double = 0.6): DataFrame =
@@ -185,6 +193,11 @@ package object api {
       Similarity.ivfTopK(embs, nQueries, k, nCells, nProbe, kmeansIters)
     def quantizedTopK(nQueries: Int = 8, k: Int = 10): DataFrame =
       Similarity.quantizedTopK(embs, nQueries, k)
+    /** Product-quantization ANN: codebook-encoded corpus, ADC candidates,
+      * exact re-rank. */
+    def pqTopK(nQueries: Int = 8, k: Int = 10, kSub: Int = 8,
+               overfetch: Int = 3, kmeansIters: Int = 1): DataFrame =
+      Similarity.pqTopK(embs, nQueries, k, kSub, overfetch, kmeansIters)
     def kmeansCentroids(nCells: Int = 16, iters: Int = 1): DataFrame =
       Similarity.kmeansCentroids(embs, nCells, iters)
     def labelCentroids: DataFrame = Similarity.labelCentroids(embs)

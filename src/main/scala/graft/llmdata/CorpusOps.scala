@@ -433,6 +433,52 @@ object CorpusOps {
           expr("cast(round(q * 1000000) as bigint)")).as("err_ppm"))
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a FIXED-SIZE
+    * weighted sample without replacement with an unbiased per-item weight
+    * estimator — the bounded-output complement to [[ppsSample]] (whose
+    * Bernoulli keep-rate makes output size data-dependent). Each item gets
+    * priority `q_i = w_i / u_i` with `u_i` uniform in (0, 1]; the sample
+    * is the top `n` priorities and `τ` = the (n+1)-th; the estimator
+    * `ŵ_i = max(w_i, τ)` satisfies `E[ŵ_i·1{i∈S}] = w_i`, so the sample's
+    * est_weight sum is an unbiased total-weight estimate. Heavy items are
+    * deterministic members: `w_i ≥ τ ⟹ q_i ≥ w_i ≥ τ` — the tail that
+    * matters always survives.
+    *
+    * House determinism: `u` is the same LCG the sampling family uses
+    * (pure function of doc_id, no `rand()`), as `(lcg(id)+1)/P`, and the
+    * priority is computed `w·P/(lcg+1)` — multiply and divide are single
+    * correctly-rounded IEEE ops, so Spark and DuckDB produce the same
+    * doubles with no sorted-fold machinery. Ties break by doc_id.
+    *
+    * Scale shape: one narrow projection, then a distributed top-(n+1)
+    * (`orderBy.limit` plans as TakeOrderedAndProject: each partition
+    * keeps n+1 rows, the driver merges — no global sort). Per-shard
+    * top-(n+1) sets merge associatively (top of union = top of merged
+    * tops), so federated corpora sample without co-shuffling. The
+    * (n+1)-row tail is the only non-distributed step. */
+  def prioritySample(documents: DataFrame, n: Int = 100,
+                     weightCol: String = "n_chars"): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val lcg = s"(((doc_id % $SampleIdMod) * $SampleMulA + $SampleAddB) % ${P})"
+    val q = documents
+      .select(col("doc_id"), col(weightCol).cast("bigint").as("weight"))
+      .withColumn("__prio", expr(s"CAST(weight AS DOUBLE) * ${P} / ($lcg + 1)"))
+    val top = q.orderBy(col("__prio").desc, col("doc_id")).limit(n + 1)
+      .transform(graft.core.CacheScope.persisted)
+    // The window runs over ≤ n+1 rows — single tiny partition by design.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("__prio").desc, col("doc_id"))
+    val ranked = top.withColumn("__rn", row_number().over(w))
+    val tau = ranked.filter(col("__rn") === n + 1).select(col("__prio").as("__tau"))
+    // Corpus smaller than n+1: τ is absent and every row is a certain
+    // member with ŵ = w (coalesce to 0 keeps greatest() = weight).
+    ranked.filter(col("__rn") <= n)
+      .join(broadcast(tau), lit(true), "left")
+      .select(col("doc_id"), col("weight"),
+        round(greatest(col("weight").cast("double"),
+          coalesce(col("__tau"), lit(0.0))), 6).as("est_weight"))
+  }
+
   /** Data-driven quality gate: keep documents whose quality score is at or
     * above the corpus's exact q-quantile — the composition the exact
     * quantiles exist for (percentile cutoffs chosen from the data, not

@@ -75,6 +75,83 @@ object DocDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact set-similarity join with PREFIX FILTERING (the PPJoin family —
+    * Chaudhuri/Ganti/Kaushik 2006 SSJoin, Xiao et al. 2008 PPJoin): all
+    * document pairs whose distinct-shingle-set Jaccard clears
+    * `thresholdPpm`, found WITHOUT indexing every shingle. Same pair
+    * semantics as [[ngramJaccardPairs]]; the difference is the candidate
+    * bound.
+    *
+    * Prefix principle: order the universe of set elements by ANY fixed
+    * total order (here: document frequency ASC, then hash — rarest
+    * first); if `J(x, y) ≥ t` then the first `|x| − ⌈t·|x|⌉ + 1` elements
+    * of x and of y under that order must intersect. So only the PREFIX
+    * of each document — its ~(1−t)·|x| RAREST shingles — enters the
+    * inverted index, and no true pair is lost (no false negatives; the
+    * oracle twin is the brute-force all-postings join, which is exactly
+    * that claim checked per pair). A shingle shared by k docs still
+    * contributes k² candidate rows, but only while it is among somebody's
+    * rarest few: on Zipf-shaped corpora the head shingles that dominate
+    * [[ngramJaccardPairs]]' pair volume never enter the index at all —
+    * the classic orders-of-magnitude prune, with exact (not approximate)
+    * output, where MinHash banding (L7) trades recall for the same prune.
+    *
+    * Everything is integer-exact: the threshold is ppm, the prefix length
+    * and both pair filters are Long arithmetic, and the output carries
+    * (n_inter, n_union) instead of a rounded float. Shuffles: df agg +
+    * per-doc prefix window (both keyed corpus-size), candidate join on
+    * prefix shingles, and the per-pair verify agg — the verify join's
+    * volume is candidate-bounded, never corpus². The length filter
+    * (`t·|x| ≤ |y| ∧ t·|y| ≤ |x|`) prunes candidates before the verify.
+    * Deviation from full PPJoin: the positional filter is omitted —
+    * prefix + length are the dominant prunes and keep the plan to plain
+    * joins. */
+  def ppJoinPairs(documents: DataFrame, k: Int = 3,
+                  thresholdPpm: Long = 500000L): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
+    graft.functions.VectorExprs.register(documents.sparkSession)
+    val t = thresholdPpm
+    // Distinct hashed shingle set + set size. list_distinct AFTER hashing:
+    // the pair math is over the hash universe in both engines, so a
+    // cross-doc collision still reconciles exactly.
+    val base = documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
+      .select(col("doc_id"),
+        expr(s"array_distinct(${sparkPolyHashArraySql("__sh")})").as("__tk"))
+      .withColumn("len", size(col("__tk")).cast("bigint"))
+      .transform(graft.core.CacheScope.persisted)
+    val posting = base.select(col("doc_id"), col("len"), explode(col("__tk")).as("tok"))
+    val dfreq = posting.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Prefix = the p rarest shingles of each doc under the global
+    // (df ASC, tok ASC) order; p = len − ⌈t·len⌉ + 1. Per-doc window —
+    // parallel by doc_id, no global rank needed (any fixed total order
+    // satisfies the prefix principle).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val pref = posting.join(dfreq, Seq("tok"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= expr(s"len - (len * $t + 999999) DIV 1000000 + 1"))
+      .select(col("doc_id"), col("len"), col("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.len") * lit(1000000L) >= lit(t) * col("b.len") &&
+          col("b.len") * lit(1000000L) >= lit(t) * col("a.len"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(posting.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(posting.select(col("doc_id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(base.select(col("doc_id").as("id_a"), col("len").as("__la")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("len").as("__lb")), Seq("id_b"))
+      .withColumn("n_union", col("__la") + col("__lb") - col("n_inter"))
+      .filter(col("n_inter") * lit(1000000L) >= lit(t) * col("n_union"))
+      .select("id_a", "id_b", "n_inter", "n_union")
+  }
+
   /** Consensus near-dup classification: the union of the TEXT near-dup
     * pairs (MinHash-LSH over shingles, L7) and the EMBEDDING near-dup
     * pairs (hyperplane-LSH over vectors, L11), classified by which signal

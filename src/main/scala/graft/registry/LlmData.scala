@@ -90,9 +90,11 @@ object LlmData {
     // err_ppm denominator both derive from the TABLE row count (footers
     // here, count(*) in the twin) so the two engines can never disagree
     // on the knob even if a future fixture carries NULL rows.
+    "v_psample" -> ((s, d) => graft.llmdata.CorpusOps.prioritySample(docs(s, d))),
     "v_squant" -> ((s, d) => graft.llmdata.CorpusOps.sampledQuantiles(docs(s, d),
       nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/documents.parquet"))),
     "d_ngram" -> ((s, d) => DocDedup.ngramJaccardPairs(docs(s, d))),
+    "d_ppjoin" -> ((s, d) => DocDedup.ppJoinPairs(docs(s, d))),
     "d_minhash" -> ((s, d) => DocDedup.minhashLshPairs(docs(s, d))),
     "d_substr" -> ((s, d) => DocDedup.substrPairs(docs(s, d))),
     "d_substr_rm" -> ((s, d) => DocDedup.removeDuplicateSpans(docs(s, d))),
@@ -633,6 +635,24 @@ object LlmData {
        |  round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
        |FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id JOIN sizes sb ON pairs.id_b = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5""".stripMargin
+
+  /** DuckDB twin of [[DocDedup.ppJoinPairs]] — deliberately the
+    * BRUTE-FORCE all-postings join (no prefix filter): the prefix
+    * principle guarantees no false negatives and the verify stage kills
+    * false positives, so Spark's pruned plan must equal the unpruned
+    * ground truth pair-for-pair. Same distinct hashed-shingle sets, same
+    * integer ppm threshold arithmetic. */
+  private val ppjoinSql =
+    s"""WITH $wordsCte, $shinglesCte,
+       |tk AS (SELECT doc_id, list_distinct(${duckPolyHashArray("s")}) AS tks FROM sh),
+       |tl AS (SELECT doc_id, tks, CAST(len(tks) AS BIGINT) AS len FROM tk),
+       |p AS (SELECT doc_id, len, unnest(tks) AS tok FROM tl),
+       |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter,
+       |             any_value(a.len) AS la, any_value(b.len) AS lb
+       |      FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_inter, la + lb - n_inter AS n_union
+       |FROM c WHERE n_inter * 1000000 >= 500000 * (la + lb - n_inter)""".stripMargin
 
   private val minhashSql = {
     val bandKey = s"array_to_string(list_slice(sig, band * ${DocDedup.RowsPerBand} + 1, band * ${DocDedup.RowsPerBand} + ${DocDedup.RowsPerBand}), '_')"
@@ -1237,6 +1257,25 @@ object LlmData {
   /** DuckDB twin of [[graft.llmdata.CorpusOps.sampledQuantiles]]: same
     * hash-gated sample (rate ladder over the table count), same
     * (n_chars, doc_id) sample ranking, same exact-rank audit. */
+  /** DuckDB twin of [[graft.llmdata.CorpusOps.prioritySample]] at n=100:
+    * same LCG-uniform, same single-multiply/single-divide priority (both
+    * correctly-rounded IEEE ops — identical doubles with no fold
+    * machinery), same (prio DESC, doc_id) order, τ = the 101st priority,
+    * ŵ = max(w, τ); sub-101-row corpora keep everything with ŵ = w. */
+  private val psampleSql = {
+    import graft.llmdata.CorpusOps.{SampleIdMod, SampleMulA, SampleAddB}
+    val lcg = s"(((doc_id % $SampleIdMod) * $SampleMulA + $SampleAddB) % ${P})"
+    s"""WITH q AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       |             CAST(n_chars AS DOUBLE) * ${P} / ($lcg + 1) AS prio
+       |           FROM documents),
+       |r AS (SELECT doc_id, weight, prio,
+       |        row_number() OVER (ORDER BY prio DESC, doc_id) AS rn FROM q),
+       |tau AS (SELECT prio AS tau FROM r WHERE rn = 101)
+       |SELECT doc_id, weight,
+       |  round(greatest(CAST(weight AS DOUBLE), coalesce(tau, CAST(0.0 AS DOUBLE))), 6) AS est_weight
+       |FROM r LEFT JOIN tau ON TRUE WHERE rn <= 100""".stripMargin
+  }
+
   private val squantSql = {
     val rLadder = (0 to 13)
       .map(k => s"(CASE WHEN n > ${4096L << k} THEN 1 ELSE 0 END)").mkString(" + ")
@@ -1261,6 +1300,7 @@ object LlmData {
 
   def oracleSql: Map[String, String] = Map(
     "d_bloom_incr" -> bloomIncrSql,
+    "v_psample" -> psampleSql,
     "v_squant" -> squantSql,
     "t_tokens" -> tokensSql,
     "t_quality" -> qualitySql,
@@ -1283,6 +1323,7 @@ object LlmData {
     "t_fingerprint" -> fingerprintSql,
     "d_exact" -> exactSql,
     "d_ngram" -> ngramSql,
+    "d_ppjoin" -> ppjoinSql,
     "d_minhash" -> minhashSql,
     "d_substr" -> substrSql,
     "d_substr_rm" -> substrRmSql,

@@ -37,7 +37,9 @@ class DeterminismSpec extends AnyFunSuite {
     "d_substr_rm",     // window multiplicity + collect_set cover rebuild
     "c_dsir",          // bucket models + shifted integer divisions
     "v_cms",           // counter-partial merge order (sketch = sums, min over rows)
-    "k_snapshot_diff") // full-outer diff classification over committed stores
+    "k_snapshot_diff", // full-outer diff classification over committed stores
+    "e_pq_topk",       // PQ codebooks + ADC candidate ties (code-pair scores)
+    "d_ppjoin")        // df-ordered prefix window + integer pair verify
 
   private def run(name: String, parts: Int): Seq[String] = {
     // Drop blocks persisted by the previous run: CacheManager substitutes
