@@ -68,6 +68,14 @@ package object api {
     /** Chars-per-BPE-token compression quality signal per document. */
     def bpeFertility(merges: DataFrame): DataFrame = TextAnalysis.bpeFertility(docs, merges)
     /** Count-min sketch term-frequency estimates audited vs exact counts. */
+    /** Every token above N/k corpus share, exact counts (MG candidates →
+      * exact verify). */
+    def heavyHitters(k: Int = 64): DataFrame = TextAnalysis.heavyHitters(docs, k)
+    /** Hybrid BM25 × embedding retrieval fused by reciprocal-rank fusion. */
+    def hybridRrfTopK(embeddings: DataFrame,
+                      query: Seq[String] = TextAnalysis.Bm25DefaultQuery,
+                      k: Int = 10, kRrf: Int = 60): DataFrame =
+      Similarity.hybridRrfTopK(docs, embeddings, query, k, kRrf)
     def cmsTermEstimates(depth: Int = TextAnalysis.CmsDepth,
                          width: Int = TextAnalysis.CmsWidth): DataFrame =
       TextAnalysis.cmsTermEstimates(docs, depth, width)

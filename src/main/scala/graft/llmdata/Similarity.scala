@@ -1141,6 +1141,45 @@ object Similarity {
         col("vec_id").as("nn_id"))
   }
 
+  /** Hybrid lexical × semantic retrieval fused by Reciprocal Rank Fusion
+    * (Cormack, Clarke & Buettcher, SIGIR 2009): BM25's top-k
+    * ([[TextAnalysis.bm25TopDocs]]) and the embedding query's exact
+    * cosine top-k are combined by `rrf = Σ 1/(kRrf + rank)` over the
+    * rankings each document appears in — the standard score-free fusion
+    * (no calibration between BM25 magnitudes and cosines needed), and
+    * the shape RAG-style retrieval over a curated corpus actually runs.
+    * Doc/vector ids align by convention, as in the consensus operator.
+    *
+    * Determinism: each reciprocal is one correctly-rounded IEEE divide
+    * and the fusion adds the lexical term before the semantic term —
+    * identical doubles cross-engine; ORDERING uses the unrounded score
+    * (rounding only the emitted column, so a display round can never
+    * move a rank boundary). Both input rankings are top-k pools, so the
+    * fusion window runs over ≤ 2k rows — scale lives entirely in the two
+    * upstream retrievals, which are the library's existing bounded
+    * shapes (BM25: posting-filtered agg + TakeOrdered; cosine: one
+    * corpus scan vs a broadcast query). */
+  def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,
+                    query: Seq[String] = TextAnalysis.Bm25DefaultQuery,
+                    k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(k > 0 && kRrf > 0)
+    val lex = TextAnalysis.bm25TopDocs(documents, query, k)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val sem = bruteForceTopK(embeddings, nQueries = 1, k = k)
+      .select(col("nn_id").as("doc_id"), col("rank").as("sem_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("lex_rank", "sem_rank"))
+      .withColumn("__rrf",
+        when(col("lex_rank") > 0, lit(1.0) / (lit(kRrf) + col("lex_rank"))).otherwise(lit(0.0)) +
+        when(col("sem_rank") > 0, lit(1.0) / (lit(kRrf) + col("sem_rank"))).otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), round(col("__rrf"), 6).as("rrf"),
+        col("lex_rank"), col("sem_rank"))
+  }
+
   /** Embedding-QA outlier flags: the `frac` most centroid-distant vectors
     * within each label — mislabeled rows, encoder failures, and genuine
     * novelty all surface here first. Distance is cosine against the

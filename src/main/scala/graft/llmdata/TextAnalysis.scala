@@ -699,4 +699,44 @@ object TextAnalysis {
       .select(col("token"), col("est_cnt"), col("exact_cnt"),
         (col("est_cnt") - col("exact_cnt")).as("overcount"))
   }
+
+  /** Heavy hitters — every token whose corpus frequency exceeds N/k, with
+    * its EXACT count, found without a vocabulary-wide shuffle: the
+    * FREQUENT-ITEMS member of the sketch family (KMV = cardinality, CMS =
+    * point frequency, this = the frequent set).
+    *
+    * Two passes, both corpus scans with bounded exchanges:
+    *  1. CANDIDATES: a Misra-Gries summary ([[graft.functions.MisraGries]])
+    *     — per-partition partials of ≤ k (token, count) pairs merge into
+    *     one global summary, so the exchange carries sketches, never
+    *     rows. The MG invariant guarantees every token with
+    *     `count > N/k` survives (no false negatives); survivors' residual
+    *     counts are order-dependent and are DISCARDED.
+    *  2. EXACT VERIFY: the ≤ k candidates broadcast back; occurrences are
+    *     candidate-filtered before the count agg, so the only
+    *     vocab-keyed aggregation runs over ≤ k distinct keys. The gate
+    *     `n_occ·k > N` then makes the output a pure function of the
+    *     corpus multiset — partitioning and merge order cannot change it
+    *     (the same candidates-then-verify discipline as LSH).
+    *
+    * The occurrence stream is deliberately NOT persisted: it is
+    * corpus-token-sized, and two cheap scans beat one corpus-sized cache
+    * at any real scale (the round-8 `v_cms` review finding, applied from
+    * the start). Emits (token, n_occ, share_ppm) — integer-exact. */
+  def heavyHitters(documents: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.functions.udaf
+    val mg = udaf(new graft.functions.MisraGries(k))
+    def occ = documents
+      .select(explode(transform(tokens(col("text")), w => lower(w))).as("token"))
+    val cands = occ.agg(mg(col("token")).as("cand"))
+      .select(explode(col("cand")).as("token"))
+    val totals = occ.agg(count(lit(1)).as("total"))
+    occ.join(broadcast(cands), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(totals))
+      .filter(col("n_occ") * k > col("total"))
+      .select(col("token"), col("n_occ"),
+        expr("n_occ * 1000000L div total").as("share_ppm"))
+  }
 }

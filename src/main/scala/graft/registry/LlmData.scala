@@ -99,6 +99,8 @@ object LlmData {
     "d_substr" -> ((s, d) => DocDedup.substrPairs(docs(s, d))),
     "d_substr_rm" -> ((s, d) => DocDedup.removeDuplicateSpans(docs(s, d))),
     "x_consensus" -> ((s, d) => DocDedup.consensusPairs(docs(s, d), embs(s, d))),
+    "x_rrf" -> ((s, d) => Similarity.hybridRrfTopK(docs(s, d), embs(s, d))),
+    "v_heavy" -> ((s, d) => TextAnalysis.heavyHitters(docs(s, d))),
     "d_simhash" -> ((s, d) => DocDedup.simhashGroups(docs(s, d))),
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
     "e_negatives" -> ((s, d) => Similarity.hardNegatives(embs(s, d))),
@@ -1257,6 +1259,44 @@ object LlmData {
   /** DuckDB twin of [[graft.llmdata.CorpusOps.sampledQuantiles]]: same
     * hash-gated sample (rate ladder over the table count), same
     * (n_chars, doc_id) sample ranking, same exact-rank audit. */
+  /** DuckDB twin of [[TextAnalysis.heavyHitters]] at k=64 — deliberately
+    * the BRUTE-FORCE vocab-wide count: the Misra-Gries candidate pass has
+    * no false negatives and the exact-verify gate `n_occ·k > N` kills
+    * false positives, so Spark's sketch-bounded plan must equal the
+    * unsketched ground truth row-for-row. */
+  private val heavySql =
+    s"""WITH occ AS (SELECT unnest(list_transform(${duckWords("text")}, w -> lower(w))) AS token
+       |             FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM occ),
+       |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ FROM occ GROUP BY token)
+       |SELECT token, n_occ, n_occ * 1000000 // total AS share_ppm
+       |FROM cnt, tot WHERE n_occ * 64 > total""".stripMargin
+
+  /** DuckDB twin of [[Similarity.hybridRrfTopK]] at the registered knobs
+    * (BM25 default query, k=10, kRrf=60): the registered BM25 oracle as
+    * the lexical pool, vec 0's exact cosine top-10 as the semantic pool,
+    * the same lexical-then-semantic reciprocal add order, ordering on the
+    * UNROUNDED fusion score, round only in the emitted column. */
+  private lazy val rrfSql =
+    s"""WITH lex AS (SELECT doc_id, rank AS lex_rank FROM ($bm25Sql)),
+       |$normCte,
+       |q0 AS (SELECT ed AS qv, nrm AS qn FROM n2 WHERE vec_id = 0),
+       |s0 AS (SELECT e.vec_id AS doc_id, ${Similarity.duckCosPre("qv", "e.ed", "qn", "e.nrm")} AS cos
+       |       FROM q0, n2 e WHERE e.vec_id != 0),
+       |sem AS (SELECT doc_id, sem_rank FROM (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS sem_rank
+       |  FROM s0) WHERE sem_rank <= 10),
+       |u AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |        coalesce(l.lex_rank, 0) AS lex_rank, coalesce(s.sem_rank, 0) AS sem_rank
+       |      FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id),
+       |sc AS (SELECT doc_id, lex_rank, sem_rank,
+       |        (CASE WHEN lex_rank > 0 THEN CAST(1 AS DOUBLE) / (60 + lex_rank) ELSE CAST(0 AS DOUBLE) END) +
+       |        (CASE WHEN sem_rank > 0 THEN CAST(1 AS DOUBLE) / (60 + sem_rank) ELSE CAST(0 AS DOUBLE) END) AS rrf
+       |      FROM u),
+       |r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       |        rrf, lex_rank, sem_rank FROM sc)
+       |SELECT doc_id, rank, round(rrf, 6) AS rrf, lex_rank, sem_rank FROM r WHERE rank <= 10""".stripMargin
+
   /** DuckDB twin of [[graft.llmdata.CorpusOps.prioritySample]] at n=100:
     * same LCG-uniform, same single-multiply/single-divide priority (both
     * correctly-rounded IEEE ops — identical doubles with no fold
@@ -1328,6 +1368,8 @@ object LlmData {
     "d_substr" -> substrSql,
     "d_substr_rm" -> substrRmSql,
     "x_consensus" -> consensusSql,
+    "x_rrf" -> rrfSql,
+    "v_heavy" -> heavySql,
     "d_simhash" -> simhashSql,
     "e_topk" -> topkSql,
     "e_negatives" -> negativesSql,
