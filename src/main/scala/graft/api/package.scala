@@ -43,6 +43,15 @@ package object api {
     def rangeJoin(intervals: DataFrame, pointTs: String, startCol: String,
                   endCol: String, bucketSeconds: Long, keys: Seq[String] = Nil): DataFrame =
       RangeJoin.pointInInterval(df, intervals, pointTs, startCol, endCol, bucketSeconds, keys)
+    /** Band join: |left value − right value| <= eps, via value-bucketized
+      * equi-join (integer-valued columns). */
+    def bandJoin(right: DataFrame, lVal: String, rVal: String, eps: Long,
+                 keys: Seq[String] = Nil): DataFrame =
+      RangeJoin.bandJoin(df, right, lVal, rVal, eps, keys)
+    /** Rolling ROWS-frame stats per user over event time (moving sum/count
+      * + inter-arrival gap); expects event_id/user_id/ts/value columns. */
+    def rollingStats(frame: Int = 5): DataFrame =
+      graft.streaming.EventStream.rollingStats(df, frame)
   }
 
   /** Corpus curation over a `(doc_id, text, …)` document frame. */
@@ -81,6 +90,12 @@ package object api {
       TextAnalysis.cmsTermEstimates(docs, depth, width)
     /** Per-(source, lang) corpus report with exact ppm means. */
     def corpusReport: DataFrame = CorpusOps.corpusReport(docs)
+    /** Token-concentration signal: Gini impurity of the per-doc token
+      * distribution, exact integer ppm (the ln-free entropy family). */
+    def giniDiversity: DataFrame = TextAnalysis.giniDiversity(docs)
+    /** Cross-source shingle-overlap matrix (shared distinct k-shingles +
+      * exact containment/Jaccard ppm per source pair). */
+    def sourceOverlap(k: Int = 8): DataFrame = CorpusOps.sourceOverlap(docs, k)
 
     def dedupExact: DataFrame = DocDedup.exact(docs)
     def ngramNearDupPairs(k: Int = 3, threshold: Double = 0.5, maxDocFreq: Long = 0L): DataFrame =

@@ -69,6 +69,50 @@ object RangeJoin {
     * rStart < lEnd gives bucket(rStart) ≤ bucket(lEnd).) No shuffle
     * beyond the one keyed on (keys, bucket); replication factor per row =
     * span / bucketSeconds + 1. */
+  /** Inner band join: pairs of (left, right) rows with equal `keys` whose
+    * integer-valued columns differ by at most `eps` — `|lVal − rVal| <= eps`
+    * (DeWitt et al. 1991's band join; the value-distance sibling of the
+    * temporal joins above). Spark's planner sees only a non-equi predicate
+    * and falls back to a broadcast nested loop or a cartesian; this makes
+    * it an equi-join on a value bucket of width `eps`.
+    *
+    * Bucketization: the LEFT row sits in its single bucket
+    * `floor(lVal / eps)`; the RIGHT row is replicated into that bucket and
+    * both neighbors — any pair within `eps` has bucket distance <= 1, so
+    * candidates are bucket-local and no pair can be missed. Exactly-once
+    * emission is structural: left owns ONE bucket and right's three
+    * replicas land in three DISTINCT buckets, so a given (left, right)
+    * pair can meet in at most one. Cost: one shuffle keyed on
+    * (keys, bucket), right side ×3 replication, candidate volume =
+    * per-bucket products instead of |L|×|R|.
+    *
+    * Values must be integral (cents, not dollars): float bucket edges
+    * would disagree across engines at the ulp and `floor` on a binary
+    * fraction is exactly the boundary case an oracle diff can't forgive.
+    */
+  def bandJoin(left: DataFrame, right: DataFrame,
+               lVal: String, rVal: String, eps: Long,
+               keys: Seq[String] = Nil): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val overlap = left.columns.intersect(right.columns).filterNot(keys.contains)
+    require(overlap.isEmpty,
+      s"left and right share non-key columns ${overlap.mkString(", ")} — " +
+        "the band predicate would be ambiguous; rename one side")
+    val b = Iterator.from(0).map(i => s"__graft_bucket$i")
+      .find(n => !left.columns.contains(n) && !right.columns.contains(n)).get
+    // Integer floor-div with correct negative handling: Spark's `floor(a/b)`
+    // on bigints truncates toward zero under integral division, so go
+    // through FLOOR on the exact double only when values are small enough —
+    // instead use the always-exact ((v % eps) + eps) % eps subtraction form.
+    def bkt(c: Column): Column = ((c - (((c % eps) + eps) % eps)) / eps).cast("bigint")
+    val lB = left.withColumn(b, bkt(col(lVal)))
+    val rB = right.withColumn(b, explode(array(
+      bkt(col(rVal)) - 1, bkt(col(rVal)), bkt(col(rVal)) + 1)))
+    lB.join(rB, keys :+ b)
+      .filter(abs(col(lVal) - col(rVal)) <= eps)
+      .drop(b)
+  }
+
   def intervalOverlap(left: DataFrame, right: DataFrame,
                       lStart: String, lEnd: String, rStart: String, rEnd: String,
                       bucketSeconds: Long, keys: Seq[String] = Nil): DataFrame = {

@@ -323,6 +323,53 @@ object CorpusOps {
         expr("n_tokens div n_docs").as("mean_tokens"),
         expr("__q div n_docs").as("quality_ppm_mean"))
 
+  /** Cross-source shingle-overlap matrix: for every pair of sources, how
+    * many distinct word k-shingles they share, plus exact containment and
+    * Jaccard in integer ppm — the corpus-level diagnostic behind
+    * "crawl B is 40% boilerplate from crawl A" decisions (which sources to
+    * dedup against each other, which are near-copies, where decontamination
+    * pressure will come from). Pairs are between SOURCES (a handful), not
+    * documents, so the output is ≤ sources² rows.
+    *
+    * Scale shape, in order: (1) distinct (source, shingle) — one shuffle,
+    * map-side distinct partials absorb within-source repetition; the frame
+    * is persisted (it feeds both the per-source sizes and the pair counts
+    * — the diamond rule); (2) per-shingle sorted source list — second
+    * shuffle, state per shingle bounded by the source count; shingles in
+    * ONE source (the overwhelming majority) are filtered before the pair
+    * explode, so the pair stream carries only genuinely shared shingles;
+    * (3) the i<j pair expansion is a per-row array transform (≤ sources²
+    * structs) and the final agg runs on (src_a, src_b) keys — tiny. The
+    * per-source size frame broadcasts into the final join. Nothing is
+    * ever documents × documents or sources × corpus. */
+  def sourceOverlap(documents: DataFrame, k: Int = 8): DataFrame = {
+    graft.functions.VectorExprs.register(documents.sparkSession)
+    val sets = documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
+      .select(col("source"), explode(sparkPolyHashArray("__sh")).as("shingle"))
+      .distinct()
+      .persist()
+    val sizes = sets.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sets
+      .groupBy("shingle")
+      .agg(sort_array(collect_set(col("source"))).as("__srcs"))
+      .filter(size(col("__srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(__srcs, (a, i) ->
+          |  transform(slice(__srcs, i + 2, size(__srcs)), b -> struct(a, b))))"""
+          .stripMargin.replace("\n", " "))).as("__p"))
+      .select(col("__p.a").as("src_a"), col("__p.b").as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(sizes.withColumnsRenamed(Map("source" -> "src_a", "n" -> "n_a"))), "src_a")
+      .join(broadcast(sizes.withColumnsRenamed(Map("source" -> "src_b", "n" -> "n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+        expr("(shared * 1000000L) div least(n_a, n_b)").as("containment_ppm"),
+        expr("(shared * 1000000L) div (n_a + n_b - shared)").as("jaccard_ppm"))
+  }
+
   /** Default quantile list — shared with the `c_quantiles` oracle SQL so
     * the operator default and the DuckDB twin can never drift. */
   val DefaultQuantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)

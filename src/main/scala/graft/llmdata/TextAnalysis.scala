@@ -412,6 +412,36 @@ object TextAnalysis {
     * partial (map-side) aggregation absorbs stopword skew before the
     * shuffle, so the exchange carries one row per (partition, token), not
     * per occurrence; output cardinality is the vocabulary, not the corpus. */
+  /** Per-document token-concentration signal: Gini impurity of the
+    * lowercased token distribution, `1 − Σ pᵢ²` — low values mean the
+    * document keeps repeating a few types (keyword stuffing, boilerplate,
+    * log spam), high values a diverse vocabulary. The entropy-family
+    * quality signal WITHOUT the `ln`: Σpᵢ² is an exact rational, so the
+    * score is emitted as integer ppm (`1e6 − (Σcᵢ²·1e6) div n²`, one
+    * pinned floor division) and reproduces bit-for-bit in any engine —
+    * same reason the TF-IDF/BM25/LM family here is ln-free.
+    *
+    * Scale shape: one shuffle on (doc_id, token) for the per-type counts
+    * (map-side partials absorb in-document repetition), then a per-doc
+    * agg of Σc² over type rows (vocabulary-of-the-doc sized, ≤ token
+    * count). Both aggs hash-partition on doc_id, so the second reuses the
+    * first's partitioning; no global state, nothing driver-side.
+    * Zero-token documents drop out (the explode emits nothing for them)
+    * rather than carrying a divide-by-zero NULL — same contract as
+    * [[vocabulary]]; gate on [[tokenStats]] first if empties must be
+    * surfaced. */
+  def giniDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), lower(col("token")).as("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("c")).as("sum_c2"), sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("1000000L - (sum_c2 * 1000000L) div (n_tokens * n_tokens)")
+          .as("gini_ppm"))
+
   def vocabulary(documents: DataFrame, minDf: Int = 1): DataFrame =
     documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))

@@ -29,6 +29,12 @@ object Corpus {
     * vocabulary is too small for 8-grams to ever collide). */
   val DecontamK = 4
 
+  /** Fixture shingle size for the cross-source overlap matrix — 3-grams
+    * over the ~31-token synthetic vocabulary give every source pair a
+    * nonzero shared set (k=8 would make the matrix all-zeros and the
+    * containment math vacuous); production uses the dedup family's 8-13. */
+  val OverlapK = 3
+
   // ---- Spark side --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -46,6 +52,7 @@ object Corpus {
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
     "c_report" -> ((s, d) => CorpusOps.corpusReport(docs(s, d))),
+    "c_overlap" -> ((s, d) => CorpusOps.sourceOverlap(docs(s, d), OverlapK)),
     "c_autofilter" -> ((s, d) => CorpusOps.autoQualityFilter(docs(s, d))),
     "c_sourcecap" -> ((s, d) => CorpusOps.perSourceCap(docs(s, d))),
     "c_split" -> ((s, d) => CorpusOps.datasetSplit(docs(s, d))),
@@ -514,7 +521,26 @@ object Corpus {
        |FROM sc, thr""".stripMargin
   }
 
+  /** DuckDB twin of [[CorpusOps.sourceOverlap]] at [[OverlapK]] — the
+    * same distinct (source, shingle-hash) sets, pair counts via a plain
+    * shingle self-join (independent algorithm from Spark's per-shingle
+    * source-list expansion), and the same pinned integer-ppm divisions. */
+  private val overlapSql =
+    s"""WITH w AS (SELECT doc_id, source, text, ${duckWords("text")} AS words FROM documents),
+       |sh AS (SELECT doc_id, source, ${duckShingles("words", "text", OverlapK)} AS s FROM w),
+       |x AS (SELECT source, unnest(${duckPolyHashArray("s")}) AS shingle FROM sh),
+       |e AS (SELECT DISTINCT source, shingle FROM x),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared
+       |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT src_a, src_b, shared, za.n AS n_a, zb.n AS n_b,
+       |  (shared * 1000000) // least(za.n, zb.n) AS containment_ppm,
+       |  (shared * 1000000) // (za.n + zb.n - shared) AS jaccard_ppm
+       |FROM p JOIN sz za ON za.source = p.src_a JOIN sz zb ON zb.source = p.src_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "c_overlap" -> overlapSql,
     "c_dsir" -> dsirSql,
     "c_report" -> reportSql,
     "c_autofilter" -> autofilterSql,

@@ -462,6 +462,29 @@ object InfraOps {
       bucketSeconds = 3600L, keys = Seq("k"))
   }
 
+  /** Band join round-trip: suppliers × customers of the SAME nation whose
+    * account balances differ by at most $200 (exact integer cents — a
+    * float band edge would be engine-dependent at the ulp). The bucketized
+    * equi-join must equal the oracle's plain `|Δ| <= eps` inequality join;
+    * negative balances (TPC-H acctbal goes to -999.99) exercise the
+    * negative-bucket floor math. */
+  def bandJoinRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet").selectExpr(
+      "s_suppkey", "cast(s_nationkey as bigint) as k",
+      "cast(floor(s_acctbal * 100) as bigint) as s_cents")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet").selectExpr(
+      "c_custkey", "cast(c_nationkey as bigint) as k",
+      "cast(floor(c_acctbal * 100) as bigint) as c_cents")
+    graft.core.RangeJoin.bandJoin(sup, cust, "s_cents", "c_cents",
+      eps = 20000L, keys = Seq("k"))
+  }
+
+  /** Rolling window-frame stats over the event feed (the bounded
+    * rowsBetween frame family: moving sum/count of the last 5 events per
+    * user + inter-arrival gap). */
+  def rollingRoundTrip(spark: SparkSession, sfDir: String): DataFrame =
+    EventStream.rollingStats(Tables.events(spark, sfDir))
+
   /** Batch twin of the stateful sessionization (gaps-and-islands): floored
     * measure like st_window so the float sum is exact in both engines. */
   def sessionsBatch(spark: SparkSession, sfDir: String): DataFrame =
@@ -558,6 +581,8 @@ object InfraOps {
     "st_sessions" -> (sessionsBatch _),
     "j_range" -> (rangeJoinRoundTrip _),
     "j_overlap" -> (overlapJoinRoundTrip _),
+    "j_band" -> (bandJoinRoundTrip _),
+    "w_rolling" -> (rollingRoundTrip _),
     "s_analyze" -> ((s: SparkSession, d: String) => graft.sources.TableStats.analyze(
       s.read.parquet(s"$d/lineitem.parquet"),
       Seq("l_orderkey", "l_quantity", "l_returnflag"))),
@@ -767,6 +792,22 @@ object InfraOps {
         |SELECT 'customer_name_notnull',
         |  CAST((SELECT count(*) - count(c_name) FROM customer) AS BIGINT),
         |  CASE WHEN (SELECT count(*) - count(c_name) FROM customer) = 0 THEN 1 ELSE 0 END""".stripMargin,
+    "j_band" ->
+      """WITH s AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS k,
+        |             CAST(floor(s_acctbal * 100) AS BIGINT) AS s_cents FROM supplier),
+        |c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS k,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS c_cents FROM customer)
+        |SELECT s.s_suppkey, s.k, s.s_cents, c.c_custkey, c.c_cents
+        |FROM s JOIN c ON s.k = c.k AND abs(s.s_cents - c.c_cents) <= 20000""".stripMargin,
+    "w_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id, ts,
+        |  CAST(sum(cents) OVER f AS BIGINT) AS roll_sum_cents,
+        |  CAST(count(*) OVER f AS BIGINT) AS roll_n,
+        |  epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |FROM e
+        |WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     "j_overlap" ->
       """WITH a AS (SELECT event_id AS a_id, CAST(user_id % 10 AS BIGINT) AS k,
         |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS a_start,

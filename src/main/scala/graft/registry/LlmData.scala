@@ -41,6 +41,7 @@ object LlmData {
     "t_scrub" -> ((s, d) => TextAnalysis.scrub(
       docs(s, d).withColumn("text", org.apache.spark.sql.functions.expr(scrubAugSpark)))),
     "t_vocab" -> ((s, d) => TextAnalysis.vocabulary(docs(s, d))),
+    "t_gini" -> ((s, d) => TextAnalysis.giniDiversity(docs(s, d))),
     "t_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
     "t_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(docs(s, d))),
     "t_lmscore" -> ((s, d) => TextAnalysis.bigramLmScore(docs(s, d))),
@@ -497,6 +498,20 @@ object LlmData {
        |SELECT lower(token) AS token, CAST(count(*) AS BIGINT) AS tf,
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
        |FROM t GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of [[TextAnalysis.giniDiversity]] — same lowercased
+    * type counts and the same single pinned floor division
+    * (`// ≡ Spark's div` on these positive operands). */
+  private val giniSql =
+    s"""WITH $wordsCte,
+       |t AS (SELECT doc_id, unnest(words) AS token FROM w),
+       |c AS (SELECT doc_id, lower(token) AS token, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+       |g AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS sum_c2,
+       |        CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types
+       |      FROM c GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_types,
+       |  1000000 - (sum_c2 * 1000000) // (n_tokens * n_tokens) AS gini_ppm
+       |FROM g""".stripMargin
 
   /** DuckDB twin of [[TextAnalysis.tfidfTopTerms]] — same integer score
     * (`// 1000000` floor division ≡ Spark's `div` on positives) and the
@@ -1347,6 +1362,7 @@ object LlmData {
     "t_repeat" -> repeatSql,
     "t_scrub" -> scrubSql,
     "t_vocab" -> vocabSql,
+    "t_gini" -> giniSql,
     "t_tfidf" -> tfidfSql,
     "t_bm25" -> bm25Sql,
     "t_lmscore" -> lmscoreSql,

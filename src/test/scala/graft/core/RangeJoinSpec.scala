@@ -86,4 +86,35 @@ class RangeJoinSpec extends AnyFunSuite {
     // 9: empty set overlaps nothing; 11: [10:00, 11:00) ∩ [0:00, 10:00) = ∅
     assert(out == Set(10L))
   }
+
+  test("band join equals the plain |Δ| <= eps inequality join, negatives included") {
+    // Values straddle zero and bucket edges; keys isolate partitions.
+    val left = (0 until 120).map(i => (i.toLong, i % 3, (i * 37L) - 2000L))
+      .toDF("lid", "k", "lv")
+    val right = (0 until 90).map(i => (500L + i, i % 3, (i * 53L) - 2500L))
+      .toDF("rid", "k", "rv")
+    val eps = 100L
+    val fast = RangeJoin.bandJoin(left, right, "lv", "rv", eps, keys = Seq("k"))
+      .select("lid", "rid")
+    val plain = left.join(right, Seq("k"))
+      .filter(abs(col("lv") - col("rv")) <= eps)
+      .select("lid", "rid")
+    assert(plain.count() > 0, "fixture must produce band matches")
+    assert(fast.count() == plain.count(), "each pair must be emitted exactly once")
+    assert(fast.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(fast).count() == 0)
+  }
+
+  test("band join: eps boundary included, different keys never match") {
+    val left = Seq((1L, 0, 0L), (2L, 0, -300L)).toDF("lid", "k", "lv")
+    val right = Seq(
+      (10L, 0, 100L),   // exactly eps from lid=1 — included
+      (11L, 0, 101L),   // one past eps — excluded
+      (12L, 1, 0L),     // value match, wrong key — excluded
+      (13L, 0, -250L))  // within eps of lid=2 (negative side)
+      .toDF("rid", "k", "rv")
+    val out = RangeJoin.bandJoin(left, right, "lv", "rv", eps = 100L, keys = Seq("k"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 13L)))
+  }
 }

@@ -434,4 +434,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     // no remaining near-dup pair at the removal threshold
     assert(DocDedup.minhashLshPairs(kept).count() == 0)
   }
+
+  test("sourceOverlap: exact shared-shingle counts, ppm math, src_a < src_b orientation") {
+    val d = Seq(
+      (1L, "x y z w", "A"),  // A shingles (k=3): {x y z, y z w}
+      (2L, "x y z q", "B"),  // B: {x y z, y z q} — shares "x y z" with A
+      (3L, "p q r s", "C"),  // C: {p q r, q r s} — disjoint from both
+      (4L, "x y z w", "A"))  // duplicate inside A: distinct sets, no double count
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceOverlap(d, k = 3).collect()
+    assert(out.length == 1, "only the (A, B) pair shares a shingle")
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    assert(r.getLong(2) == 1L) // shared
+    assert((r.getLong(3), r.getLong(4)) == ((2L, 2L))) // n_a, n_b
+    assert(r.getLong(5) == 500000L) // containment: 1e6 div min(2,2)... = 1*1e6 div 2
+    assert(r.getLong(6) == 333333L) // jaccard: 1e6 div (2+2-1)
+  }
 }

@@ -324,4 +324,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1L).getAs[Long]("stop_hits") >= 2L)
     assert(out(1L).getAs[Double]("bullet_ratio") == 0.0)
   }
+
+  test("giniDiversity: exact ppm concentration, case-folded, empties dropped") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),      // one type: gini = 0
+      (2L, "a b c d"),                  // 4 distinct: 1e6 - 1e6 div 4 = 750000
+      (3L, "The the THE word"),         // case-folded: counts {the:3, word:1}
+      (4L, "   "))                      // zero tokens: drops out
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.giniDiversity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((4L, 1L, 0L)))
+    assert(out(2L) == ((4L, 4L, 750000L)))
+    // {3,1}: 1e6 - (9+1)*1e6 div 16 = 1e6 - 625000 = 375000
+    assert(out(3L) == ((4L, 2L, 375000L)))
+  }
 }

@@ -206,4 +206,26 @@ class EventStreamSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("rolling frame stats: window sum/count over the last N rows plus arrival gap") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), 1L, "a", 1.0),
+      (2L, ts(1), 1L, "a", 2.0),
+      (3L, ts(2), 1L, "a", 4.0),
+      (4L, ts(3), 1L, "a", 8.0),
+      (5L, ts(0), 2L, "b", 100.0)) // other user — frames never cross users
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStream.rollingStats(events, frame = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(out == Set(
+      (1L, 100L, 1L, None),              // first event: frame = itself, no gap
+      (2L, 300L, 2L, Some(60000000L)),   // 100 + 200 cents, 1 min gap
+      (3L, 700L, 3L, Some(60000000L)),   // 100 + 200 + 400
+      (4L, 1400L, 3L, Some(60000000L)),  // frame of 3 slides: 200 + 400 + 800
+      (5L, 10000L, 1L, None)))           // user 2 isolated
+  }
 }
