@@ -52,6 +52,11 @@ package object api {
       * + inter-arrival gap); expects event_id/user_id/ts/value columns. */
     def rollingStats(frame: Int = 5): DataFrame =
       graft.streaming.EventStream.rollingStats(df, frame)
+    /** Equi-width histogram of an integral column (exact integer buckets;
+      * pass loHi from stored stats to make it a single pass). */
+    def histogram(colName: String, nBuckets: Int = 16,
+                  loHi: Option[(Long, Long)] = None): DataFrame =
+      graft.sources.TableStats.histogram(df, colName, nBuckets, loHi)
   }
 
   /** Corpus curation over a `(doc_id, text, …)` document frame. */
@@ -216,6 +221,11 @@ package object api {
       Similarity.ivfTopK(embs, nQueries, k, nCells, nProbe, kmeansIters)
     def quantizedTopK(nQueries: Int = 8, k: Int = 10): DataFrame =
       Similarity.quantizedTopK(embs, nQueries, k)
+    /** Diversified top-k by Maximal Marginal Relevance (λ-weighted
+      * redundancy penalty, greedy over the exact-cosine pool). */
+    def mmrTopK(nQueries: Int = 8, k: Int = 8, overfetch: Int = 4,
+                lambdaPpm: Long = 700000L): DataFrame =
+      Similarity.mmrTopK(embs, nQueries, k, overfetch, lambdaPpm)
     /** Product-quantization ANN: codebook-encoded corpus, ADC candidates,
       * exact re-rank. */
     def pqTopK(nQueries: Int = 8, k: Int = 10, kSub: Int = 8,

@@ -140,13 +140,23 @@ object DocDedup {
           col("b.len") * lit(1000000L) >= lit(t) * col("a.len"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val inter = cand
-      .join(posting.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
-      .join(posting.select(col("doc_id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(base.select(col("doc_id").as("id_a"), col("len").as("__la")), Seq("id_a"))
-      .join(base.select(col("doc_id").as("id_b"), col("len").as("__lb")), Seq("id_b"))
+    // Verify by per-pair set intersection over the persisted shingle
+    // arrays — NOT by re-joining the posting lists: the posting form
+    // explodes every candidate into ~|doc| rows before re-aggregating
+    // (candidates × avg-len through an exchange — the sf10 rehearsal
+    // caught that shape at exp 1.33, OOM on the default 8 GiB heap and
+    // 459 s even at 48 GiB; candidate COUNT itself is exactly linear,
+    // 3.29M → 32.9M over the decade). Two array joins ship each candidate
+    // pair once, `array_intersect` counts in a projection, and no
+    // aggregation state exists at all — re-measured 5.2 s at sf1 /
+    // 56.3 s at sf10 (exp 1.03, honest pair-volume linear), 8.2× faster,
+    // inside the default heap.
+    cand
+      .join(base.select(col("doc_id").as("id_a"),
+        col("__tk").as("__tka"), col("len").as("__la")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"),
+        col("__tk").as("__tkb"), col("len").as("__lb")), Seq("id_b"))
+      .withColumn("n_inter", expr("size(array_intersect(__tka, __tkb))").cast("bigint"))
       .withColumn("n_union", col("__la") + col("__lb") - col("n_inter"))
       .filter(col("n_inter") * lit(1000000L) >= lit(t) * col("n_union"))
       .select("id_a", "id_b", "n_inter", "n_union")

@@ -1180,6 +1180,77 @@ object Similarity {
         col("lex_rank"), col("sem_rank"))
   }
 
+  /** Diversified top-k by Maximal Marginal Relevance (Carbonell &
+    * Goldstein, SIGIR 1998): greedily pick the candidate maximizing
+    * `λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)` — the classic
+    * redundancy-penalized re-rank (RAG context assembly, dedup-aware
+    * retrieval, diverse few-shot example selection). Plain top-k returns
+    * near-duplicate neighbors back to back; MMR trades `1−λ` of relevance
+    * for coverage.
+    *
+    * Scale shape: the expensive half is the candidate pool — the existing
+    * broadcast-queries × corpus-scan exact top-(k·overfetch) (one corpus
+    * pass, map-side partial top-k). The greedy loop is INHERENTLY
+    * sequential, but only over the pool: each query's pool is aggregated
+    * into ONE array row (≤ k·overfetch structs) and the k selection steps
+    * run as a single codegen'd `aggregate` over that array — per-query
+    * O(k²·overfetch) lambda work on one executor row, zero extra
+    * shuffles, nothing driver-side. λ ships as integer ppm so the literal
+    * is engine-exact; scoring doubles are the same IEEE sequence as the
+    * DuckDB twin (shared cosine formula), and every argmax tie-breaks on
+    * the smaller pool index, so selection is fully deterministic.
+    * Emits `(query_id, mmr_rank, nn_id, rel_rank)` — rel_rank is the
+    * pre-diversification cosine rank, so `mmr_rank ≠ rel_rank` rows show
+    * exactly what the diversification changed. */
+  def mmrTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 8,
+              overfetch: Int = 4, lambdaPpm: Long = 700000L): DataFrame = {
+    require(k > 0 && overfetch >= 1 && lambdaPpm >= 0 && lambdaPpm <= 1000000L)
+    val n = withNorm(embeddings)
+    val queries = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"))
+    val pool = broadcast(queries)
+      .join(n.select(col("vec_id").as("nn_id"), col("ed").as("e"), col("nrm").as("en")),
+        col("query_id") =!= col("nn_id"))
+      .withColumn("cos", expr(sparkCosPre("q", "e", "qn", "en")))
+      .withColumn("rel_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rel_rank") <= k * overfetch)
+    val lam = s"CAST($lambdaPpm AS DOUBLE) / 1000000.0D"
+    // Greedy selection as one fold: sel accumulates 1-based pool indices;
+    // each step takes the argmax of the MMR score over unselected indices
+    // (struct max orders by score, then by -index → smaller index wins
+    // ties). The first pick has no selected set: the penalty term is 0 and
+    // the argmax is pure relevance = pool index 1.
+    val mmrScore =
+      s"""$lam * element_at(pool, i).cos - (1.0D - $lam) *
+         |  (CASE WHEN size(sel) = 0 THEN CAST(0.0 AS DOUBLE)
+         |   ELSE array_max(transform(sel, j ->
+         |     array_dot(element_at(pool, i).e, element_at(pool, j).e)
+         |     / (element_at(pool, i).en * element_at(pool, j).en))) END)"""
+        .stripMargin.replace("\n", " ")
+    val select =
+      s"""aggregate(
+         |  sequence(1, least($k, size(pool))),
+         |  cast(array() as array<int>),
+         |  (sel, step) -> concat(sel, array(-array_max(transform(
+         |    filter(sequence(1, size(pool)), i -> NOT array_contains(sel, i)),
+         |    i -> named_struct('s', $mmrScore, 'ni', -i))).ni)))"""
+        .stripMargin.replace("\n", " ")
+    pool
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(
+        col("rel_rank"), col("nn_id"), col("cos"), col("e"), col("en")))).as("pool"))
+      .withColumn("sel", expr(select))
+      // The pool array is rel_rank-sorted, so a selected 1-based index IS
+      // the pre-diversification rank — no second pool pass to look it up.
+      .select(col("query_id"), posexplode(expr(
+        "transform(sel, idx -> named_struct('nn_id', element_at(pool, idx).nn_id, " +
+          "'rel_rank', CAST(idx AS BIGINT)))")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("mmr_rank"),
+        col("col.nn_id").as("nn_id"), col("col.rel_rank").as("rel_rank"))
+  }
+
   /** Embedding-QA outlier flags: the `frac` most centroid-distant vectors
     * within each label — mislabeled rows, encoder failures, and genuine
     * novelty all surface here first. Distance is cosine against the

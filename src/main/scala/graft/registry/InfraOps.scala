@@ -586,6 +586,13 @@ object InfraOps {
     "s_analyze" -> ((s: SparkSession, d: String) => graft.sources.TableStats.analyze(
       s.read.parquet(s"$d/lineitem.parquet"),
       Seq("l_orderkey", "l_quantity", "l_returnflag"))),
+    // Equi-width histogram over integer cents — the distribution stat the
+    // min/max/NDV family can't give a cost model (uniform vs skewed range
+    // selectivity).
+    "s_hist" -> ((s: SparkSession, d: String) => graft.sources.TableStats.histogram(
+      s.read.parquet(s"$d/lineitem.parquet")
+        .selectExpr("cast(floor(l_extendedprice * 100) as bigint) as cents"),
+      "cents", nBuckets = 16)),
     // Incremental stats maintenance: partial stats per split, folded with
     // mergeStats — the oracle is s_analyze's own SQL over the WHOLE table,
     // which proves merged ≡ direct (KMV merge is a pure set function).
@@ -792,6 +799,17 @@ object InfraOps {
         |SELECT 'customer_name_notnull',
         |  CAST((SELECT count(*) - count(c_name) FROM customer) AS BIGINT),
         |  CASE WHEN (SELECT count(*) - count(c_name) FROM customer) = 0 THEN 1 ELSE 0 END""".stripMargin,
+    "s_hist" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |st AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+        |b AS (SELECT v, lo, (hi - lo) // 16 + 1 AS w FROM v, st),
+        |g AS (SELECT (v - lo) // w AS bucket, lo, w, CAST(count(*) AS BIGINT) AS n_rows,
+        |        min(v) AS seen_min, max(v) AS seen_max
+        |      FROM b GROUP BY 1, 2, 3)
+        |SELECT bucket, lo + bucket * w AS bucket_lo, lo + (bucket + 1) * w - 1 AS bucket_hi,
+        |  n_rows, seen_min, seen_max
+        |FROM g""".stripMargin,
     "j_band" ->
       """WITH s AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS k,
         |             CAST(floor(s_acctbal * 100) AS BIGINT) AS s_cents FROM supplier),

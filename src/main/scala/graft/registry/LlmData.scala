@@ -101,6 +101,7 @@ object LlmData {
     "d_substr_rm" -> ((s, d) => DocDedup.removeDuplicateSpans(docs(s, d))),
     "x_consensus" -> ((s, d) => DocDedup.consensusPairs(docs(s, d), embs(s, d))),
     "x_rrf" -> ((s, d) => Similarity.hybridRrfTopK(docs(s, d), embs(s, d))),
+    "e_mmr" -> ((s, d) => Similarity.mmrTopK(embs(s, d))),
     "v_heavy" -> ((s, d) => TextAnalysis.heavyHitters(docs(s, d))),
     "d_simhash" -> ((s, d) => DocDedup.simhashGroups(docs(s, d))),
     "e_topk" -> ((s, d) => Similarity.bruteForceTopK(embs(s, d))),
@@ -711,6 +712,46 @@ object LlmData {
        |      FROM q, n2 e WHERE e.vec_id != query_id),
        |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM s)
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
+
+  /** DuckDB twin of [[Similarity.mmrTopK]]: the same exact-cosine pool
+    * (rank ≤ k·overfetch), then the same greedy MMR fold as a
+    * `list_reduce` over dummy steps — the argmax is a struct-max fold
+    * ordered (score, -index), so ties break on the smaller pool index in
+    * both engines. The candidate/selected lambda variables are `ii`/`jj`
+    * (NOT `i`): [[Similarity.duckDot]] expands with its own inner `i`,
+    * and a same-named outer variable would be captured by the inner
+    * lambda's shadowing. */
+  private val mmrSql = {
+    val lam = "CAST(700000 AS DOUBLE) / 1000000.0"
+    val maxFold = "(a, b) -> CASE WHEN b > a THEN b ELSE a END"
+    val score =
+      s"""$lam * pool[ii].cos - (1.0 - $lam) *
+         |  (CASE WHEN len(sel) = 0 THEN CAST(0.0 AS DOUBLE)
+         |   ELSE list_reduce(list_transform(sel, jj ->
+         |     ${Similarity.duckDot("pool[ii].e", "pool[jj].e")}
+         |     / (pool[ii].en * pool[jj].en)), $maxFold) END)"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH $normCte,
+       |q AS (SELECT vec_id AS query_id, ed AS qv, nrm AS qn FROM n2 WHERE vec_id < 8),
+       |s0 AS (SELECT query_id, e.vec_id AS nn_id, e.ed AS e, e.nrm AS en,
+       |         ${Similarity.duckCosPre("qv", "e.ed", "qn", "e.nrm")} AS cos
+       |       FROM q, n2 e WHERE e.vec_id != query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rel_rank FROM s0),
+       |p AS (SELECT query_id,
+       |        list(struct_pack(rel_rank := rel_rank, nn_id := nn_id, cos := cos, e := e, en := en) ORDER BY rel_rank) AS pool
+       |      FROM r WHERE rel_rank <= 32 GROUP BY query_id),
+       |g AS (SELECT query_id, pool, list_reduce(
+       |        list_prepend(CAST([] AS BIGINT[]), list_transform(range(1, least(8, len(pool)) + 1), x -> CAST([] AS BIGINT[]))),
+       |        (sel, step) -> list_append(sel, -(list_reduce(
+       |          list_transform(list_filter(range(1, len(pool) + 1), ii -> NOT list_contains(sel, ii)),
+       |            ii -> struct_pack(s := $score, ni := -ii)),
+       |          $maxFold)).ni)) AS sel
+       |      FROM p)
+       |SELECT query_id, x.mmr_rank AS mmr_rank, x.nn_id AS nn_id, x.rel_rank AS rel_rank
+       |FROM (SELECT query_id, unnest(list_transform(range(1, len(sel) + 1), pp ->
+       |        struct_pack(mmr_rank := pp, nn_id := pool[sel[pp]].nn_id, rel_rank := sel[pp]))) AS x
+       |      FROM g)""".stripMargin
+  }
 
   /** DuckDB twin of [[Similarity.rpTopK]]: the same LCG weight formula
     * builds the projection, same projected-cosine candidate rank at
@@ -1385,6 +1426,7 @@ object LlmData {
     "d_substr_rm" -> substrRmSql,
     "x_consensus" -> consensusSql,
     "x_rrf" -> rrfSql,
+    "e_mmr" -> mmrSql,
     "v_heavy" -> heavySql,
     "d_simhash" -> simhashSql,
     "e_topk" -> topkSql,

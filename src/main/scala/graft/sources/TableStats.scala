@@ -116,4 +116,41 @@ object TableStats {
       .selectExpr("column", "cast(n_rows as bigint) as n_rows",
         "cast(n_nulls as bigint) as n_nulls", "min_value", "max_value", "ndv_est")
   }
+
+  /** Equi-width histogram of an integral column — the distribution stat
+    * beside [[analyze]]'s min/max/NDV: per-bucket row counts plus observed
+    * bounds, the input a cost model needs for selectivity estimates on
+    * range predicates (`price BETWEEN a AND b`) where min/max alone can't
+    * distinguish uniform from skewed.
+    *
+    * Exact integer bucket math: width = `(hi − lo) div nBuckets + 1` (so
+    * every value lands in [0, nBuckets) and width ≥ 1 even on constant
+    * columns), bucket = `(v − lo) div width` — engine-reproducible with no
+    * float boundary cases. The (lo, hi) pair comes from a 1-row aggregate
+    * broadcast back into the plan (no driver action); callers that already
+    * ran [[analyze]] can pass `loHi` to skip that scan — at 100 TB the
+    * stats-as-data path makes the histogram a SINGLE pass (the same
+    * footer-stats policy as the banding ladders). Bucket count keys the
+    * final agg, so shuffle volume is ≤ nBuckets rows per map partition. */
+  def histogram(df: DataFrame, colName: String, nBuckets: Int = 16,
+                loHi: Option[(Long, Long)] = None): DataFrame = {
+    require(df.columns.contains(colName), s"unknown column: $colName")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val vals = df.select(col(colName).cast("bigint").as("v")).where(col("v").isNotNull)
+    val stats = loHi match {
+      case Some((lo, hi)) =>
+        require(lo <= hi, s"lo $lo > hi $hi")
+        vals.sparkSession.range(1).selectExpr(
+          s"CAST($lo AS BIGINT) AS lo", s"CAST($hi AS BIGINT) AS hi")
+      case None => vals.agg(min("v").as("lo"), max("v").as("hi"))
+    }
+    vals.crossJoin(broadcast(stats))
+      .withColumn("w", expr(s"(hi - lo) div $nBuckets + 1"))
+      .groupBy(expr("(v - lo) div w").as("bucket"), col("lo"), col("w"))
+      .agg(count(lit(1)).as("n_rows"), min("v").as("seen_min"), max("v").as("seen_max"))
+      .select(col("bucket"),
+        (col("lo") + col("bucket") * col("w")).as("bucket_lo"),
+        (col("lo") + (col("bucket") + 1) * col("w") - 1).as("bucket_hi"),
+        col("n_rows"), col("seen_min"), col("seen_max"))
+  }
 }

@@ -77,4 +77,32 @@ class TableStatsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("histogram: exact integer buckets, negatives, nulls excluded") {
+    // lo = -10, hi = 9 → w = 19 div 4 + 1 = 5; buckets [-10,-6] [-5,-1] [0,4] [5,9]
+    val in = (Seq(-10L, -6L, -5L, 0L, 4L, 5L, 9L).map(Option(_)) :+ None)
+      .toDF("v")
+    val out = TableStats.histogram(in, "v", nBuckets = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) == ((-10L, -6L, 2L, -10L, -6L)))
+    assert(out(1L) == ((-5L, -1L, 1L, -5L, -5L)))
+    assert(out(2L) == ((0L, 4L, 2L, 0L, 4L)))
+    assert(out(3L) == ((5L, 9L, 2L, 5L, 9L)))
+    assert(out.values.map(_._3).sum == 7L, "null row excluded, others all counted")
+  }
+
+  test("histogram: constant column lands in one bucket; loHi hint matches in-plan stats") {
+    val const = Seq(42L, 42L, 42L).toDF("v")
+    val c = TableStats.histogram(const, "v", nBuckets = 8).collect()
+    assert(c.length == 1 && c.head.getLong(0) == 0L && c.head.getLong(3) == 3L)
+    // stats-driven knob path: same buckets without scanning for min/max
+    val in = Seq(-10L, -6L, -5L, 0L, 4L, 5L, 9L).toDF("v")
+    val scanned = TableStats.histogram(in, "v", 4).collect().map(_.toSeq).toSet
+    val hinted = TableStats.histogram(in, "v", 4, loHi = Some((-10L, 9L)))
+      .collect().map(_.toSeq).toSet
+    assert(scanned == hinted)
+  }
 }
