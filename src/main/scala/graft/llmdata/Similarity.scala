@@ -252,14 +252,18 @@ object Similarity {
     * (sf10) → 23×15 — measured motivation in SCALING.md's sf10 decade
     * (fixed 7×8 went exp 1.33 in the second decade; scaled knobs ran the
     * same sf10 workload 7× faster). The sf100 rehearsal extended the
-    * rungs through r=24 (sf100's 20 M vectors → 69×22); the ladder now
-    * caps at 94×24 past 2^26 ≈ 67 M vectors — beyond that, shard the
-    * corpus (the banding is per-shard) or use the cell-local [[semDedup]]
-    * (k ∝ N^⅔ with hierarchical assignment). Candidate volume under the
-    * ladder grows ∝ N^(1+ρ), ρ = ln p₁ / ln p₂ ≈ 0.22 — mildly
-    * super-linear is the THEORETICAL floor for banding at cos 0.9; the
+    * rungs through r=24 (sf100's 2 M vectors → 37 bands × 18 bits,
+    * measured candidate set 595.5 M = 298/vector vs sf10's 115/vector);
+    * the ladder caps at 94×24 past 2^26 ≈ 67 M vectors — beyond that,
+    * shard the corpus (the banding is per-shard) or use the cell-local
+    * [[semDedup]] (k ∝ N^⅔ with hierarchical assignment). Candidate
+    * volume under the ladder grows ∝ N^(1+ρ), ρ = ln p₁ / ln p₂ ≈ 0.22 —
+    * mildly super-linear is the THEORETICAL floor for banding at cos 0.9
+    * (sf10→sf100 measured 1.41 with correlation mass on top); the
     * exactly-linear alternative at huge N is [[semDedup]]'s cell
-    * partitioning. */
+    * partitioning, measured 99.8 s at sf100 on the box where the banding
+    * candidate distinct exceeded local scratch (SCALING.md's sf100
+    * section). */
   def dupBanding(n: Long): (Int, Int) = {
     val r = 8 + DupRungExps.count(k => n > (1L << k))
     (DupBandsFor(r) * r, r)

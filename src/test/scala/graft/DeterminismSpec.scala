@@ -39,7 +39,11 @@ class DeterminismSpec extends AnyFunSuite {
     "v_cms",           // counter-partial merge order (sketch = sums, min over rows)
     "k_snapshot_diff", // full-outer diff classification over committed stores
     "e_pq_topk",       // PQ codebooks + ADC candidate ties (code-pair scores)
-    "d_ppjoin")        // df-ordered prefix window + integer pair verify
+    "d_ppjoin",        // df-ordered prefix window + array-intersect verify
+    "e_mmr",           // greedy argmax fold (float ties broken on pool index)
+    "c_overlap",       // collect_set source lists (arrival order) → sorted pairs
+    "w_rolling",       // bounded ROWS frame over a (ts, event_id) sort
+    "j_band")          // ±1-bucket replication exactly-once emission
 
   private def run(name: String, parts: Int): Seq[String] = {
     // Drop blocks persisted by the previous run: CacheManager substitutes

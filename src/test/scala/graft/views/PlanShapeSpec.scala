@@ -55,4 +55,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!optimized.contains("windowspecdefinition(cnpj_forn_pai"),
       s"per-parent totals regressed to a fact-row window:\n$optimized")
   }
+
+  test("w_rolling serves frame sum, count, and lag from ONE exchange and ONE sort") {
+    // rollingStats's contract: all three window signals share the
+    // (user_id, ts, event_id) ordering, so adding signals costs
+    // projections, not shuffles. A refactor that gives the lag a
+    // different orderBy (or partitioning) would silently double the
+    // exchange; it fails here instead.
+    val plan = graft.streaming.EventStream.rollingStats(
+        graft.sources.Tables.events(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    val sorts = plan.linesIterator.count(l => l.contains("Sort ["))
+    assert(exchanges == 1, s"rolling stats should shuffle once, saw $exchanges:\n$plan")
+    assert(sorts == 1, s"rolling stats should sort once, saw $sorts:\n$plan")
+  }
+
+  test("j_band plans as an equi-join on the bucket, never a product join") {
+    // bandJoin exists precisely because Spark plans the bare |Δ| <= eps
+    // predicate as BNLJ/cartesian; the bucketized form must stay an
+    // equi-join (hash or sort-merge, AQE's choice).
+    val plan = graft.registry.InfraOps.bandJoinRoundTrip(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join fell back to a product join:\n$plan")
+  }
 }
