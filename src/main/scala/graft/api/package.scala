@@ -57,6 +57,10 @@ package object api {
     def histogram(colName: String, nBuckets: Int = 16,
                   loHi: Option[(Long, Long)] = None): DataFrame =
       graft.sources.TableStats.histogram(df, colName, nBuckets, loHi)
+    /** Behavioral near-duplicate users over an event frame (token-enriched
+      * sequence n-gram Jaccard — bot/replay detection). */
+    def sequenceNearDup(k: Int = 3, threshold: Double = 0.5): DataFrame =
+      graft.streaming.EventStream.sequenceNearDup(df, k, threshold)
   }
 
   /** Corpus curation over a `(doc_id, text, …)` document frame. */

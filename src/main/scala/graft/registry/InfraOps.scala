@@ -583,6 +583,19 @@ object InfraOps {
     "j_overlap" -> (overlapJoinRoundTrip _),
     "j_band" -> (bandJoinRoundTrip _),
     "w_rolling" -> (rollingRoundTrip _),
+    // Behavioral near-dup with engineered ground truth: every 10th user's
+    // stream replays under a shifted id minus its event_id%13 events (a
+    // near-identical twin, Jaccard ~0.8-1.0); the random base population
+    // sits far below the 0.5 threshold (measured: 453 candidate pairs,
+    // only the twins pass). Without the injection the row would be
+    // vacuously green on an all-random fixture — same policy as t_scrub's
+    // PII injection and d_bloom_incr's replays.
+    "x_seqsim" -> ((s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val twins = ev.filter(col("user_id") % 10 === 0 && col("event_id") % 13 =!= 0)
+        .withColumn("user_id", col("user_id") + lit(100000L))
+      EventStream.sequenceNearDup(ev.unionByName(twins))
+    }),
     "s_analyze" -> ((s: SparkSession, d: String) => graft.sources.TableStats.analyze(
       s.read.parquet(s"$d/lineitem.parquet"),
       Seq("l_orderkey", "l_quantity", "l_returnflag"))),
@@ -799,6 +812,31 @@ object InfraOps {
         |SELECT 'customer_name_notnull',
         |  CAST((SELECT count(*) - count(c_name) FROM customer) AS BIGINT),
         |  CASE WHEN (SELECT count(*) - count(c_name) FROM customer) = 0 THEN 1 ELSE 0 END""".stripMargin,
+    "x_seqsim" -> {
+      import graft.llmdata.TextPrimitives.{duckWords, duckShingles, duckPolyHashArray}
+      s"""WITH ev2 AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts, user_id + 100000, event_type, value FROM events
+        |  WHERE user_id % 10 = 0 AND event_id % 13 != 0),
+        |tok AS (SELECT user_id, ts, event_id,
+        |          coalesce(event_type, '') || '_' || CAST(CAST(floor(coalesce(value, 0.0) * 10) AS BIGINT) % 100 AS VARCHAR) AS t
+        |        FROM ev2),
+        |seq AS (SELECT user_id AS doc_id, array_to_string(list(t ORDER BY ts, event_id), ' ') AS text
+        |        FROM tok GROUP BY 1),
+        |w AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM seq),
+        |sh AS (SELECT doc_id, ${duckShingles("words", "text", 3)} AS s FROM w),
+        |posting AS (SELECT doc_id, unnest(${duckPolyHashArray("s")}) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id JOIN sizes sb ON pairs.id_b = sb.doc_id
+        |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5""".stripMargin
+    },
     "s_hist" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),

@@ -185,6 +185,57 @@ object EventStream {
           .as("gap_us"))
   }
 
+  /** Per-user behavioral token sequence: events in (ts, event_id) order,
+    * each rendered as `event_type_v` where v = floor(value·10) mod 100 —
+    * the token enrichment is the load-bearing knob, in BOTH directions.
+    * Too coarse (raw ~5-type alphabet): every user's k-gram set saturates
+    * the tiny shingle space and ALL pairs look alike (measured: 11 k of
+    * 11 k pairs share shingles, none reach Jaccard 0.5). Slightly coarse
+    * (~50 symbols, one value digit): the 125 k 3-gram space SATURATES
+    * once postings reach it, per-shingle df then grows ∝ users and the
+    * pair join goes Σdf² ∝ users² — measured exp 1.79 over sf1→sf10
+    * (2.5 s → 154 s) with 17.3 M Σdf² at sf1 already. At ~500 composite
+    * symbols the 3-gram space is ~1.25·10⁸: postings land on mostly-
+    * unique shingles (df ≈ 1), Σdf² tracks postings, and candidates stay
+    * linear — re-measured 2.5 s at sf1 / 6.4 s at sf10, exp 0.41 (after
+    * the same rehearsal also exposed a FIXTURE artifact: GenScale's
+    * key-shift-only event replicas left every user an identical
+    * behavioral clone in every replica, which this operator dutifully
+    * reported as a quadratically growing pair mass; events now
+    * content-decorrelate per replica like text/embeddings always did).
+    * The general rule: alphabet^k must dominate total POSTINGS (users ×
+    * sequence length), not merely the user count — saturation, not
+    * population, is what turns the posting join quadratic. Exact replays
+    * share exact tokens, so enrichment never costs twin recall.
+    * Output is `(doc_id, text)` — the document-shaped frame the whole
+    * text-dedup family accepts unchanged.
+    *
+    * One user_id shuffle; the ordered aggregation is the c_seqtext idiom
+    * (sort structs, then project) so the sequence is deterministic under
+    * any partitioning. NULL-safe: both token parts are coalesced, so a
+    * null type/value can never make collect_list and the DuckDB twin's
+    * `list()` disagree on null handling. */
+  def userSequences(events: DataFrame): DataFrame =
+    events
+      .withColumn("__tok", expr(
+        "concat(coalesce(event_type, ''), '_', CAST(CAST(floor(coalesce(value, 0.0) * 10) AS BIGINT) % 100 AS STRING))"))
+      .groupBy("user_id")
+      .agg(expr(
+        "concat_ws(' ', transform(array_sort(collect_list(struct(ts, event_id, __tok))), s -> s.__tok))")
+        .as("text"))
+      .select(col("user_id").as("doc_id"), col("text"))
+
+  /** Behavioral near-duplicate users (bot detection, replayed streams,
+    * shared automation): n-gram Jaccard over [[userSequences]] — a pure
+    * composition into [[graft.llmdata.DocDedup.ngramJaccardPairs]], so
+    * candidates are shingle-bucket-local, never users × users. Pick k so
+    * alphabet^k ≫ the user population (k = 3 over ~50 composite symbols
+    * holds to ~10⁵ users; raise k or extend the token past one digit
+    * beyond that). */
+  def sequenceNearDup(events: DataFrame, k: Int = 3,
+                      threshold: Double = 0.5): DataFrame =
+    graft.llmdata.DocDedup.ngramJaccardPairs(userSequences(events), k, threshold)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

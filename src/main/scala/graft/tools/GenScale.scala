@@ -110,7 +110,31 @@ object GenScale {
       Map("l_orderkey" -> OrderOff, "l_partkey" -> PartOff, "l_suppkey" -> SuppOff), r))
     gen("part")((d, r) => bump(d, Map("p_partkey" -> PartOff), r))
     gen("supplier")((d, r) => bump(d, Map("s_suppkey" -> SuppOff), r))
-    gen("events")((d, r) => bump(d, Map("event_id" -> IdOff, "user_id" -> IdOff), r))
+    // Key shifts alone left every user an IDENTICAL behavioral clone in
+    // every other replica (same (event_type, value) stream) — fine for the
+    // windowed/sessionized rows, but the r9 behavioral-dedup operator
+    // (x_seqsim) then correctly reports a clone mass that grows
+    // quadratically in replicas: a fixture artifact, the same all-twins
+    // degeneration the docstring forbids for text/embeddings. Decorrelate
+    // CONTENT per replica with two cheap bijections that preserve
+    // within-replica structure: rotate the event-type label by r (5-cycle
+    // on the type alphabet) and shift value by (r mod 971)/10 — 971 is
+    // prime and coprime to 5, so the (rotation, shift) pair repeats only
+    // every lcm(5, 971) = 4855 replicas, beyond the 1248-replica guard
+    // (a 97 modulus would collide at r = 485 and hand replicas 0/485/970
+    // byte-identical behavior — the clone artifact all over again).
+    // Identity for r = 0; spec-pinned in GenScaleAlphabetSpec.
+    gen("events")((d, r) => {
+      val b = bump(d, Map("event_id" -> IdOff, "user_id" -> IdOff), r)
+      if (r == 0) b
+      else b
+        .withColumn("event_type", expr(
+          s"""element_at(array('view', 'click', 'purchase', 'signup', 'error'),
+             | cast((coalesce(
+             |   array_position(array('view', 'click', 'purchase', 'signup', 'error'), event_type) - 1,
+             |   0) + $r) % 5 + 1 as int))""".stripMargin.replace("\n", " ")))
+        .withColumn("value", col("value") + lit((r % 971) / 10.0))
+    })
     gen("documents")((d, r) =>
       bump(d, Map("doc_id" -> IdOff), r).withColumn("text", caesar(col("text"), r)))
     // Circular rotation decorrelates cross-replica cosine, but repeats

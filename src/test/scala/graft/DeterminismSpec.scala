@@ -43,7 +43,8 @@ class DeterminismSpec extends AnyFunSuite {
     "e_mmr",           // greedy argmax fold (float ties broken on pool index)
     "c_overlap",       // collect_set source lists (arrival order) → sorted pairs
     "w_rolling",       // bounded ROWS frame over a (ts, event_id) sort
-    "j_band")          // ±1-bucket replication exactly-once emission
+    "j_band",          // ±1-bucket replication exactly-once emission
+    "x_seqsim")        // ordered sequence aggregation feeding shingle pairs
 
   private def run(name: String, parts: Int): Seq[String] = {
     // Drop blocks persisted by the previous run: CacheManager substitutes

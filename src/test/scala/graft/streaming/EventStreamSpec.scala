@@ -207,6 +207,25 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sequenceNearDup: replayed user found, independent users below threshold") {
+    import spark.implicits._
+    // user 1 and its replay (user 11, one event dropped) are near-dups;
+    // user 2's sequence differs everywhere.
+    def ev(uid: Long, ids: Seq[Long], types: Seq[String], vals: Seq[Double]) =
+      ids.indices.map(i => (uid * 1000 + ids(i), ts(ids(i).toInt), uid, types(i), vals(i)))
+    val types1 = Seq("a", "b", "a", "c", "b", "a", "c", "a")
+    val vals1 = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)
+    val events = (
+      ev(1L, 1L to 8L, types1, vals1) ++
+      ev(11L, 1L to 7L, types1.take(7), vals1.take(7)) ++ // replay minus the tail
+      ev(2L, 1L to 8L, Seq("c", "c", "b", "b", "a", "b", "c", "c"),
+        Seq(9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pairs = EventStream.sequenceNearDup(events)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 11L)))
+  }
+
   test("rolling frame stats: window sum/count over the last N rows plus arrival gap") {
     import spark.implicits._
     val events = Seq(

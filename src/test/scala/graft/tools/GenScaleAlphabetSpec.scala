@@ -39,4 +39,14 @@ class GenScaleAlphabetSpec extends AnyFunSuite {
     // orthogonality that keeps cross-replica cosines decorrelated
     rows.drop(1).foreach(r => assert(r.count(identity) == 32))
   }
+
+  test("event content-decorrelation family is collision-free across the replica guard") {
+    // (type rotation, value shift) per replica r: a repeat would hand two
+    // replicas byte-identical behavioral streams — the clone artifact the
+    // r9 x_seqsim rehearsal caught when events were key-shift-only.
+    val family = (0 until 1248).map(r => (r % 5, r % 971))
+    assert(family.distinct.size == 1248,
+      "rotation/shift pair repeated inside the guard — use moduli with lcm > 1248")
+    assert(family.head == ((0, 0)), "replica 0 must stay the identity")
+  }
 }
