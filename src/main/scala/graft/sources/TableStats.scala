@@ -131,7 +131,11 @@ object TableStats {
     * ran [[analyze]] can pass `loHi` to skip that scan — at 100 TB the
     * stats-as-data path makes the histogram a SINGLE pass (the same
     * footer-stats policy as the banding ladders). Bucket count keys the
-    * final agg, so shuffle volume is ≤ nBuckets rows per map partition. */
+    * final agg, so shuffle volume is ≤ nBuckets rows per map partition.
+    * A `loHi` hint that no longer covers the data does NOT truncate:
+    * out-of-range values land in buckets < 0 or ≥ nBuckets, so stale
+    * stats surface as visible overflow buckets instead of silently
+    * folding into the edge bars. */
   def histogram(df: DataFrame, colName: String, nBuckets: Int = 16,
                 loHi: Option[(Long, Long)] = None): DataFrame = {
     require(df.columns.contains(colName), s"unknown column: $colName")
@@ -146,7 +150,13 @@ object TableStats {
     }
     vals.crossJoin(broadcast(stats))
       .withColumn("w", expr(s"(hi - lo) div $nBuckets + 1"))
-      .groupBy(expr("(v - lo) div w").as("bucket"), col("lo"), col("w"))
+      // FLOOR division, not Spark's truncate-toward-zero `div`: with the
+      // in-plan (lo, hi) the dividend is never negative and the two agree
+      // (and match DuckDB's floor `//`), but a stale loHi hint can put
+      // values below lo — truncation would silently fold the (lo − w, lo)
+      // band into bucket 0 instead of surfacing bucket −1.
+      .groupBy(expr("(v - lo - ((v - lo) % w + w) % w) div w").as("bucket"),
+        col("lo"), col("w"))
       .agg(count(lit(1)).as("n_rows"), min("v").as("seen_min"), max("v").as("seen_max"))
       .select(col("bucket"),
         (col("lo") + col("bucket") * col("w")).as("bucket_lo"),

@@ -105,4 +105,14 @@ class TableStatsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(scanned == hinted)
   }
+
+  test("histogram: stale loHi hint surfaces out-of-range values as overflow buckets") {
+    // hint covers [0, 9] (w = 9 div 3 + 1 = 4, buckets 0..2 span 0..11);
+    // data has -2 and 13: -2 must land in bucket -1 (floor division —
+    // truncation would fold it into bucket 0) and 13 in bucket 3.
+    val in = Seq(-2L, 1L, 13L).toDF("v")
+    val out = TableStats.histogram(in, "v", nBuckets = 3, loHi = Some((0L, 9L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(-1L -> 1L, 0L -> 1L, 3L -> 1L))
+  }
 }
