@@ -85,7 +85,6 @@ package object api {
     def bpeApply(merges: DataFrame): DataFrame = TextAnalysis.bpeApply(docs, merges)
     /** Chars-per-BPE-token compression quality signal per document. */
     def bpeFertility(merges: DataFrame): DataFrame = TextAnalysis.bpeFertility(docs, merges)
-    /** Count-min sketch term-frequency estimates audited vs exact counts. */
     /** Every token above N/k corpus share, exact counts (MG candidates →
       * exact verify). */
     def heavyHitters(k: Int = 64): DataFrame = TextAnalysis.heavyHitters(docs, k)
@@ -94,6 +93,7 @@ package object api {
                       query: Seq[String] = TextAnalysis.Bm25DefaultQuery,
                       k: Int = 10, kRrf: Int = 60): DataFrame =
       Similarity.hybridRrfTopK(docs, embeddings, query, k, kRrf)
+    /** Count-min sketch term-frequency estimates audited vs exact counts. */
     def cmsTermEstimates(depth: Int = TextAnalysis.CmsDepth,
                          width: Int = TextAnalysis.CmsWidth): DataFrame =
       TextAnalysis.cmsTermEstimates(docs, depth, width)

@@ -100,14 +100,18 @@ object RangeJoin {
         "the band predicate would be ambiguous; rename one side")
     val b = Iterator.from(0).map(i => s"__graft_bucket$i")
       .find(n => !left.columns.contains(n) && !right.columns.contains(n)).get
-    // Integer floor-div with correct negative handling: Spark's `floor(a/b)`
-    // on bigints truncates toward zero under integral division, so go
-    // through FLOOR on the exact double only when values are small enough —
-    // instead use the always-exact ((v % eps) + eps) % eps subtraction form.
-    def bkt(c: Column): Column = ((c - (((c % eps) + eps) % eps)) / eps).cast("bigint")
-    val lB = left.withColumn(b, bkt(col(lVal)))
+    // Integer floor-div with correct negative handling, in INTEGER
+    // arithmetic end to end: subtract the positive remainder
+    // (((v % eps) + eps) % eps) so the numerator is an exact multiple of
+    // eps, then integral `div` (exact on a multiple — no rounding mode in
+    // play). The Column `/` operator would divide as DOUBLE, which loses
+    // exactness past 2^53 — an epoch-nanos band join would misplace
+    // buckets by ±1 and silently drop matching pairs.
+    def bkt(vc: String): Column =
+      expr(s"(`$vc` - (((`$vc` % $eps) + $eps) % $eps)) div $eps")
+    val lB = left.withColumn(b, bkt(lVal))
     val rB = right.withColumn(b, explode(array(
-      bkt(col(rVal)) - 1, bkt(col(rVal)), bkt(col(rVal)) + 1)))
+      bkt(rVal) - 1, bkt(rVal), bkt(rVal) + 1)))
     lB.join(rB, keys :+ b)
       .filter(abs(col(lVal) - col(rVal)) <= eps)
       .drop(b)

@@ -470,16 +470,24 @@ object Similarity {
                nCells: Int = 0, kmeansIters: Int = 1, nHint: Long = 0L): DataFrame = {
     // Adaptive-knob sizing, cheapest evidence first: a caller-supplied
     // `nHint` (parquet footer counts via ParquetMeta / TableStats rows —
-    // metadata, no corpus scan) wins; absent that, the count runs on the
-    // PERSISTED norm frame (withNorm drops no rows, so the count is
-    // identical) and doubles as cache materialization. At 100 TB the hint
-    // path is the difference between "choose knobs from the catalog" and
-    // "materialize the corpus once just to size the banding".
-    val n = graft.core.CacheScope.persisted(withNorm(embeddings))
+    // metadata, no corpus scan) wins; absent that, one count job sizes
+    // the knobs (withNorm drops no rows, so counting the raw frame is
+    // identical). At 100 TB the hint path is the difference between
+    // "choose knobs from the catalog" and "scan the corpus once just to
+    // size the cells".
+    // Knob selection BEFORE any persist: when the knobs route to the
+    // hierarchical path, semDedupHier/hierAssign persist their own norm
+    // frame — persisting one here first would leave a dead corpus-sized
+    // cache registration (and, on the nHint=0 fallback, materialize it
+    // solely to pick knobs) exactly at the scale where memory is
+    // tightest. The hint-less count runs on the UNPERSISTED frame; only
+    // the single-level branch, which reuses the frame for assignment,
+    // pays the persist.
     val (kc, kf) = if (nCells > 0) (0, nCells)
-      else semDedupKnobs(if (nHint > 0) nHint else n.count())
+      else semDedupKnobs(if (nHint > 0) nHint else withNorm(embeddings).count())
     if (kc > 0) semDedupHier(embeddings, threshold, kc, kf, kmeansIters)
     else {
+      val n = graft.core.CacheScope.persisted(withNorm(embeddings))
       val centroids = graft.core.CacheScope.persisted(
         kmeansCentroids(embeddings, kf, kmeansIters))
       val assigned = graft.core.CacheScope.persisted(

@@ -759,9 +759,14 @@ object TextAnalysis {
     val mg = udaf(new graft.functions.MisraGries(k))
     def occ = documents
       .select(explode(transform(tokens(col("text")), w => lower(w))).as("token"))
-    val cands = occ.agg(mg(col("token")).as("cand"))
-      .select(explode(col("cand")).as("token"))
-    val totals = occ.agg(count(lit(1)).as("total"))
+    // One 1-row frame carries BOTH the MG summary and the corpus total —
+    // the total rides the same scan/agg as the sketch (the documented
+    // two-scan cost model; a separate `occ.agg(count)` would be a third
+    // full tokenize pass).
+    val sketch = graft.core.CacheScope.persisted(
+      occ.agg(mg(col("token")).as("cand"), count(lit(1)).as("total")))
+    val cands = sketch.select(explode(col("cand")).as("token"))
+    val totals = sketch.select("total")
     occ.join(broadcast(cands), Seq("token"))
       .groupBy("token").agg(count(lit(1)).as("n_occ"))
       .crossJoin(broadcast(totals))

@@ -197,7 +197,7 @@ object EventStream {
     * (2.5 s → 154 s) with 17.3 M Σdf² at sf1 already. At ~500 composite
     * symbols the 3-gram space is ~1.25·10⁸: postings land on mostly-
     * unique shingles (df ≈ 1), Σdf² tracks postings, and candidates stay
-    * linear — re-measured 2.5 s at sf1 / 6.4 s at sf10, exp 0.41 (after
+    * linear — re-measured 2.4 s at sf1 / 7.3 s at sf10, exp 0.49 (after
     * the same rehearsal also exposed a FIXTURE artifact: GenScale's
     * key-shift-only event replicas left every user an identical
     * behavioral clone in every replica, which this operator dutifully

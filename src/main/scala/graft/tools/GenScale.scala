@@ -116,14 +116,18 @@ object GenScale {
     // (x_seqsim) then correctly reports a clone mass that grows
     // quadratically in replicas: a fixture artifact, the same all-twins
     // degeneration the docstring forbids for text/embeddings. Decorrelate
-    // CONTENT per replica with two cheap bijections that preserve
-    // within-replica structure: rotate the event-type label by r (5-cycle
-    // on the type alphabet) and shift value by (r mod 971)/10 — 971 is
-    // prime and coprime to 5, so the (rotation, shift) pair repeats only
-    // every lcm(5, 971) = 4855 replicas, beyond the 1248-replica guard
-    // (a 97 modulus would collide at r = 485 and hand replicas 0/485/970
-    // byte-identical behavior — the clone artifact all over again).
-    // Identity for r = 0; spec-pinned in GenScaleAlphabetSpec.
+    // CONTENT per replica with bijections that preserve within-replica
+    // structure: rotate the event-type label by r (5-cycle) and transform
+    // value AFFINELY — scale by (1 + r/1024) and shift by (r mod 971)/10.
+    // The multiplicative term is the load-bearing part: x_seqsim's token
+    // observes value only through floor(v·10) mod 100, so ANY constant
+    // additive shift family exposes ≤ 5 (rotation) × 100 (digit-shift)
+    // = 500 distinct streams and replicas ≥ 500 apart become token-clones
+    // again (the first fix shipped shift-only and collided at Δr = 100);
+    // a per-replica SCALE moves each value's token differently, so no two
+    // replicas agree on a whole stream. Identity for r = 0; token-level
+    // distinctness of all 1248 transforms is spec-pinned in
+    // GenScaleAlphabetSpec (the observable, not the knob pair).
     gen("events")((d, r) => {
       val b = bump(d, Map("event_id" -> IdOff, "user_id" -> IdOff), r)
       if (r == 0) b
@@ -133,7 +137,8 @@ object GenScale {
              | cast((coalesce(
              |   array_position(array('view', 'click', 'purchase', 'signup', 'error'), event_type) - 1,
              |   0) + $r) % 5 + 1 as int))""".stripMargin.replace("\n", " ")))
-        .withColumn("value", col("value") + lit((r % 971) / 10.0))
+        .withColumn("value",
+          col("value") * lit(1.0 + r / 1024.0) + lit((r % 971) / 10.0))
     })
     gen("documents")((d, r) =>
       bump(d, Map("doc_id" -> IdOff), r).withColumn("text", caesar(col("text"), r)))

