@@ -50,25 +50,6 @@ object RangeJoin {
       .drop(b)
   }
 
-  /** Inner interval-overlap join: pairs of (left, right) rows with equal
-    * `keys` whose half-open intervals [lStart, lEnd) and [rStart, rEnd)
-    * have a NONEMPTY intersection — `greatest(starts) < least(ends)`,
-    * which (unlike the textbook pair of `<` inequalities) is also correct
-    * for degenerate intervals: [x, x) is the empty set and overlaps
-    * nothing, even when x falls inside the other interval. The media /
-    * session alignment join (segment × segment) the point-in-interval
-    * form can't express.
-    *
-    * Same bucketization as [[pointInInterval]], both sides replicated into
-    * the coarse buckets they span. A pair can now share MANY buckets, so
-    * exactly-once emission comes from a pure predicate instead of a
-    * distinct pass: the pair is kept only in bucket
-    * `max(bucket(lStart), bucket(rStart))` — the first bucket both
-    * intervals occupy. (Overlap implies that bucket lies in both sides'
-    * replicated ranges: WLOG bucket(lStart) ≤ bucket(rStart), and
-    * rStart < lEnd gives bucket(rStart) ≤ bucket(lEnd).) No shuffle
-    * beyond the one keyed on (keys, bucket); replication factor per row =
-    * span / bucketSeconds + 1. */
   /** Inner band join: pairs of (left, right) rows with equal `keys` whose
     * integer-valued columns differ by at most `eps` — `|lVal − rVal| <= eps`
     * (DeWitt et al. 1991's band join; the value-distance sibling of the
@@ -117,6 +98,25 @@ object RangeJoin {
       .drop(b)
   }
 
+  /** Inner interval-overlap join: pairs of (left, right) rows with equal
+    * `keys` whose half-open intervals [lStart, lEnd) and [rStart, rEnd)
+    * have a NONEMPTY intersection — `greatest(starts) < least(ends)`,
+    * which (unlike the textbook pair of `<` inequalities) is also correct
+    * for degenerate intervals: [x, x) is the empty set and overlaps
+    * nothing, even when x falls inside the other interval. The media /
+    * session alignment join (segment × segment) the point-in-interval
+    * form can't express.
+    *
+    * Same bucketization as [[pointInInterval]], both sides replicated into
+    * the coarse buckets they span. A pair can now share MANY buckets, so
+    * exactly-once emission comes from a pure predicate instead of a
+    * distinct pass: the pair is kept only in bucket
+    * `max(bucket(lStart), bucket(rStart))` — the first bucket both
+    * intervals occupy. (Overlap implies that bucket lies in both sides'
+    * replicated ranges: WLOG bucket(lStart) ≤ bucket(rStart), and
+    * rStart < lEnd gives bucket(rStart) ≤ bucket(lEnd).) No shuffle
+    * beyond the one keyed on (keys, bucket); replication factor per row =
+    * span / bucketSeconds + 1. */
   def intervalOverlap(left: DataFrame, right: DataFrame,
                       lStart: String, lEnd: String, rStart: String, rEnd: String,
                       bucketSeconds: Long, keys: Seq[String] = Nil): DataFrame = {

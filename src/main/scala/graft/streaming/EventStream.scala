@@ -229,9 +229,12 @@ object EventStream {
     * shared automation): n-gram Jaccard over [[userSequences]] — a pure
     * composition into [[graft.llmdata.DocDedup.ngramJaccardPairs]], so
     * candidates are shingle-bucket-local, never users × users. Pick k so
-    * alphabet^k ≫ the user population (k = 3 over ~50 composite symbols
-    * holds to ~10⁵ users; raise k or extend the token past one digit
-    * beyond that). */
+    * alphabet^k ≫ total POSTINGS — users × sequence length, not merely
+    * the user count (see [[userSequences]]'s saturation measurements):
+    * k = 3 over the shipped ~500 composite symbols (event_type × two
+    * value digits) gives a ~1.25·10⁸ shingle space, which holds df ≈ 1
+    * to ~10⁷ postings (≈ 10⁵–10⁶ users at typical sequence lengths);
+    * raise k or widen the value digits beyond that. */
   def sequenceNearDup(events: DataFrame, k: Int = 3,
                       threshold: Double = 0.5): DataFrame =
     graft.llmdata.DocDedup.ngramJaccardPairs(userSequences(events), k, threshold)
