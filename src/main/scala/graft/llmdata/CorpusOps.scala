@@ -349,7 +349,7 @@ object CorpusOps {
       .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
       .select(col("source"), explode(sparkPolyHashArray("__sh")).as("shingle"))
       .distinct()
-      .persist()
+      .transform(graft.core.CacheScope.persisted)
     val sizes = sets.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = sets
       .groupBy("shingle")

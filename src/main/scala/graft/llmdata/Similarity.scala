@@ -1,6 +1,6 @@
 package graft.llmdata
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -683,9 +683,11 @@ object Similarity {
     if (sigCenterDims <= 0) s"hyperplane_sig(ed, $planes)"
     else s"hyperplane_sig(transform(ed, (x, i) -> IF(i < $sigCenterDims, x - ${sigCenterAt}D, x)), $planes)"
 
-  /** Explode a signature column into (band, band_val) bucket keys. */
-  private def explodeBands(sig: DataFrame, extraCols: Seq[String],
-                           planes: Int, bandBits: Int): DataFrame = {
+  /** Explode a packed-BIGINT signature column into the canonical band
+    * frame — unpacks `__sig` into a band-value array, then routes through
+    * [[explodeWithPrefix]] so candidates off this form carry the same
+    * exactly-once earlier-bands prefix as [[bandsOf]]'s. */
+  private def explodeBands(sig: DataFrame, planes: Int, bandBits: Int): DataFrame = {
     // Range check FIRST: bandBits=0 would hit the modulo below as a bare
     // ArithmeticException instead of this guard's message.
     require(bandBits >= 1 && bandBits <= 63, s"bandBits $bandBits out of [1, 63]")
@@ -694,11 +696,45 @@ object Similarity {
     // (JVM shifts are mod 32), so an Int mask at bandBits=32 would be 0 —
     // every row in one bucket, the quadratic product back again, silently.
     val bands = planes / bandBits
-    sig.select(
-      (extraCols.map(col) :+
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), c -> (__sig >> (c * $bandBits)) & ${(1L << bandBits) - 1}L)"))): _*)
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    explodeWithPrefix(sig.select(col("vec_id"),
+      expr(s"transform(sequence(0, ${bands - 1}), c -> (__sig >> (c * $bandBits)) & ${(1L << bandBits) - 1}L)")
+        .as("__bands")))
   }
+
+  /** The canonical exploded band frame off a (vec_id, __bands) signature
+    * frame: one row per (vec_id, band) with the bucket key (band,
+    * band_val) PLUS `__pre`, the row's strictly-earlier band values
+    * (`slice(__bands, 1, band)`). `__pre` is what makes candidate
+    * emission exactly-once WITHOUT a distinct pass (the
+    * [[graft.core.RangeJoin.intervalOverlap]] idiom): two rows colliding
+    * on (band, band_val) keep the pair only when NO earlier band also
+    * matches — a pure predicate over the two prefixes
+    * ([[noEarlierSharedBand]]), so the former 595 M-row candidate hash
+    * aggregate (measured ~50 GB of spilled state at sf100, the one
+    * single-box ceiling in the three-decade record) disappears
+    * entirely; the candidate stream flows straight into the verify join.
+    * The trade: the band shuffle carries the prefix (≤ 8·bands bytes/row,
+    * ~half on average) instead of bare (vec_id, band, band_val) — linear
+    * in N·bands either way, vs the deleted aggregate whose state was
+    * linear in CANDIDATE PAIRS (the N^1.22-floor banding stream).
+    * NULL band values (the hot-bucket cap's masked entries — see
+    * [[lshNearDupPairs]]) generate no candidate rows, and the null-safe
+    * prefix compare never counts them as an earlier match. */
+  private def explodeWithPrefix(sig: DataFrame): DataFrame =
+    sig.select(col("vec_id"), col("__bands"), posexplode(col("__bands")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+      .filter(col("band_val").isNotNull)
+      .withColumn("__pre", expr("slice(__bands, 1, band)"))
+      .drop("__bands")
+
+  /** Exactly-once gate for band-bucket collisions: TRUE iff none of the
+    * two rows' strictly-earlier bands also collide, so of all buckets a
+    * pair shares, only the FIRST emits it. `coalesce(x = y, false)`
+    * (not `<=>`): a masked NULL entry is "bucket dropped", which must
+    * neither match anything (NULL <=> NULL would) nor poison `exists`
+    * into three-valued NULL (bare `=` would). */
+  private def noEarlierSharedBand(aPre: String, bPre: String): Column =
+    !expr(s"exists(zip_with($aPre, $bPre, (x, y) -> coalesce(x = y, false)), m -> m)")
 
   /** Normalized frame + band-bucket frame for one embedding set — the ONE
     * construction of the LSH banding pipeline (used by [[lshCandidates]],
@@ -723,10 +759,11 @@ object Similarity {
     (n, bandsOf(n, planes, bandBits, sigCenterDims, sigCenterAt))
   }
 
-  /** The band-bucket frame (vec_id, band, band_val) off a pre-normalized
-    * frame — see [[normAndBands]]. Split out so callers that resolve
-    * size-adaptive knobs from a count of the SAME persisted frame don't
-    * build the normalization twice. */
+  /** The band-bucket frame (vec_id, band, band_val, __pre) off a
+    * pre-normalized frame — see [[normAndBands]] and [[explodeWithPrefix]]
+    * (`__pre` is the exactly-once emission prefix). Split out so callers
+    * that resolve size-adaptive knobs from a count of the SAME persisted
+    * frame don't build the normalization twice. */
   private def bandsOf(n: DataFrame, planes: Int, bandBits: Int,
                       sigCenterDims: Int, sigCenterAt: Double): DataFrame = {
     require(bandBits >= 1 && bandBits <= 63, s"bandBits $bandBits out of [1, 63]")
@@ -745,11 +782,10 @@ object Similarity {
       .mkString("array(", ", ", ")")
     val sig = graft.core.CacheScope.persisted(
       src.withColumn("__bands", expr(arr)).select("vec_id", "__bands"))
-    sig.select(col("vec_id"), posexplode(col("__bands")))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    explodeWithPrefix(sig)
   }
 
-  /** Deduped (query_id, nn_id) LSH candidate pairs — the bucket join that
+  /** Distinct-by-construction (query_id, nn_id) LSH candidate pairs — the bucket join that
     * replaces the brute-force cross product. Public so the banding
     * knob's cost (candidate fraction) can be graded directly. */
   def lshCandidates(embeddings: DataFrame, nQueries: Int = 8,
@@ -758,15 +794,19 @@ object Similarity {
     val (_, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = false,
       sigCenterDims, sigCenterAt)
     val qBands = bands.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("band"), col("band_val"))
-    // Dedup candidates on ids BEFORE re-attaching vectors: the distinct
-    // then shuffles 16-byte pairs, not 512-byte embedding arrays.
+      .select(col("vec_id").as("query_id"), col("band"), col("band_val"),
+        col("__pre").as("__pre_q"))
+    // Exactly-once per (query, neighbor): a pair colliding in k bands is
+    // kept only in the first ([[noEarlierSharedBand]]) — no candidate
+    // dedup aggregate, and only 16-byte id pairs reach the vector
+    // re-attach, never the 512-byte embedding arrays.
     broadcast(qBands)
-      .join(bands.select(col("vec_id").as("nn_id"), col("band"), col("band_val")),
+      .join(bands.select(col("vec_id").as("nn_id"), col("band"), col("band_val"),
+          col("__pre")),
         Seq("band", "band_val"))
-      .filter(col("query_id") =!= col("nn_id"))
+      .filter(col("query_id") =!= col("nn_id")
+        && noEarlierSharedBand("__pre_q", "__pre"))
       .select("query_id", "nn_id")
-      .distinct()
   }
 
   def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
@@ -786,15 +826,22 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
   }
 
-  /** Deduped within-set candidate pairs (id_a < id_b) from a band frame —
-    * the bucket self-join at the heart of [[lshNearDupPairs]]. */
+  /** Exactly-once within-set candidate pairs (id_a < id_b) from a band
+    * frame — the bucket self-join at the heart of [[lshNearDupPairs]].
+    * A pair sharing k bands is produced by the join k times but KEPT only
+    * in the first shared band ([[noEarlierSharedBand]] over the rows'
+    * `__pre` prefixes), so the output is distinct by construction and
+    * streams straight into the verify join — no candidate-wide
+    * aggregation state anywhere (the former `.distinct()` here was the
+    * sf100-measured ~50 GB spill and the library's one single-box
+    * ceiling). */
   private def pairCandIds(bands: DataFrame): DataFrame =
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
-          && col("a.vec_id") < col("b.vec_id"))
+          && col("a.vec_id") < col("b.vec_id")
+          && noEarlierSharedBand("a.__pre", "b.__pre"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
 
   /** The candidate PAIRS a given banding config would verify — public so
     * banding selectivity (candidate count / N·(N−1)/2) is a measurable,
@@ -819,7 +866,7 @@ object Similarity {
       withNorm(embeddings)
         .withColumn("__sig", expr(lshSigExpr(planes, sigCenterDims, sigCenterAt)))
         .select("vec_id", "__sig"))
-    bandWidths.map(b => b -> pairCandIds(explodeBands(sig, Seq("vec_id"), planes, b)))
+    bandWidths.map(b => b -> pairCandIds(explodeBands(sig, planes, b)))
   }
 
   /** LSH-bucketed near-duplicate pairs — the 100 TB replacement for
@@ -844,7 +891,7 @@ object Similarity {
     * signatures discriminate — verify cosines are unaffected.
     *
     * The bucket join carries only (vec_id, band, band_val); vectors are
-    * re-attached to the (rare) deduped candidate ids afterwards, so the wide
+    * re-attached to the (rare) exactly-once candidate ids afterwards, so the wide
     * embedding arrays never enter the candidate shuffle. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
                       planes: Int = 0, bandBits: Int = 0,
@@ -871,13 +918,28 @@ object Similarity {
     // Same recall trade as ngramJaccardPairs' maxDocFreq df-cap; callers
     // who must not lose identical-vector pairs compose through
     // [[collapsedNearDupPairs]], which finds those exactly BEFORE the cap.
-    // The size filter is one count agg + join on the bucket key (the band
-    // frame's sig base is persisted, so re-exploding is a projection).
+    // A dropped bucket must also stop counting as an "earlier shared
+    // band" in the exactly-once gate — otherwise a pair whose first
+    // collision sat in a dropped bucket would be suppressed in every
+    // surviving one and silently lost (the old distinct-based path kept
+    // it). So the cap REBUILDS the signature arrays with dropped entries
+    // masked to NULL and re-explodes: the oversized-bucket set is tiny
+    // (≤ N·bands/maxBucket buckets) and broadcast-anti-joins against the
+    // exploded frame; the per-vec rebuild is one narrow shuffle of the
+    // surviving (vec_id, band, band_val) rows — both a rounding error
+    // next to the candidate stream the cap exists to prevent.
     val bands = if (maxBucket <= 0) bands0 else {
-      val keep = bands0.groupBy("band", "band_val")
+      val dropped = bands0.groupBy("band", "band_val")
         .agg(count(lit(1)).as("__sz"))
-        .filter(col("__sz") <= maxBucket).select("band", "band_val")
-      bands0.join(keep, Seq("band", "band_val"))
+        .filter(col("__sz") > maxBucket).select("band", "band_val")
+      val nBands = p / r
+      val masked = bands0.join(broadcast(dropped), Seq("band", "band_val"), "left_anti")
+        .groupBy("vec_id")
+        .agg(collect_list(struct(col("band"), col("band_val"))).as("__kv"))
+        .select(col("vec_id"), expr(
+          s"transform(sequence(0, ${nBands - 1}), c -> get(filter(__kv, s -> s.band = c), 0).band_val)")
+          .as("__bands"))
+      explodeWithPrefix(masked)
     }
     pairCandIds(bands)
       .join(n.select(col("vec_id").as("id_a"), col("ed").as("ea"), col("nrm").as("na")), "id_a")
@@ -965,13 +1027,15 @@ object Similarity {
       else dupBanding(if (corpusNHint > 0) corpusNHint else nOld.count())
     val nNew = graft.core.CacheScope.persisted(withNorm(batch))
     val newBands = bandsOf(nNew, p, r, sigCenterDims, sigCenterAt)
-      .withColumnsRenamed(Map("vec_id" -> "new_id"))
+      .withColumnsRenamed(Map("vec_id" -> "new_id", "__pre" -> "__pre_new"))
     val oldBands = bandsOf(nOld, p, r, sigCenterDims, sigCenterAt)
       .withColumnsRenamed(Map("vec_id" -> "old_id"))
+    // Exactly-once per (new, old) pair — kept only in the first shared
+    // band ([[noEarlierSharedBand]]), no candidate dedup aggregate.
     val candIds = newBands
       .join(oldBands, Seq("band", "band_val"))
+      .filter(noEarlierSharedBand("__pre_new", "__pre"))
       .select("new_id", "old_id")
-      .distinct()
     candIds
       .join(nNew.select(col("vec_id").as("new_id"), col("ed").as("ea"), col("nrm").as("na")), "new_id")
       .join(nOld.select(col("vec_id").as("old_id"), col("ed").as("eb"), col("nrm").as("nb")), "old_id")
