@@ -88,11 +88,12 @@ package object api {
     /** Every token above N/k corpus share, exact counts (MG candidates →
       * exact verify). */
     def heavyHitters(k: Int = 64): DataFrame = TextAnalysis.heavyHitters(docs, k)
-    /** Hybrid BM25 × embedding retrieval fused by reciprocal-rank fusion. */
+    /** Hybrid BM25 × embedding retrieval fused by reciprocal-rank fusion,
+      * over a query batch (lexical query i pairs with embedding vec i). */
     def hybridRrfTopK(embeddings: DataFrame,
-                      query: Seq[String] = TextAnalysis.Bm25DefaultQuery,
+                      queries: Seq[Seq[String]] = TextAnalysis.Bm25DefaultQueries,
                       k: Int = 10, kRrf: Int = 60): DataFrame =
-      Similarity.hybridRrfTopK(docs, embeddings, query, k, kRrf)
+      Similarity.hybridRrfTopK(docs, embeddings, queries, k, kRrf)
     /** Count-min sketch term-frequency estimates audited vs exact counts. */
     def cmsTermEstimates(depth: Int = TextAnalysis.CmsDepth,
                          width: Int = TextAnalysis.CmsWidth): DataFrame =
@@ -184,6 +185,9 @@ package object api {
       CorpusOps.datasetSplit(docs, valPerMille, testPerMille)
     def bm25TopDocs(query: Seq[String], k: Int = 10): DataFrame =
       TextAnalysis.bm25TopDocs(docs, query, k)
+    /** Per-query BM25 top-k for a query batch in one corpus pass. */
+    def bm25TopDocsMulti(queries: Seq[Seq[String]], k: Int = 10): DataFrame =
+      TextAnalysis.bm25TopDocsMulti(docs, queries, k)
     def bigramLmScore: DataFrame = TextAnalysis.bigramLmScore(docs)
     def canonicalize: DataFrame = TextAnalysis.canonicalize(docs)
     def blocklistFilter(terms: Seq[String]): DataFrame =

@@ -908,8 +908,11 @@ object Similarity {
     require((planes > 0) == (bandBits > 0),
       s"planes and bandBits pin a config together (got planes=$planes, bandBits=$bandBits); leave both 0 for size-adaptive banding")
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
-    val (p, r) = if (planes > 0) (planes, bandBits)
-      else dupBanding(if (nHint > 0) nHint else n.count())
+    // nEff also picks the verify shape (join vs grid) — with pinned knobs
+    // and no hint it stays 0 (join form), which every registered scale
+    // uses; hinted/adaptive large-N paths get the grid automatically.
+    val nEff = if (nHint > 0) nHint else if (planes > 0) 0L else n.count()
+    val (p, r) = if (planes > 0) (planes, bandBits) else dupBanding(nEff)
     val bands0 = bandsOf(n, p, r, sigCenterDims, sigCenterAt)
     // maxBucket > 0 drops oversized buckets from CANDIDATE GENERATION —
     // the hot-bucket guard the sf100 rehearsal forced: on low-rank inputs
@@ -941,11 +944,120 @@ object Similarity {
           .as("__bands"))
       explodeWithPrefix(masked)
     }
-    pairCandIds(bands)
-      .join(n.select(col("vec_id").as("id_a"), col("ed").as("ea"), col("nrm").as("na")), "id_a")
-      .join(n.select(col("vec_id").as("id_b"), col("ed").as("eb"), col("nrm").as("nb")), "id_b")
-      .filter(expr(sparkCosPre("ea", "eb", "na", "nb")) >= threshold)
-      .select("id_a", "id_b")
+    verifyPairs(pairCandIds(bands), n, n, threshold, nEff)
+  }
+
+  /** Vectors past which the pair verify switches from the two-join
+    * re-attach to the grid-blocked cogroup ([[verifyPairsGrid]]): below
+    * it the whole corpus-side frame is broadcast-range and the join form
+    * is strictly simpler; above it the join form's wide intermediate
+    * (candidates × embedding bytes through the second shuffle) is the
+    * dominant cost — the sf100 rehearsal measured ~300 GB of shuffle
+    * write for 595 M candidates × 540 B rows, the wall that stopped the
+    * box AFTER the candidate distinct was deleted. */
+  val GridVerifyMinN: Long = 1L << 19
+
+  /** Exact-cosine verify of (id_a, id_b) candidate pairs against the
+    * normalized frames of each side — auto-switching between the plain
+    * two-join re-attach (small N) and the grid-blocked shape (large N,
+    * [[verifyPairsGrid]]). `aN`/`bN` are the per-side vector frames
+    * (identical for within-set pairs); `nHint` both sides' max size from
+    * metadata, 0 = derive from a cheap count only when the switch could
+    * matter (the hint is always available on the adaptive paths). */
+  private[llmdata] def verifyPairs(pairs: DataFrame, aN: DataFrame, bN: DataFrame,
+                                   threshold: Double, nHint: Long): DataFrame = {
+    val Array(aCol, bCol) = pairs.columns
+    val out =
+      if (nHint <= GridVerifyMinN)
+        pairs
+          .join(aN.select(col("vec_id").as(aCol), col("ed").as("__ea"), col("nrm").as("__na")), aCol)
+          .join(bN.select(col("vec_id").as(bCol), col("ed").as("__eb"), col("nrm").as("__nb")), bCol)
+          .filter(expr(sparkCosPre("__ea", "__eb", "__na", "__nb")) >= threshold)
+      else verifyPairsGrid(pairs, aN, bN, threshold)
+    out.select(aCol, bCol)
+  }
+
+  /** Grid side of the blocked verify: P×P blocks sized so ~2 blocks land
+    * per shuffle partition and per-block vector slices stay a bounded
+    * fraction of the corpus (2·N/P vectors per block). */
+  private def gridSide(spark: org.apache.spark.sql.SparkSession): Int = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    math.max(2, math.ceil(math.sqrt(parts * 2.0)).toInt)
+  }
+
+  /** Grid-blocked exact-cosine pair verify — the 100 TB shape of the
+    * "re-attach vectors to candidate ids" step (Okcan & Riedewald's
+    * 1-Bucket-Theta grid, SIGMOD 2011, applied to an id-equi lookup).
+    *
+    * The naive re-attach joins pairs⋈vectors on id_a, then re-shuffles
+    * the now-embedding-carrying intermediate on id_b: candidate rows are
+    * 24 B going in but d·8 B coming out, so the second exchange writes
+    * candidates × vector bytes — measured ~300 GB for sf100's 595 M
+    * candidates (the box's wall after the candidate distinct was
+    * deleted), and a 10 TB-class exchange per 2^26-vector shard on a
+    * real cluster. This operator never shuffles a vector attached to a
+    * pair: pairs land in a P×P grid cell by (id_a mod P, id_b mod P) —
+    * one 24 B/row exchange — and each side's vectors are replicated P
+    * ways (A-side to its grid row, B-side to its grid column, ~2·N·d·8·P/P²
+    * bytes per cell), so every cell holds exactly the vectors its pairs
+    * can reference. A typed cogroup on the cell id then builds two
+    * in-memory id→(vector, norm) maps per cell and streams the cell's
+    * pairs through them — the one place the library drops below
+    * DataFrame algebra, because no Catalyst join shape expresses
+    * "partition by grid cell, hash-lookup inside": an equi-join on
+    * (cell, id) re-partitions on the full key, which is precisely the
+    * wide-row exchange this operator deletes. Total exchange:
+    * |pairs|·24 B + 2·P·|corpus vectors| — at sf100, ~14 GB + ~13 GB
+    * vs ~300 GB.
+    *
+    * Exactness: the JVM dot product folds dims left-to-right — the same
+    * IEEE sequence as the codegen'd `array_dot` kernel and the DuckDB
+    * twin — and the division/threshold shapes match [[sparkCosPre]]'s,
+    * so the surviving pair set is bit-identical to the join form
+    * (spec-pinned, both orderings). Memory: each cell's maps hold
+    * ~2·N/P vectors (P ≈ √(2·partitions)); cells are processed
+    * sequentially within a task and released between cells. */
+  private[llmdata] def verifyPairsGrid(pairs: DataFrame, aN: DataFrame, bN: DataFrame,
+                                       threshold: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = gridSide(spark)
+    val Array(aCol, bCol) = pairs.columns
+    val cells = pairs.select(
+        (pmod(col(aCol), lit(p)) * p + pmod(col(bCol), lit(p))).cast("int").as("_1"),
+        col(aCol).as("_2"), col(bCol).as("_3"))
+      .as[(Int, Long, Long)]
+    def replicated(n: DataFrame, aSide: Boolean) = {
+      val own = pmod(col("vec_id"), lit(p))
+      n.select(col("vec_id"), col("ed"), col("nrm"))
+        .withColumn("__o", explode(expr(s"sequence(0, ${p - 1})")))
+        .select(
+          (if (aSide) own * p + col("__o") else col("__o") * p + own).cast("int").as("_1"),
+          lit(if (aSide) 0 else 1).as("_2"),
+          col("vec_id").as("_3"), col("ed").as("_4"), col("nrm").as("_5"))
+        .as[(Int, Int, Long, Array[Double], Double)]
+    }
+    val vecs = replicated(aN, aSide = true).unionByName(replicated(bN, aSide = false))
+    vecs.groupByKey(_._1).cogroup(cells.groupByKey(_._1)) { (_, vit, pit) =>
+      val am = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
+      val bm = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
+      vit.foreach { v =>
+        if (v._4 != null) {
+          if (v._2 == 0) am.put(v._3, (v._4, v._5)) else bm.put(v._3, (v._4, v._5))
+        }
+      }
+      pit.flatMap { pr =>
+        val a = am.get(pr._2); val b = bm.get(pr._3)
+        if (a == null || b == null || a._1.length != b._1.length) Iterator.empty
+        else {
+          val ea = a._1; val eb = b._1
+          var s = 0.0; var i = 0
+          while (i < ea.length) { s += ea(i) * eb(i); i += 1 }
+          if (s / (a._2 * b._2) >= threshold) Iterator.single((pr._2, pr._3))
+          else Iterator.empty
+        }
+      }
+    }.toDF(aCol, bCol)
   }
 
   /** Bucket cap for the centered multimodal banding: no cap up to 2^21
@@ -1023,8 +1135,9 @@ object Similarity {
     require((planes > 0) == (bandBits > 0),
       s"planes and bandBits pin a config together (got planes=$planes, bandBits=$bandBits); leave both 0 for size-adaptive banding")
     val nOld = graft.core.CacheScope.persisted(withNorm(corpus))
-    val (p, r) = if (planes > 0) (planes, bandBits)
-      else dupBanding(if (corpusNHint > 0) corpusNHint else nOld.count())
+    val nEff = if (corpusNHint > 0) corpusNHint
+      else if (planes > 0) 0L else nOld.count()
+    val (p, r) = if (planes > 0) (planes, bandBits) else dupBanding(nEff)
     val nNew = graft.core.CacheScope.persisted(withNorm(batch))
     val newBands = bandsOf(nNew, p, r, sigCenterDims, sigCenterAt)
       .withColumnsRenamed(Map("vec_id" -> "new_id", "__pre" -> "__pre_new"))
@@ -1036,11 +1149,7 @@ object Similarity {
       .join(oldBands, Seq("band", "band_val"))
       .filter(noEarlierSharedBand("__pre_new", "__pre"))
       .select("new_id", "old_id")
-    candIds
-      .join(nNew.select(col("vec_id").as("new_id"), col("ed").as("ea"), col("nrm").as("na")), "new_id")
-      .join(nOld.select(col("vec_id").as("old_id"), col("ed").as("eb"), col("nrm").as("nb")), "old_id")
-      .filter(expr(sparkCosPre("ea", "eb", "na", "nb")) >= threshold)
-      .select("new_id", "old_id")
+    verifyPairs(candIds, nNew, nOld, threshold, nEff)
   }
 
   /** Per-label centroid coordinates — the vector-mean building block of
@@ -1230,30 +1339,36 @@ object Similarity {
     * and the fusion adds the lexical term before the semantic term —
     * identical doubles cross-engine; ORDERING uses the unrounded score
     * (rounding only the emitted column, so a display round can never
-    * move a rank boundary). Both input rankings are top-k pools, so the
-    * fusion window runs over ≤ 2k rows — scale lives entirely in the two
-    * upstream retrievals, which are the library's existing bounded
-    * shapes (BM25: posting-filtered agg + TakeOrdered; cosine: one
-    * corpus scan vs a broadcast query). */
+    * move a rank boundary). Both input rankings are per-query top-k
+    * pools, so the fusion windows run over ≤ 2k rows per query — scale
+    * lives entirely in the two upstream retrievals, which are the
+    * library's existing bounded BATCH shapes (BM25: one posting-filtered
+    * agg serving every query; cosine: one corpus scan vs the broadcast
+    * query set) — nothing re-touches the corpus per query.
+    *
+    * Runs a query BATCH (the shape retrieval actually serves): lexical
+    * query i = `queries(i)`, semantic query i = embedding `vec_id = i`
+    * (the id-alignment convention of the consensus operator). Emits
+    * `(query_id, doc_id, rank, rrf, lex_rank, sem_rank)`. */
   def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,
-                    query: Seq[String] = TextAnalysis.Bm25DefaultQuery,
+                    queries: Seq[Seq[String]] = TextAnalysis.Bm25DefaultQueries,
                     k: Int = 10, kRrf: Int = 60): DataFrame = {
-    require(k > 0 && kRrf > 0)
-    val lex = TextAnalysis.bm25TopDocs(documents, query, k)
-      .select(col("doc_id"), col("rank").as("lex_rank"))
-    val sem = bruteForceTopK(embeddings, nQueries = 1, k = k)
-      .select(col("nn_id").as("doc_id"), col("rank").as("sem_rank"))
+    require(k > 0 && kRrf > 0 && queries.nonEmpty)
+    val lex = TextAnalysis.bm25TopDocsMulti(documents, queries, k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val sem = bruteForceTopK(embeddings, nQueries = queries.size, k = k)
+      .select(col("query_id"), col("nn_id").as("doc_id"), col("rank").as("sem_rank"))
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__rrf").desc, col("doc_id"))
-    lex.join(sem, Seq("doc_id"), "full_outer")
+      .partitionBy("query_id").orderBy(col("__rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .na.fill(0L, Seq("lex_rank", "sem_rank"))
       .withColumn("__rrf",
         when(col("lex_rank") > 0, lit(1.0) / (lit(kRrf) + col("lex_rank"))).otherwise(lit(0.0)) +
         when(col("sem_rank") > 0, lit(1.0) / (lit(kRrf) + col("sem_rank"))).otherwise(lit(0.0)))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
-      .select(col("doc_id"), col("rank"), round(col("__rrf"), 6).as("rrf"),
-        col("lex_rank"), col("sem_rank"))
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("__rrf"), 6).as("rrf"), col("lex_rank"), col("sem_rank"))
   }
 
   /** Diversified top-k by Maximal Marginal Relevance (Carbonell &

@@ -533,6 +533,66 @@ object TextAnalysis {
     * is `orderBy.limit(k)` — planned as TakeOrderedAndProject, the
     * map-side-partial global top-k (each partition forwards ≤ k rows), with
     * the rank stamped on the ≤ k survivors. */
+  /** Default query BATCH for the multi-query retrieval rows — three
+    * distinct five-term queries over the fixture vocabulary (query 0 is
+    * the single-query default, so the batch strictly extends it). */
+  val Bm25DefaultQueries: Seq[Seq[String]] = Seq(
+    Bm25DefaultQuery,
+    Seq("hash", "scan", "filter", "column", "batch"),
+    Seq("table", "query", "sort", "group", "order"))
+
+  /** [[bm25TopDocs]] for a BATCH of queries in one corpus pass — the
+    * shape retrieval actually runs (nothing per-query touches the
+    * corpus). One tokenize+tf build serves every query; the postings are
+    * filtered once to the UNION of all query terms, df per term is
+    * computed once and shared (document frequency doesn't depend on the
+    * query), and the tiny (query_id, token) map broadcast-joins the
+    * postings to fan each term row out to the queries that use it.
+    * Per-query scores aggregate on (query_id, doc_id) — one shuffle of
+    * posting-sized data however many queries run — and the per-query
+    * top-k is a rank window on query_id, which the optimizer bounds
+    * map-side via WindowGroupLimit (each partition forwards ≤ k rows per
+    * query). Integer scoring identical to [[bm25TopDocs]], so query 0 of
+    * the default batch reproduces the single-query row exactly. */
+  def bm25TopDocsMulti(documents: DataFrame,
+                       queries: Seq[Seq[String]] = Bm25DefaultQueries,
+                       k: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qlists = queries.map(_.map(_.toLowerCase).distinct)
+    val allTerms = qlists.flatten.distinct
+    val qFrame = qlists.zipWithIndex
+      .flatMap { case (ts, i) => ts.map(t => (i.toLong, t)) }
+      .toDF("query_id", "token")
+    val terms = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), lower(col("token")).as("token"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.core.CacheScope.persisted)
+    val docLen = terms.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = documents.agg(count(lit(1)).as("nd"))
+      .crossJoin(terms.agg(sum("tf").as("tt")))
+    val posting = terms.filter(col("token").isin(allTerms: _*))
+    val docFreq = posting.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = posting
+      .join(broadcast(qFrame), "token")
+      .join(broadcast(docFreq), "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__sx", expr(
+        """((1000000L * nd) div df) *
+          |((22000L * tf) div (10L * tf + 3L +
+          |  (9L * ((1000L * dl) div greatest(tt div nd, 1L))) div 1000L))""".stripMargin))
+      .groupBy("query_id", "doc_id").agg(sum(col("__sx")).as("bm25_x"))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("bm25_x").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_x"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   def bm25TopDocs(documents: DataFrame, query: Seq[String] = Bm25DefaultQuery,
                   k: Int = 10): DataFrame = {
     val qTerms = query.map(_.toLowerCase).distinct

@@ -304,6 +304,69 @@ object InfraOps {
       .reduce(_ unionByName _)
   }
 
+  /** L48's watermarked stream-stream join as a real oracle row — the last
+    * MemoryStream-only streaming family member promoted to the hash-
+    * compared gate. [[EventStream.streamStreamJoin]] (view × purchase per
+    * user, purchase within 6 h of the view) replays a deterministic
+    * quarter of the event fixture through two MemoryStreams in three
+    * ts-ordered micro-batch slices, so the stream's COMPLETE output is
+    * exactly the batch interval join the DuckDB twin states directly.
+    *
+    * Why nothing can be lost or duplicated: slices partition the events
+    * in event-time order, so no arriving row is ever behind the
+    * watermark (never late-dropped), and a left row's state is evicted
+    * only once the watermark passes `l_ts + delay` — by which point every
+    * right row inside its window (all ≤ `l_ts + delay` < watermark) has
+    * either arrived in an earlier slice or would itself be late, which
+    * ts-ordering rules out. Inner-join append emits each match in the
+    * first batch where both sides are present, exactly once. Same
+    * quarter-corpus gate and 4-partition state sizing rationale as
+    * `st_ingest_store`; the collect is scripting, not operator logic —
+    * the join itself runs as a real streaming query with state store and
+    * checkpoints. */
+  def streamJoined(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = scratch(spark, sfDir, "st_joined")
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id") % 4 === 0 && col("event_type").isin("view", "purchase"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val slices = {
+      val per = math.max(1, (ev.length + 2) / 3)
+      ev.grouped(per).toSeq
+    }
+    val lMem = MemoryStream[(Long, java.time.LocalDateTime, Long, String, Double)]
+    val rMem = MemoryStream[(Long, java.time.LocalDateTime, Long, String, Double)]
+    def df(m: MemoryStream[(Long, java.time.LocalDateTime, Long, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val joined = EventStream.streamStreamJoin(df(lMem), df(rMem),
+        maxDelaySeconds = 21600)
+      val q = joined.writeStream.format("memory").queryName("graft_st_joined")
+        .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+      try {
+        slices.foreach { s =>
+          lMem.addData(s.filter(_._4 == "view").toSeq)
+          rMem.addData(s.filter(_._4 == "purchase").toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // UTC-pinned session makes the TZ→NTZ cast value-preserving; emit NTZ
+    // so the parquet dump hash-matches DuckDB's plain TIMESTAMP.
+    spark.table("graft_st_joined")
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        col("l_ts").cast("timestamp_ntz").as("l_ts"),
+        col("r_ts").cast("timestamp_ntz").as("r_ts"),
+        col("l_value"), col("r_value"))
+  }
+
   /** Bucketed co-located join round-trip: bucket lineitem and orders on
     * their join key at write time, then join + aggregate the catalog
     * tables. The join runs with NO exchange on either side (asserted in
@@ -683,7 +746,8 @@ object InfraOps {
     "st_dedup" -> (streamDedupBatch _),
     "st_neardup" -> (streamNearDupBatch _),
     "st_ingest_store" -> (streamIngestStore _),
-    "st_snapshot_lineage" -> (streamIngestSnapshots _))
+    "st_snapshot_lineage" -> (streamIngestSnapshots _),
+    "st_joined" -> (streamJoined _))
 
   /** DuckDB twin of one [[graft.sources.TableStats.analyze]] output row:
     * same null convention (min/max/NDV over the non-null population), the
@@ -949,6 +1013,15 @@ object InfraOps {
          |SELECT min(doc_id) AS doc_id, fingerprint, fingerprint2, CAST(count(*) AS BIGINT) AS n_copies
          |FROM fp GROUP BY fingerprint, fingerprint2""".stripMargin
     },
+    "st_joined" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |           FROM events WHERE user_id % 4 = 0),
+        |l AS (SELECT * FROM e WHERE event_type = 'view'),
+        |r AS (SELECT * FROM e WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        |       l.ts AS l_ts, r.ts AS r_ts, l.value AS l_value, r.value AS r_value
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 21600 SECONDS""".stripMargin,
     "st_ingest_store" -> {
       import graft.llmdata.TextPrimitives.{duckPolyHashArray, duckWords, P}
       // The store merges on `fingerprint` alone (fingerprint2 exists only

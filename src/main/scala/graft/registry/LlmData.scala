@@ -1329,29 +1329,58 @@ object LlmData {
        |FROM cnt, tot WHERE n_occ * 64 > total""".stripMargin
 
   /** DuckDB twin of [[Similarity.hybridRrfTopK]] at the registered knobs
-    * (BM25 default query, k=10, kRrf=60): the registered BM25 oracle as
-    * the lexical pool, vec 0's exact cosine top-10 as the semantic pool,
-    * the same lexical-then-semantic reciprocal add order, ordering on the
-    * UNROUNDED fusion score, round only in the emitted column. */
-  private lazy val rrfSql =
-    s"""WITH lex AS (SELECT doc_id, rank AS lex_rank FROM ($bm25Sql)),
+    * (the default three-query batch, k=10, kRrf=60): per-query BM25 over
+    * one shared tf/df build (df filtered to the UNION of all query terms,
+    * exactly as the Spark batch computes it), per-query exact cosine
+    * top-10 for vec 0..2 as the semantic pools, the same lexical-then-
+    * semantic reciprocal add order, ordering on the UNROUNDED fusion
+    * score, round only in the emitted column. */
+  private lazy val rrfSql = {
+    val qvals = TextAnalysis.Bm25DefaultQueries.zipWithIndex.flatMap { case (ts, i) =>
+      ts.map(_.toLowerCase).distinct.map(t => s"(CAST($i AS BIGINT), '$t')")
+    }.mkString(", ")
+    val nQ = TextAnalysis.Bm25DefaultQueries.size
+    s"""WITH $wordsCte,
+       |t AS (SELECT doc_id, lower(token) AS token
+       |      FROM (SELECT doc_id, unnest(words) AS token FROM w)),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
+       |              (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS tt),
+       |q AS (SELECT * FROM (VALUES $qvals) v(query_id, token)),
+       |p0 AS (SELECT tf.doc_id, tf.token, tf.tf FROM tf
+       |       WHERE tf.token IN (SELECT token FROM q)),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p0 GROUP BY 1),
+       |s AS (SELECT q.query_id, p0.doc_id,
+       |        ((1000000 * st.nd) // df.df) *
+       |        ((22000 * p0.tf) // (10 * p0.tf + 3 +
+       |          (9 * ((1000 * dl.dl) // greatest(st.tt // st.nd, 1))) // 1000)) AS sx
+       |      FROM p0 JOIN q USING (token) JOIN df USING (token) JOIN dl USING (doc_id), st),
+       |g AS (SELECT query_id, doc_id, CAST(sum(sx) AS BIGINT) AS bm25_x FROM s GROUP BY 1, 2),
+       |lexr AS (SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY bm25_x DESC, doc_id) AS lex_rank FROM g),
+       |lex AS (SELECT query_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank FROM lexr WHERE lex_rank <= 10),
        |$normCte,
-       |q0 AS (SELECT ed AS qv, nrm AS qn FROM n2 WHERE vec_id = 0),
-       |s0 AS (SELECT e.vec_id AS doc_id, ${Similarity.duckCosPre("qv", "e.ed", "qn", "e.nrm")} AS cos
-       |       FROM q0, n2 e WHERE e.vec_id != 0),
-       |sem AS (SELECT doc_id, sem_rank FROM (
-       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS sem_rank
-       |  FROM s0) WHERE sem_rank <= 10),
-       |u AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |qv AS (SELECT vec_id AS query_id, ed AS qvec, nrm AS qn FROM n2 WHERE vec_id < $nQ),
+       |s0 AS (SELECT qv.query_id, e.vec_id AS doc_id, ${Similarity.duckCosPre("qvec", "e.ed", "qn", "e.nrm")} AS cos
+       |       FROM qv, n2 e WHERE e.vec_id != qv.query_id),
+       |semr AS (SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS sem_rank FROM s0),
+       |sem AS (SELECT query_id, doc_id, CAST(sem_rank AS BIGINT) AS sem_rank FROM semr WHERE sem_rank <= 10),
+       |u AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+       |        coalesce(l.doc_id, s.doc_id) AS doc_id,
        |        coalesce(l.lex_rank, 0) AS lex_rank, coalesce(s.sem_rank, 0) AS sem_rank
-       |      FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id),
-       |sc AS (SELECT doc_id, lex_rank, sem_rank,
+       |      FROM lex l FULL JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+       |sc AS (SELECT query_id, doc_id, lex_rank, sem_rank,
        |        (CASE WHEN lex_rank > 0 THEN CAST(1 AS DOUBLE) / (60 + lex_rank) ELSE CAST(0 AS DOUBLE) END) +
        |        (CASE WHEN sem_rank > 0 THEN CAST(1 AS DOUBLE) / (60 + sem_rank) ELSE CAST(0 AS DOUBLE) END) AS rrf
        |      FROM u),
-       |r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       |r AS (SELECT query_id, doc_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
        |        rrf, lex_rank, sem_rank FROM sc)
-       |SELECT doc_id, rank, round(rrf, 6) AS rrf, lex_rank, sem_rank FROM r WHERE rank <= 10""".stripMargin
+       |SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf, lex_rank, sem_rank
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.llmdata.CorpusOps.prioritySample]] at n=100:
     * same LCG-uniform, same single-multiply/single-divide priority (both

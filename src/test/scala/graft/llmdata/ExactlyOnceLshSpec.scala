@@ -110,4 +110,31 @@ class ExactlyOnceLshSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
     assert(uncapped.count(_ == (1L, 2L)) == 1)
   }
+
+  test("grid-blocked verify is output-identical to the two-join verify (within- and cross-set)") {
+    graft.functions.VectorExprs.register(spark)
+    // planted identical dups guarantee a nonempty surviving set; pinned
+    // knobs make the candidate set identical across both calls, so any
+    // difference is the verify shape. nHint > GridVerifyMinN forces the
+    // grid path without needing 500k real vectors.
+    val group = vecs(3).withColumn("vec_id", col("vec_id") + 700L)
+    val all = vecs(120).unionByName(group)
+    def pairsOf(hint: Long) = Similarity.lshNearDupPairs(all, threshold = 0.9,
+      planes = 56, bandBits = 8, nHint = hint)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaJoin = pairsOf(0L)
+    val viaGrid = pairsOf(Similarity.GridVerifyMinN + 1)
+    assert(viaGrid == viaJoin)
+    assert(viaJoin.nonEmpty)
+    // cross-set: batch copies of corpus rows, same equivalence
+    val corpus = vecs(100)
+    val batch = vecs(6).withColumn("vec_id", col("vec_id") + 900L)
+    def crossOf(hint: Long) = Similarity.lshNearDupAgainst(batch, corpus,
+      threshold = 0.999, planes = 56, bandBits = 8, corpusNHint = hint)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cJoin = crossOf(0L)
+    val cGrid = crossOf(Similarity.GridVerifyMinN + 1)
+    assert(cGrid == cJoin)
+    assert(cJoin.nonEmpty)
+  }
 }

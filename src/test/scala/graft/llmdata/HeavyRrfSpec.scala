@@ -43,41 +43,59 @@ class HeavyRrfSpec extends AnyFunSuite {
     assert(out == Set("b"))
   }
 
-  test("hybridRrfTopK ranks follow the recomputed RRF formula over both pools") {
+  test("hybridRrfTopK ranks follow the recomputed RRF formula over both pools, per query") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val out = Similarity.hybridRrfTopK(docs, embs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
-    assert(out.nonEmpty && out.length <= 10)
-    assert(out.map(_._2).sorted.toSeq == (1L to out.length))
-    // every row: rrf == round(lex term + sem term, 6); absent pool = 0
-    out.foreach { case (id, _, rrf, lex, sem) =>
-      val expect =
-        (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
-        (if (sem > 0) 1.0 / (60 + sem) else 0.0)
-      assert(math.abs(rrf - BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
-        s"doc $id")
-      assert(lex > 0 || sem > 0, s"doc $id is in neither pool")
+    val all = Similarity.hybridRrfTopK(docs, embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(all.map(_._1).distinct.sorted.toSeq ==
+      TextAnalysis.Bm25DefaultQueries.indices.map(_.toLong))
+    all.groupBy(_._1).foreach { case (qid, out) =>
+      assert(out.nonEmpty && out.length <= 10)
+      assert(out.map(_._3).sorted.toSeq == (1L to out.length), s"query $qid")
+      // every row: rrf == round(lex term + sem term, 6); absent pool = 0
+      out.foreach { case (_, id, _, rrf, lex, sem) =>
+        val expect =
+          (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+          (if (sem > 0) 1.0 / (60 + sem) else 0.0)
+        assert(math.abs(rrf - BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"query $qid doc $id")
+        assert(lex > 0 || sem > 0, s"query $qid doc $id is in neither pool")
+      }
+      // rank order is rrf-descending (ties by doc_id)
+      val byRank = out.sortBy(_._3).map(r => (r._4, r._2))
+      assert(byRank.zip(byRank.tail).forall { case ((s1, i1), (s2, i2)) =>
+        s1 > s2 || (s1 == s2 && i1 < i2) }, s"query $qid")
     }
-    // rank order is rrf-descending (ties by doc_id)
-    val byRank = out.sortBy(_._2).map(r => (r._3, r._1))
-    assert(byRank.zip(byRank.tail).forall { case ((s1, i1), (s2, i2)) =>
-      s1 > s2 || (s1 == s2 && i1 < i2) })
   }
 
   test("hybridRrfTopK: membership in both pools dominates equal single-pool rank") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val rows = Similarity.hybridRrfTopK(docs, embs).collect()
-    val both = rows.filter(r => r.getLong(3) > 0 && r.getLong(4) > 0)
-    val single = rows.filter(r => r.getLong(3) == 0 ^ r.getLong(4) == 0)
-    // if any doc sits in both pools, its fused score must beat any doc
-    // whose single rank is >= both its ranks
-    for (b <- both; s <- single) {
-      val sr = math.max(s.getLong(3), s.getLong(4))
-      if (sr >= b.getLong(3) && sr >= b.getLong(4))
-        assert(b.getDouble(2) > s.getDouble(2))
+    val all = Similarity.hybridRrfTopK(docs, embs).collect()
+    assert(all.nonEmpty)
+    all.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val both = rows.filter(r => r.getLong(4) > 0 && r.getLong(5) > 0)
+      val single = rows.filter(r => r.getLong(4) == 0 ^ r.getLong(5) == 0)
+      // if any doc sits in both pools, its fused score must beat any doc
+      // whose single rank is >= both its ranks
+      for (b <- both; s <- single) {
+        val sr = math.max(s.getLong(4), s.getLong(5))
+        if (sr >= b.getLong(4) && sr >= b.getLong(5))
+          assert(b.getDouble(3) > s.getDouble(3))
+      }
     }
-    assert(rows.nonEmpty)
+  }
+
+  test("bm25TopDocsMulti query 0 reproduces the single-query bm25TopDocs exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val single = TextAnalysis.bm25TopDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val multi = TextAnalysis.bm25TopDocsMulti(docs).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(multi == single)
+    assert(single.nonEmpty)
   }
 }
