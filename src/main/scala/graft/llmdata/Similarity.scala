@@ -1266,16 +1266,39 @@ object Similarity {
     * d-wide dot. Exact re-rank touches full vectors only for the
     * ≤ nQueries·k·overfetch winners (broadcast semi-join into one corpus
     * probe). Everything is deterministic (no RNG, ulp-stable rank
-    * ordering), so the DuckDB oracle replicates it bit-for-bit. */
+    * ordering), so the DuckDB oracle replicates it bit-for-bit.
+    *
+    * `halfTrain = true` is the freeze-then-apply contract MEASURED rather
+    * than asserted: codebooks train on the first-half id prefix only
+    * (`vec_id < (max+1) div 2`, the half folded in-plan and broadcast —
+    * the `e_ivf_incr` build-half idiom; seeds `vec_id < kSub` are
+    * contained in any prefix, so BOTH variants start from identical
+    * seeds and the measured delta is purely the sample-vs-full mean
+    * update), then encode and serve the WHOLE corpus against the frozen
+    * codebooks — the registered `e_pq_frozen` row oracle-checks the
+    * result and PqFrozenSpec pins its recall against both exact top-k
+    * and full-corpus training (measured: 0.513 vs 0.525 recall@10 at
+    * sf0.01 — freezing costs ~0.01). At 100 TB this is the only
+    * trainable path (nobody Lloyd-iterates an exabyte); the knob makes
+    * its cost visible instead of folklore. A re-keyed even-id half was
+    * measured first and rejected: it changes the SEEDS (original ids
+    * 0,2,..,2·kSub−2), and at verification scale the seed swap costs
+    * ~0.17 recall — swamping the freeze signal it was meant to pin. */
   def pqTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
-             kSub: Int = 8, overfetch: Int = 3, kmeansIters: Int = 1): DataFrame = {
+             kSub: Int = 8, overfetch: Int = 3, kmeansIters: Int = 1,
+             halfTrain: Boolean = false): DataFrame = {
     require(kSub > 0 && overfetch >= 1)
     val w = org.apache.spark.sql.expressions.Window
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
     // Per-subspace codebooks: kmeansCentroids re-derives ed/nrm from the
     // handed `embedding` column, so a sliced view trains unchanged.
+    val trainSrc = if (!halfTrain) n
+      else {
+        val half = broadcast(n.agg(expr("(max(vec_id) + 1) div 2").as("__h")))
+        n.crossJoin(half).filter(col("vec_id") < col("__h")).drop("__h")
+      }
     def sub(slice: String => String) =
-      n.select(col("vec_id"), expr(slice("ed")).as("embedding"))
+      trainSrc.select(col("vec_id"), expr(slice("ed")).as("embedding"))
     val cb0 = graft.core.CacheScope.persisted(kmeansCentroids(sub(sliceLo), kSub, kmeansIters))
     val cb1 = graft.core.CacheScope.persisted(kmeansCentroids(sub(sliceHi), kSub, kmeansIters))
     def packed(cb: DataFrame, as: String) = broadcast(cb.agg(

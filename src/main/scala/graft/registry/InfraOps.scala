@@ -669,6 +669,18 @@ object InfraOps {
       s.read.parquet(s"$d/lineitem.parquet")
         .selectExpr("cast(floor(l_extendedprice * 100) as bigint) as cents"),
       "cents", nBuckets = 16)),
+    // Histogram with bounds from STORED stats (histogramFromStats — the
+    // single-pass stats-as-data form): ANALYZE runs over a deliberately
+    // stale snapshot (quantities 10..30 only, as if the table grew since),
+    // the full table buckets against those bounds, and the out-of-range
+    // mass surfaces as overflow buckets (< 0 and >= nBuckets) instead of
+    // silently folding into the edge bars.
+    "s_hist_stats" -> ((s: SparkSession, d: String) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val stats = graft.sources.TableStats.analyze(
+        li.filter(col("l_quantity").between(10, 30)), Seq("l_quantity"))
+      graft.sources.TableStats.histogramFromStats(li, "l_quantity", stats, nBuckets = 8)
+    }),
     // Incremental stats maintenance: partial stats per split, folded with
     // mergeStats — the oracle is s_analyze's own SQL over the WHOLE table,
     // which proves merged ≡ direct (KMV merge is a pure set function).
@@ -907,6 +919,24 @@ object InfraOps {
         |st AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
         |b AS (SELECT v, lo, (hi - lo) // 16 + 1 AS w FROM v, st),
         |g AS (SELECT (v - lo) // w AS bucket, lo, w, CAST(count(*) AS BIGINT) AS n_rows,
+        |        min(v) AS seen_min, max(v) AS seen_max
+        |      FROM b GROUP BY 1, 2, 3)
+        |SELECT bucket, lo + bucket * w AS bucket_lo, lo + (bucket + 1) * w - 1 AS bucket_hi,
+        |  n_rows, seen_min, seen_max
+        |FROM g""".stripMargin,
+    // Overflow buckets are NEGATIVE here (values below the stale lo), and
+    // DuckDB's `//` truncates toward zero on negatives (-8//3 = -2) where
+    // the histogram defines floor — so the numerator is canonicalized to
+    // an exact multiple of w (subtract the always-nonnegative remainder
+    // ((d % w) + w) % w) before dividing, the same formula the Spark side
+    // uses; on an exact multiple truncation and floor agree by identity.
+    "s_hist_stats" ->
+      """WITH st AS (SELECT CAST(min(l_quantity) AS BIGINT) AS lo, CAST(max(l_quantity) AS BIGINT) AS hi
+        |            FROM lineitem WHERE l_quantity BETWEEN 10 AND 30),
+        |v AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem WHERE l_quantity IS NOT NULL),
+        |b AS (SELECT v, lo, (hi - lo) // 8 + 1 AS w FROM v, st),
+        |g AS (SELECT (v - lo - (((v - lo) % w + w) % w)) // w AS bucket, lo, w,
+        |        CAST(count(*) AS BIGINT) AS n_rows,
         |        min(v) AS seen_min, max(v) AS seen_max
         |      FROM b GROUP BY 1, 2, 3)
         |SELECT bucket, lo + bucket * w AS bucket_lo, lo + (bucket + 1) * w - 1 AS bucket_hi,

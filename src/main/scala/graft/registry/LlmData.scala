@@ -111,6 +111,7 @@ object LlmData {
     "e_rp_topk" -> ((s, d) => Similarity.rpTopK(embs(s, d))),
     "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
     "e_pq_topk" -> ((s, d) => Similarity.pqTopK(embs(s, d))),
+    "e_pq_frozen" -> ((s, d) => Similarity.pqTopK(embs(s, d), halfTrain = true)),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     // nHint from parquet footers: knob choice costs metadata, not a corpus
     // scan — the DuckDB twin's count(*) is itself a footer read, so the
@@ -779,15 +780,23 @@ object LlmData {
     * and encode every vector to its argmax-cosine cell (ties: lower
     * cell; zero-norm slices coalesce below any real cosine — Spark's
     * `assignArgmax` order). All CTE names carry prefix `p`. */
-  private def pqSubCte(p: String, sliceSql: String) = {
+  private def pqSubCte(p: String, sliceSql: String, halfTrain: Boolean = false) = {
     val cellCos = Similarity.duckCosPre("v.ed", "c.ced", "v.nrm", "c.cnrm")
+    // halfTrain: codebooks train on the first-half id prefix only
+    // (the Spark knob's exact rule — seeds vec_id < 8 are contained in
+    // the prefix, so both variants share seeds); assignment/means come
+    // from ${p}t, while ${p}code still encodes the WHOLE corpus.
+    val trainCte =
+      if (halfTrain) s"${p}t AS (SELECT vec_id, ed, nrm FROM ${p}n WHERE vec_id < (SELECT (max(vec_id) + 1) // 2 FROM n2))"
+      else s"${p}t AS (SELECT vec_id, ed, nrm FROM ${p}n)"
     s"""${p}s AS (SELECT vec_id, $sliceSql AS ed FROM n2),
        |${p}n AS (SELECT vec_id, ed, sqrt(${Similarity.duckDot("ed", "ed")}) AS nrm FROM ${p}s),
-       |${p}seed AS (SELECT CAST(vec_id AS INT) AS cell, ed AS ced, nrm AS cnrm FROM ${p}n WHERE vec_id < 8),
+       |$trainCte,
+       |${p}seed AS (SELECT CAST(vec_id AS INT) AS cell, ed AS ced, nrm AS cnrm FROM ${p}t WHERE vec_id < 8),
        |${p}asg0 AS (SELECT vec_id, ed, cell FROM (
        |  SELECT v.vec_id, v.ed, c.cell,
        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, c.cell ASC) AS r
-       |  FROM ${p}n v, ${p}seed c) WHERE r = 1),
+       |  FROM ${p}t v, ${p}seed c) WHERE r = 1),
        |${p}xk AS (SELECT cell, CAST(u.pos AS INT) AS pos, CAST(u.v AS DOUBLE) AS v
        |       FROM (SELECT cell, unnest(list_transform(range(1, len(ed) + 1),
        |                     i -> {'pos': i - 1, 'v': ed[i]})) AS u FROM ${p}asg0)),
@@ -811,14 +820,20 @@ object LlmData {
     * `(ip0+ip1)/(qn·√(cn0²+cn1²))` with the same add order, and the same
     * two-window candidate → exact-re-rank tail as the RP twin —
     * identical IEEE sequences end to end. */
-  private val pqTopkSql = {
+  private val pqTopkSql = pqSqlAt(halfTrain = false)
+
+  /** [[pqTopkSql]] with codebooks trained on the re-keyed even-id half
+    * only — the `e_pq_frozen` twin of `pqTopK(halfTrain = true)`. */
+  private val pqFrozenSql = pqSqlAt(halfTrain = true)
+
+  private def pqSqlAt(halfTrain: Boolean) = {
     val lo = "ed[1:(len(ed) // 2)]"
     val hi = "ed[(len(ed) // 2 + 1):len(ed)]"
     val qlo = "q[1:(len(q) // 2)]"
     val qhi = "q[(len(q) // 2 + 1):len(q)]"
     s"""WITH $normCte,
-       |${pqSubCte("p0", lo)},
-       |${pqSubCte("p1", hi)},
+       |${pqSubCte("p0", lo, halfTrain)},
+       |${pqSubCte("p1", hi, halfTrain)},
        |qs AS (SELECT vec_id AS query_id, ed AS q, nrm AS qn FROM n2 WHERE vec_id < 8),
        |adc0 AS (SELECT query_id, qn, c.cell AS c0, ${Similarity.duckDot("qv.qs", "c.ced")} AS ip0, c.cnrm AS cn0
        |         FROM (SELECT query_id, qn, $qlo AS qs FROM qs) qv, p0cent c),
@@ -1465,6 +1480,7 @@ object LlmData {
     "e_rp_topk" -> rpTopkSql,
     "e_quant_topk" -> quantTopkSql,
     "e_pq_topk" -> pqTopkSql,
+    "e_pq_frozen" -> pqFrozenSql,
     "e_neardup" -> neardupSql,
     "e_lsh_neardup" -> lshNeardupSql,
     "e_lsh_selectivity" -> lshSelectivitySql,

@@ -148,13 +148,44 @@ object TableStats {
           s"CAST($lo AS BIGINT) AS lo", s"CAST($hi AS BIGINT) AS hi")
       case None => vals.agg(min("v").as("lo"), max("v").as("hi"))
     }
+    histogramWith(vals, stats, nBuckets)
+  }
+
+  /** [[histogram]] with (lo, hi) read from a STORED [[analyze]] /
+    * [[mergeStats]] stats frame instead of a data scan — the
+    * stats-as-data form that matters at 100 TB: the standing table's
+    * bounds come from catalog metadata (one 1-row broadcast), so the
+    * histogram is a SINGLE pass over the data, same policy as the
+    * footer-driven banding ladders. No driver action anywhere: the
+    * bounds never leave the plan (the `loHi` hint, by contrast, is a
+    * driver-side literal). Stats frames carry min/max as strings
+    * (typed-agnostic storage) — parsed via double so integral DECIMAL /
+    * DOUBLE renderings ("10.0") land exactly. Stale bounds — stats from
+    * an older snapshot than the data — surface as overflow buckets
+    * (< 0 / ≥ nBuckets), never silently fold into the edge bars;
+    * the registered `s_hist_stats` row pins exactly that scenario. */
+  def histogramFromStats(df: DataFrame, colName: String, stats: DataFrame,
+                         nBuckets: Int = 16): DataFrame = {
+    require(df.columns.contains(colName), s"unknown column: $colName")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val vals = df.select(col(colName).cast("bigint").as("v")).where(col("v").isNotNull)
+    val st = stats.filter(col("column") === colName)
+      .select(expr("cast(cast(min_value as double) as bigint)").as("lo"),
+        expr("cast(cast(max_value as double) as bigint)").as("hi"))
+    histogramWith(vals, st, nBuckets)
+  }
+
+  private def histogramWith(vals: DataFrame, stats: DataFrame,
+                            nBuckets: Int): DataFrame =
     vals.crossJoin(broadcast(stats))
       .withColumn("w", expr(s"(hi - lo) div $nBuckets + 1"))
       // FLOOR division, not Spark's truncate-toward-zero `div`: with the
-      // in-plan (lo, hi) the dividend is never negative and the two agree
-      // (and match DuckDB's floor `//`), but a stale loHi hint can put
-      // values below lo — truncation would silently fold the (lo − w, lo)
-      // band into bucket 0 instead of surfacing bucket −1.
+      // in-plan (lo, hi) the dividend is never negative and the two agree,
+      // but stale stored bounds can put values below lo — truncation would
+      // silently fold the (lo − w, lo) band into bucket 0 instead of
+      // surfacing bucket −1. (DuckDB's `//` ALSO truncates on negatives —
+      // measured -8//3 = -2 — so the s_hist_stats oracle uses this same
+      // canonicalized-numerator formula rather than a bare `//`.)
       .groupBy(expr("(v - lo - ((v - lo) % w + w) % w) div w").as("bucket"),
         col("lo"), col("w"))
       .agg(count(lit(1)).as("n_rows"), min("v").as("seen_min"), max("v").as("seen_max"))
@@ -162,5 +193,4 @@ object TableStats {
         (col("lo") + col("bucket") * col("w")).as("bucket_lo"),
         (col("lo") + (col("bucket") + 1) * col("w") - 1).as("bucket_hi"),
         col("n_rows"), col("seen_min"), col("seen_max"))
-  }
 }
