@@ -370,6 +370,69 @@ object CorpusOps {
         expr("(shared * 1000000L) div (n_a + n_b - shared)").as("jaccard_ppm"))
   }
 
+  /** Sketch-estimated cross-source shingle overlap — [[sourceOverlap]]'s
+    * answer at METADATA cost (Beyer et al., SIGMOD 2007, "On synopses for
+    * approximate aggregation"; bottom-k set synopses: Cohen & Kaplan
+    * 2007). Where the exact matrix co-shuffles every distinct
+    * (source, shingle) pair, this ships one KMV sketch (the `kmvK`
+    * smallest distinct shingle hashes) per source through the exchange —
+    * map-side partial aggregation reduces each partition to ≤ kmvK longs
+    * per source BEFORE the shuffle, so corpus size never crosses the wire.
+    * Estimation per pair uses the standard bottom-k identities, all of
+    * them exact set algebra on the sketches:
+    *  - `K∪` (the union's bottom-k) = bottom-k of `skA ∪ skB` — an element
+    *    among the k smallest of the union is among the k smallest of its
+    *    own side;
+    *  - for `v ∈ K∪`: `v ∈ A ⟺ v ∈ skA` (if A held k elements below v,
+    *    those k would displace v from K∪) — so `n_both = |K∪ ∩ skA ∩ skB|`
+    *    is an EXACT count of intersection members within the union's
+    *    bottom-k, and `jaccard ≈ n_both / |K∪|`;
+    *  - `|A∪B| ≈ (k−1)·P / h_k` ([[graft.functions.KmvDistinct]]'s
+    *    estimator), and `|A∩B| ≈ jaccard · |A∪B|`.
+    * Below kmvK distinct union hashes the sketch IS the union, every
+    * number is exact, and the small-SF oracle row anchors the identical
+    * math both engines run (KMV is a pure set function — deterministic,
+    * hence hash-comparable). Relative error at the sketch ceiling is
+    * ~1/√(k−1) (≈6% at the default 256), pinned against the exact matrix
+    * by spec. The sketches are the same mergeable states
+    * [[graft.sources.TableStats.analyzePartial]] stores: per-shard
+    * sketches fold by `distinct ∪ → sort → take k`, so federated corpora
+    * estimate cross-source overlap without ever co-shuffling — the form
+    * that matters when "source" means two 100 TB crawls. */
+  def kmvSourceOverlap(documents: DataFrame, k: Int = 8,
+                       kmvK: Int = 256): DataFrame = {
+    require(kmvK >= 2, "kmvK must be >= 2")
+    val spark = documents.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    spark.udf.register(s"graft_kmvsketch_$kmvK",
+      udaf(new graft.functions.KmvSketch(kmvK)))
+    // No distinct() before the agg: KMV absorbs duplicates by construction
+    // (reduce is a set insert), so within-source repetition costs nothing.
+    val sk = documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
+      .select(col("source"), explode(sparkPolyHashArray("__sh")).as("h"))
+      .groupBy("source")
+      .agg(expr(s"graft_kmvsketch_$kmvK(h)").as("sk"))
+    // ≤ sources² pair rows; the per-pair math is array algebra on ≤ kmvK
+    // longs. union_est stays unrounded until the output projection so the
+    // derived inter_est sees the identical double in both engines.
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("__u", expr(s"slice(array_sort(array_distinct(concat(ska, skb))), 1, $kmvK)"))
+      .withColumn("k_union", expr("CAST(size(__u) AS BIGINT)"))
+      .withColumn("n_both", expr(
+        "CAST(size(filter(__u, v -> array_contains(ska, v) AND array_contains(skb, v))) AS BIGINT)"))
+      .withColumn("__ue", expr(
+        s"CASE WHEN k_union < $kmvK THEN CAST(k_union AS DOUBLE) " +
+          s"ELSE ${kmvK - 1}.0 * ${TextPrimitives.P}.0 / element_at(__u, $kmvK) END"))
+      .select(col("src_a"), col("src_b"), col("n_both"), col("k_union"),
+        expr("(n_both * 1000000L) div k_union").as("jaccard_est_ppm"),
+        round(col("__ue"), 6).as("union_est"),
+        round(expr("CAST(n_both AS DOUBLE) * __ue / k_union"), 6).as("inter_est"))
+  }
+
   /** Default quantile list — shared with the `c_quantiles` oracle SQL so
     * the operator default and the DuckDB twin can never drift. */
   val DefaultQuantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)

@@ -35,6 +35,12 @@ object Corpus {
     * containment math vacuous); production uses the dedup family's 8-13. */
   val OverlapK = 3
 
+  /** Sketch size for the KMV overlap-estimation row — deliberately SMALLER
+    * than the fixture's per-source distinct-shingle counts (~1.1-1.5k at
+    * sf0.01) so the registered row exercises the truncating estimator
+    * branch, not the everything-fits exact anchor (specs pin that one). */
+  val OverlapKmvK = 256
+
   // ---- Spark side --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -53,6 +59,7 @@ object Corpus {
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
     "c_report" -> ((s, d) => CorpusOps.corpusReport(docs(s, d))),
     "c_overlap" -> ((s, d) => CorpusOps.sourceOverlap(docs(s, d), OverlapK)),
+    "c_overlap_kmv" -> ((s, d) => CorpusOps.kmvSourceOverlap(docs(s, d), OverlapK, OverlapKmvK)),
     "c_autofilter" -> ((s, d) => CorpusOps.autoQualityFilter(docs(s, d))),
     "c_sourcecap" -> ((s, d) => CorpusOps.perSourceCap(docs(s, d))),
     "c_split" -> ((s, d) => CorpusOps.datasetSplit(docs(s, d))),
@@ -539,8 +546,39 @@ object Corpus {
        |  (shared * 1000000) // (za.n + zb.n - shared) AS jaccard_ppm
        |FROM p JOIN sz za ON za.source = p.src_a JOIN sz zb ON zb.source = p.src_b""".stripMargin
 
+  /** DuckDB twin of [[CorpusOps.kmvSourceOverlap]] at (OverlapK,
+    * OverlapKmvK): per-source bottom-k of the distinct shingle hashes
+    * (`list_sort(list(DISTINCT h))[1:k]` IS the KMV state — a pure set
+    * function, so the aggregation-order-free SQL form matches Spark's
+    * merge-tree exactly), then the identical bottom-k union/intersection
+    * algebra and the identical single-division estimates, rounded only in
+    * the output projection. */
+  private val overlapKmvSql = {
+    val k = OverlapKmvK
+    s"""WITH w AS (SELECT doc_id, source, text, ${duckWords("text")} AS words FROM documents),
+       |sh AS (SELECT doc_id, source, ${duckShingles("words", "text", OverlapK)} AS s FROM w),
+       |x AS (SELECT source, unnest(${duckPolyHashArray("s")}) AS h FROM sh),
+       |sk AS (SELECT source, list_sort(list(DISTINCT h))[1:$k] AS sk FROM x GROUP BY 1),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b, a.sk AS ska, b.sk AS skb
+       |      FROM sk a JOIN sk b ON a.source < b.source),
+       |u AS (SELECT src_a, src_b, ska, skb,
+       |        list_sort(list_distinct(list_concat(ska, skb)))[1:$k] AS uu FROM p),
+       |m AS (SELECT src_a, src_b,
+       |        CAST(len(uu) AS BIGINT) AS k_union,
+       |        CAST(len(list_filter(uu, v -> list_contains(ska, v) AND list_contains(skb, v))) AS BIGINT) AS n_both,
+       |        CASE WHEN len(uu) < $k THEN CAST(len(uu) AS DOUBLE)
+       |             ELSE ${k - 1}.0 * ${graft.llmdata.TextPrimitives.P}.0 / uu[$k] END AS ue
+       |      FROM u)
+       |SELECT src_a, src_b, n_both, k_union,
+       |  (n_both * 1000000) // k_union AS jaccard_est_ppm,
+       |  round(ue, 6) AS union_est,
+       |  round(CAST(n_both AS DOUBLE) * ue / k_union, 6) AS inter_est
+       |FROM m""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "c_overlap" -> overlapSql,
+    "c_overlap_kmv" -> overlapKmvSql,
     "c_dsir" -> dsirSql,
     "c_report" -> reportSql,
     "c_autofilter" -> autofilterSql,

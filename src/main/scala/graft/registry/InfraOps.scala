@@ -681,6 +681,13 @@ object InfraOps {
         li.filter(col("l_quantity").between(10, 30)), Seq("l_quantity"))
       graft.sources.TableStats.histogramFromStats(li, "l_quantity", stats, nBuckets = 8)
     }),
+    // Equi-depth histogram over price cents (~every value distinct — the
+    // high-NDV shape where equi-width bars flatten into noise but ~N/8
+    // per-bucket counts stay informative).
+    "s_hist_depth" -> ((s: SparkSession, d: String) => graft.sources.TableStats.equiDepthHistogram(
+      s.read.parquet(s"$d/lineitem.parquet")
+        .selectExpr("cast(floor(l_extendedprice * 100) as bigint) as cents"),
+      "cents", nBuckets = 8)),
     // Incremental stats maintenance: partial stats per split, folded with
     // mergeStats — the oracle is s_analyze's own SQL over the WHOLE table,
     // which proves merged ≡ direct (KMV merge is a pure set function).
@@ -942,6 +949,17 @@ object InfraOps {
         |SELECT bucket, lo + bucket * w AS bucket_lo, lo + (bucket + 1) * w - 1 AS bucket_hi,
         |  n_rows, seen_min, seen_max
         |FROM g""".stripMargin,
+    "s_hist_depth" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |c AS (SELECT v, cnt,
+        |        COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM g),
+        |b AS (SELECT (cb * 8) // n AS bucket, v, cnt FROM c, t)
+        |SELECT bucket, min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
+        |FROM b GROUP BY 1""".stripMargin,
     "j_band" ->
       """WITH s AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS k,
         |             CAST(floor(s_acctbal * 100) AS BIGINT) AS s_cents FROM supplier),

@@ -175,6 +175,46 @@ object TableStats {
     histogramWith(vals, st, nBuckets)
   }
 
+  /** EQUI-DEPTH histogram of an integral column — the skew-robust
+    * complement to [[histogram]]'s equi-width buckets, and the form real
+    * optimizers store (per-bucket row counts are ~N/nBuckets by
+    * construction, so per-bucket selectivity error is bounded no matter
+    * how skewed the distribution; an equi-width histogram of a Zipf column
+    * puts 99% of rows in one bar and answers nothing about it).
+    *
+    * Bucket rule: a value v (atomic — all its rows travel together) lands
+    * in `floor(rankBefore(v) · nBuckets / N)` where rankBefore is the
+    * count of rows with smaller values — exact integer math, deterministic
+    * cross-engine. A value heavier than N/nBuckets overfills its bucket
+    * and later cut points shift right, which is the standard equi-depth
+    * behavior (the bucket's observed bounds make the heavy value visible).
+    *
+    * Scale shape: one shuffle groups rows by VALUE (map-side partials
+    * absorb repetition — the exchange carries ≤ NDV rows), then the
+    * running count needs a single global pass over the ≤ NDV distinct
+    * values (an unpartitioned window — the one deliberate single-task
+    * stage, bounded by NDV, NOT by row count; the same NDV-bounded
+    * contract as [[analyze]]'s sketch finish). For columns whose NDV
+    * itself is huge, the sampled-quantile path
+    * ([[graft.llmdata.CorpusOps.sampledQuantiles]]) is the documented
+    * fork — approximate cuts at bounded state. Final agg re-keys the ≤
+    * NDV rows by bucket id: ≤ nBuckets output rows. */
+  def equiDepthHistogram(df: DataFrame, colName: String,
+                         nBuckets: Int = 8): DataFrame = {
+    require(df.columns.contains(colName), s"unknown column: $colName")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val vals = df.select(col(colName).cast("bigint").as("v")).where(col("v").isNotNull)
+    val byV = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("v").rowsBetween(Long.MinValue, -1)
+    byV
+      .withColumn("__cb", coalesce(sum("cnt").over(w), lit(0L)))
+      .crossJoin(broadcast(vals.agg(count(lit(1)).as("__n"))))
+      .groupBy(expr(s"(__cb * $nBuckets) div __n").as("bucket"))
+      .agg(min("v").as("lo"), max("v").as("hi"), sum("cnt").as("n_rows"))
+      .select(col("bucket"), col("lo"), col("hi"), col("n_rows"))
+  }
+
   private def histogramWith(vals: DataFrame, stats: DataFrame,
                             nBuckets: Int): DataFrame =
     vals.crossJoin(broadcast(stats))
