@@ -408,12 +408,15 @@ object CorpusOps {
       udaf(new graft.functions.KmvSketch(kmvK)))
     // No distinct() before the agg: KMV absorbs duplicates by construction
     // (reduce is a set insert), so within-source repetition costs nothing.
-    val sk = documents
+    // Persisted (CacheScope): the sketch frame feeds BOTH sides of the
+    // pair self-join below — without it the corpus-wide tokenize + sketch
+    // pass would run twice (the diamond rule).
+    val sk = graft.core.CacheScope.persisted(documents
       .withColumn("__words", tokens(col("text")))
       .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
       .select(col("source"), explode(sparkPolyHashArray("__sh")).as("h"))
       .groupBy("source")
-      .agg(expr(s"graft_kmvsketch_$kmvK(h)").as("sk"))
+      .agg(expr(s"graft_kmvsketch_$kmvK(h)").as("sk")))
     // ≤ sources² pair rows; the per-pair math is array algebra on ≤ kmvK
     // longs. union_est stays unrounded until the output projection so the
     // derived inter_est sees the identical double in both engines.

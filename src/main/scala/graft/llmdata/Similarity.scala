@@ -826,6 +826,76 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
   }
 
+  /** Multi-probe LSH top-k (Lv, Josephson, Wang, Charikar & Li, VLDB
+    * 2007, "Multi-probe LSH") — the PROBE axis of the ANN family, beside
+    * hash (L11), partition (IVF), dimension (RP) and memory (PQ): instead
+    * of buying recall with MORE bands (more signature memory, more
+    * exchange volume for the corpus side), each query additionally probes
+    * the buckets adjacent to its own. This variant probes the full
+    * Hamming-1 perturbation set: per band, the query's own bucket plus
+    * the `bandBits` buckets with one sign bit flipped — a vector near the
+    * query that lands across ONE hyperplane (the dominant miss mode at
+    * high cosine: each plane independently splits a near pair with small
+    * probability, two simultaneous splits are quadratically rarer) is
+    * recovered without any new corpus-side state. Lv et al.'s refinement
+    * orders perturbations by boundary distance to cut the probe list; at
+    * r = 4-bit bands the full Hamming-1 set is 5 probes — enumeration
+    * IS the practical form, and keeps the operator RNG- and
+    * projection-free.
+    *
+    * Cost shape: the CORPUS side is byte-identical to [[lshTopK]]'s band
+    * frame (same signatures, same exchange); only the broadcast query
+    * side fans out ×(bandBits+1). Candidates stay bucket-local and
+    * exactly-once: within a band the probe values are pairwise distinct
+    * (so at most one matches a given corpus bucket), and across bands a
+    * pair is kept only when no EARLIER band already matched — the
+    * [[noEarlierSharedBand]] idiom with the collision test widened to
+    * `bit_count(q_band XOR nn_band) <= 1` (the semantic characterization
+    * of "some probe of q's band hits nn's bucket"), which is also how the
+    * DuckDB twin states the whole candidate set declaratively. Measured
+    * at sf0.01 (500 vectors, 32 planes, 8×4 bands, MultiProbeSpec):
+    * recall@10 0.688 → 1.000 for 2.29× the candidate volume (1651 → 3776
+    * query-neighbor pairs — at 500 vectors the Hamming-1 ball reaches
+    * ~95% of the corpus, so the fixture measures the recall mechanism,
+    * not production selectivity; the structural bounds are what scale:
+    * query-side fan-out ×(bandBits+1), corpus side untouched). */
+  def lshTopKMultiProbe(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+                        planes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
+    val (n, bands) = normAndBands(embeddings, planes, bandBits, persistNorm = false)
+    val probeVals = (0 to bandBits).map {
+      case 0 => col("band_val")
+      case j => expr(s"band_val ^ ${1L << (j - 1)}L")
+    }
+    val qProbes = bands.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band"),
+        col("__pre").as("__pre_q"), explode(array(probeVals: _*)).as("band_val"))
+    val cand = broadcast(qProbes)
+      .join(bands.select(col("vec_id").as("nn_id"), col("band"), col("band_val"),
+          col("__pre")),
+        Seq("band", "band_val"))
+      .filter(col("query_id") =!= col("nn_id")
+        && noEarlierProbedBand("__pre_q", "__pre"))
+      .select("query_id", "nn_id")
+    cand
+      .join(n.select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn")), "query_id")
+      .join(n.select(col("vec_id").as("nn_id"), col("ed").as("e"), col("nrm").as("en")), "nn_id")
+      .withColumn("cos", expr(sparkCosPre("q", "e", "qn", "en")))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
+  }
+
+  /** [[noEarlierSharedBand]] for the multi-probe collision test: an
+    * earlier band "already matched" when the two band values are within
+    * Hamming distance 1 — q's probe set at that band is exactly its
+    * value's Hamming-1 ball, so ball membership ⟺ some earlier probe
+    * collided. Same NULL discipline (a masked bucket matches nothing and
+    * cannot poison `exists`). */
+  private def noEarlierProbedBand(aPre: String, bPre: String): Column =
+    !expr(s"exists(zip_with($aPre, $bPre, (x, y) -> coalesce(bit_count(x ^ y) <= 1, false)), m -> m)")
+
   /** Exactly-once within-set candidate pairs (id_a < id_b) from a band
     * frame — the bucket self-join at the heart of [[lshNearDupPairs]].
     * A pair sharing k bands is produced by the join k times but KEPT only

@@ -164,6 +164,7 @@ object LlmData {
     "e_semdedup" -> ((s, d) => Similarity.semDedup(embs(s, d),
       nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
+    "e_lsh_multiprobe" -> ((s, d) => Similarity.lshTopKMultiProbe(embs(s, d))),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     // Index round trip: build + store the IVF layout (cell-partitioned),
     // then serve the same probe from the stored index — result must equal
@@ -952,7 +953,14 @@ object LlmData {
   /** DuckDB twin of Similarity.lshTopK — same LCG plane weights, same
     * signature bits, same band buckets, same re-rank; the only freedom left
     * is double ulps, and both engines compute identical IEEE sequences. */
-  private val lshTopkSql = {
+  /** Shared body of the `e_lsh_topk` / `e_lsh_multiprobe` twins —
+    * identical signatures, scoring, and ranking; only the band-collision
+    * predicate differs. The multi-probe twin states the candidate set
+    * SEMANTICALLY (`bit_count(xor) <= 1`: nn's bucket is within q's
+    * Hamming-1 probe ball) where Spark enumerates probed buckets and
+    * equi-joins — different algorithm, same answer, which is the point
+    * of the oracle. */
+  private def lshTopkSqlWhere(collide: String) = {
     val sigTerms = lshSigTerms
     val mask = (1 << Similarity.LshBandBits) - 1
     s"""WITH $normCte,
@@ -960,13 +968,18 @@ object LlmData {
        |bands AS (SELECT vec_id, ed, nrm, c AS band, (s >> (c * ${Similarity.LshBandBits})) & $mask AS band_val
        |          FROM sig, (SELECT unnest(range(0, ${Similarity.LshBands})) AS c)),
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS nn_id
-       |         FROM bands q JOIN bands e ON q.band = e.band AND q.band_val = e.band_val
+       |         FROM bands q JOIN bands e ON q.band = e.band AND ($collide)
        |         WHERE q.vec_id < 8 AND q.vec_id != e.vec_id),
        |scored AS (SELECT query_id, nn_id, ${Similarity.duckCosPre("q.ed", "e.ed", "q.nrm", "e.nrm")} AS cos
        |           FROM cand JOIN n2 q ON cand.query_id = q.vec_id JOIN n2 e ON cand.nn_id = e.vec_id),
        |r AS (SELECT query_id, nn_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS BIGINT) AS rank FROM scored)
        |SELECT query_id, rank, nn_id FROM r WHERE rank <= 10""".stripMargin
   }
+
+  private val lshTopkSql = lshTopkSqlWhere("q.band_val = e.band_val")
+
+  private val lshMultiprobeSql =
+    lshTopkSqlWhere("bit_count(xor(q.band_val, e.band_val)) <= 1")
 
   /** Knob CTEs for the size-adaptive dup banding, in LOCKSTEP with
     * [[Similarity.dupBanding]]: `kb` derives (r, b) from `count(*)` of
@@ -1488,6 +1501,7 @@ object LlmData {
     "e_semdedup" -> semDedupSql,
     "e_semdedup_h" -> semDedupHierSql,
     "e_lsh_topk" -> lshTopkSql,
+    "e_lsh_multiprobe" -> lshMultiprobeSql,
     "e_ivf_topk" -> ivfTopkSql,
     "e_ivf_index" -> ivfTopkSql,
     "e_ivf_incr" -> ivfIncrSql,
