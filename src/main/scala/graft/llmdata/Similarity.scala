@@ -811,20 +811,25 @@ object Similarity {
 
   def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
               planes: Int = LshPlanes, bandBits: Int = LshBandBits,
-              sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame = {
-    val n = withNorm(embeddings)
-    val candidates = lshCandidates(embeddings, nQueries, planes, bandBits,
-      sigCenterDims, sigCenterAt)
+              sigCenterDims: Int = 0, sigCenterAt: Double = 0.0): DataFrame =
+    exactRerank(lshCandidates(embeddings, nQueries, planes, bandBits,
+      sigCenterDims, sigCenterAt), withNorm(embeddings), k)
+
+  /** The exact-cosine re-rank tail shared by every (query_id, nn_id)
+    * candidate retrieval ([[lshTopK]], [[lshTopKMultiProbe]]): re-attach
+    * full vectors, score, per-query (cos desc, nn_id) rank, cut at k.
+    * ONE definition so the tie-break/rank contract the DuckDB twins
+    * assume cannot fork between operators. */
+  private def exactRerank(cand: DataFrame, n: DataFrame, k: Int): DataFrame =
+    cand
       .join(n.select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn")), "query_id")
       .join(n.select(col("vec_id").as("nn_id"), col("ed").as("e"), col("nrm").as("en")), "nn_id")
-    candidates
       .withColumn("cos", expr(sparkCosPre("q", "e", "qn", "en")))
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
-  }
 
   /** Multi-probe LSH top-k (Lv, Josephson, Wang, Charikar & Li, VLDB
     * 2007, "Multi-probe LSH") — the PROBE axis of the ANN family, beside
@@ -876,15 +881,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nn_id")
         && noEarlierProbedBand("__pre_q", "__pre"))
       .select("query_id", "nn_id")
-    cand
-      .join(n.select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn")), "query_id")
-      .join(n.select(col("vec_id").as("nn_id"), col("ed").as("e"), col("nrm").as("en")), "nn_id")
-      .withColumn("cos", expr(sparkCosPre("q", "e", "qn", "en")))
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("cos").desc, col("nn_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("nn_id"))
+    exactRerank(cand, n, k)
   }
 
   /** [[noEarlierSharedBand]] for the multi-probe collision test: an
@@ -1123,7 +1120,13 @@ object Similarity {
           val ea = a._1; val eb = b._1
           var s = 0.0; var i = 0
           while (i < ea.length) { s += ea(i) * eb(i); i += 1 }
-          if (s / (a._2 * b._2) >= threshold) Iterator.single((pr._2, pr._3))
+          // !(cos < t), not (cos >= t): a zero-norm pair divides 0/0 =
+          // NaN, and the join form's Spark SQL `>=` orders NaN ABOVE
+          // every double (as does DuckDB) — the JVM's `NaN >= t` is
+          // false, which would silently drop the pair on exactly one
+          // side of the GridVerifyMinN auto-switch. The negated-less-
+          // than form gives NaN the same "passes" verdict as SQL.
+          if (!(s / (a._2 * b._2) < threshold)) Iterator.single((pr._2, pr._3))
           else Iterator.empty
         }
       }

@@ -823,8 +823,10 @@ object LlmData {
     * identical IEEE sequences end to end. */
   private val pqTopkSql = pqSqlAt(halfTrain = false)
 
-  /** [[pqTopkSql]] with codebooks trained on the re-keyed even-id half
-    * only — the `e_pq_frozen` twin of `pqTopK(halfTrain = true)`. */
+  /** [[pqTopkSql]] with codebooks trained on the first-half id prefix
+    * only (`vec_id < (max+1) div 2` — seeds unchanged, the e_ivf_incr
+    * build-half idiom) — the `e_pq_frozen` twin of
+    * `pqTopK(halfTrain = true)`. */
   private val pqFrozenSql = pqSqlAt(halfTrain = true)
 
   private def pqSqlAt(halfTrain: Boolean) = {

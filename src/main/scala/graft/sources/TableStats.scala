@@ -159,8 +159,11 @@ object TableStats {
     * footer-driven banding ladders. No driver action anywhere: the
     * bounds never leave the plan (the `loHi` hint, by contrast, is a
     * driver-side literal). Stats frames carry min/max as strings
-    * (typed-agnostic storage) — parsed via double so integral DECIMAL /
-    * DOUBLE renderings ("10.0") land exactly. Stale bounds — stats from
+    * (typed-agnostic storage) — parsed bigint-FIRST (exact for integer
+    * renderings of any magnitude: a double round-trip would corrupt
+    * bounds past 2^53, shifting every bucket edge on snowflake-id-sized
+    * keys), falling back through double only for fractional renderings
+    * ("10.0") where the value is float-typed anyway. Stale bounds — stats from
     * an older snapshot than the data — surface as overflow buckets
     * (< 0 / ≥ nBuckets), never silently fold into the edge bars;
     * the registered `s_hist_stats` row pins exactly that scenario. */
@@ -169,9 +172,11 @@ object TableStats {
     require(df.columns.contains(colName), s"unknown column: $colName")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val vals = df.select(col(colName).cast("bigint").as("v")).where(col("v").isNotNull)
+    def parsed(c: String) =
+      s"coalesce(try_cast($c as bigint), cast(cast($c as double) as bigint))"
     val st = stats.filter(col("column") === colName)
-      .select(expr("cast(cast(min_value as double) as bigint)").as("lo"),
-        expr("cast(cast(max_value as double) as bigint)").as("hi"))
+      .select(expr(parsed("min_value")).as("lo"),
+        expr(parsed("max_value")).as("hi"))
     histogramWith(vals, st, nBuckets)
   }
 
@@ -205,11 +210,16 @@ object TableStats {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val vals = df.select(col(colName).cast("bigint").as("v")).where(col("v").isNotNull)
     val byV = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("v").rowsBetween(Long.MinValue, -1)
+    // Both the running count and the grand total N ride the SAME
+    // unpartitioned sort — a full-frame window over the grouped rows, so
+    // N costs nothing extra (re-counting the raw input would be a second
+    // corpus scan for a number the ≤-NDV frame already holds).
+    val win = org.apache.spark.sql.expressions.Window.orderBy("v")
+    val w = win.rowsBetween(Long.MinValue, -1)
+    val wAll = win.rowsBetween(Long.MinValue, Long.MaxValue)
     byV
       .withColumn("__cb", coalesce(sum("cnt").over(w), lit(0L)))
-      .crossJoin(broadcast(vals.agg(count(lit(1)).as("__n"))))
+      .withColumn("__n", sum("cnt").over(wAll))
       .groupBy(expr(s"(__cb * $nBuckets) div __n").as("bucket"))
       .agg(min("v").as("lo"), max("v").as("hi"), sum("cnt").as("n_rows"))
       .select(col("bucket"), col("lo"), col("hi"), col("n_rows"))
