@@ -1120,13 +1120,16 @@ object Similarity {
           val ea = a._1; val eb = b._1
           var s = 0.0; var i = 0
           while (i < ea.length) { s += ea(i) * eb(i); i += 1 }
-          // !(cos < t), not (cos >= t): a zero-norm pair divides 0/0 =
-          // NaN, and the join form's Spark SQL `>=` orders NaN ABOVE
-          // every double (as does DuckDB) — the JVM's `NaN >= t` is
-          // false, which would silently drop the pair on exactly one
-          // side of the GridVerifyMinN auto-switch. The negated-less-
-          // than form gives NaN the same "passes" verdict as SQL.
-          if (!(s / (a._2 * b._2) < threshold)) Iterator.single((pr._2, pr._3))
+          // Zero-norm contract (measured, spec-pinned): a zero-norm pair
+          // divides 0/0, which Spark SQL evaluates to NULL (non-ANSI
+          // divide-by-zero), so the join form's `cos >= t` filter DROPS
+          // the pair. Here 0.0/0.0 is the JVM's NaN and `NaN >= t` is
+          // false — the same drop verdict, which is also the library's
+          // convention for undefined cosines everywhere (assignArgmax
+          // coalesces them to −2.0, strictly below any real cosine).
+          // Do NOT "fix" this to a negated-less-than: `!(NaN < t)` is
+          // true and would emit on exactly one side of the auto-switch.
+          if (s / (a._2 * b._2) >= threshold) Iterator.single((pr._2, pr._3))
           else Iterator.empty
         }
       }

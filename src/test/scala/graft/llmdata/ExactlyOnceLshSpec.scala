@@ -137,4 +137,29 @@ class ExactlyOnceLshSpec extends AnyFunSuite {
     assert(cGrid == cJoin)
     assert(cJoin.nonEmpty)
   }
+
+  test("zero-norm pairs (undefined cosine) are DROPPED, identically on both sides of the grid switch") {
+    graft.functions.VectorExprs.register(spark)
+    // Two all-zero vectors: identical signatures (they collide in every
+    // band, so they ARE a candidate pair) but cos = 0/0 — undefined.
+    // Spark SQL's non-ANSI division gives NULL, so the join form's
+    // `cos >= t` drops the pair; the grid's JVM division gives NaN and
+    // `NaN >= t` is the same drop verdict. This pins the library-wide
+    // convention (assignArgmax: undefined cosine loses) across the
+    // GridVerifyMinN auto-switch. Note the DuckDB dialect would say
+    // EMIT here (IEEE 0/0 = NaN, which DuckDB orders above every
+    // double) — zero-norm vectors are excluded from every oracle
+    // fixture precisely because the engines' division semantics
+    // diverge on them; this spec is the Spark-side contract.
+    val zeros = spark.range(2).select((col("id") + 800L).as("vec_id"),
+      expr("transform(sequence(1, 64), j -> CAST(0.0 AS DOUBLE))").as("embedding"))
+    val all = vecs(50).unionByName(zeros)
+    def pairsOf(hint: Long) = Similarity.lshNearDupPairs(all, threshold = 0.9,
+      planes = 56, bandBits = 8, nHint = hint)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaJoin = pairsOf(0L)
+    val viaGrid = pairsOf(Similarity.GridVerifyMinN + 1)
+    assert(!viaJoin.contains((800L, 801L)), "zero-norm pair must be dropped (undefined cosine)")
+    assert(viaGrid == viaJoin)
+  }
 }
