@@ -688,6 +688,42 @@ object InfraOps {
       s.read.parquet(s"$d/lineitem.parquet")
         .selectExpr("cast(floor(l_extendedprice * 100) as bigint) as cents"),
       "cents", nBuckets = 8)),
+    // Stored cuts applied to drifted data: cuts train on the sub-30000.00
+    // price snapshot (as if the table has since grown upward), then the
+    // full table re-buckets against them - the missing upper range piles
+    // into the last bucket, turning distribution drift into depth
+    // imbalance (and nothing lands in -1: the training min is the
+    // global min here).
+    "s_depth_drift" -> ((s: SparkSession, d: String) => {
+      val cents = s.read.parquet(s"$d/lineitem.parquet")
+        .selectExpr("cast(floor(l_extendedprice * 100) as bigint) as cents")
+      val cuts = graft.sources.TableStats.equiDepthHistogram(
+        cents.filter(col("cents") < 3000000L), "cents", 8)
+      graft.sources.TableStats.equiDepthFromCuts(cents, "cents", cuts)
+    }),
+    // Join-size estimation from STORED stats only (analyze + heavyKeys
+    // per side; the estimator touches neither table). Both join keys are
+    // engineered two-sided-skew (one ~90%/~80% heavy key) so the classic
+    // uniform estimate is ~70x low while the sketch-corrected one lands
+    // within a few percent of the exact audit - the number a cost-based
+    // optimizer would actually get from this module's stats.
+    "s_join_est" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val a = s.read.parquet(s"$d/lineitem.parquet")
+        .selectExpr("CASE WHEN l_orderkey % 10 < 9 THEN 1L ELSE 1L + l_suppkey % 99 END AS k")
+      val b = s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CASE WHEN o_orderkey % 5 < 4 THEN 1L ELSE 1L + o_custkey % 49 END AS k")
+      val ts = graft.sources.TableStats
+      val est = ts.joinSizeEstimate(
+        ts.analyze(a, Seq("k")), ts.heavyKeys(a, "k"),
+        ts.analyze(b, Seq("k")), ts.heavyKeys(b, "k"), "k", "k")
+      // exact audit WITHOUT materializing the join: sum of per-key
+      // frequency products over the two count frames.
+      val exact = a.groupBy("k").agg(count(lit(1)).as("fa"))
+        .join(b.groupBy("k").agg(count(lit(1)).as("fb")), "k")
+        .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_rows"))
+      est.crossJoin(broadcast(exact))
+    }),
     // Incremental stats maintenance: partial stats per split, folded with
     // mergeStats — the oracle is s_analyze's own SQL over the WHOLE table,
     // which proves merged ≡ direct (KMV merge is a pure set function).
@@ -772,6 +808,13 @@ object InfraOps {
     * same null convention (min/max/NDV over the non-null population), the
     * KMV estimate with v_kmv's exact formula over the shared polynomial
     * hash of the string-cast value. */
+  /** DuckDB twin of [[graft.sources.TableStats.kmvMix]] — the quadratic
+    * short-string spread in front of the KMV estimator; same constants,
+    * same mod-P staging (every intermediate < 1.1e18, no BIGINT
+    * overflow in either engine). */
+  private def duckKmvMix(h: String): String =
+    s"((($h) * ($h) % ${graft.llmdata.TextPrimitives.P}) * 2654435769 + ($h) * 40503) % ${graft.llmdata.TextPrimitives.P}"
+
   private def analyzeColSql(c: String): String = {
     import graft.llmdata.TextPrimitives
     s"""SELECT '$c' AS "column",
@@ -781,7 +824,7 @@ object InfraOps {
        |  (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_value,
        |  (SELECT round(CASE WHEN len(l) < 32 THEN CAST(len(l) AS DOUBLE)
        |                     ELSE 31.0 * ${TextPrimitives.P} / l[32] END, 6)
-       |   FROM (SELECT list_sort(list(DISTINCT h)) AS l
+       |   FROM (SELECT list_sort(list(DISTINCT ${duckKmvMix("h")})) AS l
        |         FROM (SELECT ${TextPrimitives.duckPolyHash(s"CAST($c AS VARCHAR)")} AS h
        |               FROM lineitem WHERE $c IS NOT NULL))) AS ndv_est""".stripMargin
   }
@@ -949,6 +992,55 @@ object InfraOps {
         |SELECT bucket, lo + bucket * w AS bucket_lo, lo + (bucket + 1) * w - 1 AS bucket_hi,
         |  n_rows, seen_min, seen_max
         |FROM g""".stripMargin,
+    "s_join_est" -> {
+      import graft.llmdata.TextPrimitives
+      def ndvSql(src: String) =
+        s"""(SELECT round(CASE WHEN len(l) < 32 THEN CAST(len(l) AS DOUBLE)
+           |              ELSE 31.0 * ${TextPrimitives.P} / l[32] END, 6)
+           | FROM (SELECT list_sort(list(DISTINCT ${duckKmvMix("h")})) AS l
+           |       FROM (SELECT ${TextPrimitives.duckPolyHash("CAST(k AS VARCHAR)")} AS h FROM $src)))"""
+          .stripMargin.replace("\n", "")
+      s"""WITH a AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE 1 + l_suppkey % 99 END AS k FROM lineitem),
+         |b AS (SELECT CASE WHEN o_orderkey % 5 < 4 THEN 1 ELSE 1 + o_custkey % 49 END AS k FROM orders),
+         |sa AS (SELECT CAST((SELECT count(*) FROM a) AS DOUBLE) AS n_a, ${ndvSql("a")} AS ndv_a),
+         |sb AS (SELECT CAST((SELECT count(*) FROM b) AS DOUBLE) AS n_b, ${ndvSql("b")} AS ndv_b),
+         |ha AS (SELECT CAST(k AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n_occ FROM a
+         |       GROUP BY 1 HAVING count(*) * 64 > (SELECT count(*) FROM a)),
+         |hb AS (SELECT CAST(k AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n_occ FROM b
+         |       GROUP BY 1 HAVING count(*) * 64 > (SELECT count(*) FROM b)),
+         |ga AS (SELECT CAST(coalesce(sum(n_occ), 0) AS DOUBLE) AS hrows_a, CAST(count(*) AS DOUBLE) AS hkeys_a FROM ha),
+         |gb AS (SELECT CAST(coalesce(sum(n_occ), 0) AS DOUBLE) AS hrows_b, CAST(count(*) AS DOUBLE) AS hkeys_b FROM hb),
+         |hj AS (SELECT coalesce(sum(CAST(ha.n_occ AS DOUBLE) * CAST(hb.n_occ AS DOUBLE)), 0.0) AS both_p,
+         |         CAST(coalesce(sum(CASE WHEN hb.key IS NULL THEN ha.n_occ END), 0) AS DOUBLE) AS aonly,
+         |         CAST(coalesce(sum(CASE WHEN ha.key IS NULL THEN hb.n_occ END), 0) AS DOUBLE) AS bonly
+         |       FROM ha FULL JOIN hb ON ha.key = hb.key),
+         |m AS (SELECT n_a - hrows_a AS rest_a, greatest(1.0, ndv_a - hkeys_a) AS restndv_a,
+         |        n_b - hrows_b AS rest_b, greatest(1.0, ndv_b - hkeys_b) AS restndv_b,
+         |        n_a, ndv_a, n_b, ndv_b, both_p, aonly, bonly
+         |      FROM sa, sb, ga, gb, hj),
+         |x AS (SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS exact_rows FROM
+         |        (SELECT k, count(*) AS fa FROM a GROUP BY 1) ja
+         |        JOIN (SELECT k, count(*) AS fb FROM b GROUP BY 1) jb USING (k))
+         |SELECT round(both_p + aonly * (rest_b / restndv_b) + bonly * (rest_a / restndv_a)
+         |         + rest_a * rest_b / greatest(restndv_a, restndv_b), 2) AS est_rows,
+         |  round(n_a * n_b / greatest(ndv_a, ndv_b), 2) AS est_uniform,
+         |  exact_rows
+         |FROM m, x""".stripMargin
+    },
+    "s_depth_drift" ->
+      """WITH v0 AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        |            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |tv AS (SELECT v FROM v0 WHERE v < 3000000),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM tv GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tv),
+        |c AS (SELECT v, cnt,
+        |        COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM g),
+        |cuts AS (SELECT min(v) AS lo FROM (SELECT (cb * 8) // n AS bucket, v FROM c, t) GROUP BY bucket),
+        |ca AS (SELECT list_sort(list(lo)) AS cl FROM cuts),
+        |b AS (SELECT CAST(len(list_filter(ca.cl, c -> c <= v)) - 1 AS BIGINT) AS bucket, v FROM v0, ca)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows, min(v) AS seen_min, max(v) AS seen_max
+        |FROM b GROUP BY 1""".stripMargin,
     "s_hist_depth" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
