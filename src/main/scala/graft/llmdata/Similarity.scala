@@ -1364,10 +1364,17 @@ object Similarity {
              kSub: Int = 8, overfetch: Int = 3, kmeansIters: Int = 1,
              halfTrain: Boolean = false): DataFrame = {
     require(kSub > 0 && overfetch >= 1)
-    val w = org.apache.spark.sql.expressions.Window
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
-    // Per-subspace codebooks: kmeansCentroids re-derives ed/nrm from the
-    // handed `embedding` column, so a sliced view trains unchanged.
+    val (cb0, cb1) = pqTrain(n, kSub, kmeansIters, halfTrain)
+    pqServe(pqCodesOf(n, cb0, cb1), cb0, cb1, n, nQueries, k, overfetch)
+  }
+
+  /** Train the two sub-codebooks off a normalized frame.
+    * `halfTrain` restricts training to the first-half id prefix
+    * (see [[pqTopK]]'s contract). kmeansCentroids re-derives ed/nrm from
+    * the handed `embedding` column, so a sliced view trains unchanged. */
+  private def pqTrain(n: DataFrame, kSub: Int, kmeansIters: Int,
+                      halfTrain: Boolean): (DataFrame, DataFrame) = {
     val trainSrc = if (!halfTrain) n
       else {
         val half = broadcast(n.agg(expr("(max(vec_id) + 1) div 2").as("__h")))
@@ -1375,14 +1382,17 @@ object Similarity {
       }
     def sub(slice: String => String) =
       trainSrc.select(col("vec_id"), expr(slice("ed")).as("embedding"))
-    val cb0 = graft.core.CacheScope.persisted(kmeansCentroids(sub(sliceLo), kSub, kmeansIters))
-    val cb1 = graft.core.CacheScope.persisted(kmeansCentroids(sub(sliceHi), kSub, kmeansIters))
+    (graft.core.CacheScope.persisted(kmeansCentroids(sub(sliceLo), kSub, kmeansIters)),
+      graft.core.CacheScope.persisted(kmeansCentroids(sub(sliceHi), kSub, kmeansIters)))
+  }
+
+  /** Encode a normalized frame against trained codebooks → the narrow
+    * (vec_id, c0, c1) code table: ONE projection pass — both
+    * sub-argmaxes against broadcast codebooks. */
+  private def pqCodesOf(n: DataFrame, cb0: DataFrame, cb1: DataFrame): DataFrame = {
     def packed(cb: DataFrame, as: String) = broadcast(cb.agg(
       expr("array_sort(collect_list(struct(cell, ced, cnrm)))").as(as)))
-    // Encode: ONE projection pass over the corpus — both sub-argmaxes
-    // against broadcast codebooks, emitting the narrow code table.
-    val codes = n
-      .withColumn("__lo", expr(sliceLo("ed")))
+    n.withColumn("__lo", expr(sliceLo("ed")))
       .withColumn("__hi", expr(sliceHi("ed")))
       .withColumn("__lon", expr("sqrt(array_dot(__lo, __lo))"))
       .withColumn("__hin", expr("sqrt(array_dot(__hi, __hi))"))
@@ -1391,6 +1401,13 @@ object Similarity {
       .withColumn("__b1", expr(argmaxSql("__cb1", "__hi", "__hin")))
       .select(col("vec_id"), expr("CAST(-__b0.ncell AS INT)").as("c0"),
         expr("CAST(-__b1.ncell AS INT)").as("c1"))
+  }
+
+  /** ADC candidate scan + exact re-rank off a code table, codebooks, and
+    * the corpus frame `n` (full vectors, re-rank only). */
+  private def pqServe(codes: DataFrame, cb0: DataFrame, cb1: DataFrame,
+                      n: DataFrame, nQueries: Int, k: Int, overfetch: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val queries = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("ed").as("q"), col("nrm").as("qn"))
     // ADC tables: nQueries × kSub rows per subspace — query-to-codebook
@@ -1423,6 +1440,57 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("bigint").as("rank"),
         col("vec_id").as("nn_id"))
+  }
+
+  /** Build and STORE a PQ index: the two sub-codebooks (≤ kSub rows each)
+    * plus the encoded (vec_id, c0, c1) code table — [[buildIvfIndex]]'s
+    * memory-axis sibling. The in-plan [[pqTopK]] retrains per query
+    * batch; a serving corpus trains once, encodes once, and amortizes the
+    * ~25×-smaller code-table scan over every batch. Full vectors stay in
+    * the CALLER's corpus (the index stores codes, not floats — the whole
+    * point of PQ); the exact re-rank probes the corpus only for ADC
+    * winners. Doubles round-trip parquet bit-exactly, so index-served
+    * results equal the in-plan operator's (spec-pinned; `e_pq_index`
+    * reuses `e_pq_topk`'s oracle verbatim). `halfTrain` builds the
+    * frozen-codebook variant ([[pqTopK]]'s measured freeze-then-apply
+    * contract) — the build half of the `e_pq_incr` lifecycle. */
+  def buildPqIndex(embeddings: DataFrame, indexDir: String, kSub: Int = 8,
+                   kmeansIters: Int = 1, halfTrain: Boolean = false): Unit = {
+    val n = graft.core.CacheScope.persisted(withNorm(embeddings))
+    val (cb0, cb1) = pqTrain(n, kSub, kmeansIters, halfTrain)
+    pqCodesOf(n, cb0, cb1).write.mode("overwrite").parquet(s"$indexDir/codes")
+    cb0.write.mode("overwrite").parquet(s"$indexDir/cb0")
+    cb1.write.mode("overwrite").parquet(s"$indexDir/cb1")
+  }
+
+  /** Encode NEW vectors against the STORED (frozen) codebooks and append
+    * their codes — the PQ growth path ([[appendToIvfIndex]]'s sibling;
+    * nobody retrains an exabyte's codebooks per ingest batch, which is
+    * precisely the freeze-then-apply property `e_pq_frozen` measures).
+    * Encoding math is identical to build time, so an index grown by
+    * appends equals one built over the union with the same codebooks —
+    * `e_pq_incr` oracle-checks the build-half/append-half round trip
+    * against `e_pq_frozen`'s SQL. */
+  def appendToPqIndex(newVectors: DataFrame, indexDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val cb0 = spark.read.parquet(s"$indexDir/cb0")
+    val cb1 = spark.read.parquet(s"$indexDir/cb1")
+    pqCodesOf(withNorm(newVectors), cb0, cb1)
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
+  /** Serve top-k from a stored PQ index ([[buildPqIndex]] layout): read
+    * the tiny codebooks + the code table, probe the handed corpus only
+    * for the exact re-rank of ADC winners. */
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                      corpus: DataFrame, nQueries: Int = 8, k: Int = 10,
+                      overfetch: Int = 3): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val cb0 = spark.read.parquet(s"$indexDir/cb0")
+    val cb1 = spark.read.parquet(s"$indexDir/cb1")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    pqServe(codes, cb0, cb1, withNorm(corpus), nQueries, k, overfetch)
   }
 
   /** Hybrid lexical × semantic retrieval fused by Reciprocal Rank Fusion

@@ -112,6 +112,31 @@ object LlmData {
     "e_quant_topk" -> ((s, d) => Similarity.quantizedTopK(embs(s, d))),
     "e_pq_topk" -> ((s, d) => Similarity.pqTopK(embs(s, d))),
     "e_pq_frozen" -> ((s, d) => Similarity.pqTopK(embs(s, d), halfTrain = true)),
+    // Stored PQ index round trip: train+encode to disk, serve from the
+    // stored codes — doubles round-trip parquet bit-exactly, so this row
+    // reuses e_pq_topk's oracle verbatim (the e_ivf_index pattern).
+    "e_pq_index" -> ((s, d) => {
+      val dir = graft.core.RunScratch.dir("graft_pq_index", d)
+      val emb = embs(s, d)
+      Similarity.buildPqIndex(emb, dir)
+      Similarity.pqTopKFromIndex(s, dir, emb)
+    }),
+    // Build-half/append-half lifecycle: codebooks train on the first-half
+    // frame, the second half is encoded against the FROZEN stored
+    // codebooks and appended — final math identical to e_pq_frozen's
+    // in-plan halfTrain, so that SQL is the oracle (the e_ivf_incr
+    // pattern, on the ANN family's memory axis).
+    "e_pq_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, col, expr}
+      val dir = graft.core.RunScratch.dir("graft_pq_incr", d)
+      val emb = embs(s, d)
+      val half = broadcast(emb.agg(expr("(max(vec_id) + 1) div 2").as("__h")))
+      Similarity.buildPqIndex(
+        emb.crossJoin(half).filter(col("vec_id") < col("__h")).drop("__h"), dir)
+      Similarity.appendToPqIndex(
+        emb.crossJoin(half).filter(col("vec_id") >= col("__h")).drop("__h"), dir)
+      Similarity.pqTopKFromIndex(s, dir, emb)
+    }),
     "e_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(embs(s, d))),
     // nHint from parquet footers: knob choice costs metadata, not a corpus
     // scan — the DuckDB twin's count(*) is itself a footer read, so the
@@ -1496,6 +1521,8 @@ object LlmData {
     "e_quant_topk" -> quantTopkSql,
     "e_pq_topk" -> pqTopkSql,
     "e_pq_frozen" -> pqFrozenSql,
+    "e_pq_index" -> pqTopkSql,
+    "e_pq_incr" -> pqFrozenSql,
     "e_neardup" -> neardupSql,
     "e_lsh_neardup" -> lshNeardupSql,
     "e_lsh_selectivity" -> lshSelectivitySql,
