@@ -221,17 +221,42 @@ object TableStats {
     * running count needs a single global pass over the ≤ NDV distinct
     * values (an unpartitioned window — the one deliberate single-task
     * stage, bounded by NDV, NOT by row count; the same NDV-bounded
-    * contract as [[analyze]]'s sketch finish). For columns whose NDV
-    * itself is huge, the sampled-quantile path
-    * ([[graft.llmdata.CorpusOps.sampledQuantiles]]) is the documented
-    * fork — approximate cuts at bounded state. Final agg re-keys the ≤
-    * NDV rows by bucket id: ≤ nBuckets output rows. */
+    * contract as [[analyze]]'s sketch finish). That contract is
+    * ENFORCED, not just documented: past `maxNdv` distinct values
+    * (default 2^22 — ~100 MB of single-task sort state) the operator
+    * refuses with a typed [[graft.core.ScaleGuardRefusal]] naming the
+    * fork — the sampled-quantile path
+    * ([[graft.llmdata.CorpusOps.sampledQuantiles]]), approximate cuts
+    * at bounded state; a near-unique key column would otherwise
+    * degenerate the window into one task sorting the whole corpus
+    * (`maxNdv = 0` opts out for callers that know their domain). Final
+    * agg re-keys the ≤ NDV rows by bucket id: ≤ nBuckets output rows. */
   def equiDepthHistogram(df: DataFrame, colName: String,
-                         nBuckets: Int = 8): DataFrame = {
+                         nBuckets: Int = 8, maxNdv: Long = 1L << 22): DataFrame = {
     require(df.columns.contains(colName), s"unknown column: $colName")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val vals = df.select(col(colName).cast("bigint").as("v")).where(col("v").isNotNull)
-    val byV = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val byV0 = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+    // NDV guard: the running count below is ONE task sorting the grouped
+    // frame — NDV-bounded by design, which on a near-unique key column
+    // degenerates to a single task sorting the whole corpus. Refuse past
+    // maxNdv (typed ScaleGuardRefusal, the library's fail-fast-by-design
+    // convention) and point at the bounded-state fork; the NDV count is
+    // a DISTRIBUTED agg over the same grouped frame (persisted so the
+    // guard's pass is the window's input, not a second shuffle).
+    // maxNdv = 0 disables (callers that know their domain).
+    val byV =
+      if (maxNdv <= 0) byV0
+      else {
+        val b = graft.core.CacheScope.persisted(byV0)
+        val ndv = b.count()
+        graft.core.ScaleGuard.require(ndv <= maxNdv,
+          s"equiDepthHistogram: $colName has $ndv distinct values (> $maxNdv); " +
+            "the exact running count is a single NDV-sized sorting task at this " +
+            "cardinality - use CorpusOps.sampledQuantiles for approximate cuts " +
+            "at bounded state, or raise maxNdv deliberately")
+        b
+      }
     // Both the running count and the grand total N ride the SAME
     // unpartitioned sort — a full-frame window over the grouped rows, so
     // N costs nothing extra (re-counting the raw input would be a second

@@ -54,4 +54,16 @@ class EquiDepthSpec extends AnyFunSuite {
     val h = TableStats.equiDepthHistogram(df, "v", 8).collect()
     assert(h.length == 1 && h.head.getLong(0) == 0 && h.head.getLong(3) == 100L)
   }
+
+  test("NDV guard refuses near-unique columns with the typed refusal, and maxNdv=0 disables it") {
+    import spark.implicits._
+    val unique = (1L to 500L).toDF("v")
+    val e = intercept[graft.core.ScaleGuardRefusal] {
+      TableStats.equiDepthHistogram(unique, "v", 8, maxNdv = 100L).collect()
+    }
+    assert(e.getMessage.contains("sampledQuantiles"))
+    // explicit opt-out still computes
+    assert(TableStats.equiDepthHistogram(unique, "v", 8, maxNdv = 0L)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).collect()(0).getLong(0) == 500L)
+  }
 }
