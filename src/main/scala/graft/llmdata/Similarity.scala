@@ -1456,6 +1456,7 @@ object Similarity {
     * contract) — the build half of the `e_pq_incr` lifecycle. */
   def buildPqIndex(embeddings: DataFrame, indexDir: String, kSub: Int = 8,
                    kmeansIters: Int = 1, halfTrain: Boolean = false): Unit = {
+    require(kSub > 0, s"kSub must be positive, got $kSub")
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
     val (cb0, cb1) = pqTrain(n, kSub, kmeansIters, halfTrain)
     pqCodesOf(n, cb0, cb1).write.mode("overwrite").parquet(s"$indexDir/codes")
@@ -1486,11 +1487,15 @@ object Similarity {
   def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                       corpus: DataFrame, nQueries: Int = 8, k: Int = 10,
                       overfetch: Int = 3): DataFrame = {
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
     graft.functions.VectorExprs.register(spark)
     val cb0 = spark.read.parquet(s"$indexDir/cb0")
     val cb1 = spark.read.parquet(s"$indexDir/cb1")
     val codes = spark.read.parquet(s"$indexDir/codes")
-    pqServe(codes, cb0, cb1, withNorm(corpus), nQueries, k, overfetch)
+    // Persisted like pqTopK's corpus frame: pqServe evaluates it four
+    // times (two ADC projections, the probe join, the exact re-rank).
+    pqServe(codes, cb0, cb1,
+      graft.core.CacheScope.persisted(withNorm(corpus)), nQueries, k, overfetch)
   }
 
   /** Hybrid lexical × semantic retrieval fused by Reciprocal Rank Fusion

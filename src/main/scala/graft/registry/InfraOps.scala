@@ -804,17 +804,17 @@ object InfraOps {
     "st_snapshot_lineage" -> (streamIngestSnapshots _),
     "st_joined" -> (streamJoined _))
 
-  /** DuckDB twin of one [[graft.sources.TableStats.analyze]] output row:
-    * same null convention (min/max/NDV over the non-null population), the
-    * KMV estimate with v_kmv's exact formula over the shared polynomial
-    * hash of the string-cast value. */
   /** DuckDB twin of [[graft.sources.TableStats.kmvMix]] — the quadratic
     * short-string spread in front of the KMV estimator; same constants,
-    * same mod-P staging (every intermediate < 1.1e18, no BIGINT
-    * overflow in either engine). */
+    * same mod-P staging (largest intermediate `(P−1)·A1 ≈ 2.66e18`,
+    * inside int64 for both engines — see kmvMix's bound note). */
   private def duckKmvMix(h: String): String =
     s"((($h) * ($h) % ${graft.llmdata.TextPrimitives.P}) * 2654435769 + ($h) * 40503) % ${graft.llmdata.TextPrimitives.P}"
 
+  /** DuckDB twin of one [[graft.sources.TableStats.analyze]] output row:
+    * same null convention (min/max/NDV over the non-null population), the
+    * KMV estimate with v_kmv's exact formula over the shared polynomial
+    * hash of the string-cast value, post-mixed by [[duckKmvMix]]. */
   private def analyzeColSql(c: String): String = {
     import graft.llmdata.TextPrimitives
     s"""SELECT '$c' AS "column",

@@ -24,9 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object TableStats {
 
-  /** Per-column stats frame: (column, n_rows, n_nulls, min_value,
-    * max_value, ndv_est). min/max are cast to string AFTER aggregation so
-    * heterogeneous column types share one schema. */
   /** Quadratic post-mix of the polynomial string hash, mod P — REQUIRED
     * in front of any KMV estimator whose inputs may be SHORT strings.
     * The raw poly hash of a short string is bounded by ~31^len, so short
@@ -41,13 +38,18 @@ object TableStats {
     * — three-gap order statistics, still ~2× biased; the quadratic term
     * breaks the progression). Collisions: x, y collide only on the line
     * x + y ≡ −A2/A1, at most one partner per value — immaterial for an
-    * estimator. Every intermediate stays < 1.1e18, inside BIGINT for
-    * both engines (DuckDB raises on overflow; nothing here wraps). Long
+    * estimator. The largest intermediate is `(P−1)·A1 ≈ 2.66e18` —
+    * a ~3.5× margin under int64's 9.22e18 in both engines (DuckDB
+    * raises on overflow; nothing here wraps — but do NOT grow P or A1
+    * past `P·A1 < 9.2e18` without rechecking this bound). Long
     * inputs (the shingle sketches of c_overlap_kmv) already wrap mod P
     * many times and stay on the raw hash. */
   private[graft] def kmvMix(h: String): String =
     s"((($h) * ($h) % ${graft.llmdata.TextPrimitives.P}) * 2654435769L + ($h) * 40503L) % ${graft.llmdata.TextPrimitives.P}"
 
+  /** Per-column stats frame: (column, n_rows, n_nulls, min_value,
+    * max_value, ndv_est). min/max are cast to string AFTER aggregation so
+    * heterogeneous column types share one schema. */
   def analyze(df: DataFrame, cols: Seq[String], kmvK: Int = 32): DataFrame = {
     val missing = cols.filterNot(df.columns.contains)
     require(cols.nonEmpty && missing.isEmpty,
@@ -250,11 +252,17 @@ object TableStats {
       else {
         val b = graft.core.CacheScope.persisted(byV0)
         val ndv = b.count()
-        graft.core.ScaleGuard.require(ndv <= maxNdv,
-          s"equiDepthHistogram: $colName has $ndv distinct values (> $maxNdv); " +
-            "the exact running count is a single NDV-sized sorting task at this " +
-            "cardinality - use CorpusOps.sampledQuantiles for approximate cuts " +
-            "at bounded state, or raise maxNdv deliberately")
+        if (ndv > maxNdv) {
+          // Release the (NDV-sized, potentially huge) cache BEFORE the
+          // refusal propagates — a refused call must not leave blocks
+          // behind to pressure the rest of the session.
+          b.unpersist(blocking = false)
+          throw new graft.core.ScaleGuardRefusal(
+            s"equiDepthHistogram: $colName has $ndv distinct values (> $maxNdv); " +
+              "the exact running count is a single NDV-sized sorting task at this " +
+              "cardinality - use CorpusOps.sampledQuantiles for approximate cuts " +
+              "at bounded state, or raise maxNdv deliberately")
+        }
         b
       }
     // Both the running count and the grand total N ride the SAME
@@ -315,11 +323,15 @@ object TableStats {
       occ.agg(mg(col("key")).as("cand"), count(lit(1)).as("total")))
     val cands = sketch.select(explode(col("cand")).as("key"))
     val totals = sketch.select("total")
-    occ.join(broadcast(cands), Seq("key"))
-      .groupBy("key").agg(count(lit(1)).as("n_occ"))
-      .crossJoin(broadcast(totals))
-      .filter(col("n_occ") * k > col("total"))
-      .select(col("key"), col("n_occ"))
+    // The FINAL ≤ k-row frame is persisted too (cheap — k rows), because
+    // consumers like joinSizeEstimate evaluate it more than once and each
+    // evaluation would otherwise re-run the verify's full table scan.
+    graft.core.CacheScope.persisted(
+      occ.join(broadcast(cands), Seq("key"))
+        .groupBy("key").agg(count(lit(1)).as("n_occ"))
+        .crossJoin(broadcast(totals))
+        .filter(col("n_occ") * k > col("total"))
+        .select(col("key"), col("n_occ")))
   }
 
   /** Join-size estimation from STORED statistics — the capstone of the
@@ -355,6 +367,12 @@ object TableStats {
                        statsB: DataFrame, heavyB: DataFrame,
                        keyColA: String, keyColB: String): DataFrame = {
     def side(stats: DataFrame, heavy: DataFrame, keyCol: String, tag: String) = {
+      // Fail fast like every sibling API: a key column the stats frame
+      // never analyzed would otherwise empty the crossJoin chain and
+      // read as a silent "0 rows" estimate. The stats frame is one row
+      // per analyzed column — checking it is a metadata action.
+      require(stats.filter(col("column") === keyCol).limit(1).count() == 1,
+        s"no stats row for column '$keyCol' (side $tag) — analyze() it first")
       val tot = stats.filter(col("column") === keyCol)
         .select(col("n_rows").cast("double").as(s"n_$tag"),
           col("ndv_est").cast("double").as(s"ndv_$tag"))
