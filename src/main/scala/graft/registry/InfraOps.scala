@@ -798,6 +798,18 @@ object InfraOps {
     "k_partreplace" -> (partitionReplaceRoundTrip _),
     "s3_dayrange" -> (dayRangeRoundTrip _),
     "st_window" -> (windowAggBatch _),
+    // Streaming drift monitor's batch twin (the st_window convention):
+    // equi-depth cuts train on the sub-50.00 value baseline, every
+    // event's cents re-buckets against them per 1-day event-time window
+    // - the s_depth_drift diagnostic as a windowed signal; the streaming
+    // form is spec-checked equal on finalized windows (StreamingSpec).
+    "st_drift" -> ((s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val cuts = graft.sources.TableStats.equiDepthHistogram(
+        ev.selectExpr("cast(floor(value * 100) as bigint) as cents")
+          .filter(col("cents") <= 5000), "cents", 8)
+      EventStream.bucketDriftBatch(ev, cuts)
+    }),
     "st_dedup" -> (streamDedupBatch _),
     "st_neardup" -> (streamNearDupBatch _),
     "st_ingest_store" -> (streamIngestStore _),
@@ -1142,6 +1154,21 @@ object InfraOps {
         |       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
         |       event_type, CAST(count(*) AS BIGINT) AS n_events, SUM(value) AS revenue
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    "st_drift" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |tv AS (SELECT v FROM e WHERE v <= 5000),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM tv GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tv),
+        |c AS (SELECT v, cnt,
+        |        COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM g),
+        |cuts AS (SELECT min(v) AS lo FROM (SELECT (cb * 8) // n AS bucket, v FROM c, t) GROUP BY bucket),
+        |ca AS (SELECT list_sort(list(lo)) AS cl FROM cuts),
+        |b AS (SELECT time_bucket(INTERVAL '1 day', e.ts) AS win_start,
+        |        CAST(len(list_filter(ca.cl, c -> c <= v)) - 1 AS BIGINT) AS bucket FROM e, ca)
+        |SELECT win_start, win_start + INTERVAL '1 day' AS win_end, bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
     "st_dedup" -> {
       import graft.llmdata.TextPrimitives.{duckPolyHashArray, duckWords, P}
       import graft.streaming.DocStream.{Fp2Mult, Fp2Mod}

@@ -89,6 +89,52 @@ object EventStream {
   def windowedRevenueBatch(events: DataFrame, window_ : String = "1 hour"): DataFrame =
     windowAgg(events, "ts", window_)
 
+  /** The tumbling-window BUCKET aggregate both drift forms share (the
+    * [[windowAgg]] lockstep convention): assign each event's value-cents
+    * to a stored-cuts bucket (the
+    * [[graft.sources.TableStats.equiDepthFromCuts]] rule — bucket =
+    * `#cuts ≤ v − 1`, below-range mass lands in −1), then count per
+    * (event-time window, bucket). The cuts frame rides the plan as one
+    * broadcast ≤ k-long sorted array (stream-static side, re-resolved per
+    * micro-batch — a nightly stats refresh is picked up live, no restart),
+    * so bucket assignment is a projection and per-window state is ≤
+    * nBuckets+2 counters. */
+  private def bucketAgg(df: DataFrame, tsCol: String, cuts: DataFrame,
+                        window_ : String): DataFrame =
+    df.withColumn("__cents", expr("cast(floor(value * 100) as bigint)"))
+      .crossJoin(broadcast(cuts.agg(
+        expr("array_sort(collect_list(cast(lo as bigint)))").as("__cuts"))))
+      .withColumn("bucket", expr("CAST(size(filter(__cuts, c -> c <= __cents)) - 1 AS BIGINT)"))
+      .groupBy(window(col(tsCol), window_), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("bucket"), col("n_rows"))
+
+  /** STREAMING distribution-drift monitor: per event-time window, the
+    * depth histogram of arriving values against STORED equi-depth cuts —
+    * live population-stability monitoring (the `s_depth_drift` batch
+    * diagnostic as a continuously-updating signal: cuts were built to
+    * hold ~N/k rows each on the baseline snapshot, so any window whose
+    * bucket counts leave flat is drifting from the baseline, visible the
+    * moment the window closes). Watermarked tumbling windows (bounded
+    * state: watermark horizon × (nBuckets+2) counters); late events
+    * beyond the watermark are dropped. */
+  def bucketDrift(events: DataFrame, cuts: DataFrame,
+                  window_ : String = "1 day",
+                  watermark: String = "1 hour"): DataFrame =
+    bucketAgg(
+      events
+        .withColumn("ts_tz", col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark),
+      "ts_tz", cuts, window_)
+
+  /** Batch twin of [[bucketDrift]] (the `st_drift` oracle row — identical
+    * bucketing and window math via [[bucketAgg]], no watermark since
+    * batch input is complete; the st_window twin convention). */
+  def bucketDriftBatch(events: DataFrame, cuts: DataFrame,
+                       window_ : String = "1 day"): DataFrame =
+    bucketAgg(events, "ts", cuts, window_)
+
   /** Stream-static enrichment: join the event stream against a bounded
     * dimension. The broadcast hint makes every micro-batch a map-side
     * hash join — no stream-side state at all, and the dim is re-resolved

@@ -247,4 +247,43 @@ class EventStreamSpec extends AnyFunSuite {
       (4L, 1400L, 3L, Some(60000000L)),  // frame of 3 slides: 200 + 400 + 800
       (5L, 10000L, 1L, None)))           // user 2 isolated
   }
+
+  test("streaming drift monitor equals its batch twin (st_drift) on the full window set") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // real corpus quarter-slice, the registered row's cut-training rule
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+      .filter(col("user_id") % 4 === 0)
+    val cuts = graft.sources.TableStats.equiDepthHistogram(
+      ev.selectExpr("cast(floor(value * 100) as bigint) as cents")
+        .filter(col("cents") <= 5000), "cents", 8)
+    val twin = EventStream.bucketDriftBatch(ev, cuts).collect()
+      .map(r => (r.getAs[Any](0).toString.replace('T', ' ').take(16), r.getLong(2), r.getLong(3))).toSet
+    assert(twin.nonEmpty)
+    // drifted mass visible: some window has a bucket count far above the
+    // flat baseline depth (the monitor's entire purpose)
+    val perWinMax = twin.groupBy(_._1).map { case (_, rs) => rs.map(_._3).max }
+    assert(perWinMax.exists(_ > twin.map(_._3).min * 3))
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val mem = MemoryStream[(Long, java.time.LocalDateTime, Long, String, Double)]
+    val q = EventStream.bucketDrift(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"), cuts)
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { s =>
+        mem.addData(s.toSeq)
+        q.processAllAvailable()
+      }
+      // win_start is TZ on the stream side (watermark) and NTZ on the
+      // twin — string-compare in the UTC-pinned session.
+      val streamed = spark.table("drift_stream").collect()
+        .map(r => (r.getAs[Any](0).toString.replace('T', ' ').take(16), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == twin)
+    } finally q.stop()
+  }
 }
