@@ -802,7 +802,7 @@ object InfraOps {
     // equi-depth cuts train on the sub-50.00 value baseline, every
     // event's cents re-buckets against them per 1-day event-time window
     // - the s_depth_drift diagnostic as a windowed signal; the streaming
-    // form is spec-checked equal on finalized windows (StreamingSpec).
+    // form is spec-checked equal on the full window set (EventStreamSpec).
     "st_drift" -> ((s: SparkSession, d: String) => {
       val ev = Tables.events(s, d)
       val cuts = graft.sources.TableStats.equiDepthHistogram(
@@ -1165,7 +1165,8 @@ object InfraOps {
         |cuts AS (SELECT min(v) AS lo FROM (SELECT (cb * 8) // n AS bucket, v FROM c, t) GROUP BY bucket),
         |ca AS (SELECT list_sort(list(lo)) AS cl FROM cuts),
         |b AS (SELECT time_bucket(INTERVAL '1 day', e.ts) AS win_start,
-        |        CAST(len(list_filter(ca.cl, c -> c <= v)) - 1 AS BIGINT) AS bucket FROM e, ca)
+        |        CAST(len(list_filter(ca.cl, c -> c <= v)) - 1 AS BIGINT) AS bucket
+        |      FROM e, ca WHERE v IS NOT NULL)
         |SELECT win_start, win_start + INTERVAL '1 day' AS win_end, bucket,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM b GROUP BY 1, 2, 3""".stripMargin,

@@ -295,14 +295,26 @@ object TableStats {
     * buckets. `cuts` is [[equiDepthHistogram]] output (its `lo` column
     * is the cut set; bucket ids are re-derived, so a cuts frame with
     * collapsed/missing buckets still applies cleanly). */
+  /** ONE definition of the stored-cuts bucket rule, shared by
+    * [[equiDepthFromCuts]] and the streaming drift monitor
+    * ([[graft.streaming.EventStream]]'s `bucketAgg`) so the batch
+    * diagnostic and the live monitor can never drift apart: attach the
+    * broadcast sorted cut array and a `bucket` column
+    * (`#cuts ≤ v − 1`; `vCol` must be a non-null BIGINT — callers filter
+    * nulls first, nulls are NOT below-range mass). */
+  private[graft] def withCutBucket(vals: DataFrame, vCol: String,
+                                   cuts: DataFrame): DataFrame =
+    vals.crossJoin(broadcast(cuts.agg(
+        expr("array_sort(collect_list(cast(lo as bigint)))").as("__cuts"))))
+      .withColumn("bucket",
+        expr(s"CAST(size(filter(__cuts, c -> c <= $vCol)) - 1 AS BIGINT)"))
+
   def equiDepthFromCuts(df: DataFrame, colName: String,
                         cuts: DataFrame): DataFrame = {
     require(df.columns.contains(colName), s"unknown column: $colName")
     val vals = df.select(col(colName).cast("bigint").as("v")).where(col("v").isNotNull)
-    val cutArr = broadcast(cuts.agg(
-      expr("array_sort(collect_list(cast(lo as bigint)))").as("__cuts")))
-    vals.crossJoin(cutArr)
-      .groupBy(expr("CAST(size(filter(__cuts, c -> c <= v)) - 1 AS BIGINT)").as("bucket"))
+    withCutBucket(vals, "v", cuts)
+      .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"), min("v").as("seen_min"), max("v").as("seen_max"))
   }
 

@@ -101,10 +101,13 @@ object EventStream {
     * nBuckets+2 counters. */
   private def bucketAgg(df: DataFrame, tsCol: String, cuts: DataFrame,
                         window_ : String): DataFrame =
-    df.withColumn("__cents", expr("cast(floor(value * 100) as bigint)"))
-      .crossJoin(broadcast(cuts.agg(
-        expr("array_sort(collect_list(cast(lo as bigint)))").as("__cuts"))))
-      .withColumn("bucket", expr("CAST(size(filter(__cuts, c -> c <= __cents)) - 1 AS BIGINT)"))
+    graft.sources.TableStats.withCutBucket(
+        df.withColumn("__cents", expr("cast(floor(value * 100) as bigint)"))
+          // nulls are NOT below-range mass (the equiDepthFromCuts rule):
+          // conflating a null-rate spike with a downward value shift
+          // would make bucket −1 unreadable as a drift signal.
+          .where(col("__cents").isNotNull),
+        "__cents", cuts)
       .groupBy(window(col(tsCol), window_), col("bucket"))
       .agg(count(lit(1)).as("n_rows"))
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),

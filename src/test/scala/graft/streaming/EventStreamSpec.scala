@@ -261,10 +261,18 @@ class EventStreamSpec extends AnyFunSuite {
     val twin = EventStream.bucketDriftBatch(ev, cuts).collect()
       .map(r => (r.getAs[Any](0).toString.replace('T', ' ').take(16), r.getLong(2), r.getLong(3))).toSet
     assert(twin.nonEmpty)
-    // drifted mass visible: some window has a bucket count far above the
-    // flat baseline depth (the monitor's entire purpose)
-    val perWinMax = twin.groupBy(_._1).map { case (_, rs) => rs.map(_._3).max }
-    assert(perWinMax.exists(_ > twin.map(_._3).min * 3))
+    // drifted mass visible IN EVERY WINDOW: the value mass above the
+    // stale training range piles into the top bucket, so each window's
+    // top-bucket count must dwarf that window's typical trained-range
+    // bucket (median of the others) — a flat non-drifting distribution,
+    // or a bucketing regression collapsing everything into one bucket,
+    // fails this.
+    twin.groupBy(_._1).foreach { case (win, rs) =>
+      val top = rs.filter(_._2 == rs.map(_._2).max).map(_._3).sum
+      val others = rs.filter(_._2 != rs.map(_._2).max).map(_._3).toSeq.sorted
+      assert(others.nonEmpty && top > 2 * others(others.size / 2),
+        s"window $win: top-bucket mass $top not dominant over median ${others}")
+    }
     val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("ts", "event_id").collect()
       .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2),
