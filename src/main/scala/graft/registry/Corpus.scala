@@ -399,7 +399,7 @@ object Corpus {
        |n AS (SELECT count(*) AS total FROM qnn),
        |t AS (SELECT q, CAST(ceil(q * total) AS BIGINT) AS target
        |      FROM (SELECT unnest($qList) AS q) qq, n)
-       |SELECT t.q, r.score AS cutoff FROM t JOIN r ON r.rn = t.target""".stripMargin
+       |SELECT CAST(t.q AS DOUBLE) AS q, r.score AS cutoff FROM t JOIN r ON r.rn = t.target""".stripMargin
   }
 
   /** DuckDB twin of [[CorpusOps.perSourceCap]] at cap=10: same quality

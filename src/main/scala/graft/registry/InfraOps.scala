@@ -1061,7 +1061,7 @@ object InfraOps {
         |c AS (SELECT v, cnt,
         |        COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
         |      FROM g),
-        |b AS (SELECT (cb * 8) // n AS bucket, v, cnt FROM c, t)
+        |b AS (SELECT CAST((cb * 8) // n AS BIGINT) AS bucket, v, cnt FROM c, t)
         |SELECT bucket, min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
         |FROM b GROUP BY 1""".stripMargin,
     "j_band" ->

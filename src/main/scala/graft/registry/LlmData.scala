@@ -1471,7 +1471,7 @@ object LlmData {
        |qv AS (SELECT unnest($qList) AS q),
        |est AS (SELECT qv.q AS q, rs.n_chars AS est_cutoff
        |        FROM rs, sc, qv WHERE rs.rn = CAST(ceil(qv.q * sc.s) AS BIGINT))
-       |SELECT e.q, e.est_cutoff,
+       |SELECT CAST(e.q AS DOUBLE) AS q, e.est_cutoff,
        |  CAST((SELECT count(*) FROM base b WHERE b.n_chars <= e.est_cutoff) AS BIGINT) AS exact_rank,
        |  abs(CAST((SELECT count(*) FROM base b WHERE b.n_chars <= e.est_cutoff) AS BIGINT) * 1000000 // nrow.n
        |      - CAST(round(e.q * 1000000) AS BIGINT)) AS err_ppm

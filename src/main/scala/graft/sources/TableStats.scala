@@ -101,8 +101,26 @@ object TableStats {
         expr(s"graft_kmvsketch_$kmvK(${kmvMix(s"element_at(poly_hash_array(array(cast(`$c` as string))), 1)")}) " +
           s"FILTER (WHERE `$c` IS NOT NULL)").as(s"__kmv_$c"))
     } :+ expr("count(1)").as("__rows")
+    // Hash-domain format marker, carried IN THE SCHEMA (a column name, so
+    // checking it is a pure metadata operation — reading a value would
+    // trigger the whole aggregate): v2 = the kmvMix'd sketch domain.
+    // Partial frames persist as parquet next to their tables; a pre-mix
+    // frame read back from disk lacks this column and mergeStats fails
+    // loudly instead of union-merging sketches from two different hash
+    // domains into a silently meaningless NDV estimate.
     df.agg(aggExprs.head, aggExprs.tail: _*)
+      .withColumn(StatsFormatMarker, lit(StatsFormatVersion))
   }
+
+  /** Version of the KMV hash domain baked into [[analyzePartial]] sketch
+    * states: v2 = [[kmvMix]] post-mix (round 10). Bump whenever the
+    * sketch input hash changes — stored partials from a different
+    * version must be re-analyzed, never merged. */
+  val StatsFormatVersion: Int = 2
+
+  /** Marker column name on [[analyzePartial]] frames; the version is in
+    * the NAME so [[mergeStats]]'s check is schema-only (no job runs). */
+  val StatsFormatMarker: String = s"__stats_fmt_v$StatsFormatVersion"
 
   /** Merge any number of [[analyzePartial]] frames into the [[analyze]]
     * output schema, without touching the underlying data: counts add,
@@ -114,6 +132,18 @@ object TableStats {
     * here runs on ≤ parts.size rows — metadata cost. */
   def mergeStats(parts: Seq[DataFrame], cols: Seq[String], kmvK: Int = 32): DataFrame = {
     require(parts.nonEmpty, "need at least one partial stats frame")
+    // KMV states only merge meaningfully within ONE hash domain — a
+    // partial persisted before the kmvMix change (round 10) holds
+    // min-hashes of a different function, and unioning the two domains
+    // estimates garbage with no visible symptom. The format marker is a
+    // schema-level stamp ([[StatsFormatMarker]]), so this check runs at
+    // plan-build time and costs nothing.
+    parts.zipWithIndex.foreach { case (p, i) =>
+      require(p.columns.contains(StatsFormatMarker),
+        s"mergeStats: partial frame #$i lacks the $StatsFormatMarker column — " +
+          "it was written by a different stats format (different KMV hash " +
+          "domain); re-run analyzePartial on its source data instead of merging")
+    }
     import graft.llmdata.TextPrimitives.P
     val unioned = parts.reduce(_ unionByName _)
     val aggExprs = cols.flatMap { c =>
@@ -195,6 +225,7 @@ object TableStats {
                          nBuckets: Int = 16): DataFrame = {
     require(df.columns.contains(colName), s"unknown column: $colName")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    requireOneStatsRow(stats, colName, "histogramFromStats")
     val vals = df.select(col(colName).cast("bigint").as("v")).where(col("v").isNotNull)
     def parsed(c: String) =
       s"coalesce(try_cast($c as bigint), cast(cast($c as double) as bigint))"
@@ -318,6 +349,25 @@ object TableStats {
       .agg(count(lit(1)).as("n_rows"), min("v").as("seen_min"), max("v").as("seen_max"))
   }
 
+  /** Fail-fast contract every stored-stats consumer shares: the stats
+    * frame must hold EXACTLY ONE row for the column — zero rows (a
+    * misspelled or never-analyzed column) would silently empty the
+    * consumer's broadcast crossJoin chain and read as "no data", while
+    * DUPLICATE rows (a stats frame accidentally unioned from two
+    * analyze() runs instead of folded through [[mergeStats]]) would
+    * silently multiply the chain and fan the output out N ways. The
+    * stats frame is one row per analyzed column, so the exact count is
+    * a metadata action; no `limit(1)` — that form cannot see
+    * duplicates. */
+  private def requireOneStatsRow(stats: DataFrame, colName: String,
+                                 op: String): Unit = {
+    val n = stats.filter(col("column") === colName).count()
+    require(n == 1,
+      s"$op: expected exactly 1 stats row for column '$colName', found $n — " +
+        (if (n == 0) "analyze() it first"
+         else "duplicate stats rows (union of two analyze() runs?); merge partials with mergeStats instead"))
+  }
+
   /** Heavy keys of one column (exact counts for every key above the 1/k
     * frequency gate) — the generic-keyed sibling of
     * [[graft.llmdata.TextAnalysis.heavyHitters]], feeding
@@ -379,12 +429,7 @@ object TableStats {
                        statsB: DataFrame, heavyB: DataFrame,
                        keyColA: String, keyColB: String): DataFrame = {
     def side(stats: DataFrame, heavy: DataFrame, keyCol: String, tag: String) = {
-      // Fail fast like every sibling API: a key column the stats frame
-      // never analyzed would otherwise empty the crossJoin chain and
-      // read as a silent "0 rows" estimate. The stats frame is one row
-      // per analyzed column — checking it is a metadata action.
-      require(stats.filter(col("column") === keyCol).limit(1).count() == 1,
-        s"no stats row for column '$keyCol' (side $tag) — analyze() it first")
+      requireOneStatsRow(stats, keyCol, s"joinSizeEstimate side $tag")
       val tot = stats.filter(col("column") === keyCol)
         .select(col("n_rows").cast("double").as(s"n_$tag"),
           col("ndv_est").cast("double").as(s"ndv_$tag"))

@@ -12,6 +12,7 @@ import sys, os, json, glob
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow as pa
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/tmp/verify_out"
@@ -25,6 +26,58 @@ for p in sorted(glob.glob(f"{sf}/*.parquet")):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+
+def hash_kind(t):
+    """Canonical type class as the driver's typed hash sees it.
+
+    The driver hashes TYPED values: DuckDB HUGEINT / DECIMAL (arrow
+    decimal128) vs Spark BIGINT hash differently even when every value is
+    equal (the round-10 s_hist_depth miss). So: any decimal in ORACLE
+    output is an error by itself, and an int-vs-float split between the
+    sides is an error before any value is compared.
+    """
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", hash_kind(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct", tuple((f.name, hash_kind(f.type)) for f in t))
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def schema_errors(spark_tbl, duck_tbl):
+    errs = []
+    skinds = {f.name: hash_kind(f.type) for f in spark_tbl.schema}
+    dkinds = {f.name: hash_kind(f.type) for f in duck_tbl.schema}
+    for c in sorted(set(skinds) & set(dkinds)):
+        sk, dk = skinds[c], dkinds[c]
+        if dk == "decimal" or "decimal" in str(dk):
+            errs.append(f"col {c}: oracle emits DECIMAL ({duck_tbl.schema.field(c).type}) "
+                        f"vs spark {spark_tbl.schema.field(c).type} — driver typed hash diverges")
+        elif sk == "decimal" or "decimal" in str(sk):
+            errs.append(f"col {c}: spark emits DECIMAL ({spark_tbl.schema.field(c).type})")
+        elif sk != dk and "null" not in (sk, dk):
+            errs.append(f"col {c}: type-class split spark={spark_tbl.schema.field(c).type}({sk}) "
+                        f"duck={duck_tbl.schema.field(c).type}({dk})")
+    return errs
+
 
 def canon(df):
     df = df[sorted(df.columns)].copy()
@@ -43,7 +96,7 @@ n_pass = n_fail = 0
 for name in sorted(oracle):
     sql = oracle[name]
     try:
-        duck = con.execute(sql).df()
+        duck_arrow = con.execute(sql).arrow()
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
         n_fail += 1
@@ -53,7 +106,18 @@ for name in sorted(oracle):
         print(f"FAIL {name}: no spark output at {out}/{name}")
         n_fail += 1
         continue
-    spark = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+    import pyarrow.parquet as pq
+    spark_arrow = pa.concat_tables([pq.read_table(f) for f in sorted(files)],
+                                   promote_options="default")
+    serrs = schema_errors(spark_arrow, duck_arrow)
+    if serrs:
+        print(f"FAIL {name}: typed-schema mismatch (driver hash would differ)")
+        for e in serrs:
+            print(f"  {e}")
+        n_fail += 1
+        continue
+    spark = spark_arrow.to_pandas()
+    duck = duck_arrow.to_pandas()
     s, d = canon(spark), canon(duck)
     if list(s.columns) != list(d.columns):
         print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
