@@ -724,6 +724,27 @@ object InfraOps {
         .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_rows"))
       est.crossJoin(broadcast(exact))
     }),
+    // Range-predicate selectivity from STORED stats only (analyze +
+    // equi-depth histogram; the estimator touches neither table) — the
+    // missing half of the optimizer loop beside s_join_est. The column is
+    // engineered two-regime (90% of rows in [0, 999], 10% spread over
+    // [1e6, 2e6)) so the min/max-only uniform estimate is >1000x low on
+    // the hot range while the per-bucket interpolation lands within the
+    // partial-edge-bucket error bound.
+    "s_sel_est" -> ((s: SparkSession, d: String) => {
+      val ts = graft.sources.TableStats
+      val v = s.read.parquet(s"$d/lineitem.parquet")
+        .selectExpr("CASE WHEN l_orderkey % 10 < 9 THEN l_partkey % 1000 " +
+          "ELSE 1000000L + (l_partkey * 7919L) % 1000000L END AS v")
+      val stats = ts.analyze(v, Seq("v"))
+      val hist = ts.equiDepthHistogram(v, "v", nBuckets = 8)
+      val est = ts.selectivityEstimate(stats, hist, "v", 200L, 799L)
+      // exact audit: one conditional count over the column.
+      val exact = v.agg(
+        coalesce(sum(when(col("v").between(200L, 799L), 1L)), lit(0L))
+          .cast("bigint").as("exact_rows"))
+      est.crossJoin(broadcast(exact))
+    }),
     // Incremental stats maintenance: partial stats per split, folded with
     // mergeStats — the oracle is s_analyze's own SQL over the WHOLE table,
     // which proves merged ≡ direct (KMV merge is a pure set function).
@@ -1064,6 +1085,29 @@ object InfraOps {
         |b AS (SELECT CAST((cb * 8) // n AS BIGINT) AS bucket, v, cnt FROM c, t)
         |SELECT bucket, min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
         |FROM b GROUP BY 1""".stripMargin,
+    // Twin of TableStats.selectivityEstimate over the same stored-stats
+    // chain: the equi-depth CTEs are s_hist_depth's, the per-bucket
+    // interpolation and the uniform estimate use the identical pinned
+    // integer division order, and the exact audit is a direct count —
+    // the estimate is reproduced bit-for-bit, not approximately.
+    "s_sel_est" ->
+      """WITH v AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN l_partkey % 1000
+        |                  ELSE 1000000 + (l_partkey * 7919) % 1000000 END AS v
+        |           FROM lineitem),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |c AS (SELECT v, cnt,
+        |        COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM g),
+        |b AS (SELECT CAST((cb * 8) // n AS BIGINT) AS bucket, v, cnt FROM c, t),
+        |h AS (SELECT bucket, min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
+        |      FROM b GROUP BY 1),
+        |e AS (SELECT CAST(coalesce(sum((n_rows * greatest(0, least(799, hi) - greatest(200, lo) + 1))
+        |                   // (hi - lo + 1)), 0) AS BIGINT) AS est_rows FROM h),
+        |u AS (SELECT CAST((count(v) * greatest(0, least(799, max(v)) - greatest(200, min(v)) + 1))
+        |             // (max(v) - min(v) + 1) AS BIGINT) AS est_uniform FROM v),
+        |x AS (SELECT CAST(coalesce(sum(CASE WHEN v BETWEEN 200 AND 799 THEN 1 END), 0) AS BIGINT) AS exact_rows FROM v)
+        |SELECT est_rows, est_uniform, exact_rows FROM e, u, x""".stripMargin,
     "j_band" ->
       """WITH s AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS k,
         |             CAST(floor(s_acctbal * 100) AS BIGINT) AS s_cents FROM supplier),
