@@ -304,6 +304,55 @@ object InfraOps {
       .reduce(_ unionByName _)
   }
 
+  /** L48's stream-static enrichment as a real oracle row — the last
+    * MemoryStream-spec-only family member promoted to the hash-compared
+    * gate (its stream-stream sibling `st_joined` was promoted in round
+    * 10). [[EventStream.enrich]] left-joins each micro-batch against a
+    * broadcast static dimension: no watermark, no stream state at all —
+    * every event appears in exactly one batch and is enriched (or
+    * null-padded) there, so the stream's COMPLETE output across any
+    * slicing equals the batch left join the DuckDB twin states directly
+    * (slices here are `event_id % 3`, deliberately NOT time-ordered —
+    * enrichment is order-independent and the row should pin that).
+    * Same quarter-corpus gate (user_id % 4 = 1) and 4-partition state
+    * sizing as the other streaming rows; the dim drops every third
+    * customer so the left join's null-preserving branch is exercised,
+    * not just the happy path. The collect is slice scripting; the
+    * enrich itself runs as a real streaming query per micro-batch. */
+  def streamEnriched(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = scratch(spark, sfDir, "st_enrich")
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id") % 4 === 1)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("user_id"), col("c_name"), col("c_nationkey"))
+    val mem = MemoryStream[(Long, java.time.LocalDateTime, Long, String, Double)]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val enriched = EventStream.enrich(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        dim, "user_id")
+      val q = enriched.writeStream.format("memory").queryName("graft_st_enrich")
+        .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+      try {
+        (0 until 3).foreach { slice =>
+          mem.addData(ev.filter(_._1 % 3 == slice).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table("graft_st_enrich")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("c_name"), col("c_nationkey"))
+  }
+
   /** L48's watermarked stream-stream join as a real oracle row — the last
     * MemoryStream-only streaming family member promoted to the hash-
     * compared gate. [[EventStream.streamStreamJoin]] (view × purchase per
@@ -835,7 +884,8 @@ object InfraOps {
     "st_neardup" -> (streamNearDupBatch _),
     "st_ingest_store" -> (streamIngestStore _),
     "st_snapshot_lineage" -> (streamIngestSnapshots _),
-    "st_joined" -> (streamJoined _))
+    "st_joined" -> (streamJoined _),
+    "st_enrich" -> (streamEnriched _))
 
   /** DuckDB twin of [[graft.sources.TableStats.kmvMix]] — the quadratic
     * short-string spread in front of the KMV estimator; same constants,
@@ -1234,6 +1284,16 @@ object InfraOps {
         |       l.ts AS l_ts, r.ts AS r_ts, l.value AS l_value, r.value AS r_value
         |FROM l JOIN r ON l.user_id = r.user_id
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 21600 SECONDS""".stripMargin,
+    // Stream-static enrichment's complete output ≡ the batch left join:
+    // no watermark, no stream state — each event is enriched (or
+    // null-padded) in exactly the one micro-batch it arrives in.
+    "st_enrich" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value
+        |           FROM events WHERE user_id % 4 = 1),
+        |d AS (SELECT c_custkey AS user_id, c_name, c_nationkey FROM customer
+        |      WHERE c_custkey % 3 != 0)
+        |SELECT e.event_id, e.user_id, e.event_type, e.value, d.c_name, d.c_nationkey
+        |FROM e LEFT JOIN d USING (user_id)""".stripMargin,
     "st_ingest_store" -> {
       import graft.llmdata.TextPrimitives.{duckPolyHashArray, duckWords, P}
       // The store merges on `fingerprint` alone (fingerprint2 exists only
