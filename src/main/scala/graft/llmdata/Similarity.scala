@@ -936,6 +936,114 @@ object Similarity {
     bandWidths.map(b => b -> pairCandIds(explodeBands(sig, planes, b)))
   }
 
+  /** Banding ladder for k-NN GRAPH seeding — a different objective than
+    * [[dupBanding]]'s high-threshold recall: the graph wants every node
+    * to meet a ROUGHLY CONSTANT number of bucket-mates (enough seeds for
+    * NN-Descent to refine, few enough that candidates stay linear), so
+    * band width tracks log N directly: 8 bands of `4 + #{k ∈ 9..20 :
+    * n > 2^k}` bits — expected bucket occupancy n/2^r stays ~16-32 at
+    * every scale, candidate volume ~bands · N · occupancy/2 stays Θ(N).
+    * At n ≤ 512 this resolves to the [[LshPlanes]]×[[LshBandBits]]
+    * (32, 4) config the e_lsh_topk oracle machinery already mirrors. */
+  val KnnRungExps: Seq[Int] = 9 to 40
+  val KnnBands: Int = 8
+  def knnBanding(n: Long): (Int, Int) = {
+    val r = 4 + KnnRungExps.count(k => n > (1L << k))
+    (KnnBands * r, r)
+  }
+
+  /** k-NN GRAPH construction — the graph axis of the ANN family (hash
+    * L11, partition IVF, dimension RP, memory PQ, probe L114 answer
+    * QUERIES; this materializes every node's k nearest neighbors as an
+    * edge set, the input the cluster family — `c_clusters`,
+    * `c_keepbest`, SemDeDup-style curation — consumes). LSH-seeded
+    * NN-Descent (Dong, Moses & Li, WWW 2011): band buckets propose the
+    * initial neighbor lists, then each refinement round offers every
+    * node its neighbors' neighbors — the "a neighbor of my neighbor is
+    * probably my neighbor" closure that recovers edges the hash seeding
+    * missed — and the per-node top-k keeps the best k by exact cosine.
+    *
+    * Determinism / oracle form: no RNG anywhere (the LSH planes are the
+    * shared LCG table, NN-Descent's usual random init replaced by the
+    * banding seeds), ranks tie-break on neighbor id, and every cosine is
+    * the exact [[sparkCosPre]] fold — so the DuckDB twin reproduces the
+    * whole graph bit-for-bit, stating candidates declaratively (pairs
+    * sharing ≥ 1 band; neighbors-of-neighbors via a pivot self-join)
+    * where Spark streams exactly-once band collisions.
+    *
+    * Scale shape: seeding reuses [[pairCandIds]] — exactly-once band
+    * collisions, no candidate-wide distinct, candidate volume Θ(N) by
+    * the [[knnBanding]] occupancy ladder. Each refinement round is
+    * bounded by STRUCTURE, not data: the general-neighbor frame B caps
+    * both directions at k (forward ranks + reverse edges re-capped at k
+    * per node), so the pivot self-join emits ≤ 4k² candidates per node
+    * and the round's `distinct` state is ≤ N·(2k)² edge ids — a
+    * k-budgeted bound, unlike the banding family's skew-exposed
+    * streams. Scoring re-attaches vectors to ≤ N·(4k²+2k) id pairs via
+    * two broadcast-or-shuffle hash joins; past [[GridVerifyMinN]]
+    * vectors the same P×P grid cogroup shape applies if the re-attach
+    * exchange ever dominates (same argument as [[verifyPairsGrid]] —
+    * not wired here because the pool is k-budgeted, ~100·N rows at
+    * k=5, two decades below the banding family's candidate streams).
+    * One round is the registered default: seeds at constant occupancy
+    * already give high recall and each extra round costs a full
+    * score-and-rank pass (the WWW 2011 convergence loop is for random
+    * init, where round 1 starts from nothing). */
+  def knnGraph(embeddings: DataFrame, k: Int = 5,
+               planes: Int = 0, bandBits: Int = 0,
+               nHint: Long = 0L, descentRounds: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(descentRounds >= 0, s"descentRounds must be >= 0, got $descentRounds")
+    require((planes > 0) == (bandBits > 0),
+      s"planes and bandBits pin a config together (got planes=$planes, bandBits=$bandBits); leave both 0 for size-adaptive banding")
+    val n = graft.core.CacheScope.persisted(withNorm(embeddings))
+    val nEff = if (nHint > 0) nHint else if (planes > 0) 0L else n.count()
+    val (p, r) = if (planes > 0) (planes, bandBits) else knnBanding(nEff)
+    val cand0 = pairCandIds(bandsOf(n, p, r, 0, 0.0))
+    val e0 = cand0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(cand0.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var g = graft.core.CacheScope.persisted(topKEdges(scoreEdges(e0, n), k))
+    (1 to descentRounds).foreach { _ =>
+      val bySrc = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+      // Reverse edges re-capped at k per node: without the cap a hub's
+      // in-degree would make its pivot fan-out data-dependent (the
+      // NN-Descent papers' reverse-sample rho*k, taken deterministically
+      // as the top-k by the same (cos desc, id) order as forward ranks).
+      val revK = g.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
+        .withColumn("__rr", row_number().over(bySrc))
+        .filter(col("__rr") <= k)
+      val b = g.select("src", "dst").union(revK.select("src", "dst")).distinct()
+      val c1 = b.as("x").join(b.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") =!= col("y.dst"))
+        .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+      val pool = b.union(c1).distinct()
+      val g2 = graft.core.CacheScope.persisted(topKEdges(scoreEdges(pool, n), k))
+      g.unpersist(blocking = false)
+      g = g2
+    }
+    g.select(col("src").as("vec_id"), col("rank"), col("dst").as("nn_id"))
+  }
+
+  /** Exact cosine over (src, dst) edge ids — the re-attach + score step
+    * shared by [[knnGraph]]'s seeding and refinement passes. */
+  private def scoreEdges(edges: DataFrame, n: DataFrame): DataFrame =
+    edges
+      .join(n.select(col("vec_id").as("src"), col("ed").as("__ea"), col("nrm").as("__na")), "src")
+      .join(n.select(col("vec_id").as("dst"), col("ed").as("__eb"), col("nrm").as("__nb")), "dst")
+      .select(col("src"), col("dst"),
+        expr(sparkCosPre("__ea", "__eb", "__na", "__nb")).as("cos"))
+
+  /** Per-src top-k of scored edges by (cos desc, dst asc) — the
+    * [[exactRerank]] rank contract on the graph's edge frame (cos kept:
+    * the refinement round reuses it for the reverse-edge cap). */
+  private def topKEdges(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("cos"), col("rank").cast("bigint").as("rank"))
+
   /** LSH-bucketed near-duplicate pairs — the 100 TB replacement for
     * [[cosineNearDupPairs]]'s all-pairs product: candidates are only pairs
     * sharing at least one signature band (bucket join on (band, band_val)),

@@ -190,6 +190,12 @@ object LlmData {
       nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))),
     "e_lsh_topk" -> ((s, d) => Similarity.lshTopK(embs(s, d))),
     "e_lsh_multiprobe" -> ((s, d) => Similarity.lshTopKMultiProbe(embs(s, d))),
+    // k-NN graph: LSH-seeded NN-Descent, every node's k nearest as an
+    // edge set (the input c_clusters/c_keepbest consume). Size-adaptive
+    // occupancy banding (knnBanding) resolved from footer stats — the
+    // oracle derives identical knobs from count(*) via the same ladder.
+    "e_knn_graph" -> ((s, d) => Similarity.knnGraph(embs(s, d), k = 5,
+      nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     // Index round trip: build + store the IVF layout (cell-partitioned),
     // then serve the same probe from the stored index — result must equal
@@ -1036,6 +1042,52 @@ object LlmData {
        |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (s, v) -> s + v) AS band_val
        |  FROM ${name}_x)""".stripMargin
 
+  /** Knob CTE for [[Similarity.knnBanding]]'s occupancy ladder — same
+    * lockstep convention as [[dupKnobsCte]]: r = 4 + one rung per power
+    * of two above 512, b = 8 fixed, derived from `count(*)` of `src`
+    * with integer comparisons only. */
+  private def knnKnobsCte(src: String): String = {
+    val rung = Similarity.KnnRungExps
+      .map(k => s"CASE WHEN n > ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
+    s"""cnt AS (SELECT count(*) AS n FROM $src),
+       |kb AS (SELECT (4 + $rung) AS r, ${Similarity.KnnBands} AS b FROM cnt)""".stripMargin
+  }
+
+  /** DuckDB twin of Similarity.knnGraph (LSH-seeded NN-Descent, one
+    * refinement round): candidates stated DECLARATIVELY (any shared
+    * band; neighbors-of-neighbors via a pivot self-join with both
+    * directions capped at k) where Spark streams exactly-once band
+    * collisions and unions capped edge frames — different algorithm,
+    * same edge set, same exact cosines, same (cos DESC, id ASC) rank
+    * contract. */
+  private def knnGraphSql(k: Int): String =
+    s"""WITH $normCte,
+       |${knnKnobsCte("n2")},
+       |${dynBandsCte("bands", "n2", "ed")},
+       |c0 AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |       FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+       |       WHERE a.vec_id != b.vec_id),
+       |s0 AS (SELECT src, dst, ${Similarity.duckCosPre("q.ed", "e.ed", "q.nrm", "e.nrm")} AS cos
+       |       FROM c0 JOIN n2 q ON c0.src = q.vec_id JOIN n2 e ON c0.dst = e.vec_id),
+       |gk AS (SELECT src, dst, cos FROM
+       |         (SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk FROM s0)
+       |       WHERE rk <= $k),
+       |rvk AS (SELECT src, dst FROM
+       |          (SELECT src, dst, cos,
+       |             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+       |           FROM (SELECT dst AS src, src AS dst, cos FROM gk))
+       |        WHERE rk <= $k),
+       |b0 AS (SELECT src, dst FROM gk UNION SELECT src, dst FROM rvk),
+       |c1 AS (SELECT DISTINCT x.dst AS src, y.dst AS dst
+       |       FROM b0 x JOIN b0 y ON x.src = y.src AND x.dst != y.dst),
+       |pool AS (SELECT src, dst FROM b0 UNION SELECT src, dst FROM c1),
+       |s1 AS (SELECT src, dst, ${Similarity.duckCosPre("q.ed", "e.ed", "q.nrm", "e.nrm")} AS cos
+       |       FROM pool JOIN n2 q ON pool.src = q.vec_id JOIN n2 e ON pool.dst = e.vec_id)
+       |SELECT vec_id, rank, nn_id FROM
+       |  (SELECT src AS vec_id, dst AS nn_id, cos,
+       |     CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank FROM s1)
+       |WHERE rank <= $k""".stripMargin
+
   /** DuckDB twin of Similarity.lshNearDupPairs at its SIZE-ADAPTIVE dup
     * banding (see [[Similarity.dupBanding]]; at the sf0.01 oracle scale
     * the ladder resolves to the former fixed 7×8 config), pair candidates
@@ -1530,6 +1582,7 @@ object LlmData {
     "e_semdedup" -> semDedupSql,
     "e_semdedup_h" -> semDedupHierSql,
     "e_lsh_topk" -> lshTopkSql,
+    "e_knn_graph" -> knnGraphSql(5),
     "e_lsh_multiprobe" -> lshMultiprobeSql,
     "e_ivf_topk" -> ivfTopkSql,
     "e_ivf_index" -> ivfTopkSql,
