@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, col}
+
+import graft.sources.TableStats
+
+/** Stats-driven join execution — the optimizer loop CLOSED: [[TableStats
+  * .joinStrategyChoice]] turns standing `analyze`/`heavyKeys` artifacts
+  * into a decision, and this object turns the decision into a physical
+  * plan shape (broadcast hint, salted shuffle, or pinned sort-merge).
+  *
+  * The decision read is ONE driver action on a 1-row frame built from
+  * ≤ k-row broadcast inputs — metadata cost, the same class as the
+  * `nHint` footer reads; the data tables are never touched before the
+  * join itself runs. That ordering is the point at scale: AQE can only
+  * re-plan a skewed sort-merge join AFTER the skewed exchange has
+  * materialized, while a stats-driven choice has the salt (or the
+  * broadcast) in the FIRST submitted plan, so the pathological shuffle
+  * never runs — on a 100 TB fact table that is the difference between
+  * mitigating a hot key and paying it once to find out it's hot.
+  *
+  * Semantics contract: inner equi-join on one shared key column name
+  * (USING-style, key emitted once), bit-identical output across all
+  * three strategies — pinned by AutoJoinSpec on engineered
+  * broadcast/uniform/skew inputs.
+  */
+object JoinPlanner {
+
+  /** Inner-join `a` with `b` on the shared column `key`, with the
+    * strategy chosen by [[TableStats.joinStrategyChoice]] from the four
+    * stats frames. `saltOn` feeds [[SkewJoin.saltedJoin]]'s salt basis
+    * (pass a high-cardinality column of the BIGGER side when one
+    * exists). Thresholds are caller-owned: row-count knobs, not bytes,
+    * because the stats frames carry row counts — callers with width
+    * estimates fold them into the limits. */
+  def autoJoin(a: DataFrame, b: DataFrame, key: String,
+               statsA: DataFrame, heavyA: DataFrame,
+               statsB: DataFrame, heavyB: DataFrame,
+               broadcastRowLimit: Long, perKeyRowBudget: Long,
+               maxSaltFactor: Int = 64,
+               saltOn: Seq[String] = Nil): DataFrame = {
+    val d = TableStats.joinStrategyChoice(statsA, heavyA, statsB, heavyB,
+        key, key, broadcastRowLimit, perKeyRowBudget, maxSaltFactor)
+      .select("decision", "build_side", "salt_factor", "n_a", "n_b")
+      .collect()(0)
+    d.getString(0) match {
+      case "broadcast" =>
+        if (d.getString(1) == "b") a.join(broadcast(b), Seq(key))
+        else broadcast(a).join(b, Seq(key))
+      case "salted_smj" =>
+        val salt = d.getLong(2).toInt
+        // Salt the side with more rows; replicate the other ×salt.
+        if (d.getLong(3) >= d.getLong(4))
+          SkewJoin.saltedJoin(a, b, Seq(key), salt, saltOn = saltOn)
+        else {
+          // saltedJoin's output column order is (big ++ small); re-project
+          // to (a ++ b) so the caller-visible schema does not depend on
+          // which side the stats said was bigger.
+          val joined = SkewJoin.saltedJoin(b, a, Seq(key), salt, saltOn = saltOn)
+          val cols = col(key) +: (a.columns.filterNot(_ == key) ++
+            b.columns.filterNot(_ == key)).toIndexedSeq.map(col)
+          joined.select(cols: _*)
+        }
+      // The decision said "too big to broadcast, no key worth salting" —
+      // pin sort-merge so the choice is THIS module's, not a session
+      // autoBroadcast threshold's.
+      case _ => a.join(b.hint("merge"), Seq(key))
+    }
+  }
+}

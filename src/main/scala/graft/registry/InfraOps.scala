@@ -794,6 +794,41 @@ object InfraOps {
           .cast("bigint").as("exact_rows"))
       est.crossJoin(broadcast(exact))
     }),
+    // Join-strategy choice from stored stats — the optimizer loop closing
+    // into a DECISION: three engineered scenarios (broadcast-sized dim,
+    // uniform big-big, two-sided skew) run through the same stats chain
+    // s_join_est proves, and the cascade picks broadcast / shuffle_smj /
+    // salted_smj with a computed salt factor. The DuckDB twin reproduces
+    // decision, build side, and salt factor bit-for-bit (the decision
+    // compares the ROUNDED per-key estimate; thresholds are literals in
+    // both dialects). AutoJoinSpec separately proves the decisions
+    // EXECUTE correctly (plan shapes + result equality).
+    "s_plan_choice" -> ((s: SparkSession, d: String) => {
+      val ts = graft.sources.TableStats
+      def choose(name: String, a: DataFrame, b: DataFrame,
+                 bl: Long, budget: Long): DataFrame =
+        ts.joinStrategyChoice(
+            ts.analyze(a, Seq("k")), ts.heavyKeys(a, "k"),
+            ts.analyze(b, Seq("k")), ts.heavyKeys(b, "k"),
+            "k", "k", bl, budget)
+          .withColumn("scenario", lit(name))
+          .select("scenario", "decision", "build_side", "salt_factor",
+            "max_key_est", "est_rows", "est_uniform", "n_a", "n_b")
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      choose("dim",
+          li.selectExpr("CAST(l_partkey AS BIGINT) AS k"),
+          s.read.parquet(s"$d/part.parquet").selectExpr("CAST(p_partkey AS BIGINT) AS k"),
+          bl = 30000L, budget = 1000000L)
+        .unionByName(choose("uniform",
+          li.selectExpr("CAST(l_orderkey AS BIGINT) AS k"),
+          ord.selectExpr("CAST(o_orderkey AS BIGINT) AS k"),
+          bl = 10000L, budget = 1000000L))
+        .unionByName(choose("skew",
+          li.selectExpr("CASE WHEN l_orderkey % 10 < 9 THEN 1L ELSE 1L + l_suppkey % 99 END AS k"),
+          ord.selectExpr("CASE WHEN o_orderkey % 5 < 4 THEN 1L ELSE 1L + o_custkey % 49 END AS k"),
+          bl = 100L, budget = 1000000L))
+    }),
     // Incremental stats maintenance: partial stats per split, folded with
     // mergeStats — the oracle is s_analyze's own SQL over the WHOLE table,
     // which proves merged ≡ direct (KMV merge is a pure set function).
@@ -893,6 +928,66 @@ object InfraOps {
     * inside int64 for both engines — see kmvMix's bound note). */
   private def duckKmvMix(h: String): String =
     s"((($h) * ($h) % ${graft.llmdata.TextPrimitives.P}) * 2654435769 + ($h) * 40503) % ${graft.llmdata.TextPrimitives.P}"
+
+  /** One s_plan_choice scenario as a prefixed CTE chain + final SELECT —
+    * the s_join_est stats twin (KMV NDV, Misra-Gries-gated heavy keys,
+    * frequency-split estimate) extended with the per-key MAXIMUM and the
+    * decision cascade of [[graft.sources.TableStats.joinStrategyChoice]].
+    * Prefixing lets three scenarios share one top-level WITH. */
+  private def planChoiceScenarioSql(p: String, name: String,
+                                    aSql: String, bSql: String,
+                                    bl: Long, budget: Long): (String, String) = {
+    import graft.llmdata.TextPrimitives
+    def ndvSql(src: String) =
+      s"""(SELECT round(CASE WHEN len(l) < 32 THEN CAST(len(l) AS DOUBLE)
+         |              ELSE 31.0 * ${TextPrimitives.P} / l[32] END, 6)
+         | FROM (SELECT list_sort(list(DISTINCT ${duckKmvMix("h")})) AS l
+         |       FROM (SELECT ${TextPrimitives.duckPolyHash("CAST(k AS VARCHAR)")} AS h FROM $src)))"""
+        .stripMargin.replace("\n", "")
+    val ctes =
+      s"""${p}a AS ($aSql),
+         |${p}b AS ($bSql),
+         |${p}sa AS (SELECT CAST((SELECT count(*) FROM ${p}a) AS BIGINT) AS n_a, ${ndvSql(s"${p}a")} AS ndv_a),
+         |${p}sb AS (SELECT CAST((SELECT count(*) FROM ${p}b) AS BIGINT) AS n_b, ${ndvSql(s"${p}b")} AS ndv_b),
+         |${p}ha AS (SELECT CAST(k AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n_occ FROM ${p}a
+         |           GROUP BY 1 HAVING count(*) * 64 > (SELECT count(*) FROM ${p}a)),
+         |${p}hb AS (SELECT CAST(k AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n_occ FROM ${p}b
+         |           GROUP BY 1 HAVING count(*) * 64 > (SELECT count(*) FROM ${p}b)),
+         |${p}ga AS (SELECT CAST(coalesce(sum(n_occ), 0) AS DOUBLE) AS hrows_a, CAST(count(*) AS DOUBLE) AS hkeys_a FROM ${p}ha),
+         |${p}gb AS (SELECT CAST(coalesce(sum(n_occ), 0) AS DOUBLE) AS hrows_b, CAST(count(*) AS DOUBLE) AS hkeys_b FROM ${p}hb),
+         |${p}m0 AS (SELECT CAST(n_a AS DOUBLE) - hrows_a AS rest_a, greatest(1.0, ndv_a - hkeys_a) AS restndv_a,
+         |             CAST(n_b AS DOUBLE) - hrows_b AS rest_b, greatest(1.0, ndv_b - hkeys_b) AS restndv_b,
+         |             n_a, n_b, ndv_a, ndv_b
+         |           FROM ${p}sa, ${p}sb, ${p}ga, ${p}gb),
+         |${p}hj AS (SELECT coalesce(sum(CAST(ha.n_occ AS DOUBLE) * CAST(hb.n_occ AS DOUBLE)), 0.0) AS both_p,
+         |             CAST(coalesce(sum(CASE WHEN hb.key IS NULL THEN ha.n_occ END), 0) AS DOUBLE) AS aonly,
+         |             CAST(coalesce(sum(CASE WHEN ha.key IS NULL THEN hb.n_occ END), 0) AS DOUBLE) AS bonly,
+         |             coalesce(max(CASE
+         |               WHEN ha.key IS NOT NULL AND hb.key IS NOT NULL THEN CAST(ha.n_occ AS DOUBLE) * CAST(hb.n_occ AS DOUBLE)
+         |               WHEN ha.key IS NOT NULL THEN CAST(ha.n_occ AS DOUBLE) * (m.rest_b / m.restndv_b)
+         |               ELSE CAST(hb.n_occ AS DOUBLE) * (m.rest_a / m.restndv_a) END), 0.0) AS hmax
+         |           FROM ${p}ha ha FULL JOIN ${p}hb hb ON ha.key = hb.key CROSS JOIN ${p}m0 m),
+         |${p}f AS (SELECT round(greatest(hj.hmax, (m.rest_a / m.restndv_a) * (m.rest_b / m.restndv_b)), 2) AS max_key_est,
+         |            round(hj.both_p + hj.aonly * (m.rest_b / m.restndv_b) + hj.bonly * (m.rest_a / m.restndv_a)
+         |              + m.rest_a * m.rest_b / greatest(m.restndv_a, m.restndv_b), 2) AS est_rows,
+         |            round(CAST(m.n_a AS DOUBLE) * CAST(m.n_b AS DOUBLE) / greatest(m.ndv_a, m.ndv_b), 2) AS est_uniform,
+         |            m.n_a, m.n_b
+         |          FROM ${p}m0 m, ${p}hj hj),
+         |${p}g AS (SELECT *, CASE WHEN least(n_a, n_b) <= $bl THEN 'broadcast'
+         |                         WHEN max_key_est > $budget THEN 'salted_smj'
+         |                         ELSE 'shuffle_smj' END AS decision
+         |          FROM ${p}f)""".stripMargin
+    val sel =
+      s"""SELECT '$name' AS scenario, decision,
+         |  CASE WHEN decision <> 'broadcast' THEN 'none'
+         |       WHEN n_b <= n_a THEN 'b' ELSE 'a' END AS build_side,
+         |  CASE WHEN decision = 'salted_smj'
+         |       THEN least(CAST(64 AS BIGINT), CAST(ceil(max_key_est / $budget.0) AS BIGINT))
+         |       ELSE CAST(1 AS BIGINT) END AS salt_factor,
+         |  max_key_est, est_rows, est_uniform, n_a, n_b
+         |FROM ${p}g""".stripMargin
+    (ctes, sel)
+  }
 
   /** DuckDB twin of one [[graft.sources.TableStats.analyze]] output row:
     * same null convention (min/max/NDV over the non-null population), the
@@ -1158,6 +1253,23 @@ object InfraOps {
         |             // (max(v) - min(v) + 1) AS BIGINT) AS est_uniform FROM v),
         |x AS (SELECT CAST(coalesce(sum(CASE WHEN v BETWEEN 200 AND 799 THEN 1 END), 0) AS BIGINT) AS exact_rows FROM v)
         |SELECT est_rows, est_uniform, exact_rows FROM e, u, x""".stripMargin,
+    // Three scenarios through the joinStrategyChoice twin, one top-level
+    // WITH (prefixed CTE chains), UNION ALL of the three decision rows.
+    "s_plan_choice" -> {
+      val (c1, s1) = planChoiceScenarioSql("d_", "dim",
+        "SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem",
+        "SELECT CAST(p_partkey AS BIGINT) AS k FROM part",
+        bl = 30000L, budget = 1000000L)
+      val (c2, s2) = planChoiceScenarioSql("u_", "uniform",
+        "SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem",
+        "SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders",
+        bl = 10000L, budget = 1000000L)
+      val (c3, s3) = planChoiceScenarioSql("k_", "skew",
+        "SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE 1 + l_suppkey % 99 END AS k FROM lineitem",
+        "SELECT CASE WHEN o_orderkey % 5 < 4 THEN 1 ELSE 1 + o_custkey % 49 END AS k FROM orders",
+        bl = 100L, budget = 1000000L)
+      s"WITH $c1,\n$c2,\n$c3\n$s1\nUNION ALL\n$s2\nUNION ALL\n$s3"
+    },
     "j_band" ->
       """WITH s AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS k,
         |             CAST(floor(s_acctbal * 100) AS BIGINT) AS s_cents FROM supplier),

@@ -514,6 +514,97 @@ object TableStats {
     est.crossJoin(broadcast(uni))
   }
 
+  /** Join-strategy choice from STORED statistics — the stats loop closing
+    * into an actual planning DECISION: given each side's [[analyze]] row
+    * and [[heavyKeys]] frame (the same inputs [[joinSizeEstimate]]
+    * consumes), pick broadcast vs plain shuffle vs salted shuffle, and
+    * size the salt. This is the judgment call Spark's own planner makes
+    * from catalog stats and AQE makes from materialized exchanges —
+    * here it runs BEFORE any exchange exists, from standing stats
+    * artifacts, so the skew mitigation is in the very first plan (no
+    * materialize-then-replan round trip, which at 100 TB means not
+    * paying the skewed shuffle even once).
+    *
+    * The cascade, all thresholds caller-owned:
+    *   1. `least(nA, nB) ≤ broadcastRowLimit` → `broadcast` (build side =
+    *      the smaller frame, ties to 'b' — Spark's own right-build
+    *      preference);
+    *   2. else if the largest estimated SINGLE-KEY output exceeds
+    *      `perKeyRowBudget` → `salted_smj`, salt factor =
+    *      `min(maxSaltFactor, ceil(maxKeyEst / budget))` — the number of
+    *      sub-keys that brings the worst reducer back inside budget;
+    *   3. else → `shuffle_smj`.
+    * The per-key estimate splits exactly like [[joinSizeEstimate]]:
+    * heavy∩heavy keys get exact fA·fB products, one-sided heavy keys get
+    * exact × the other side's residual mean, and the residual-uniform
+    * per-key product floors the whole thing (so an empty heavy frame
+    * still yields a defined maximum).
+    *
+    * Deterministic plan-side arithmetic over ≤ k-row broadcast frames
+    * (division/rounding order pinned; the decision compares the ROUNDED
+    * estimate so the DuckDB twin reproduces decision, build side, and
+    * salt factor bit-for-bit). Emits the evidence beside the verdict:
+    * est_rows/est_uniform from [[joinSizeEstimate]], max_key_est, and
+    * both row counts. */
+  def joinStrategyChoice(statsA: DataFrame, heavyA: DataFrame,
+                         statsB: DataFrame, heavyB: DataFrame,
+                         keyColA: String, keyColB: String,
+                         broadcastRowLimit: Long,
+                         perKeyRowBudget: Long,
+                         maxSaltFactor: Int = 64): DataFrame = {
+    require(broadcastRowLimit >= 1, s"broadcastRowLimit must be >= 1, got $broadcastRowLimit")
+    require(perKeyRowBudget >= 1, s"perKeyRowBudget must be >= 1, got $perKeyRowBudget")
+    require(maxSaltFactor >= 2, s"maxSaltFactor must be >= 2, got $maxSaltFactor")
+    def side(stats: DataFrame, heavy: DataFrame, keyCol: String, tag: String) = {
+      requireOneStatsRow(stats, keyCol, s"joinStrategyChoice side $tag")
+      val tot = stats.filter(col("column") === keyCol)
+        .select(col("n_rows").cast("bigint").as(s"n_$tag"),
+          col("ndv_est").cast("double").as(s"ndv_$tag"))
+      val h = heavy.agg(
+        coalesce(sum("n_occ"), lit(0L)).cast("double").as(s"hrows_$tag"),
+        count(lit(1)).cast("double").as(s"hkeys_$tag"))
+      tot.crossJoin(broadcast(h))
+        .withColumn(s"rest_$tag",
+          col(s"n_$tag").cast("double") - col(s"hrows_$tag"))
+        .withColumn(s"restndv_$tag",
+          greatest(lit(1.0), col(s"ndv_$tag") - col(s"hkeys_$tag")))
+    }
+    val a = side(statsA, heavyA, keyColA, "a")
+    val b = side(statsB, heavyB, keyColB, "b")
+    // Largest single-key output over the heavy classes: same frequency
+    // splitting as joinSizeEstimate, max instead of sum.
+    val hmax = heavyA.select(col("key"), col("n_occ").as("__fa"))
+      .join(heavyB.select(col("key"), col("n_occ").as("__fb")), Seq("key"), "full_outer")
+      .crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .select(
+        when(col("__fa").isNotNull && col("__fb").isNotNull,
+          col("__fa").cast("double") * col("__fb").cast("double"))
+          .when(col("__fa").isNotNull,
+            col("__fa").cast("double") * (col("rest_b") / col("restndv_b")))
+          .otherwise(col("__fb").cast("double") * (col("rest_a") / col("restndv_a")))
+          .as("__pk"))
+      .agg(coalesce(max("__pk"), lit(0.0)).as("__hmax"))
+    val est = joinSizeEstimate(statsA, heavyA, statsB, heavyB, keyColA, keyColB)
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(hmax)).crossJoin(broadcast(est))
+      .withColumn("max_key_est", round(greatest(col("__hmax"),
+        (col("rest_a") / col("restndv_a")) * (col("rest_b") / col("restndv_b"))), 2))
+      .withColumn("decision",
+        when(least(col("n_a"), col("n_b")) <= broadcastRowLimit, lit("broadcast"))
+          .when(col("max_key_est") > perKeyRowBudget.toDouble, lit("salted_smj"))
+          .otherwise(lit("shuffle_smj")))
+      .withColumn("build_side",
+        when(col("decision") =!= "broadcast", lit("none"))
+          .when(col("n_b") <= col("n_a"), lit("b")).otherwise(lit("a")))
+      .withColumn("salt_factor",
+        when(col("decision") === "salted_smj",
+          least(lit(maxSaltFactor.toLong),
+            ceil(col("max_key_est") / perKeyRowBudget.toDouble)))
+          .otherwise(lit(1L)).cast("bigint"))
+      .select(col("decision"), col("build_side"), col("salt_factor"),
+        col("max_key_est"), col("est_rows"), col("est_uniform"),
+        col("n_a"), col("n_b"))
+  }
+
   private def histogramWith(vals: DataFrame, stats: DataFrame,
                             nBuckets: Int): DataFrame =
     vals.crossJoin(broadcast(stats))
