@@ -979,19 +979,25 @@ object Similarity {
     * per node), so the pivot self-join emits ≤ 4k² candidates per node
     * and the round's `distinct` state is ≤ N·(2k)² edge ids — a
     * k-budgeted bound, unlike the banding family's skew-exposed
-    * streams. Scoring re-attaches vectors to ≤ N·(4k²+2k) id pairs via
-    * two broadcast-or-shuffle hash joins; past [[GridVerifyMinN]]
-    * vectors the same P×P grid cogroup shape applies if the re-attach
-    * exchange ever dominates (same argument as [[verifyPairsGrid]] —
-    * not wired here because the pool is k-budgeted, ~100·N rows at
-    * k=5, two decades below the banding family's candidate streams).
+    * streams. Pairs are scored ONCE in canonical (lo, hi) order (cosine
+    * is symmetric bit-for-bit) and mirrored before ranking, so the
+    * vector-attached stage carries ≤ N·(2k²+k) undirected pairs.
+    * Scoring shape: two hash joins by default, or the P×P grid cogroup
+    * ([[scorePairsGrid]], `gridScore = true`) with [[verifyPairsGrid]]'s
+    * bit-identical-cosine contract — measured at sf10 (2 M vectors) the
+    * join form is the single-box winner (269 s vs the grid's 340 s, and
+    * the grid's object-serialized cogroup sort spills past this box's
+    * ~78 GB scratch after the canonical halving), while the grid is the
+    * network shape (pairs cross at 20 B/row vs pair×vector bytes) for
+    * cluster deployments to choose BY MEASUREMENT.
     * One round is the registered default: seeds at constant occupancy
     * already give high recall and each extra round costs a full
     * score-and-rank pass (the WWW 2011 convergence loop is for random
     * init, where round 1 starts from nothing). */
   def knnGraph(embeddings: DataFrame, k: Int = 5,
                planes: Int = 0, bandBits: Int = 0,
-               nHint: Long = 0L, descentRounds: Int = 1): DataFrame = {
+               nHint: Long = 0L, descentRounds: Int = 1,
+               gridScore: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(descentRounds >= 0, s"descentRounds must be >= 0, got $descentRounds")
     require((planes > 0) == (bandBits > 0),
@@ -1000,9 +1006,33 @@ object Similarity {
     val nEff = if (nHint > 0) nHint else if (planes > 0) 0L else n.count()
     val (p, r) = if (planes > 0) (planes, bandBits) else knnBanding(nEff)
     val cand0 = pairCandIds(bandsOf(n, p, r, 0, 0.0))
-    val e0 = cand0.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(cand0.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var g = graft.core.CacheScope.persisted(topKEdges(scoreEdges(e0, n), k))
+    // Scoring shape is caller-owned, JOIN by default — measured at sf10
+    // (2 M vectors): the two-join re-attach ran 269 s warm where the grid
+    // cogroup ran 340 s and, after the canonical-pair halving, exceeded
+    // the box's ~78 GB shuffle scratch outright (object-serialized
+    // cogroup sort spill ≫ the unsafe-row join spill). The grid remains
+    // the CLUSTER shape — pairs cross the network at 20 B/row vs the
+    // join's pair×vector bytes — so `gridScore = true` is for deployments
+    // where the exchange is network-bound, chosen by measurement, not by
+    // an in-library size switch that single-box evidence contradicts.
+    val grid = gridScore
+    // Cosine is symmetric (bit-identical either way: per-dim products
+    // commute, the fold order over dims is fixed), so every pair is
+    // scored ONCE in canonical (lo, hi) order and the scored frame is
+    // mirrored before ranking — the expensive vector-attached stage
+    // halves; only the cheap 3-column mirror feeds the top-k window.
+    // The scored frame MUST be persisted before the union references it
+    // twice: unpersisted, both union branches re-evaluate the whole
+    // scoring subplan — double the attach compute AND double the live
+    // shuffle files (ReuseExchange does not fire across the branches;
+    // measured at sf10 as a >78 GB scratch overflow where the persisted
+    // form's diamonds fit comfortably).
+    def mirror(sc0: DataFrame) = {
+      val sc = graft.core.CacheScope.persisted(sc0)
+      sc.union(sc.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+    }
+    var g = graft.core.CacheScope.persisted(topKEdges(mirror(scoreEdges(
+      cand0.select(col("id_a").as("src"), col("id_b").as("dst")), n, grid)), k))
     (1 to descentRounds).foreach { _ =>
       val bySrc = org.apache.spark.sql.expressions.Window
         .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
@@ -1013,26 +1043,98 @@ object Similarity {
       val revK = g.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
         .withColumn("__rr", row_number().over(bySrc))
         .filter(col("__rr") <= k)
-      val b = g.select("src", "dst").union(revK.select("src", "dst")).distinct()
+      val b = graft.core.CacheScope.persisted(
+        g.select("src", "dst").union(revK.select("src", "dst")).distinct())
+      // Candidate pairs are UNDIRECTED (each offers both endpoints a
+      // neighbor — Dong et al.'s formulation): the pivot emits each dst
+      // pair once (x.dst < y.dst, not !=), the general-neighbor frame
+      // canonicalizes, and the mirror above restores both directions at
+      // rank time. Pivot fan-out stays bounded by the DIRECTED b (both
+      // caps at k), ≤ 2k² canonical pairs per pivot node.
+      val bU = b.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       val c1 = b.as("x").join(b.as("y"),
-          col("x.src") === col("y.src") && col("x.dst") =!= col("y.dst"))
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
         .select(col("x.dst").as("src"), col("y.dst").as("dst"))
-      val pool = b.union(c1).distinct()
-      val g2 = graft.core.CacheScope.persisted(topKEdges(scoreEdges(pool, n), k))
+      val pool = bU.union(c1).distinct()
+      val g2 = graft.core.CacheScope.persisted(
+        topKEdges(mirror(scoreEdges(pool, n, grid)), k))
       g.unpersist(blocking = false)
+      b.unpersist(blocking = false)
       g = g2
     }
     g.select(col("src").as("vec_id"), col("rank"), col("dst").as("nn_id"))
   }
 
   /** Exact cosine over (src, dst) edge ids — the re-attach + score step
-    * shared by [[knnGraph]]'s seeding and refinement passes. */
-  private def scoreEdges(edges: DataFrame, n: DataFrame): DataFrame =
-    edges
+    * shared by [[knnGraph]]'s seeding and refinement passes. `grid`
+    * switches to [[scorePairsGrid]]; both forms are bit-identical
+    * (KnnGridScoreSpec pins it on banding candidates). */
+  private[llmdata] def scoreEdges(edges: DataFrame, n: DataFrame,
+                         grid: Boolean = false): DataFrame =
+    if (grid) scorePairsGrid(edges, n)
+    else edges
       .join(n.select(col("vec_id").as("src"), col("ed").as("__ea"), col("nrm").as("__na")), "src")
       .join(n.select(col("vec_id").as("dst"), col("ed").as("__eb"), col("nrm").as("__nb")), "dst")
       .select(col("src"), col("dst"),
         expr(sparkCosPre("__ea", "__eb", "__na", "__nb")).as("cos"))
+
+  /** Grid-blocked exact-cosine SCORING of (src, dst) edge ids — the
+    * [[verifyPairsGrid]] shape emitting the cosine instead of applying a
+    * threshold, for consumers that rank (the k-NN graph's top-k) rather
+    * than filter. Same cell scheme (pairs shuffle at ~20 B/row keyed by
+    * (src mod P)·P + dst mod P; vectors replicate P ways, never attached
+    * to a pair across an exchange), same JVM fold (dim-ascending add
+    * order — [[graft.functions.ArrayDot]]'s, so cosines are bit-identical
+    * to the join form's `array_dot`), and the same degenerate-input
+    * contract: a zero norm divides by zero, which the join form's Spark
+    * `Divide` returns as NULL — mirrored here with an Option (None → SQL
+    * NULL), so desc-ordered ranking places it last on both paths (the
+    * JVM's NaN would sort FIRST under Spark's desc, silently promoting
+    * zero-norm vectors into every top-k — do not "simplify" the Option
+    * away). Pairs referencing ids absent from `n` drop, as the join
+    * form's inner joins drop them. */
+  private[llmdata] def scorePairsGrid(pairs: DataFrame, n: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = gridSide(spark)
+    val cells = pairs.select(
+        (pmod(col("src"), lit(p)) * p + pmod(col("dst"), lit(p))).cast("int").as("_1"),
+        col("src").as("_2"), col("dst").as("_3"))
+      .as[(Int, Long, Long)]
+    def replicated(aSide: Boolean) = {
+      val own = pmod(col("vec_id"), lit(p))
+      n.select(col("vec_id"), col("ed"), col("nrm"))
+        .withColumn("__o", explode(expr(s"sequence(0, ${p - 1})")))
+        .select(
+          (if (aSide) own * p + col("__o") else col("__o") * p + own).cast("int").as("_1"),
+          lit(if (aSide) 0 else 1).as("_2"),
+          col("vec_id").as("_3"), col("ed").as("_4"), col("nrm").as("_5"))
+        .as[(Int, Int, Long, Array[Double], Double)]
+    }
+    val vecs = replicated(aSide = true).unionByName(replicated(aSide = false))
+    vecs.groupByKey(_._1).cogroup(cells.groupByKey(_._1)) { (_, vit, pit) =>
+      val am = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
+      val bm = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
+      vit.foreach { v =>
+        if (v._4 != null) {
+          if (v._2 == 0) am.put(v._3, (v._4, v._5)) else bm.put(v._3, (v._4, v._5))
+        }
+      }
+      pit.flatMap { pr =>
+        val a = am.get(pr._2); val b = bm.get(pr._3)
+        if (a == null || b == null || a._1.length != b._1.length) Iterator.empty
+        else {
+          val ea = a._1; val eb = b._1
+          var s = 0.0; var i = 0
+          while (i < ea.length) { s += ea(i) * eb(i); i += 1 }
+          val denom = a._2 * b._2
+          Iterator.single((pr._2, pr._3,
+            if (denom == 0.0) Option.empty[Double] else Some(s / denom)))
+        }
+      }
+    }.toDF("src", "dst", "cos")
+  }
 
   /** Per-src top-k of scored edges by (cos desc, dst asc) — the
     * [[exactRerank]] rank contract on the graph's edge frame (cos kept:

@@ -1078,14 +1078,16 @@ object LlmData {
        |           FROM (SELECT dst AS src, src AS dst, cos FROM gk))
        |        WHERE rk <= $k),
        |b0 AS (SELECT src, dst FROM gk UNION SELECT src, dst FROM rvk),
+       |bu AS (SELECT least(src, dst) AS src, greatest(src, dst) AS dst FROM b0),
        |c1 AS (SELECT DISTINCT x.dst AS src, y.dst AS dst
-       |       FROM b0 x JOIN b0 y ON x.src = y.src AND x.dst != y.dst),
-       |pool AS (SELECT src, dst FROM b0 UNION SELECT src, dst FROM c1),
+       |       FROM b0 x JOIN b0 y ON x.src = y.src AND x.dst < y.dst),
+       |pool AS (SELECT src, dst FROM bu UNION SELECT src, dst FROM c1),
        |s1 AS (SELECT src, dst, ${Similarity.duckCosPre("q.ed", "e.ed", "q.nrm", "e.nrm")} AS cos
-       |       FROM pool JOIN n2 q ON pool.src = q.vec_id JOIN n2 e ON pool.dst = e.vec_id)
+       |       FROM pool JOIN n2 q ON pool.src = q.vec_id JOIN n2 e ON pool.dst = e.vec_id),
+       |s1m AS (SELECT src, dst, cos FROM s1 UNION ALL SELECT dst AS src, src AS dst, cos FROM s1)
        |SELECT vec_id, rank, nn_id FROM
        |  (SELECT src AS vec_id, dst AS nn_id, cos,
-       |     CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank FROM s1)
+       |     CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank FROM s1m)
        |WHERE rank <= $k""".stripMargin
 
   /** DuckDB twin of Similarity.lshNearDupPairs at its SIZE-ADAPTIVE dup

@@ -555,8 +555,10 @@ object TableStats {
     require(broadcastRowLimit >= 1, s"broadcastRowLimit must be >= 1, got $broadcastRowLimit")
     require(perKeyRowBudget >= 1, s"perKeyRowBudget must be >= 1, got $perKeyRowBudget")
     require(maxSaltFactor >= 2, s"maxSaltFactor must be >= 2, got $maxSaltFactor")
+    // No requireOneStatsRow here: the joinSizeEstimate call below guards
+    // the SAME four frames with the same keys — duplicating the check
+    // would add two more count actions per invocation for zero coverage.
     def side(stats: DataFrame, heavy: DataFrame, keyCol: String, tag: String) = {
-      requireOneStatsRow(stats, keyCol, s"joinStrategyChoice side $tag")
       val tot = stats.filter(col("column") === keyCol)
         .select(col("n_rows").cast("bigint").as(s"n_$tag"),
           col("ndv_est").cast("double").as(s"ndv_$tag"))
