@@ -196,6 +196,43 @@ object LlmData {
     // oracle derives identical knobs from count(*) via the same ladder.
     "e_knn_graph" -> ((s, d) => Similarity.knnGraph(embs(s, d), k = 5,
       nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))),
+    // The graph axis feeding the cluster family end-to-end: k-NN edges →
+    // mutual-kNN sparsifier (keep an edge only if BOTH endpoints rank
+    // each other) → exact-cosine verify at the dedup family's 0.4
+    // threshold → the same min-label propagation c_clusters runs on
+    // MinHash pairs. BOTH gates are load-bearing: mutuality alone
+    // percolates (measured: the unverified mutual 5-NN graph on the
+    // fixture is one giant deep component — every label collapses to 0
+    // and no fixed unroll converges), while the threshold alone is the
+    // plain near-dup row; together the components are tight near-dup
+    // groups (measured at sf0.01: 46 edges, 81 nodes, 36 clusters,
+    // 3-round fixpoint — KnnClustersSpec pins convergence). One
+    // derivation of the graph on both sides: the oracle appends its
+    // mutual+verify+propagation CTEs to e_knn_graph's own chain, so the
+    // composition cannot drift from the axis it consumes.
+    "x_knn_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val g = Similarity.knnGraph(embs(s, d), k = 5,
+        nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))
+      val e = g.select(col("vec_id").as("id_a"), col("nn_id").as("id_b"))
+      val n = Similarity.withNorm(embs(s, d))
+      // localCheckpoint truncates the graph's lineage before propagation:
+      // each min-label round embeds the previous round's plan TWICE
+      // (labels ⋈ (edges ⋈ labels)), so 3 rounds carry 2³ copies of
+      // whatever sits underneath — on top of the knn build's deep plan
+      // that blows the DRIVER (plan-string OOM), long before any data
+      // does. Same move clusterLabelsConverged documents per-round.
+      val mutual = e.intersect(
+          e.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+        .join(n.select(col("vec_id").as("id_a"), col("ed").as("__ea"), col("nrm").as("__na")), "id_a")
+        .join(n.select(col("vec_id").as("id_b"), col("ed").as("__eb"), col("nrm").as("__nb")), "id_b")
+        .filter(expr(Similarity.sparkCosPre("__ea", "__eb", "__na", "__nb")) >= 0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+      graft.llmdata.CorpusOps.clusterLabels(mutual, iterations = 3)
+        .select(col("doc_id").as("vec_id"), col("cluster"))
+    }),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     // Index round trip: build + store the IVF layout (cell-partitioned),
     // then serve the same probe from the stored index — result must equal
@@ -1061,7 +1098,15 @@ object LlmData {
     * same edge set, same exact cosines, same (cos DESC, id ASC) rank
     * contract. */
   private def knnGraphSql(k: Int): String =
-    s"""WITH $normCte,
+    s"WITH ${knnGraphCtes(k)}\nSELECT vec_id, rank, nn_id FROM knn"
+
+  /** The e_knn_graph twin as a reusable CTE chain ending in
+    * `knn(vec_id, rank, nn_id)` — shared with the x_knn_clusters
+    * composition oracle, which appends the mutual filter + label
+    * propagation on top of the SAME edge derivation (one source of
+    * truth for the graph; the composition can't drift from the axis). */
+  private def knnGraphCtes(k: Int): String =
+    s"""$normCte,
        |${knnKnobsCte("n2")},
        |${dynBandsCte("bands", "n2", "ed")},
        |c0 AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
@@ -1084,11 +1129,35 @@ object LlmData {
        |pool AS (SELECT src, dst FROM bu UNION SELECT src, dst FROM c1),
        |s1 AS (SELECT src, dst, ${Similarity.duckCosPre("q.ed", "e.ed", "q.nrm", "e.nrm")} AS cos
        |       FROM pool JOIN n2 q ON pool.src = q.vec_id JOIN n2 e ON pool.dst = e.vec_id),
-       |s1m AS (SELECT src, dst, cos FROM s1 UNION ALL SELECT dst AS src, src AS dst, cos FROM s1)
-       |SELECT vec_id, rank, nn_id FROM
-       |  (SELECT src AS vec_id, dst AS nn_id, cos,
-       |     CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank FROM s1m)
-       |WHERE rank <= $k""".stripMargin
+       |s1m AS (SELECT src, dst, cos FROM s1 UNION ALL SELECT dst AS src, src AS dst, cos FROM s1),
+       |knn AS (SELECT vec_id, rank, nn_id FROM
+       |          (SELECT src AS vec_id, dst AS nn_id, cos,
+       |             CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank FROM s1m)
+       |        WHERE rank <= $k)""".stripMargin
+
+  /** x_knn_clusters twin: the knn CTE chain + mutual-kNN sparsifier +
+    * the c_clusters-style 3-round min-label propagation unroll. */
+  private def knnClustersSql(k: Int): String = {
+    val rounds = (1 to 3).map { i =>
+      s"""m$i AS (SELECT e.src AS vec_id, min(x.cluster) AS nbr
+         |        FROM kedges e JOIN l${i - 1} x ON e.dst = x.vec_id GROUP BY e.src),
+         |l$i AS (SELECT l.vec_id, least(l.cluster, coalesce(m.nbr, l.cluster)) AS cluster
+         |        FROM l${i - 1} l LEFT JOIN m$i m USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnGraphCtes(k)},
+       |kg AS (SELECT vec_id AS src, nn_id AS dst FROM knn),
+       |mu AS (SELECT g.src AS id_a, g.dst AS id_b FROM kg g
+       |       JOIN kg r ON g.src = r.dst AND g.dst = r.src
+       |       WHERE g.src < g.dst),
+       |muv AS (SELECT id_a, id_b FROM mu
+       |        JOIN n2 a ON mu.id_a = a.vec_id JOIN n2 b ON mu.id_b = b.vec_id
+       |        WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4),
+       |kedges AS (SELECT id_a AS src, id_b AS dst FROM muv
+       |           UNION ALL SELECT id_b, id_a FROM muv),
+       |l0 AS (SELECT DISTINCT src AS vec_id, src AS cluster FROM kedges),
+       |$rounds
+       |SELECT vec_id, cluster FROM l3""".stripMargin
+  }
 
   /** DuckDB twin of Similarity.lshNearDupPairs at its SIZE-ADAPTIVE dup
     * banding (see [[Similarity.dupBanding]]; at the sf0.01 oracle scale
@@ -1585,6 +1654,7 @@ object LlmData {
     "e_semdedup_h" -> semDedupHierSql,
     "e_lsh_topk" -> lshTopkSql,
     "e_knn_graph" -> knnGraphSql(5),
+    "x_knn_clusters" -> knnClustersSql(5),
     "e_lsh_multiprobe" -> lshMultiprobeSql,
     "e_ivf_topk" -> ivfTopkSql,
     "e_ivf_index" -> ivfTopkSql,
