@@ -29,11 +29,18 @@ object JoinPlanner {
 
   /** Inner-join `a` with `b` on the shared column `key`, with the
     * strategy chosen by [[TableStats.joinStrategyChoice]] from the four
-    * stats frames. `saltOn` feeds [[SkewJoin.saltedJoin]]'s salt basis
-    * (pass a high-cardinality column of the BIGGER side when one
-    * exists). Thresholds are caller-owned: row-count knobs, not bytes,
-    * because the stats frames carry row counts — callers with width
-    * estimates fold them into the limits. */
+    * stats frames. `saltOn` feeds [[SkewJoin.saltedJoin]]'s salt basis:
+    * pass high-cardinality columns of EITHER side (or both) — the salt
+    * hashes the big side's rows, and WHICH side is big is the stats'
+    * decision, not the caller's, so `saltOn` is filtered down to the
+    * columns present on the side the decision picked (none present →
+    * saltedJoin's whole-row default). Without the filter a saltOn naming
+    * only one side's columns would throw AnalysisException — or silently
+    * hash a same-named different column — whenever the stats flip which
+    * side is bigger: a data-dependent runtime failure in a planner meant
+    * to be hands-off. Thresholds are caller-owned: row-count knobs, not
+    * bytes, because the stats frames carry row counts — callers with
+    * width estimates fold them into the limits. */
   def autoJoin(a: DataFrame, b: DataFrame, key: String,
                statsA: DataFrame, heavyA: DataFrame,
                statsB: DataFrame, heavyB: DataFrame,
@@ -50,14 +57,17 @@ object JoinPlanner {
         else broadcast(a).join(b, Seq(key))
       case "salted_smj" =>
         val salt = d.getLong(2).toInt
+        // The salt basis must name columns of the side being salted —
+        // keep only those on the stats-chosen big side (see scaladoc).
+        def saltColsOf(big: DataFrame) = saltOn.filter(big.columns.contains)
         // Salt the side with more rows; replicate the other ×salt.
         if (d.getLong(3) >= d.getLong(4))
-          SkewJoin.saltedJoin(a, b, Seq(key), salt, saltOn = saltOn)
+          SkewJoin.saltedJoin(a, b, Seq(key), salt, saltOn = saltColsOf(a))
         else {
           // saltedJoin's output column order is (big ++ small); re-project
           // to (a ++ b) so the caller-visible schema does not depend on
           // which side the stats said was bigger.
-          val joined = SkewJoin.saltedJoin(b, a, Seq(key), salt, saltOn = saltOn)
+          val joined = SkewJoin.saltedJoin(b, a, Seq(key), salt, saltOn = saltColsOf(b))
           val cols = col(key) +: (a.columns.filterNot(_ == key) ++
             b.columns.filterNot(_ == key)).toIndexedSeq.map(col)
           joined.select(cols: _*)

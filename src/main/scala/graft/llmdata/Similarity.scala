@@ -910,6 +910,88 @@ object Similarity {
           && noEarlierSharedBand("a.__pre", "b.__pre"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
 
+  /** BUCKET-LOCAL seed scoring for [[knnGraph]]: [[pairCandIds]]'s
+    * exactly-once band-bucket self-join with the exact cosine computed
+    * INSIDE the join, where the colliding vectors are already co-located
+    * — emits (src, dst, cos) in canonical (lo, hi) order directly.
+    *
+    * Why this is the 100 TB shape of graph seeding: unlike the near-dup
+    * family (whose verify emits only the rare pairs above a threshold),
+    * the graph build must SCORE every banding candidate to rank top-k,
+    * so the former join-form seed ([[seedPairsJoinForm]]) shipped the
+    * FULL candidate stream through a pair×vector-bytes re-attach
+    * exchange — measured at 2 M vectors (~2-3·10⁸ candidates by the
+    * [[knnBanding]] occupancy ladder) as a >78 GB scratch overflow, the
+    * library's one remaining single-box wall. Here the only exchange
+    * carrying vectors is the band frame itself — bands × N rows, ~16×
+    * less at 2 M × 8 bands — and the candidate pairs are born 24 B/row
+    * scored rows inside the join's output projection, never exchanged
+    * with vectors attached. The same property makes it the cluster
+    * shape: the candidate stream never exists as an exchanged dataset.
+    *
+    * Bit-identity contract (KnnSeedScoreSpec pins it): the join predicate
+    * is [[pairCandIds]]'s — same band values (the [[bandsOf]] kernel on
+    * uncentered `ed`), same exactly-once first-shared-band gate — and the
+    * cosine is [[sparkCosPre]] with the same (lo, hi) operand order as
+    * [[scoreEdges]]'s src/dst attach, so edge set AND doubles match the
+    * join form bit for bit. NULL embeddings produce no band rows in
+    * either form (null signatures are filtered by [[explodeWithPrefix]]),
+    * so the forms agree on degenerate inputs too.
+    *
+    * Returns (scored, cache): the bucket-keyed band+vector frame is
+    * persisted and returned for the caller to release once the scored
+    * frame has materialized. */
+  private[llmdata] def scoreSeedPairsInBuckets(n: DataFrame, planes: Int,
+                                               bandBits: Int): (DataFrame, DataFrame) = {
+    require(bandBits >= 1 && bandBits <= 63, s"bandBits $bandBits out of [1, 63]")
+    require(planes % bandBits == 0, s"planes $planes not divisible by bandBits $bandBits")
+    require(planes <= graft.functions.HashKernels.MaxPlanes,
+      s"planes $planes exceeds the plane table (${graft.functions.HashKernels.MaxPlanes})")
+    val bands = planes / bandBits
+    val arr = (0 until bands)
+      .map(c => s"hyperplane_sig_at(ed, ${c * bandBits}, $bandBits)")
+      .mkString("array(", ", ", ")")
+    // The exploded band+vector frame is repartitioned ONCE by the bucket
+    // key and persisted WITH that partitioning (cached plans keep their
+    // outputPartitioning): both self-join sides then read the cache
+    // co-partitioned and the join inserts ZERO further exchanges — the
+    // vectors cross exactly one shuffle, by construction, instead of
+    // relying on AQE stage reuse to dedup two identical exchanges
+    // (measured: reuse does NOT fire across the self-join's sides — the
+    // canonicalized cache scans differ — so the naive form shuffles the
+    // bands×N vector rows twice). The cache holds bands×N rows (the
+    // exchange's own volume, ~10 GB at 2 M × 8 bands, MEMORY_AND_DISK);
+    // that is the price of writing the shuffle once and reading it twice,
+    // and the caller frees it as soon as the scored frame materializes.
+    val bv = graft.core.CacheScope.persisted(
+      n.withColumn("__bands", expr(arr))
+        .select(col("vec_id"), col("ed"), col("nrm"), col("__bands"),
+          posexplode(col("__bands")))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+        .filter(col("band_val").isNotNull)
+        .withColumn("__pre", expr("slice(__bands, 1, band)"))
+        .drop("__bands")
+        .repartition(col("band"), col("band_val")))
+    val scored = bv.as("a").join(bv.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+          && col("a.vec_id") < col("b.vec_id")
+          && noEarlierSharedBand("a.__pre", "b.__pre"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        expr(sparkCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")).as("cos"))
+    (scored, bv)
+  }
+
+  /** The former JOIN-FORM seed scorer — banding candidates through
+    * [[scoreEdges]]'s two vector re-attach hash joins — kept as the
+    * bit-identity reference for [[scoreSeedPairsInBuckets]]
+    * (KnnSeedScoreSpec compares edge sets and cosine bits), not used by
+    * [[knnGraph]] since the bucket-local rework cleared its measured
+    * sf100 wall. */
+  private[llmdata] def seedPairsJoinForm(n: DataFrame, planes: Int,
+                                         bandBits: Int): DataFrame =
+    scoreEdges(pairCandIds(bandsOf(n, planes, bandBits, 0, 0.0))
+      .select(col("id_a").as("src"), col("id_b").as("dst")), n)
+
   /** The candidate PAIRS a given banding config would verify — public so
     * banding selectivity (candidate count / N·(N−1)/2) is a measurable,
     * regression-testable quantity per config instead of a buried cost.
@@ -971,9 +1053,13 @@ object Similarity {
     * sharing ≥ 1 band; neighbors-of-neighbors via a pivot self-join)
     * where Spark streams exactly-once band collisions.
     *
-    * Scale shape: seeding reuses [[pairCandIds]] — exactly-once band
-    * collisions, no candidate-wide distinct, candidate volume Θ(N) by
-    * the [[knnBanding]] occupancy ladder. Each refinement round is
+    * Scale shape: seeding is BUCKET-LOCAL ([[scoreSeedPairsInBuckets]])
+    * — exactly-once band collisions scored inside the bucket self-join
+    * where the colliding vectors are co-located, so the seed's only
+    * vector-carrying exchange is bands × N rows and the Θ(N)-by-ladder
+    * candidate stream is born as 24 B/row scored pairs (the former
+    * join-form re-attach shipped candidates × vector bytes and walled
+    * this box at 2 M vectors). Each refinement round is
     * bounded by STRUCTURE, not data: the general-neighbor frame B caps
     * both directions at k (forward ranks + reverse edges re-capped at k
     * per node), so the pivot self-join emits ≤ 4k² candidates per node
@@ -981,15 +1067,18 @@ object Similarity {
     * k-budgeted bound, unlike the banding family's skew-exposed
     * streams. Pairs are scored ONCE in canonical (lo, hi) order (cosine
     * is symmetric bit-for-bit) and mirrored before ranking, so the
-    * vector-attached stage carries ≤ N·(2k²+k) undirected pairs.
-    * Scoring shape: two hash joins by default, or the P×P grid cogroup
-    * ([[scorePairsGrid]], `gridScore = true`) with [[verifyPairsGrid]]'s
-    * bit-identical-cosine contract — measured at sf10 (2 M vectors) the
-    * join form is the single-box winner (269 s vs the grid's 340 s, and
-    * the grid's object-serialized cogroup sort spills past this box's
-    * ~78 GB scratch after the canonical halving), while the grid is the
-    * network shape (pairs cross at 20 B/row vs pair×vector bytes) for
-    * cluster deployments to choose BY MEASUREMENT.
+    * refinement's vector-attached stage carries ≤ N·(2k²+k) undirected
+    * pairs. Refinement scoring shape: two hash joins by default, or the
+    * P×P grid cogroup ([[scorePairsGrid]], `gridScore = true`, which
+    * also switches the seed to grid-scored [[pairCandIds]] output) with
+    * [[verifyPairsGrid]]'s bit-identical-cosine contract — measured at
+    * sf10 (200 k vectors) the join form is the single-box winner (269 s
+    * vs the grid's 340 s, and the grid's object-serialized cogroup sort
+    * spills past this box's ~78 GB scratch after the canonical halving),
+    * while the grid is the network shape (pairs cross at 20 B/row vs
+    * pair×vector bytes) for cluster deployments to choose BY
+    * MEASUREMENT — see the design note on [[scorePairsGrid]] tying that
+    * choice to the stored-stats decision machinery.
     * One round is the registered default: seeds at constant occupancy
     * already give high recall and each extra round costs a full
     * score-and-rank pass (the WWW 2011 convergence loop is for random
@@ -1005,34 +1094,59 @@ object Similarity {
     val n = graft.core.CacheScope.persisted(withNorm(embeddings))
     val nEff = if (nHint > 0) nHint else if (planes > 0) 0L else n.count()
     val (p, r) = if (planes > 0) (planes, bandBits) else knnBanding(nEff)
-    val cand0 = pairCandIds(bandsOf(n, p, r, 0, 0.0))
-    // Scoring shape is caller-owned, JOIN by default — measured at sf10
-    // (2 M vectors): the two-join re-attach ran 269 s warm where the grid
-    // cogroup ran 340 s and, after the canonical-pair halving, exceeded
-    // the box's ~78 GB shuffle scratch outright (object-serialized
-    // cogroup sort spill ≫ the unsafe-row join spill). The grid remains
-    // the CLUSTER shape — pairs cross the network at 20 B/row vs the
-    // join's pair×vector bytes — so `gridScore = true` is for deployments
-    // where the exchange is network-bound, chosen by measurement, not by
-    // an in-library size switch that single-box evidence contradicts.
+    // Scoring shapes, all bit-identical (KnnSeedScoreSpec / KnnGridScoreSpec):
+    //  - SEED, default: bucket-local ([[scoreSeedPairsInBuckets]]) — the
+    //    cosine is computed INSIDE the band-bucket self-join where the
+    //    colliding vectors are already co-located, so the exchange is
+    //    bands × N vector rows and the candidate stream never exists as
+    //    an exchanged dataset. The former join-form seed shipped every
+    //    candidate through a pair×vector-bytes re-attach (~2-3·10⁸ pairs
+    //    at 2 M vectors = the measured >78 GB sf100 wall); it survives as
+    //    [[seedPairsJoinForm]] for the bit-identity contract spec.
+    //  - REFINEMENT: join re-attach by default — the pool is k-budgeted
+    //    (≤ N·(2k²+k) pairs), measured the single-box winner at sf10
+    //    (269 s vs the grid's 340 s before the canonical halving; the
+    //    grid's object-serialized cogroup sort spilled past this box's
+    //    ~78 GB scratch after it). `gridScore = true` switches BOTH
+    //    stages to the P×P grid ([[scorePairsGrid]]) — pairs cross the
+    //    network at 20 B/row vs pair×vector bytes, the shape for
+    //    deployments where the exchange is network-bound, chosen by
+    //    measurement, not by an in-library size switch that single-box
+    //    evidence contradicts.
     val grid = gridScore
     // Cosine is symmetric (bit-identical either way: per-dim products
     // commute, the fold order over dims is fixed), so every pair is
     // scored ONCE in canonical (lo, hi) order and the scored frame is
     // mirrored before ranking — the expensive vector-attached stage
     // halves; only the cheap 3-column mirror feeds the top-k window.
-    // The scored frame MUST be persisted before the union references it
-    // twice: unpersisted, both union branches re-evaluate the whole
-    // scoring subplan — double the attach compute AND double the live
-    // shuffle files (ReuseExchange does not fire across the branches;
-    // measured at sf10 as a >78 GB scratch overflow where the persisted
-    // form's diamonds fit comfortably).
-    def mirror(sc0: DataFrame) = {
+    // rankMirrored persists the scored frame (unpersisted, both union
+    // branches re-evaluate the whole scoring subplan — double the attach
+    // compute AND double the live shuffle files; measured at sf10 as a
+    // >78 GB scratch overflow), EAGERLY materializes the top-k (the
+    // count's work is the first consumption's, done once and cached),
+    // then frees the scored diamond — so per-round intermediates never
+    // outlive their round (the former lazy form leaked one
+    // MEMORY_AND_DISK scored frame per round for the session).
+    def rankMirrored(sc0: DataFrame): DataFrame = {
       val sc = graft.core.CacheScope.persisted(sc0)
-      sc.union(sc.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      val g = graft.core.CacheScope.persisted(topKEdges(
+        sc.union(sc.select(col("dst").as("src"), col("src").as("dst"), col("cos"))), k))
+      g.count()
+      sc.unpersist(blocking = false)
+      g
     }
-    var g = graft.core.CacheScope.persisted(topKEdges(mirror(scoreEdges(
-      cand0.select(col("id_a").as("src"), col("id_b").as("dst")), n, grid)), k))
+    var g = {
+      val (sc0, seedCache) =
+        if (grid) (scoreEdges(pairCandIds(bandsOf(n, p, r, 0, 0.0))
+            .select(col("id_a").as("src"), col("id_b").as("dst")), n, grid = true),
+          Option.empty[DataFrame])
+        else { val (s, c) = scoreSeedPairsInBuckets(n, p, r); (s, Some(c)) }
+      val g0 = rankMirrored(sc0)
+      // rankMirrored materialized the seed top-k, so the scorer's
+      // signature cache is no longer reachable from any live plan.
+      seedCache.foreach(_.unpersist(blocking = false))
+      g0
+    }
     (1 to descentRounds).foreach { _ =>
       val bySrc = org.apache.spark.sql.expressions.Window
         .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
@@ -1057,12 +1171,18 @@ object Similarity {
           col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
         .select(col("x.dst").as("src"), col("y.dst").as("dst"))
       val pool = bU.union(c1).distinct()
-      val g2 = graft.core.CacheScope.persisted(
-        topKEdges(mirror(scoreEdges(pool, n, grid)), k))
+      // rankMirrored materialized g2 — g/b can be freed without their
+      // lineage (the whole previous round) ever re-running.
+      val g2 = rankMirrored(scoreEdges(pool, n, grid))
       g.unpersist(blocking = false)
       b.unpersist(blocking = false)
       g = g2
     }
+    // The final g is materialized, so the norm frame is no longer
+    // reachable from the returned plan — free it here rather than
+    // leaking it to the session (the returned top-k frame itself stays
+    // persisted: caller-owns-release via CacheScope.scoped, N·k rows).
+    n.unpersist(blocking = false)
     g.select(col("src").as("vec_id"), col("rank"), col("dst").as("nn_id"))
   }
 
@@ -1093,7 +1213,31 @@ object Similarity {
     * JVM's NaN would sort FIRST under Spark's desc, silently promoting
     * zero-norm vectors into every top-k — do not "simplify" the Option
     * away). Pairs referencing ids absent from `n` drop, as the join
-    * form's inner joins drop them. */
+    * form's inner joins drop them; pairs whose id EXISTS but whose
+    * embedding is NULL or dimension-mismatched are KEPT with a NULL cos
+    * — the join form's inner joins succeed on such rows and `array_dot`
+    * returns NULL on a null or length-mismatched input, so dropping them
+    * here would be an edge-set divergence from the bit-identical
+    * contract (a null nrm rides as a 0.0 placeholder through the tuple
+    * encoder — it is only ever read when both embeddings are non-null
+    * same-length arrays, which forces nrm non-null).
+    *
+    * Design note — grid vs join as a STATS-LOOP DECISION: `gridScore`
+    * stays caller-owned because the two shapes win in different regimes
+    * and the single-box evidence is settled (join 269 s vs grid 340 s at
+    * 200 k vectors; the grid's object-serialized cogroup sort spills
+    * where the join's unsafe-row exchange doesn't). The regime where the
+    * grid wins — a network-bound cluster exchange, where shipping pairs
+    * at 20 B/row beats shipping pair×vector bytes — is exactly the kind
+    * of choice [[graft.sources.TableStats.joinStrategyChoice]] already
+    * makes from standing stats: a deployment with per-link byte costs
+    * would fold `rowCount(pairs) × vecBytes` vs `rowCount(vectors) × P ×
+    * vecBytes + 20 × rowCount(pairs)` into the same stored-stats
+    * decision frame and set `gridScore` from the estimate, the way
+    * [[graft.core.JoinPlanner.autoJoin]] turns the join-strategy
+    * decision into a plan shape. Wiring that here is deliberately NOT
+    * done: this box cannot measure the network-bound regime, and an
+    * in-library size switch would contradict the measurement we do have. */
   private[llmdata] def scorePairsGrid(pairs: DataFrame, n: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -1104,7 +1248,7 @@ object Similarity {
       .as[(Int, Long, Long)]
     def replicated(aSide: Boolean) = {
       val own = pmod(col("vec_id"), lit(p))
-      n.select(col("vec_id"), col("ed"), col("nrm"))
+      n.select(col("vec_id"), col("ed"), coalesce(col("nrm"), lit(0.0)).as("nrm"))
         .withColumn("__o", explode(expr(s"sequence(0, ${p - 1})")))
         .select(
           (if (aSide) own * p + col("__o") else col("__o") * p + own).cast("int").as("_1"),
@@ -1117,13 +1261,14 @@ object Similarity {
       val am = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
       val bm = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
       vit.foreach { v =>
-        if (v._4 != null) {
-          if (v._2 == 0) am.put(v._3, (v._4, v._5)) else bm.put(v._3, (v._4, v._5))
-        }
+        if (v._2 == 0) am.put(v._3, (v._4, v._5)) else bm.put(v._3, (v._4, v._5))
       }
       pit.flatMap { pr =>
         val a = am.get(pr._2); val b = bm.get(pr._3)
-        if (a == null || b == null || a._1.length != b._1.length) Iterator.empty
+        if (a == null || b == null) Iterator.empty // id absent from n: inner joins drop it
+        else if (a._1 == null || b._1 == null || a._1.length != b._1.length)
+          // Row exists but array_dot would be NULL: keep the pair, NULL cos.
+          Iterator.single((pr._2, pr._3, Option.empty[Double]))
         else {
           val ea = a._1; val eb = b._1
           var s = 0.0; var i = 0

@@ -5,7 +5,47 @@ import org.apache.spark.sql.SparkSession
   * reps) from JVM/codegen startup (rep 1), which single-shot isolated
   * JVMs conflate. Dev tool for regression triage, not the driver bench. */
 object BenchIso {
+
+  /** Scratch hygiene guard (SCALING protocol): stale `blockmgr-*` /
+    * `spark-*` dirs left by CRASHED runs silently eat the shuffle
+    * scratch — two sf10 knn runs died of a full disk this way before the
+    * cause was found (the stale dirs held ~50 GB of a dead run's shuffle
+    * files). Before a decade run, refuse when such dirs exist and no
+    * OTHER live JVM could own them (`rm -rf /tmp/blockmgr-* /tmp/spark-*`
+    * is then safe); when another JVM is live, ownership is ambiguous —
+    * warn with the total size and proceed. `SPARK_GRAFT_ALLOW_STALE=1`
+    * overrides the refusal for runs that deliberately share scratch. */
+  private def scratchGuard(): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    val stale = Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-")))
+    if (stale.isEmpty) { println("[scratch-guard] clean: no blockmgr-*/spark-* dirs"); return }
+    def sizeOf(d: java.io.File): Long = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.map(f => if (f.isDirectory) sizeOf(f) else f.length()).sum
+    }
+    val bytes = stale.map(sizeOf).sum
+    val self = ProcessHandle.current().pid()
+    val otherJvms = ProcessHandle.allProcesses()
+      .filter(p => p.pid() != self && p.info().command()
+        .map[java.lang.Boolean](_.contains("java")).orElse(java.lang.Boolean.FALSE))
+      .count()
+    val msg = f"[scratch-guard] ${stale.length} stale scratch dir(s), ${bytes / 1e9}%.1f GB: " +
+      stale.take(5).map(_.getName).mkString(", ")
+    if (otherJvms > 0) {
+      println(s"$msg — another JVM is live, ownership ambiguous; proceeding")
+    } else if (sys.env.get("SPARK_GRAFT_ALLOW_STALE").contains("1")) {
+      println(s"$msg — SPARK_GRAFT_ALLOW_STALE=1, proceeding")
+    } else {
+      println(s"$msg — no live JVM owns them; clean up first:\n" +
+        "  rm -rf /tmp/blockmgr-* /tmp/spark-*   (or set SPARK_GRAFT_ALLOW_STALE=1)")
+      sys.exit(2)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    scratchGuard()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt

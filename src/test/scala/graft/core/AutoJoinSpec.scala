@@ -103,6 +103,32 @@ class AutoJoinSpec extends AnyFunSuite {
     assert(agg(j.select("k", "v", "v2")) == agg(a.join(b, Seq("k")).select("k", "v", "v2")))
   }
 
+  test("saltOn naming only one side's columns survives the stats flipping which side is big") {
+    // The planner, not the caller, decides which side gets salted — so a
+    // salt basis naming columns of only one side must not throw (or
+    // silently hash a same-named different column) when the decision
+    // lands on the other side: it filters to the chosen big side's
+    // columns and falls back to whole-row hashing when none remain.
+    val big = li.selectExpr(
+      "CASE WHEN l_orderkey % 10 < 9 THEN 1L ELSE 1L + l_suppkey % 99 END AS k",
+      "CAST(l_linenumber AS BIGINT) AS v", "l_orderkey")
+    val small = ord.selectExpr(
+      "CASE WHEN o_orderkey % 5 < 4 THEN 1L ELSE 1L + o_custkey % 49 END AS k",
+      "CAST(o_custkey AS BIGINT) AS v2")
+    // saltOn names big-side columns; big passed SECOND, so the stats pick
+    // the FIRST argument's opposite — the basis still applies (filtered
+    // to b's columns) and the join runs salted.
+    val j1 = auto(small, big, 100L, 1000000L, saltOn = Seq("l_orderkey", "v"))
+    assert(j1.queryExecution.executedPlan.toString.contains("__graft_salt"))
+    assert(agg(j1.select("k", "v", "v2")) == agg(small.join(big, Seq("k")).select("k", "v", "v2")))
+    // saltOn names SMALL-side columns while the stats salt big: before the
+    // per-side filter this threw AnalysisException (v2 absent on big);
+    // now it falls back to whole-row hashing on the salted side.
+    val j2 = auto(big, small, 100L, 1000000L, saltOn = Seq("v2"))
+    assert(j2.queryExecution.executedPlan.toString.contains("__graft_salt"))
+    assert(agg(j2.select("k", "v", "v2")) == agg(big.join(small, Seq("k")).select("k", "v", "v2")))
+  }
+
   test("empty heavy frames: max_key_est falls back to the residual-uniform per-key product") {
     val a = li.selectExpr("CAST(l_orderkey AS BIGINT) AS k")
     val b = ord.selectExpr("CAST(o_orderkey AS BIGINT) AS k")

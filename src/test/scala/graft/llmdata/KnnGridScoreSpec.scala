@@ -4,11 +4,16 @@ import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Grid-scored edges ≡ join-scored edges, bit for bit — the contract that
-  * lets knnGraph switch scoring shapes on corpus size without the result
-  * depending on which side of [[Similarity.GridVerifyMinN]] a run lands.
-  * Candidates come from the real banding path over the sf0.01 embedding
-  * fixture, so the compared pair set is the operator's own.
+/** Grid-scored edges ≡ join-scored edges, bit for bit — the contract
+  * behind the caller-owned `gridScore` flag: a cluster deployment that
+  * picks the grid shape (pairs cross the network at 20 B/row) and a
+  * single-box run on the join default must produce the same graph to the
+  * last bit. knnGraph deliberately does NOT auto-switch on corpus size —
+  * the single-box measurement contradicts a size switch (see the scale
+  * notes on knnGraph/scorePairsGrid) — so this spec covers deployment
+  * choice, not a size threshold. Candidates come from the real banding
+  * path over the sf0.01 embedding fixture, so the compared pair set is
+  * the operator's own.
   */
 class KnnGridScoreSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -72,5 +77,29 @@ class KnnGridScoreSpec extends AnyFunSuite {
     val joinRows = Similarity.scoreEdges(pairs, zn, grid = false)
       .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     assert(joinRows(2L).isEmpty)
+  }
+
+  test("degenerate-input parity: null and dimension-mismatched embeddings keep the pair with NULL cos in BOTH shapes") {
+    import spark.implicits._
+    // 1 = well-formed, 2 = null embedding, 3 = mismatched dimension,
+    // 4 = well-formed partner; pair (1,5) references an absent id.
+    val z = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(0.5f)), (4L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val zn = Similarity.withNorm(z)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    def collectBoth(grid: Boolean): Map[Long, Option[Double]] =
+      Similarity.scoreEdges(pairs, zn, grid)
+        .collect().map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val j = collectBoth(grid = false)
+    val g = collectBoth(grid = true)
+    assert(j.keySet == Set(2L, 3L, 4L),
+      "join form must keep null/mismatched pairs (NULL cos) and drop only absent ids")
+    assert(g.keySet == j.keySet,
+      s"grid form's edge set ${g.keySet} diverges from the join form's ${j.keySet}")
+    assert(j(2L).isEmpty && g(2L).isEmpty, "null embedding: NULL cos in both shapes")
+    assert(j(3L).isEmpty && g(3L).isEmpty, "dimension mismatch: NULL cos in both shapes")
+    assert(j(4L).isDefined && j(4L) == g(4L), "well-formed pair scores identically")
   }
 }
