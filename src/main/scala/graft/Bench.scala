@@ -4,7 +4,12 @@ object Bench {
   /** Rows with a measured multi-round warm-time spread (BASELINE.md's
     * per-row noise budgets) — benched min-of-5 so the official number
     * stops manufacturing phantom round-over-round regressions. */
-  private val ChurnRows = Set("j_skew_plain", "c_keepbest", "t_fertility")
+  private val ChurnRows = Set("j_skew_plain", "c_keepbest", "t_fertility",
+    // r12: x_rrf's warm floor is real (~3.3-3.9 s isolated min-of-5; the
+    // r10 1.47 s record was a low outlier) and s_plan_choice is
+    // floor-bound on ~30 tiny stats stages — both read as phantom
+    // regressions twice; budgets pinned in BASELINE.md.
+    "x_rrf", "s_plan_choice")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
