@@ -1066,19 +1066,18 @@ object Similarity {
     * and the round's `distinct` state is ≤ N·(2k)² edge ids — a
     * k-budgeted bound, unlike the banding family's skew-exposed
     * streams. Pairs are scored ONCE in canonical (lo, hi) order (cosine
-    * is symmetric bit-for-bit) and mirrored before ranking, so the
-    * refinement's vector-attached stage carries ≤ N·(2k²+k) undirected
-    * pairs. Refinement scoring shape: two hash joins by default, or the
-    * P×P grid cogroup ([[scorePairsGrid]], `gridScore = true`, which
-    * also switches the seed to grid-scored [[pairCandIds]] output) with
-    * [[verifyPairsGrid]]'s bit-identical-cosine contract — measured at
-    * sf10 (200 k vectors) the join form is the single-box winner (269 s
-    * vs the grid's 340 s, and the grid's object-serialized cogroup sort
-    * spills past this box's ~78 GB scratch after the canonical halving),
-    * while the grid is the network shape (pairs cross at 20 B/row vs
-    * pair×vector bytes) for cluster deployments to choose BY
-    * MEASUREMENT — see the design note on [[scorePairsGrid]] tying that
-    * choice to the stored-stats decision machinery.
+    * is symmetric bit-for-bit) and mirrored before ranking. Refinement
+    * scoring is PIVOT-LOCAL by default (the seed's bucket trick applied
+    * to NN-Descent: dst vectors ride the ≤ 2k·N neighbor frame into a
+    * pivot-co-partitioned cache, proposals are scored inline by the
+    * pivot self-join, known edges reuse their stored cosines — no pair
+    * ever crosses an exchange with a vector attached); `gridScore =
+    * true` switches both stages to the P×P grid cogroup
+    * ([[scorePairsGrid]], seed via grid-scored [[pairCandIds]] output)
+    * with [[verifyPairsGrid]]'s bit-identical-cosine contract — the
+    * network shape (pairs cross at 20 B/row) for cluster deployments to
+    * choose BY MEASUREMENT — see the design note on [[scorePairsGrid]]
+    * tying that choice to the stored-stats decision machinery.
     * One round is the registered default: seeds at constant occupancy
     * already give high recall and each extra round costs a full
     * score-and-rank pass (the WWW 2011 convergence loop is for random
@@ -1148,6 +1147,7 @@ object Similarity {
       g0
     }
     (1 to descentRounds).foreach { _ =>
+      var pivotCache: Option[DataFrame] = None
       val bySrc = org.apache.spark.sql.expressions.Window
         .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
       // Reverse edges re-capped at k per node: without the cap a hub's
@@ -1157,8 +1157,15 @@ object Similarity {
       val revK = g.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
         .withColumn("__rr", row_number().over(bySrc))
         .filter(col("__rr") <= k)
+      // b keeps each edge's cos: the known edges re-enter the pool with
+      // their STORED scores (scored canonically in (lo, hi) order by the
+      // seed/previous round, so the stored double is bit-identical to a
+      // rescore) — the former shape dropped cos here and re-attached
+      // vectors to re-score every known edge. distinct over the 3-col
+      // frame equals the old 2-col distinct: a (src, dst) present from
+      // both g and revK carries the same cos.
       val b = graft.core.CacheScope.persisted(
-        g.select("src", "dst").union(revK.select("src", "dst")).distinct())
+        g.select("src", "dst", "cos").union(revK.select("src", "dst", "cos")).distinct())
       // Candidate pairs are UNDIRECTED (each offers both endpoints a
       // neighbor — Dong et al.'s formulation): the pivot emits each dst
       // pair once (x.dst < y.dst, not !=), the general-neighbor frame
@@ -1166,16 +1173,50 @@ object Similarity {
       // rank time. Pivot fan-out stays bounded by the DIRECTED b (both
       // caps at k), ≤ 2k² canonical pairs per pivot node.
       val bU = b.select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst"))
-      val c1 = b.as("x").join(b.as("y"),
-          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-        .select(col("x.dst").as("src"), col("y.dst").as("dst"))
-      val pool = bU.union(c1).distinct()
-      // rankMirrored materialized g2 — g/b can be freed without their
+        greatest(col("src"), col("dst")).as("dst"), col("cos"))
+      val pool =
+        if (grid) {
+          // Grid shape: propose id pairs, dedup, ship them at 20 B/row
+          // into the P×P scorer — pairs ARE the exchanged dataset here,
+          // which is the grid's whole point (network-bound clusters).
+          val c1 = b.as("x").join(b.as("y"),
+              col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+            .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+          scoreEdges(bU.select("src", "dst").union(c1).distinct(), n, grid = true)
+        } else {
+          // PIVOT-LOCAL proposal scoring (the seed's bucket-local trick
+          // applied to NN-Descent): proposals are generated per pivot
+          // node, so attach the dst VECTORS to the ≤ 2k·N neighbor frame
+          // ONCE and co-partition it by pivot — the pivot self-join then
+          // plans zero live exchanges and scores each proposal inline,
+          // emitting 24 B/row (src, dst, cos) directly. The former shape
+          // shipped the ~N·2k² deduped pool through scoreEdges' two-join
+          // re-attach at pair×vector bytes — the measured exp-1.37 leg of
+          // the sf100 run (the seed's wall one decade later). Duplicate
+          // proposals (several pivots proposing the same pair, or a
+          // proposal duplicating a known edge) collapse in the 3-col
+          // distinct below: the cosine is a pure function of the pair
+          // (canonical operand order both paths), so distinct-by-pair ≡
+          // distinct-by-(pair, cos), and scoring before dedup trades a
+          // few duplicate 64-dim dot products for never exchanging a
+          // vector attached to a pair.
+          val bv = graft.core.CacheScope.persisted(
+            b.select("src", "dst")
+              .join(n.select(col("vec_id").as("dst"), col("ed"), col("nrm")), "dst")
+              .repartition(col("src")))
+          val proposals = bv.as("x").join(bv.as("y"),
+              col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+            .select(col("x.dst").as("src"), col("y.dst").as("dst"),
+              expr(sparkCosPre("x.ed", "y.ed", "x.nrm", "y.nrm")).as("cos"))
+          pivotCache = Some(bv)
+          bU.union(proposals).distinct()
+        }
+      // rankMirrored materialized g2 — g/b/bv can be freed without their
       // lineage (the whole previous round) ever re-running.
-      val g2 = rankMirrored(scoreEdges(pool, n, grid))
+      val g2 = rankMirrored(pool)
       g.unpersist(blocking = false)
       b.unpersist(blocking = false)
+      pivotCache.foreach(_.unpersist(blocking = false))
       g = g2
     }
     // The final g is materialized, so the norm frame is no longer
