@@ -33,6 +33,13 @@ final class MisraGries(k: Int) extends Aggregator[String, MgState, Array[String]
   override def zero: MgState = MgState(Array.empty, Array.empty)
 
   override def reduce(s: MgState, tok: String): MgState = {
+    // NULL values are not occurrences: skip them so a multi-column
+    // sketch pass ([[graft.sources.TableStats.heavyKeysMulti]], which
+    // cannot pre-filter rows per column) sees exactly the per-column
+    // non-null sequence the single-column path's isNotNull filter fed —
+    // tracking nulls would both pollute the candidate slots and charge
+    // the N/k error bound for a mass the exact-verify total excludes.
+    if (tok == null) return s
     val i = s.keys.indexOf(tok)
     if (i >= 0) {
       s.counts(i) += 1 // in-place: Spark owns the buffer between rows

@@ -836,19 +836,28 @@ object InfraOps {
       val liStats = cs.persisted(ts.analyze(li, Seq("k_uni", "k_skew")))
       val ordStats = cs.persisted(ts.analyze(ord, Seq("k_dim", "k_uni", "k_skew")))
       val custStats = cs.persisted(ts.analyze(cust, Seq("k_dim")))
-      def choose(name: String, aStats: DataFrame, a: DataFrame,
-                 bStats: DataFrame, b: DataFrame, k: String,
+      // Heavy keys batched like the analyzes (r12): one sketch + one
+      // verify pass PER TABLE over all its scenario keys (heavyKeysMulti)
+      // instead of one per (table, key) — 12 jobs → 6. Per-column slices
+      // are exactly heavyKeys' frames (HeavyKeysMultiSpec pins it), so
+      // the estimator math and its oracle are unchanged.
+      val liHeavy = cs.persisted(ts.heavyKeysMulti(li, Seq("k_uni", "k_skew")))
+      val ordHeavy = cs.persisted(ts.heavyKeysMulti(ord, Seq("k_dim", "k_uni", "k_skew")))
+      val custHeavy = cs.persisted(ts.heavyKeysMulti(cust, Seq("k_dim")))
+      def hk(multi: DataFrame, c: String): DataFrame =
+        multi.filter(col("column") === c).select("key", "n_occ")
+      def choose(name: String, aStats: DataFrame, aHeavy: DataFrame,
+                 bStats: DataFrame, bHeavy: DataFrame, k: String,
                  bl: Long, budget: Long): DataFrame =
         ts.joinStrategyChoice(
-            aStats, ts.heavyKeys(a.select(col(k)), k),
-            bStats, ts.heavyKeys(b.select(col(k)), k),
+            aStats, hk(aHeavy, k), bStats, hk(bHeavy, k),
             k, k, bl, budget)
           .withColumn("scenario", lit(name))
           .select("scenario", "decision", "build_side", "salt_factor",
             "max_key_est", "est_rows", "est_uniform", "n_a", "n_b")
-      choose("dim", ordStats, ord, custStats, cust, "k_dim", bl = 30000L, budget = 1000000L)
-        .unionByName(choose("uniform", liStats, li, ordStats, ord, "k_uni", bl = 5000L, budget = 1000000L))
-        .unionByName(choose("skew", liStats, li, ordStats, ord, "k_skew", bl = 100L, budget = 1000000L))
+      choose("dim", ordStats, ordHeavy, custStats, custHeavy, "k_dim", bl = 30000L, budget = 1000000L)
+        .unionByName(choose("uniform", liStats, liHeavy, ordStats, ordHeavy, "k_uni", bl = 5000L, budget = 1000000L))
+        .unionByName(choose("skew", liStats, liHeavy, ordStats, ordHeavy, "k_skew", bl = 100L, budget = 1000000L))
     }),
     // Incremental stats maintenance: partial stats per split, folded with
     // mergeStats — the oracle is s_analyze's own SQL over the WHOLE table,

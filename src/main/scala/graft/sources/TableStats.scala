@@ -396,6 +396,49 @@ object TableStats {
         .select(col("key"), col("n_occ")))
   }
 
+  /** [[heavyKeys]] for SEVERAL columns of one table in ONE sketch pass +
+    * ONE exact-verify pass — the ANALYZE-side batching that collapsed
+    * `s_plan_choice`'s per-column scans (6 sketch + 6 verify jobs → 2+2
+    * for its two multi-key tables). Emits (column, key, n_occ); slice a
+    * single column's frame with `filter(column = c).select(key, n_occ)`
+    * — per column the output is IDENTICAL to [[heavyKeys]] by
+    * construction, not by luck: the Misra-Gries candidates are only a
+    * no-false-negative SUPERSET either way (the sketch skips nulls, so
+    * the multi-column pass feeds each column's MG the same non-null
+    * sequence the single-column filter did), and the exact verify gate
+    * `n_occ·k > total_c` (per-column non-null totals) makes the output a
+    * pure function of each column's multiset regardless of candidate
+    * noise. One scan computes all sketches + totals (k independent
+    * aggregates over the same rows); the verify unpivots the columns
+    * into a (column, key) occurrence stream — k× the rows of one column,
+    * ONE table scan instead of k — and joins the broadcast ≤ k·|cols|
+    * candidate frame. HeavyKeysMultiSpec pins per-column equality. */
+  def heavyKeysMulti(df: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.functions.udaf
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val aggs = cols.flatMap(c => Seq(
+      mg(col(c).cast("string")).as(s"__cand_$c"),
+      count(col(c)).as(s"__total_$c")))
+    val sketch = graft.core.CacheScope.persisted(
+      df.agg(aggs.head, aggs.drop(1): _*))
+    val occ = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("key"))): _*)).as("o"))
+      .select(col("o.column").as("column"), col("o.key").as("key"))
+      .where(col("key").isNotNull)
+    val cands = sketch.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(s"__cand_$c").as("cand"),
+          col(s"__total_$c").as("total"))): _*)).as("s"))
+      .select(col("s.column").as("column"), explode(col("s.cand")).as("key"),
+        col("s.total").as("total"))
+    graft.core.CacheScope.persisted(
+      occ.join(broadcast(cands), Seq("column", "key"))
+        .groupBy("column", "key", "total").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") * k > col("total"))
+        .select("column", "key", "n_occ"))
+  }
+
   /** Join-size estimation from STORED statistics — the capstone of the
     * stats-as-data family: predict `|A ⋈ B on key|` from each side's
     * [[analyze]] row (row count + KMV NDV) and [[heavyKeys]] frame alone,
