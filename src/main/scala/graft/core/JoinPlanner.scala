@@ -59,7 +59,18 @@ object JoinPlanner {
         val salt = d.getLong(2).toInt
         // The salt basis must name columns of the side being salted —
         // keep only those on the stats-chosen big side (see scaladoc).
-        def saltColsOf(big: DataFrame) = saltOn.filter(big.columns.contains)
+        // Matching follows the session's resolution rules (case-insensitive
+        // unless spark.sql.caseSensitive): a caller whose saltOn entry
+        // differs only in case from the frame's column previously resolved
+        // and salted; a case-sensitive filter here would silently demote
+        // it to whole-row hashing — a quiet skew-mitigation regression.
+        // The mapped-back FRAME name is what saltedJoin receives, so
+        // downstream column references stay exact.
+        val caseSensitive =
+          a.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+        def saltColsOf(big: DataFrame) =
+          if (caseSensitive) saltOn.filter(big.columns.contains)
+          else saltOn.flatMap(s => big.columns.find(_.equalsIgnoreCase(s)))
         // Salt the side with more rows; replicate the other ×salt.
         if (d.getLong(3) >= d.getLong(4))
           SkewJoin.saltedJoin(a, b, Seq(key), salt, saltOn = saltColsOf(a))

@@ -721,7 +721,7 @@ object Similarity {
     * [[lshNearDupPairs]]) generate no candidate rows, and the null-safe
     * prefix compare never counts them as an earlier match. */
   private def explodeWithPrefix(sig: DataFrame): DataFrame =
-    sig.select(col("vec_id"), col("__bands"), posexplode(col("__bands")))
+    sig.select(col("*"), posexplode(col("__bands")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
       .filter(col("band_val").isNotNull)
       .withColumn("__pre", expr("slice(__bands, 1, band)"))
@@ -982,15 +982,28 @@ object Similarity {
   }
 
   /** The former JOIN-FORM seed scorer — banding candidates through
-    * [[scoreEdges]]'s two vector re-attach hash joins — kept as the
-    * bit-identity reference for [[scoreSeedPairsInBuckets]]
-    * (KnnSeedScoreSpec compares edge sets and cosine bits), not used by
-    * [[knnGraph]] since the bucket-local rework cleared its measured
-    * sf100 wall. */
+    * [[scoreEdges]]'s two vector re-attach hash joins — the bit-identity
+    * reference for [[scoreSeedPairsInBuckets]] (KnnSeedScoreSpec compares
+    * edge sets and cosine bits) AND the seed of [[knnGraph]]'s LIGHT
+    * small-N shape ([[KnnLightMaxN]]): below the gate the bucket cache's
+    * fixed stages cost more than the re-attach they avoid. `bcast` (the
+    * light shape sets it) broadcasts the band frame's build side —
+    * at gated N the whole frame is ~1 MB, so the self-join plans with
+    * ZERO exchanges instead of two, which is most of what the small-N
+    * floor was made of (each exchange is an AQE stage-job plus a driver
+    * re-optimization round). */
   private[llmdata] def seedPairsJoinForm(n: DataFrame, planes: Int,
-                                         bandBits: Int): DataFrame =
-    scoreEdges(pairCandIds(bandsOf(n, planes, bandBits, 0, 0.0))
-      .select(col("id_a").as("src"), col("id_b").as("dst")), n)
+                                         bandBits: Int,
+                                         bcast: Boolean = false): DataFrame = {
+    val bands = bandsOf(n, planes, bandBits, 0, 0.0)
+    val pairs = bands.as("a")
+      .join(if (bcast) broadcast(bands.as("b")) else bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+          && col("a.vec_id") < col("b.vec_id")
+          && noEarlierSharedBand("a.__pre", "b.__pre"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    scoreEdges(pairs, n, bcast = bcast)
+  }
 
   /** The candidate PAIRS a given banding config would verify — public so
     * banding selectivity (candidate count / N·(N−1)/2) is a measurable,
@@ -1085,7 +1098,55 @@ object Similarity {
   def knnGraph(embeddings: DataFrame, k: Int = 5,
                planes: Int = 0, bandBits: Int = 0,
                nHint: Long = 0L, descentRounds: Int = 1,
-               gridScore: Boolean = false): DataFrame = {
+               gridScore: Boolean = false): DataFrame =
+    knnGraphShaped(embeddings, k, planes, bandBits, nHint, descentRounds,
+      gridScore, lightOverride = None)
+
+  /** Corpus-size gate for [[knnGraph]]'s scoring machinery. At or below
+    * this many vectors the bucket-local persist-and-materialize shape's
+    * FIXED costs — the band repartition into the co-partitioned cache,
+    * one eager materialization per round, the pivot-vector cache — are
+    * ~15 tiny stages of pure scheduling floor that dwarf the work they
+    * exist to bound (measured at 2 000 vectors: 3.9 → 7.5 s in-session
+    * when the machinery landed; it pays for itself from 20 k vectors up —
+    * sf10 3.2× faster, sf100 crash → 362 s). Below the gate the operator
+    * runs LIGHT: join-form seed ([[seedPairsJoinForm]] — no band
+    * repartition into a persisted bucket cache) and join re-attach
+    * refinement scoring (no pivot-vector cache) — the pre-bucket-rework
+    * shape that measured 3.9 s at 2 000 vectors. The per-round eager
+    * materialization stays in BOTH shapes: a lazy persist does not dedup
+    * a diamond within one job, so a fully-lazy build re-runs the scoring
+    * subplan per reference (measured slower than the heavy shape it
+    * meant to trim). The light and heavy shapes are bit-identical
+    * (KnnSeedScoreSpec pins the seed pair, KnnShapeGateSpec pins
+    * whole-graph equality across the gate), so the gate moves TIME only,
+    * never answers — the stats-as-data idiom [[semDedupKnobs]] set,
+    * applied to plan shape. */
+  val KnnLightMaxN: Long = 1L << 14
+
+  /** [[knnGraph]] with the size gate overridable — `lightOverride`
+    * forces the light (`Some(true)`) or heavy (`Some(false)`) shape
+    * regardless of corpus size, so specs can pin shape equality at
+    * fixture scale. `None` = gate on `nEff` vs [[KnnLightMaxN]]; a
+    * pinned-config call without a hint (nEff = 0) takes the heavy shape
+    * — the gate never spends a count job the operator wasn't already
+    * spending. */
+  private[llmdata] def knnGraphShaped(embeddings: DataFrame, k: Int,
+               planes: Int, bandBits: Int,
+               nHint: Long, descentRounds: Int,
+               gridScore: Boolean, lightOverride: Option[Boolean]): DataFrame =
+    knnGraphRankedShaped(embeddings, k, planes, bandBits, nHint, descentRounds,
+      gridScore, lightOverride).drop("cos")
+
+  /** [[knnGraphShaped]] keeping each edge's exact cosine — the form the
+    * stored-graph lifecycle needs ([[buildKnnGraphIndex]]): an append
+    * merges new candidate edges against the STORED scores, so the store
+    * must carry them (re-scoring the whole graph per append would be the
+    * rebuild the increment exists to avoid). */
+  private[llmdata] def knnGraphRankedShaped(embeddings: DataFrame, k: Int,
+               planes: Int, bandBits: Int,
+               nHint: Long, descentRounds: Int,
+               gridScore: Boolean, lightOverride: Option[Boolean]): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(descentRounds >= 0, s"descentRounds must be >= 0, got $descentRounds")
     require((planes > 0) == (bandBits > 0),
@@ -1113,6 +1174,7 @@ object Similarity {
     //    measurement, not by an in-library size switch that single-box
     //    evidence contradicts.
     val grid = gridScore
+    val light = lightOverride.getOrElse(!grid && nEff > 0 && nEff <= KnnLightMaxN)
     // Cosine is symmetric (bit-identical either way: per-dim products
     // commute, the fold order over dims is fixed), so every pair is
     // scored ONCE in canonical (lo, hi) order and the scored frame is
@@ -1125,26 +1187,51 @@ object Similarity {
     // count's work is the first consumption's, done once and cached),
     // then frees the scored diamond — so per-round intermediates never
     // outlive their round (the former lazy form leaked one
-    // MEMORY_AND_DISK scored frame per round for the session).
+    // MEMORY_AND_DISK scored frame per round for the session). The
+    // eager materialization holds in BOTH shapes: a lazy persist does
+    // NOT dedup a diamond within a single job (branches of one DAG can
+    // compute a cached partition before any branch has stored it), so a
+    // fully-lazy small-N build re-ran the scoring subplan per reference —
+    // measured SLOWER than the heavy shape it meant to trim (7.1 s
+    // e_knn_graph / 11.1 s x_knn_clusters at sf0.1 vs 7.0 / 9.6 heavy).
     def rankMirrored(sc0: DataFrame): DataFrame = {
       val sc = graft.core.CacheScope.persisted(sc0)
-      val g = graft.core.CacheScope.persisted(topKEdges(
-        sc.union(sc.select(col("dst").as("src"), col("src").as("dst"), col("cos"))), k))
-      g.count()
+      val ranked = topKEdges(
+        sc.union(sc.select(col("dst").as("src"), col("src").as("dst"), col("cos"))), k)
+      // LIGHT: eager localCheckpoint instead of persist+count — same
+      // materialization barrier, but it also TRUNCATES the lineage, so
+      // every later round (and the caller's action) plans from a leaf
+      // instead of re-optimizing the whole build per AQE stage; at gated
+      // N the driver-side planning was a measured third of the wall.
+      // (Not for the heavy shape: checkpoint blocks are non-recomputable
+      // — an executor loss at sf100 would fail the job where the persist
+      // path just recomputes; the small-N blocks are a few MB.)
+      val g = if (light) ranked.localCheckpoint()
+              else graft.core.CacheScope.persisted(ranked)
+      if (!light) g.count()
       sc.unpersist(blocking = false)
       g
     }
     var g = {
-      val (sc0, seedCache) =
-        if (grid) (scoreEdges(pairCandIds(bandsOf(n, p, r, 0, 0.0))
-            .select(col("id_a").as("src"), col("id_b").as("dst")), n, grid = true),
-          Option.empty[DataFrame])
-        else { val (s, c) = scoreSeedPairsInBuckets(n, p, r); (s, Some(c)) }
-      val g0 = rankMirrored(sc0)
-      // rankMirrored materialized the seed top-k, so the scorer's
-      // signature cache is no longer reachable from any live plan.
-      seedCache.foreach(_.unpersist(blocking = false))
-      g0
+      if (light)
+        // Join-form seed: at gated N the candidate stream is small enough
+        // to re-attach vectors to (KnnSeedScoreSpec pins it bit-identical
+        // to the bucket form), and skipping the band repartition + bucket
+        // cache saves their fixed stages. Broadcast hints (bcast) plan
+        // the self-join and both re-attaches exchange-free.
+        rankMirrored(seedPairsJoinForm(n, p, r, bcast = true))
+      else {
+        val (sc0, seedCache) =
+          if (grid) (scoreEdges(pairCandIds(bandsOf(n, p, r, 0, 0.0))
+              .select(col("id_a").as("src"), col("id_b").as("dst")), n, grid = true),
+            Option.empty[DataFrame])
+          else { val (s, c) = scoreSeedPairsInBuckets(n, p, r); (s, Some(c)) }
+        val g0 = rankMirrored(sc0)
+        // rankMirrored materialized the seed top-k, so the scorer's
+        // signature cache is no longer reachable from any live plan.
+        seedCache.foreach(_.unpersist(blocking = false))
+        g0
+      }
     }
     (1 to descentRounds).foreach { _ =>
       var pivotCache: Option[DataFrame] = None
@@ -1175,14 +1262,25 @@ object Similarity {
       val bU = b.select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"), col("cos"))
       val pool =
-        if (grid) {
+        if (grid || light) {
           // Grid shape: propose id pairs, dedup, ship them at 20 B/row
           // into the P×P scorer — pairs ARE the exchanged dataset here,
           // which is the grid's whole point (network-bound clusters).
-          val c1 = b.as("x").join(b.as("y"),
+          // The LIGHT shape shares the pool construction but scores it
+          // with the join re-attach (scoreEdges' default): at gated N the
+          // k-budgeted pool is small enough that the pivot cache's
+          // repartition + persist are pure floor, and the join form is
+          // the established bit-identity reference for the pivot-local
+          // scores (cos is a pure function of the pair, canonical (lo,
+          // hi) operand order on every path). Light broadcasts the
+          // k-budgeted (≤ 2k·N-row) build sides so the proposal
+          // self-join and the re-attach plan exchange-free.
+          val c1 = b.as("x").join(
+              if (light) broadcast(b.as("y")) else b.as("y"),
               col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
             .select(col("x.dst").as("src"), col("y.dst").as("dst"))
-          scoreEdges(bU.select("src", "dst").union(c1).distinct(), n, grid = true)
+          scoreEdges(bU.select("src", "dst").union(c1).distinct(), n,
+            grid = grid, bcast = light)
         } else {
           // PIVOT-LOCAL proposal scoring (the seed's bucket-local trick
           // applied to NN-Descent): proposals are generated per pivot
@@ -1209,12 +1307,25 @@ object Similarity {
             .select(col("x.dst").as("src"), col("y.dst").as("dst"),
               expr(sparkCosPre("x.ed", "y.ed", "x.nrm", "y.nrm")).as("cos"))
           pivotCache = Some(bv)
-          bU.union(proposals).distinct()
+          // One row per (src, dst) STRUCTURALLY (max-of-group over the
+          // pair key), not by relying on the 3-col distinct collapsing
+          // stored and inline-recomputed cosines: the bit-identity
+          // contract holds today (cos is a pure function of the pair,
+          // canonical operand order on both paths — max of identical
+          // values IS the value, so this aggregate equals the former
+          // distinct row-for-row), but a future ulp divergence on one
+          // path would have silently emitted duplicate (src, dst) rows
+          // into every affected node's top-k. Same shuffle as the
+          // distinct (keyed narrower); a divergence now surfaces as a
+          // deterministic pick, never a corrupted graph.
+          bU.union(proposals).groupBy("src", "dst").agg(max("cos").as("cos"))
         }
       // rankMirrored materialized g2 — g/b/bv can be freed without their
-      // lineage (the whole previous round) ever re-running.
+      // lineage (the whole previous round) ever re-running. (Light g is
+      // localCheckpointed — non-recomputable, so let the ContextCleaner
+      // reap its few-MB blocks instead of warning per round.)
       val g2 = rankMirrored(pool)
-      g.unpersist(blocking = false)
+      if (!light) g.unpersist(blocking = false)
       b.unpersist(blocking = false)
       pivotCache.foreach(_.unpersist(blocking = false))
       g = g2
@@ -1224,21 +1335,168 @@ object Similarity {
     // leaking it to the session (the returned top-k frame itself stays
     // persisted: caller-owns-release via CacheScope.scoped, N·k rows).
     n.unpersist(blocking = false)
-    g.select(col("src").as("vec_id"), col("rank"), col("dst").as("nn_id"))
+    g.select(col("src").as("vec_id"), col("rank"), col("dst").as("nn_id"), col("cos"))
   }
+
+  /** Build + STORE a k-NN graph index — the graph axis joining the
+    * build/store/serve + APPEND lifecycle every other index family
+    * already has (IVF [[buildIvfIndex]]/[[appendToIvfIndex]], PQ
+    * [[buildPqIndex]], the dedup signature store): a production corpus
+    * ingests continuously, and rebuilding a multi-million-node graph per
+    * batch is exactly the cost an index exists to amortize. Layout:
+    *  - `corpus/` (vec_id, ed, nrm, __bands): vectors + packed band
+    *    values under the FROZEN banding config — the band signatures ARE
+    *    the seed structure ([[scoreSeedPairsInBuckets]]'s band frame is
+    *    precisely the storable artifact), so an append can propose
+    *    old×new candidates without re-signing the corpus;
+    *  - `edges/` (vec_id, rank, nn_id, cos): the ranked graph WITH exact
+    *    cosines, so appends merge against stored scores instead of
+    *    re-scoring every known edge;
+    *  - `meta/` (planes, band_bits, k): the frozen config appends must
+    *    reuse — a batch signed under a different banding would collide in
+    *    different buckets than the stored signatures and propose noise.
+    * Doubles round-trip parquet bit-exactly, so a served graph equals the
+    * in-plan operator's (the IVF/PQ store contract). */
+  def buildKnnGraphIndex(embeddings: DataFrame, indexDir: String, k: Int = 5,
+                         nHint: Long = 0L, descentRounds: Int = 1): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val n = graft.core.CacheScope.persisted(withNorm(embeddings))
+    val nEff = if (nHint > 0) nHint else n.count()
+    val (p, r) = knnBanding(nEff)
+    val arr = (0 until p / r).map(c => s"hyperplane_sig_at(ed, ${c * r}, $r)")
+      .mkString("array(", ", ", ")")
+    n.withColumn("__bands", expr(arr))
+      .select("vec_id", "ed", "nrm", "__bands")
+      .write.mode("overwrite").parquet(s"$indexDir/corpus")
+    knnGraphRankedShaped(embeddings, k, p, r, nEff, descentRounds,
+        gridScore = false, lightOverride = None)
+      .write.mode("overwrite").parquet(s"$indexDir/edges")
+    Seq((p, r, k)).toDF("planes", "band_bits", "k")
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    n.unpersist(blocking = false)
+  }
+
+  /** Incremental k-NN graph maintenance (`e_knn_incr`): append a batch of
+    * NEW vectors to a stored graph WITHOUT re-pairing the stored corpus
+    * against itself — the increment the other index families' appends
+    * already deliver ([[appendToIvfIndex]], [[appendToPqIndex]],
+    * CorpusOps' stored dedup index).
+    *
+    * Deterministic dataflow (the e_knn_incr oracle twins it CTE for CTE):
+    *  1. Sign the batch under the STORED frozen config; candidates are
+    *     exactly-once band collisions with ≥ 1 NEW endpoint — old×old
+    *     never re-pairs, which is the increment's whole saving.
+    *  2. Merge: stored edges (canonical direction, STORED cosines — the
+    *     reason edges/ carries cos) ∪ the scored new candidates → each
+    *     node's top-k.
+    *  3. ONE NN-Descent round restricted to AFFECTED pivots (endpoints of
+    *     new candidate pairs): unaffected neighborhoods are already the
+    *     stored, refined ones, so re-proposing from them would re-run the
+    *     full build's round for zero recall gain.
+    *
+    * Scale shape: the band self-join is the seed's bucketized equi-join —
+    * the stored band frame crosses once at 24 B/row (no vectors), and the
+    * candidate stream is Θ(batch × occupancy × bands) — proportional to
+    * the BATCH, not the corpus (callers split giant backfills into
+    * batches, the same policy as every append family). Vector bytes
+    * attach only to the batch-bounded candidate ids and the k-budgeted
+    * affected-pivot pool. Append drift vs rebuild cadence stays a caller
+    * policy, exactly as with IVF/PQ retraining (KnnIncrSpec pins the
+    * appended graph's recall against the full rebuild's). */
+  def appendToKnnGraphIndex(newVectors: DataFrame, indexDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val meta = spark.read.parquet(s"$indexDir/meta").collect()(0)
+    val p = meta.getAs[Int]("planes"); val r = meta.getAs[Int]("band_bits")
+    val k = meta.getAs[Int]("k")
+    val arr = (0 until p / r).map(c => s"hyperplane_sig_at(ed, ${c * r}, $r)")
+      .mkString("array(", ", ", ")")
+    val nw = graft.core.CacheScope.persisted(
+      withNorm(newVectors).withColumn("__bands", expr(arr))
+        .select("vec_id", "ed", "nrm", "__bands"))
+    val all = graft.core.CacheScope.persisted(
+      spark.read.parquet(s"$indexDir/corpus").withColumn("__new", lit(false))
+        .unionByName(nw.withColumn("__new", lit(true))))
+    val n = all.select("vec_id", "ed", "nrm")
+    val bf = explodeWithPrefix(all.select(col("vec_id"), col("__new"), col("__bands")))
+    val cand = bf.as("a").join(bf.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+          && col("a.vec_id") < col("b.vec_id")
+          && noEarlierSharedBand("a.__pre", "b.__pre")
+          && (col("a.__new") || col("b.__new")))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val scoredNew = graft.core.CacheScope.persisted(scoreEdges(cand, n))
+    // Stored edges are mirrored+ranked; fold back to one canonical row per
+    // pair (a pair ranked from only one side still yields its canonical
+    // row). Disjoint from scoredNew by construction (stored = old×old,
+    // scoredNew has a new endpoint), so the union needs no dedup.
+    val storedCan = spark.read.parquet(s"$indexDir/edges")
+      .select(least(col("vec_id"), col("nn_id")).as("src"),
+        greatest(col("vec_id"), col("nn_id")).as("dst"), col("cos"))
+      .distinct()
+    def rankMirroredK(sc0: DataFrame): DataFrame = {
+      val sc = graft.core.CacheScope.persisted(sc0)
+      val g = graft.core.CacheScope.persisted(topKEdges(
+        sc.union(sc.select(col("dst").as("src"), col("src").as("dst"), col("cos"))), k))
+      g.count()
+      sc.unpersist(blocking = false)
+      g
+    }
+    val g1 = rankMirroredK(storedCan.union(scoredNew))
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    val revK = g1.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
+      .withColumn("__rr", row_number().over(bySrc))
+      .filter(col("__rr") <= k)
+    val b = graft.core.CacheScope.persisted(
+      g1.select("src", "dst", "cos").union(revK.select("src", "dst", "cos")).distinct())
+    val bU = b.select(least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst"))
+    val aff = scoredNew.select("src")
+      .union(scoredNew.select(col("dst").as("src"))).distinct()
+    val bAff = b.join(aff, Seq("src"), "left_semi")
+    val c1 = bAff.as("x").join(bAff.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+    val g2 = rankMirroredK(scoreEdges(bU.union(c1).distinct(), n))
+    // The overwrite below deletes the files g2's lineage reads —
+    // localCheckpoint first, so the write job reads materialized blocks
+    // with no file dependency (g2 is N·k ranked rows, the store's own
+    // size; the same barrier Snapshots' versioned writes use).
+    val out = g2.select(col("src").as("vec_id"), col("rank"),
+      col("dst").as("nn_id"), col("cos")).localCheckpoint()
+    out.write.mode("overwrite").parquet(s"$indexDir/edges")
+    nw.write.mode("append").parquet(s"$indexDir/corpus")
+    Seq(g1, b, scoredNew, all, nw).foreach(_.unpersist(blocking = false))
+  }
+
+  /** Serve the stored k-NN graph ([[buildKnnGraphIndex]] layout) — the
+    * e_knn_graph surface off the store instead of an in-plan build. */
+  def knnGraphFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/edges").select("vec_id", "rank", "nn_id")
 
   /** Exact cosine over (src, dst) edge ids — the re-attach + score step
     * shared by [[knnGraph]]'s seeding and refinement passes. `grid`
     * switches to [[scorePairsGrid]]; both forms are bit-identical
-    * (KnnGridScoreSpec pins it on banding candidates). */
+    * (KnnGridScoreSpec pins it on banding candidates). `bcast` (the
+    * small-N light shape) broadcasts the vector side of both re-attach
+    * joins — a physical-plan hint only, the join output is identical;
+    * never set it above [[KnnLightMaxN]] where the vector frame stops
+    * being broadcast-sized. */
   private[llmdata] def scoreEdges(edges: DataFrame, n: DataFrame,
-                         grid: Boolean = false): DataFrame =
+                         grid: Boolean = false, bcast: Boolean = false): DataFrame =
     if (grid) scorePairsGrid(edges, n)
-    else edges
-      .join(n.select(col("vec_id").as("src"), col("ed").as("__ea"), col("nrm").as("__na")), "src")
-      .join(n.select(col("vec_id").as("dst"), col("ed").as("__eb"), col("nrm").as("__nb")), "dst")
-      .select(col("src"), col("dst"),
-        expr(sparkCosPre("__ea", "__eb", "__na", "__nb")).as("cos"))
+    else {
+      def side(d: DataFrame) = if (bcast) broadcast(d) else d
+      edges
+        .join(side(n.select(col("vec_id").as("src"), col("ed").as("__ea"), col("nrm").as("__na"))), "src")
+        .join(side(n.select(col("vec_id").as("dst"), col("ed").as("__eb"), col("nrm").as("__nb"))), "dst")
+        .select(col("src"), col("dst"),
+          expr(sparkCosPre("__ea", "__eb", "__na", "__nb")).as("cos"))
+    }
 
   /** Grid-blocked exact-cosine SCORING of (src, dst) edge ids — the
     * [[verifyPairsGrid]] shape emitting the cosine instead of applying a
@@ -1446,6 +1704,73 @@ object Similarity {
   private def gridSide(spark: org.apache.spark.sql.SparkSession): Int = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     math.max(2, math.ceil(math.sqrt(parts * 2.0)).toInt)
+  }
+
+  /** [[scoringShapeChoice]]'s result: which scoring shape moves fewer
+    * exchange bytes, and the per-shape estimates the choice folded. */
+  final case class ScoringShape(choice: String, joinBytes: Long, gridBytes: Long,
+                                seedCandidates: Long, poolPairs: Long)
+
+  /** Stats-driven scoring-shape RECOMMENDATION for [[knnGraph]] — the
+    * design note on [[scorePairsGrid]] executed as a helper: fold a
+    * stored row count into both shapes' estimated exchange volumes and
+    * report which moves fewer bytes. PURE integer arithmetic off
+    * metadata (the [[graft.sources.TableStats.joinStrategyChoice]]
+    * idiom), so the recommendation is auditable and spec-pinned
+    * (ScoringShapeSpec) — no corpus is touched.
+    *
+    * Exchange-byte model (the quantity that walls single boxes and
+    * saturates cluster links; candidate counts from the [[knnBanding]]
+    * occupancy ladder, pool pairs from the NN-Descent k-budget):
+    *  - DEFAULT join shape (bucket-local seed + pivot-local refinement):
+    *    vectors cross attached to STRUCTURE, never to pairs —
+    *    `bands·N·vecBytes` (the co-partitioned band frame) +
+    *    `2k·N·vecBytes` (the pivot frame) + 24 B per scored pair.
+    *  - GRID: vectors replicate P ways per scoring stage
+    *    (`2·P·N·vecBytes`), the band frame crosses WITHOUT vectors
+    *    (~48 B/row with the exactly-once prefix), and every pair crosses
+    *    at 20 B.
+    *
+    * The registered default does NOT auto-switch on this output: the
+    * single-box measurement stands (join 269 s vs grid 340 s at 200 k —
+    * the grid's object-serialized cogroup sort spills where the join's
+    * unsafe-row exchange doesn't), and indeed at the in-engine grid side
+    * P = [[gridSide]](32 partitions) = 8 the byte model already favors
+    * the grid while the wall clock favors the join — bytes are the cost
+    * model of a NETWORK-bound cluster exchange, not of a local spill.
+    * Deployments in that regime read this helper and set `gridScore`
+    * from it, the way [[graft.core.JoinPlanner.autoJoin]] turns
+    * joinStrategyChoice into a plan shape. */
+  def scoringShapeChoice(n: Long, dims: Int, k: Int, gridSideP: Int = 16): ScoringShape = {
+    require(n > 0, s"n must be > 0, got $n")
+    require(dims > 0 && k > 0 && gridSideP > 1,
+      s"bad knobs: dims=$dims k=$k gridSideP=$gridSideP")
+    val (p, r) = knnBanding(n)
+    val bands = (p / r).toLong
+    // ed doubles + nrm + vec_id + row overhead, the unsafe-row shape.
+    val vecBytes = 8L * dims + 28L
+    val occ = math.max(1.0, n.toDouble / (1L << r))
+    val seedCand = math.max(0L, (bands * n * (occ - 1.0) / 2.0).toLong)
+    val poolPairs = n * (2L * k * k + k)
+    val joinBytes = bands * n * vecBytes + 2L * k * n * vecBytes +
+      24L * (seedCand + poolPairs)
+    val gridBytes = 2L * gridSideP * n * vecBytes + 48L * bands * n +
+      20L * (seedCand + poolPairs)
+    ScoringShape(if (gridBytes < joinBytes) "grid" else "join",
+      joinBytes, gridBytes, seedCand, poolPairs)
+  }
+
+  /** [[scoringShapeChoice]] off a STORED stats frame (one
+    * [[graft.sources.TableStats.analyze]] row for the embedding table's
+    * id column carries `n_rows`) — the stats-as-data entry point: the
+    * decision costs one ≤ k-row frame read, never a corpus scan. */
+  def scoringShapeChoice(stats: DataFrame, column: String, dims: Int,
+                         k: Int): ScoringShape = {
+    val rows = stats.filter(col("column") === column)
+      .select("n_rows").collect()
+    require(rows.length == 1,
+      s"scoringShapeChoice: expected exactly 1 stats row for column '$column', found ${rows.length}")
+    scoringShapeChoice(rows(0).getLong(0), dims, k)
   }
 
   /** Grid-blocked exact-cosine pair verify — the 100 TB shape of the

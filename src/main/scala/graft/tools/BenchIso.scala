@@ -21,14 +21,31 @@ object BenchIso {
       .filter(f => f.isDirectory &&
         (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-")))
     if (stale.isEmpty) { println("[scratch-guard] clean: no blockmgr-*/spark-* dirs"); return }
+    // No symlink traversal: a cycle under /tmp/spark-* would recurse to
+    // StackOverflowError, and a link into a large tree would inflate the
+    // reported size — count only regular files, recurse only into real dirs.
     def sizeOf(d: java.io.File): Long = {
       val kids = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-      kids.map(f => if (f.isDirectory) sizeOf(f) else f.length()).sum
+      kids.map { f =>
+        if (java.nio.file.Files.isSymbolicLink(f.toPath)) 0L
+        else if (f.isDirectory) sizeOf(f)
+        else f.length()
+      }.sum
     }
     val bytes = stale.map(sizeOf).sum
-    val self = ProcessHandle.current().pid()
+    // "Another JVM might own the scratch" must not count OUR OWN launcher
+    // chain: under `sbt runMain` the sbt JVM (and any shell between) is
+    // always alive, which made the refusal branch unreachable — stale
+    // 50 GB dirs were only warned about, the exact failure the guard
+    // exists to block. Exclude the current process's ancestor chain from
+    // the other-JVM count; any remaining live JVM keeps the warn-and-
+    // proceed branch (ownership genuinely ambiguous).
+    val self = ProcessHandle.current()
+    val ancestors = Iterator.iterate(Option(self))(_.flatMap(p =>
+        if (p.parent().isPresent) Some(p.parent().get()) else None))
+      .takeWhile(_.isDefined).flatten.map(_.pid()).toSet
     val otherJvms = ProcessHandle.allProcesses()
-      .filter(p => p.pid() != self && p.info().command()
+      .filter(p => !ancestors.contains(p.pid()) && p.info().command()
         .map[java.lang.Boolean](_.contains("java")).orElse(java.lang.Boolean.FALSE))
       .count()
     val msg = f"[scratch-guard] ${stale.length} stale scratch dir(s), ${bytes / 1e9}%.1f GB: " +

@@ -8,12 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * behind the caller-owned `gridScore` flag: a cluster deployment that
   * picks the grid shape (pairs cross the network at 20 B/row) and a
   * single-box run on the join default must produce the same graph to the
-  * last bit. knnGraph deliberately does NOT auto-switch on corpus size —
-  * the single-box measurement contradicts a size switch (see the scale
-  * notes on knnGraph/scorePairsGrid) — so this spec covers deployment
-  * choice, not a size threshold. Candidates come from the real banding
-  * path over the sf0.01 embedding fixture, so the compared pair set is
-  * the operator's own.
+  * last bit. knnGraph deliberately does NOT auto-switch to the GRID on
+  * corpus size — the single-box measurement contradicts that switch (see
+  * the scale notes on knnGraph/scorePairsGrid) — so this spec covers
+  * deployment choice. (The join default does gate its own internal
+  * machinery on size — KnnLightMaxN — which KnnShapeGateSpec pins as
+  * answer-identical; at this fixture's 500 vectors the whole-graph test
+  * below therefore compares the LIGHT join shape against the grid.)
+  * Candidates come from the real banding path over the sf0.01 embedding
+  * fixture, so the compared pair set is the operator's own.
   */
 class KnnGridScoreSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
