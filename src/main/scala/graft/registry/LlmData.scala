@@ -260,6 +260,27 @@ object LlmData {
         emb.crossJoin(half).filter(col("vec_id") >= col("__h")).drop("__h"), dir)
       Similarity.ivfTopKFromIndex(s, dir, emb.filter(col("vec_id") < 8))
     }),
+    // Graph-index lifecycle: BUILD + store the k-NN graph on the first
+    // half of the corpus (frozen banding config from the base count),
+    // APPEND the second half — old×old pairs never re-proposed, stored
+    // cosines reused, one NN-Descent round over affected pivots only —
+    // and serve the grown graph from the store. The oracle replays the
+    // same deterministic dataflow declaratively (base chain + ≥1-new-
+    // endpoint candidates + merge + affected-pivot round), so the append
+    // path's merge math is oracle-checked end to end, not just
+    // spec-compared against a rebuild (the e_ivf_incr idiom on the graph
+    // axis).
+    "e_knn_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, col, expr}
+      val dir = graft.core.RunScratch.dir("graft_knn_incr", d)
+      val emb = embs(s, d)
+      val half = broadcast(emb.agg(expr("(max(vec_id) + 1) div 2").as("__h")))
+      Similarity.buildKnnGraphIndex(
+        emb.crossJoin(half).filter(col("vec_id") < col("__h")).drop("__h"), dir)
+      Similarity.appendToKnnGraphIndex(
+        emb.crossJoin(half).filter(col("vec_id") >= col("__h")).drop("__h"), dir)
+      Similarity.knnGraphFromIndex(s, dir)
+    }),
     "e_kmeans" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Similarity.kmeansCentroids(embs(s, d))
@@ -1135,6 +1156,80 @@ object LlmData {
        |             CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank FROM s1m)
        |        WHERE rank <= $k)""".stripMargin
 
+  /** e_knn_incr twin: the build-half/append-half lifecycle stated
+    * declaratively. Base graph = the knnGraphCtes chain scoped to the
+    * first-half id prefix with the banding knobs FROZEN from the base
+    * count (kb over `nb` — the config the stored index pins in meta/);
+    * append = exactly the dataflow [[Similarity.appendToKnnGraphIndex]]
+    * runs: candidates are distinct band collisions with ≥ 1 NEW endpoint
+    * (old×old never re-pairs), merged against the base graph's stored
+    * cosines, re-ranked per node, then ONE refinement round whose
+    * proposals come only from AFFECTED pivots (endpoints of new
+    * candidate pairs). Bands for the full corpus derive from the same
+    * frozen kb, mirroring the stored-signature reuse. */
+  private def knnIncrSql(k: Int): String =
+    s"""WITH $normCte,
+       |sp AS (SELECT (max(vec_id) + 1) // 2 AS s FROM n2),
+       |nb AS (SELECT n2.* FROM n2, sp WHERE vec_id < s),
+       |${knnKnobsCte("nb")},
+       |${dynBandsCte("bands", "n2", "ed")},
+       |bb AS (SELECT bands.* FROM bands, sp WHERE bands.vec_id < sp.s),
+       |c0 AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |       FROM bb a JOIN bb b ON a.band = b.band AND a.band_val = b.band_val
+       |       WHERE a.vec_id != b.vec_id),
+       |s0 AS (SELECT src, dst, ${Similarity.duckCosPre("q.ed", "e.ed", "q.nrm", "e.nrm")} AS cos
+       |       FROM c0 JOIN n2 q ON c0.src = q.vec_id JOIN n2 e ON c0.dst = e.vec_id),
+       |gk AS (SELECT src, dst, cos FROM
+       |         (SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk FROM s0)
+       |       WHERE rk <= $k),
+       |rvk AS (SELECT src, dst FROM
+       |          (SELECT src, dst, cos,
+       |             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+       |           FROM (SELECT dst AS src, src AS dst, cos FROM gk))
+       |        WHERE rk <= $k),
+       |b0 AS (SELECT src, dst FROM gk UNION SELECT src, dst FROM rvk),
+       |bu AS (SELECT least(src, dst) AS src, greatest(src, dst) AS dst FROM b0),
+       |c1 AS (SELECT DISTINCT x.dst AS src, y.dst AS dst
+       |       FROM b0 x JOIN b0 y ON x.src = y.src AND x.dst < y.dst),
+       |pool AS (SELECT src, dst FROM bu UNION SELECT src, dst FROM c1),
+       |s1 AS (SELECT src, dst, ${Similarity.duckCosPre("q.ed", "e.ed", "q.nrm", "e.nrm")} AS cos
+       |       FROM pool JOIN n2 q ON pool.src = q.vec_id JOIN n2 e ON pool.dst = e.vec_id),
+       |s1m AS (SELECT src, dst, cos FROM s1 UNION ALL SELECT dst AS src, src AS dst, cos FROM s1),
+       |bg AS (SELECT src, dst, cos FROM
+       |         (SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk FROM s1m)
+       |       WHERE rk <= $k),
+       |np AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |       FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+       |       WHERE a.vec_id < b.vec_id
+       |         AND (a.vec_id >= (SELECT s FROM sp) OR b.vec_id >= (SELECT s FROM sp))),
+       |ns AS (SELECT src, dst, ${Similarity.duckCosPre("q.ed", "e.ed", "q.nrm", "e.nrm")} AS cos
+       |       FROM np JOIN n2 q ON np.src = q.vec_id JOIN n2 e ON np.dst = e.vec_id),
+       |bcan AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst, cos FROM bg),
+       |m0 AS (SELECT src, dst, cos FROM bcan UNION ALL SELECT src, dst, cos FROM ns),
+       |m0m AS (SELECT src, dst, cos FROM m0 UNION ALL SELECT dst AS src, src AS dst, cos FROM m0),
+       |g1 AS (SELECT src, dst, cos FROM
+       |         (SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk FROM m0m)
+       |       WHERE rk <= $k),
+       |aff AS (SELECT DISTINCT src FROM (SELECT src FROM np UNION ALL SELECT dst AS src FROM np)),
+       |rv1 AS (SELECT src, dst FROM
+       |          (SELECT src, dst, cos,
+       |             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+       |           FROM (SELECT dst AS src, src AS dst, cos FROM g1))
+       |        WHERE rk <= $k),
+       |b1 AS (SELECT src, dst FROM g1 UNION SELECT src, dst FROM rv1),
+       |bu1 AS (SELECT least(src, dst) AS src, greatest(src, dst) AS dst FROM b1),
+       |c2 AS (SELECT DISTINCT x.dst AS src, y.dst AS dst
+       |       FROM b1 x JOIN b1 y ON x.src = y.src AND x.dst < y.dst
+       |       WHERE x.src IN (SELECT src FROM aff)),
+       |pool1 AS (SELECT src, dst FROM bu1 UNION SELECT src, dst FROM c2),
+       |s2 AS (SELECT src, dst, ${Similarity.duckCosPre("q.ed", "e.ed", "q.nrm", "e.nrm")} AS cos
+       |       FROM pool1 JOIN n2 q ON pool1.src = q.vec_id JOIN n2 e ON pool1.dst = e.vec_id),
+       |s2m AS (SELECT src, dst, cos FROM s2 UNION ALL SELECT dst AS src, src AS dst, cos FROM s2)
+       |SELECT vec_id, rank, nn_id FROM
+       |  (SELECT src AS vec_id, dst AS nn_id, cos,
+       |     CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank FROM s2m)
+       |WHERE rank <= $k""".stripMargin
+
   /** x_knn_clusters twin: the knn CTE chain + mutual-kNN sparsifier +
     * the c_clusters-style 3-round min-label propagation unroll. */
   private def knnClustersSql(k: Int): String = {
@@ -1654,6 +1749,7 @@ object LlmData {
     "e_semdedup_h" -> semDedupHierSql,
     "e_lsh_topk" -> lshTopkSql,
     "e_knn_graph" -> knnGraphSql(5),
+    "e_knn_incr" -> knnIncrSql(5),
     "x_knn_clusters" -> knnClustersSql(5),
     "e_lsh_multiprobe" -> lshMultiprobeSql,
     "e_ivf_topk" -> ivfTopkSql,

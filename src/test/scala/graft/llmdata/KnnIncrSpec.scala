@@ -1,0 +1,130 @@
+package graft.llmdata
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the stored k-NN graph lifecycle
+  * ([[Similarity.buildKnnGraphIndex]] / [[Similarity.appendToKnnGraphIndex]]
+  * / [[Similarity.knnGraphFromIndex]]):
+  *  - store round trip: a built-then-served graph equals the in-plan
+  *    operator's bit for bit (doubles round-trip parquet exactly — the
+  *    IVF/PQ store contract on the graph axis);
+  *  - the APPEND path's recall stays within a stated band of the full
+  *    rebuild's — the increment trades the old×old re-pairing away, and
+  *    this pins how much recall that trade costs on the real fixture;
+  *  - appending an EMPTY batch is a no-op on the graph (no candidates →
+  *    no affected pivots → the merge and the refinement round both
+  *    reproduce the stored edges from their stored cosines);
+  *  - served graph shape: ranks contiguous from 1, ≤ k per node, no self
+  *    edges, every corpus node present after the append.
+  */
+class KnnIncrSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.01"
+  private val k = 5
+
+  private def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def edgeSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("vec_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def rankedSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select("vec_id", "rank", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private lazy val exactEdges: Set[(Long, Long)] = {
+    graft.functions.VectorExprs.register(spark)
+    val n = Similarity.withNorm(embs)
+    val a = n.select(col("vec_id").as("src"), col("ed").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("dst"), col("ed").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("src") =!= col("dst"))
+      .withColumn("cos", expr(Similarity.sparkCosPre("ea", "eb", "na", "nb")))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)))
+      .filter(col("rank") <= k)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def recall(got: Set[(Long, Long)]): Double =
+    got.intersect(exactEdges).size.toDouble / exactEdges.size
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"knn_incr_$tag").toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  test("store round trip: build + serve equals the in-plan graph bit for bit") {
+    graft.functions.VectorExprs.register(spark)
+    val dir = tmpDir("rt")
+    graft.core.CacheScope.scoped {
+      Similarity.buildKnnGraphIndex(embs, dir, k)
+    }
+    val served = rankedSet(Similarity.knnGraphFromIndex(spark, dir))
+    val inPlan = graft.core.CacheScope.scoped { rankedSet(Similarity.knnGraph(embs, k)) }
+    assert(served.nonEmpty)
+    assert(served == inPlan, "stored-and-served graph diverges from the in-plan build")
+  }
+
+  test("append recall stays within the stated band of the full rebuild") {
+    graft.functions.VectorExprs.register(spark)
+    val dir = tmpDir("half")
+    val half = embs.agg(expr("(max(vec_id) + 1) div 2")).collect()(0).getLong(0)
+    graft.core.CacheScope.scoped {
+      Similarity.buildKnnGraphIndex(embs.filter(col("vec_id") < half), dir, k)
+      Similarity.appendToKnnGraphIndex(embs.filter(col("vec_id") >= half), dir)
+    }
+    val incr = recall(edgeSet(Similarity.knnGraphFromIndex(spark, dir)))
+    val rebuild = graft.core.CacheScope.scoped {
+      recall(edgeSet(Similarity.knnGraph(embs, k)))
+    }
+    info(f"recall@$k: appended $incr%.3f vs full rebuild $rebuild%.3f")
+    // Measured on the isotropic sf0.01 fixture: the appended graph loses
+    // only the old×old pairs the base build's banding missed AND the
+    // affected-pivot round cannot reach — a few edges. The band leaves
+    // regression room, not mechanism room: an append that dropped the
+    // merge or the refinement reads ~0.1-0.2 lower.
+    assert(incr >= rebuild - 0.05,
+      f"appended graph recall $incr%.3f fell more than 0.05 below the rebuild's $rebuild%.3f")
+    assert(incr >= 0.65, f"appended recall $incr%.3f below the absolute floor")
+  }
+
+  test("empty-batch append is a graph no-op") {
+    graft.functions.VectorExprs.register(spark)
+    import spark.implicits._
+    val dir = tmpDir("noop")
+    graft.core.CacheScope.scoped {
+      Similarity.buildKnnGraphIndex(embs, dir, k)
+    }
+    val before = rankedSet(Similarity.knnGraphFromIndex(spark, dir))
+    graft.core.CacheScope.scoped {
+      Similarity.appendToKnnGraphIndex(
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), dir)
+    }
+    val after = rankedSet(Similarity.knnGraphFromIndex(spark, dir))
+    assert(after == before, "empty append changed the stored graph")
+  }
+
+  test("served graph shape after append: contiguous ranks, <= k per node, no self edges, full coverage") {
+    graft.functions.VectorExprs.register(spark)
+    val dir = tmpDir("shape")
+    val half = embs.agg(expr("(max(vec_id) + 1) div 2")).collect()(0).getLong(0)
+    graft.core.CacheScope.scoped {
+      Similarity.buildKnnGraphIndex(embs.filter(col("vec_id") < half), dir, k)
+      Similarity.appendToKnnGraphIndex(embs.filter(col("vec_id") >= half), dir)
+    }
+    val rows = Similarity.knnGraphFromIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (v, _, nn) => v != nn }, "self edge")
+    val byNode = rows.groupBy(_._1)
+    assert(byNode.size == embs.count(), "a corpus node is missing from the appended graph")
+    byNode.foreach { case (v, es) =>
+      assert(es.length <= k, s"node $v has ${es.length} > $k neighbors")
+      assert(es.map(_._2).sorted.toSeq == (1L to es.length).toSeq,
+        s"node $v ranks not contiguous")
+      assert(es.map(_._3).distinct.length == es.length, s"node $v duplicate neighbor")
+    }
+  }
+}
