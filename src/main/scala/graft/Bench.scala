@@ -122,7 +122,14 @@ object Bench {
     // round's headline parses as null (round 5's bench was lost exactly
     // this way). The final line is the parse target: short (<1 kB), no
     // per-query maps, guaranteed to fit any tail buffer.
-    val detail = s"""{"metric":"detail","warm":$qs,"cold":$colds,"skipped_guard":$skipped,"sf":"$sfDir"}"""
+    // WARM LAST inside the detail line: the tail window shows the line's
+    // final ~1.9 kB, and when that window lands mid-map the entries appear
+    // WITHOUT their section label — r12's truncated tail showed cold-map
+    // entries that were then read as a second, diverging warm aggregate
+    // (x_knn_clusters "9.59 vs 11.68" — the second number was the cold
+    // rep). With warm last, anything visible in a truncated tail IS the
+    // canonical min-of-N warm number, the same metric the file carries.
+    val detail = s"""{"metric":"detail","cold":$colds,"skipped_guard":$skipped,"sf":"$sfDir","warm":$qs}"""
     println(detail)
     // The driver's stdout capture keeps only the last ~2 kB; at 105
     // queries the detail line alone is ~4.7 kB, so per-query history was

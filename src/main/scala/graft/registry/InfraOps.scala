@@ -945,6 +945,19 @@ object InfraOps {
           .filter(col("cents") <= 5000), "cents", 8)
       EventStream.bucketDriftBatch(ev, cuts)
     }),
+    // The drift monitor's ALERTING summary: per-window population
+    // stability index against the cut-training baseline — clamped
+    // integer-ppm fractions, the DetMath deterministic log kernel (the
+    // engine's own ln is 1-ulp unstable cross-engine on exactly these
+    // inputs), fixed ascending-bucket fold; the streaming form is
+    // spec-checked equal on the full window set (EventStreamSpec).
+    "st_drift_psi" -> ((s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val baseline = ev.selectExpr("cast(floor(value * 100) as bigint) as cents")
+        .filter(col("cents") <= 5000)
+      val cuts = graft.sources.TableStats.equiDepthHistogram(baseline, "cents", 8)
+      EventStream.bucketDriftPsiBatch(ev, cuts, baseline)
+    }),
     "st_dedup" -> (streamDedupBatch _),
     "st_neardup" -> (streamNearDupBatch _),
     "st_ingest_store" -> (streamIngestStore _),
@@ -1406,6 +1419,63 @@ object InfraOps {
         |SELECT win_start, win_start + INTERVAL '1 day' AS win_end, bucket,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM b GROUP BY 1, 2, 3""".stripMargin,
+    // PSI twin: same cut CTEs as st_drift, then clamped integer-ppm
+    // fractions on both sides (baseline = the training set, window = all
+    // bucketed rows), the DetMath deterministic log (floor-log2 via
+    // binary digit count + exact 2^m scaling + the shared atanh series —
+    // NOT the engine ln, which is 1-ulp unstable vs the JVM), and a
+    // fixed ascending-bucket left fold via list_reduce. Every arithmetic
+    // step mirrors the Spark projection op for op, so the doubles hash
+    // bit-for-bit.
+    "st_drift_psi" -> {
+      import graft.functions.DetMath
+      val ln2 = DetMath.Ln2Literal
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |tv AS (SELECT v FROM e WHERE v <= 5000),
+         |g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM tv GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tv),
+         |c AS (SELECT v, cnt,
+         |        COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |      FROM g),
+         |cuts AS (SELECT min(v) AS lo FROM (SELECT (cb * 8) // n AS bucket, v FROM c, t) GROUP BY bucket),
+         |ca AS (SELECT list_sort(list(lo)) AS cl FROM cuts),
+         |dom AS (SELECT CAST(unnest(range(-1, 8)) AS BIGINT) AS bucket),
+         |bb AS (SELECT CAST(len(list_filter(ca.cl, c -> c <= v)) - 1 AS BIGINT) AS bucket FROM tv, ca),
+         |eb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM bb GROUP BY 1),
+         |ebt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bb),
+         |ep AS (SELECT d.bucket,
+         |         greatest(CAST(1 AS BIGINT), (COALESCE(eb.cnt, 0) * 1000000) // ebt.n) AS eppm
+         |       FROM dom d LEFT JOIN eb USING (bucket), ebt),
+         |wb AS (SELECT time_bucket(INTERVAL '1 day', e.ts) AS win_start,
+         |         CAST(len(list_filter(ca.cl, c -> c <= v)) - 1 AS BIGINT) AS bucket
+         |       FROM e, ca WHERE v IS NOT NULL),
+         |wt AS (SELECT win_start, CAST(count(*) AS BIGINT) AS n_rows FROM wb GROUP BY 1),
+         |wc AS (SELECT win_start, bucket, CAST(count(*) AS BIGINT) AS cnt FROM wb GROUP BY 1, 2),
+         |ap AS (SELECT wt.win_start, d.bucket,
+         |         greatest(CAST(1 AS BIGINT), (COALESCE(wc.cnt, 0) * 1000000) // wt.n_rows) AS appm,
+         |         ep.eppm
+         |       FROM wt CROSS JOIN dom d
+         |       LEFT JOIN wc ON wc.win_start = wt.win_start AND wc.bucket = d.bucket
+         |       JOIN ep ON ep.bucket = d.bucket),
+         |l1 AS (SELECT win_start, bucket, appm, eppm,
+         |         ${DetMath.floorLog2Sql("appm")} AS ma,
+         |         ${DetMath.floorLog2Sql("eppm")} AS me FROM ap),
+         |l2 AS (SELECT *, CAST(appm AS DOUBLE) / CAST((CAST(1 AS BIGINT) << ma) AS DOUBLE) AS fa,
+         |               CAST(eppm AS DOUBLE) / CAST((CAST(1 AS BIGINT) << me) AS DOUBLE) AS fe FROM l1),
+         |l3 AS (SELECT *, ((fa - CAST(1 AS DOUBLE)) / (fa + CAST(1 AS DOUBLE))) AS ya,
+         |               ((fe - CAST(1 AS DOUBLE)) / (fe + CAST(1 AS DOUBLE))) AS ye FROM l2),
+         |l4 AS (SELECT *, ${DetMath.seriesSql("ya")} AS sa, ${DetMath.seriesSql("ye")} AS se FROM l3),
+         |l5 AS (SELECT win_start, bucket,
+         |         (CAST(appm - eppm AS DOUBLE) / CAST(1000000 AS DOUBLE))
+         |           * (${DetMath.lnFromPartsSql("ma", "sa")} - ${DetMath.lnFromPartsSql("me", "se")}) AS term
+         |       FROM l4),
+         |psi AS (SELECT win_start,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY bucket)),
+         |                      (s, v) -> s + v) AS psi
+         |        FROM l5 GROUP BY win_start)
+         |SELECT p.win_start, p.win_start + INTERVAL '1 day' AS win_end, wt.n_rows, p.psi
+         |FROM psi p JOIN wt USING (win_start)""".stripMargin
+    },
     "st_dedup" -> {
       import graft.llmdata.TextPrimitives.{duckPolyHashArray, duckWords, P}
       import graft.streaming.DocStream.{Fp2Mult, Fp2Mod}

@@ -138,6 +138,102 @@ object EventStream {
                        window_ : String = "1 day"): DataFrame =
     bucketAgg(events, "ts", cuts, window_)
 
+  /** Per-window POPULATION STABILITY INDEX over the stored cuts — the
+    * single number production monitors alert on, folded from the same
+    * bucket frame [[bucketDrift]] emits: PSI = Σ_b (aᵢ − eᵢ)·ln(aᵢ/eᵢ)
+    * with a = the window's bucket fractions, e = the BASELINE's (the
+    * cut-training set), both as clamped integer ppm (≥ 1, the standard
+    * zero-bucket epsilon) so every input to the log is an integer in
+    * [1, 10⁶].
+    *
+    * Oracle exactness: the log is [[graft.functions.DetMath]]'s
+    * deterministic kernel, NOT the engine's `ln` (measured 1-ulp
+    * divergent between the JVM and DuckDB on 24/10⁶ of exactly these
+    * inputs), and the fold is a fixed ascending-bucket left fold — so the
+    * DuckDB twin reproduces the doubles bit for bit, the t_gini/t_lmscore
+    * integer-exact discipline extended to a transcendental metric.
+    *
+    * Streaming shape: ONE windowed aggregation (per-bucket counts as
+    * nBuckets+2 conditional sums — the bucket domain is structural, so
+    * the "agg of an agg" a naive two-level fold needs never arises), PSI
+    * as a pure projection; state per window is nBuckets+3 counters.
+    * Baseline fractions fold on the DRIVER from the ≤ nBuckets+2-row
+    * bucketed baseline (stats-as-data, [[DetMath.detLn]] is
+    * bit-identical to the SQL kernel) and ride the plan as literals — no
+    * stream-static join after aggregation, which Spark disallows. */
+  private def psiAgg(df: DataFrame, tsCol: String, cuts: DataFrame,
+                     baseline: DataFrame, baselineCol: String,
+                     window_ : String): DataFrame = {
+    import graft.functions.DetMath
+    val nCuts = cuts.count().toInt
+    require(nCuts >= 1, "psiAgg: empty cuts frame")
+    val slots = -1 until nCuts
+    // Baseline ppm per bucket, clamped like the window side; ln via the
+    // deterministic kernel on the driver (bit-identical to the SQL form).
+    val baseCounts = graft.sources.TableStats.withCutBucket(
+        baseline.select(col(baselineCol).cast("bigint").as("v"))
+          .where(col("v").isNotNull), "v", cuts)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseTotal = baseCounts.values.sum
+    require(baseTotal > 0, "psiAgg: empty baseline")
+    val ePpm = slots.map(b => math.max(1L, baseCounts.getOrElse(b.toLong, 0L) * 1000000L / baseTotal))
+    val eLn = ePpm.map(DetMath.detLn)
+    val bucketed = graft.sources.TableStats.withCutBucket(
+      df.withColumn("__cents", expr("cast(floor(value * 100) as bigint)"))
+        .where(col("__cents").isNotNull),
+      "__cents", cuts)
+    val countCols = slots.map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"__c_${b + 1}"))
+    val agged = bucketed
+      .groupBy(window(col(tsCol), window_))
+      .agg(count(lit(1)).as("n_rows"), countCols: _*)
+    // Window-side ppm + deterministic ln as array steps (short lambda
+    // vars keep the kernel text small); the term fold is a left fold in
+    // ascending bucket order — both choices mirrored exactly in the twin.
+    val acArr = slots.map(b => s"__c_${b + 1}").mkString("array(", ", ", ")")
+    val eppmArr = ePpm.map(v => s"${v}L").mkString("array(", ", ", ")")
+    val elnArr = eLn.map(d => s"CAST('$d' AS DOUBLE)").mkString("array(", ", ", ")")
+    agged
+      .withColumn("__ap", expr(
+        s"transform($acArr, c -> greatest(CAST(1 AS BIGINT), (c * CAST(1000000 AS BIGINT)) div n_rows))"))
+      .withColumn("__am", expr(s"transform(__ap, v -> ${DetMath.floorLog2Sql("v")})"))
+      .withColumn("__af", expr(
+        "zip_with(__ap, __am, (v, m) -> CAST(v AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE))"))
+      .withColumn("__ay", expr(
+        "transform(__af, f -> ((f - CAST(1 AS DOUBLE)) / (f + CAST(1 AS DOUBLE))))"))
+      .withColumn("__as", expr(s"transform(__ay, y -> ${DetMath.seriesSql("y")})"))
+      .withColumn("__al", expr(s"zip_with(__am, __as, (m, s) -> ${DetMath.lnFromPartsSql("m", "s")})"))
+      .withColumn("__terms", expr(
+        s"""transform(sequence(0, ${nCuts}), i ->
+           |  (CAST(element_at(__ap, i + 1) - element_at($eppmArr, i + 1) AS DOUBLE)
+           |     / CAST(1000000 AS DOUBLE))
+           |  * (element_at(__al, i + 1) - element_at($elnArr, i + 1)))""".stripMargin))
+      .withColumn("psi", expr("aggregate(__terms, CAST(0 AS DOUBLE), (s, t) -> s + t)"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("n_rows"), col("psi"))
+  }
+
+  /** STREAMING PSI drift summary — [[psiAgg]] on watermarked event-time
+    * windows; one row per closed window, the alerting signal next to
+    * [[bucketDrift]]'s per-bucket detail. */
+  def bucketDriftPsi(events: DataFrame, cuts: DataFrame,
+                     baseline: DataFrame, baselineCol: String = "cents",
+                     window_ : String = "1 day",
+                     watermark: String = "1 hour"): DataFrame =
+    psiAgg(
+      events
+        .withColumn("ts_tz", col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark),
+      "ts_tz", cuts, baseline, baselineCol, window_)
+
+  /** Batch twin of [[bucketDriftPsi]] (the `st_drift_psi` oracle row —
+    * same fold via [[psiAgg]], no watermark; st_window convention). */
+  def bucketDriftPsiBatch(events: DataFrame, cuts: DataFrame,
+                          baseline: DataFrame, baselineCol: String = "cents",
+                          window_ : String = "1 day"): DataFrame =
+    psiAgg(events, "ts", cuts, baseline, baselineCol, window_)
+
   /** Stream-static enrichment: join the event stream against a bounded
     * dimension. The broadcast hint makes every micro-batch a map-side
     * hash join — no stream-side state at all, and the dim is re-resolved

@@ -294,4 +294,47 @@ class EventStreamSpec extends AnyFunSuite {
       assert(streamed == twin)
     } finally q.stop()
   }
+
+  test("streaming PSI summary equals its batch twin (st_drift_psi) bit for bit on the full window set") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+      .filter(col("user_id") % 4 === 0)
+    val baseline = ev.selectExpr("cast(floor(value * 100) as bigint) as cents")
+      .filter(col("cents") <= 5000)
+    val cuts = graft.sources.TableStats.equiDepthHistogram(baseline, "cents", 8)
+    val twin = EventStream.bucketDriftPsiBatch(ev, cuts, baseline).collect()
+      .map(r => (r.getAs[Any](0).toString.replace('T', ' ').take(16), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(twin.nonEmpty)
+    // The fixture's drifted mass (values above the stale training range)
+    // must register: every window's PSI is large by monitoring standards
+    // (the usual "investigate" bar is 0.2) and finite.
+    EventStream.bucketDriftPsiBatch(ev, cuts, baseline).collect().foreach { r =>
+      val psi = r.getDouble(3)
+      assert(!psi.isNaN && !psi.isInfinite, s"PSI not finite: $psi")
+      assert(psi > 0.2, f"window ${r.get(0)} PSI $psi%.3f below the drifted fixture's floor")
+    }
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val mem = MemoryStream[(Long, java.time.LocalDateTime, Long, String, Double)]
+    val q = EventStream.bucketDriftPsi(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"), cuts, baseline)
+      .writeStream.format("memory").queryName("psi_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { s =>
+        mem.addData(s.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("psi_stream").collect()
+        .map(r => (r.getAs[Any](0).toString.replace('T', ' ').take(16), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      assert(streamed == twin,
+        "streaming PSI diverged from the batch twin (bit-level double compare)")
+    } finally q.stop()
+  }
 }
