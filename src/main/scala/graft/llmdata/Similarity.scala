@@ -1094,7 +1094,19 @@ object Similarity {
     * One round is the registered default: seeds at constant occupancy
     * already give high recall and each extra round costs a full
     * score-and-rank pass (the WWW 2011 convergence loop is for random
-    * init, where round 1 starts from nothing). */
+    * init, where round 1 starts from nothing). Measured across decades
+    * (r13 sweep, 1 000-node exact ground truth, isotropic fixture):
+    * round 1 buys +0.014 recall at 20 k (2.4 → 4.6 s) and +0.004 at
+    * 200 k (8.4 → 18.9 s); round 2 buys +0.004 / +0.0004 more for
+    * another ~1.5–2× wall — on isotropic data the closure has little to
+    * propagate (near-zero clustering coefficient), so rounds ≥ 2 are for
+    * CLUSTERED corpora only (where round 1 measures +0.054, see
+    * KnnGraphSpec's clustered case). Note the isotropic fixture's
+    * absolute recall FALLS with scale (0.76 at 500 → 0.11 at 20 k →
+    * 0.048 at 200 k): constant-occupancy banding holds candidate volume
+    * linear by raising band bits with log N, while the true-neighbor
+    * angle barely shrinks — the standard LSH trade, which clustered
+    * (real-corpus) neighbors at high cosine do not pay. */
   def knnGraph(embeddings: DataFrame, k: Int = 5,
                planes: Int = 0, bandBits: Int = 0,
                nHint: Long = 0L, descentRounds: Int = 1,
@@ -1198,17 +1210,23 @@ object Similarity {
       val sc = graft.core.CacheScope.persisted(sc0)
       val ranked = topKEdges(
         sc.union(sc.select(col("dst").as("src"), col("src").as("dst"), col("cos"))), k)
-      // LIGHT: eager localCheckpoint instead of persist+count — same
-      // materialization barrier, but it also TRUNCATES the lineage, so
-      // every later round (and the caller's action) plans from a leaf
-      // instead of re-optimizing the whole build per AQE stage; at gated
-      // N the driver-side planning was a measured third of the wall.
-      // (Not for the heavy shape: checkpoint blocks are non-recomputable
-      // — an executor loss at sf100 would fail the job where the persist
-      // path just recomputes; the small-N blocks are a few MB.)
-      val g = if (light) ranked.localCheckpoint()
-              else graft.core.CacheScope.persisted(ranked)
-      if (!light) g.count()
+      // Eager localCheckpoint in BOTH shapes — the same materialization
+      // barrier the former persist+count gave, plus lineage TRUNCATION,
+      // which is load-bearing twice over: at gated N the driver-side
+      // re-planning of the deep tree was a measured third of the wall
+      // (~2.4 s of the 5.8 s build), and with descentRounds >= 2 the
+      // plan EMBEDS the previous round ~12× per round — round 2 carried
+      // ~144 copies of the seed subtree through Catalyst and measured
+      // 657 s at sf1 where round 1 took 9.6 s, pure analysis cost (the
+      // pathology x_knn_clusters' composition already checkpoints away).
+      // The ranked graph is N·k 32-byte rows at ANY scale (~300 MB at
+      // 2 M vectors), so the checkpointed blocks are never the footprint
+      // problem the per-stage caches are. Trade: checkpoint blocks are
+      // non-recomputable — an executor loss mid-build fails the job
+      // instead of recomputing a stage; acceptable for a graph BUILD
+      // (idempotent, caller retries), and the alternative is exponential
+      // planning above one round.
+      val g = ranked.localCheckpoint()
       sc.unpersist(blocking = false)
       g
     }
@@ -1320,20 +1338,20 @@ object Similarity {
           // deterministic pick, never a corrupted graph.
           bU.union(proposals).groupBy("src", "dst").agg(max("cos").as("cos"))
         }
-      // rankMirrored materialized g2 — g/b/bv can be freed without their
-      // lineage (the whole previous round) ever re-running. (Light g is
-      // localCheckpointed — non-recomputable, so let the ContextCleaner
-      // reap its few-MB blocks instead of warning per round.)
+      // rankMirrored materialized g2 — b/bv can be freed without their
+      // lineage (the whole previous round) ever re-running. The previous
+      // g is localCheckpointed (non-recomputable): its N·k-row blocks are
+      // left to the ContextCleaner instead of an unpersist that would
+      // only trade a WARN for a few MB.
       val g2 = rankMirrored(pool)
-      if (!light) g.unpersist(blocking = false)
       b.unpersist(blocking = false)
       pivotCache.foreach(_.unpersist(blocking = false))
       g = g2
     }
-    // The final g is materialized, so the norm frame is no longer
-    // reachable from the returned plan — free it here rather than
-    // leaking it to the session (the returned top-k frame itself stays
-    // persisted: caller-owns-release via CacheScope.scoped, N·k rows).
+    // The final g is materialized (eager checkpoint), so the norm frame
+    // is no longer reachable from the returned plan — free it here rather
+    // than leaking it to the session (the returned frame's own
+    // checkpointed blocks are N·k rows, reaped with the frame).
     n.unpersist(blocking = false)
     g.select(col("src").as("vec_id"), col("rank"), col("dst").as("nn_id"), col("cos"))
   }
@@ -1420,14 +1438,30 @@ object Similarity {
       spark.read.parquet(s"$indexDir/corpus").withColumn("__new", lit(false))
         .unionByName(nw.withColumn("__new", lit(true))))
     val n = all.select("vec_id", "ed", "nrm")
-    val bf = explodeWithPrefix(all.select(col("vec_id"), col("__new"), col("__bands")))
-    val cand = bf.as("a").join(bf.as("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
-          && col("a.vec_id") < col("b.vec_id")
-          && noEarlierSharedBand("a.__pre", "b.__pre")
-          && (col("a.__new") || col("b.__new")))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-    val scoredNew = graft.core.CacheScope.persisted(scoreEdges(cand, n))
+    // BUCKET-LOCAL candidate scoring (the [[scoreSeedPairsInBuckets]]
+    // shape, with the ≥1-new gate added): vectors ride the band frame
+    // once into a bucket-co-partitioned cache and every candidate is born
+    // a 24 B scored row inside the self-join. The join-form re-attach it
+    // replaces ships candidates × vector bytes — measured on a
+    // stress-sized batch (90% of the sf10 corpus appended at once:
+    // ~5·10⁸ exactly-once candidates), the re-attach filled 70 GB of
+    // shuffle scratch and died while the bucket-local form completes;
+    // a nominal batch never generates that volume (candidates are
+    // Θ(batch × occupancy × bands)), but append batch size is CALLER
+    // data, and the scoring shape should not have a batch-size cliff the
+    // build already solved. Exactly the wall r12 removed from the build.
+    val bv = graft.core.CacheScope.persisted(
+      explodeWithPrefix(all.select(col("vec_id"), col("ed"), col("nrm"),
+          col("__new"), col("__bands")))
+        .repartition(col("band"), col("band_val")))
+    val scoredNew = graft.core.CacheScope.persisted(
+      bv.as("a").join(bv.as("b"),
+          col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+            && col("a.vec_id") < col("b.vec_id")
+            && noEarlierSharedBand("a.__pre", "b.__pre")
+            && (col("a.__new") || col("b.__new")))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          expr(sparkCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")).as("cos")))
     // Stored edges are mirrored+ranked; fold back to one canonical row per
     // pair (a pair ranked from only one side still yields its canonical
     // row). Disjoint from scoredNew by construction (stored = old×old,
@@ -1436,15 +1470,22 @@ object Similarity {
       .select(least(col("vec_id"), col("nn_id")).as("src"),
         greatest(col("vec_id"), col("nn_id")).as("dst"), col("cos"))
       .distinct()
+    // Same rank helper as the build's, with the build's lineage
+    // truncation: each rank stage's output is a checkpointed leaf, so the
+    // refinement's plans (which reference the merge output many times)
+    // never re-optimize the whole append underneath them — measured on an
+    // sf1 stress append (90% of the corpus in one batch): 112 s with the
+    // persist+count form, 17 s with the checkpointed leaves, same data.
     def rankMirroredK(sc0: DataFrame): DataFrame = {
       val sc = graft.core.CacheScope.persisted(sc0)
-      val g = graft.core.CacheScope.persisted(topKEdges(
-        sc.union(sc.select(col("dst").as("src"), col("src").as("dst"), col("cos"))), k))
-      g.count()
+      val g = topKEdges(
+        sc.union(sc.select(col("dst").as("src"), col("src").as("dst"), col("cos"))), k)
+        .localCheckpoint()
       sc.unpersist(blocking = false)
       g
     }
     val g1 = rankMirroredK(storedCan.union(scoredNew))
+    bv.unpersist(blocking = false)
     val bySrc = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
     val revK = g1.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
@@ -1452,24 +1493,41 @@ object Similarity {
       .filter(col("__rr") <= k)
     val b = graft.core.CacheScope.persisted(
       g1.select("src", "dst", "cos").union(revK.select("src", "dst", "cos")).distinct())
+    // Known edges re-enter the pool with their STORED cosines (canonical
+    // order — bit-identical to a rescore), exactly as in the build.
     val bU = b.select(least(col("src"), col("dst")).as("src"),
-      greatest(col("src"), col("dst")).as("dst"))
+      greatest(col("src"), col("dst")).as("dst"), col("cos"))
     val aff = scoredNew.select("src")
       .union(scoredNew.select(col("dst").as("src"))).distinct()
     val bAff = b.join(aff, Seq("src"), "left_semi")
-    val c1 = bAff.as("x").join(bAff.as("y"),
+    // PIVOT-LOCAL proposal scoring restricted to affected pivots — the
+    // build's refinement shape: dst vectors ride the ≤ 2k·|affected|
+    // neighbor frame into a pivot-co-partitioned cache, proposals are
+    // scored inline by the pivot self-join (never exchanged with a
+    // vector attached), and the per-(src, dst) uniqueness is structural
+    // (max-of-group over the pair key, ≡ the former distinct since cos
+    // is a pure function of the pair).
+    val bvp = graft.core.CacheScope.persisted(
+      bAff.select("src", "dst")
+        .join(n.select(col("vec_id").as("dst"), col("ed"), col("nrm")), "dst")
+        .repartition(col("src")))
+    val proposals = bvp.as("x").join(bvp.as("y"),
         col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-      .select(col("x.dst").as("src"), col("y.dst").as("dst"))
-    val g2 = rankMirroredK(scoreEdges(bU.union(c1).distinct(), n))
-    // The overwrite below deletes the files g2's lineage reads —
-    // localCheckpoint first, so the write job reads materialized blocks
-    // with no file dependency (g2 is N·k ranked rows, the store's own
-    // size; the same barrier Snapshots' versioned writes use).
-    val out = g2.select(col("src").as("vec_id"), col("rank"),
-      col("dst").as("nn_id"), col("cos")).localCheckpoint()
-    out.write.mode("overwrite").parquet(s"$indexDir/edges")
+      .select(col("x.dst").as("src"), col("y.dst").as("dst"),
+        expr(sparkCosPre("x.ed", "y.ed", "x.nrm", "y.nrm")).as("cos"))
+    val g2 = rankMirroredK(
+      bU.union(proposals).groupBy("src", "dst").agg(max("cos").as("cos")))
+    bvp.unpersist(blocking = false)
+    // g2 is a checkpointed LEAF (rankMirroredK), so the overwrite below
+    // has no dependency on the edges/ files it replaces — the write job
+    // reads materialized blocks (N·k ranked rows, the store's own size).
+    g2.select(col("src").as("vec_id"), col("rank"),
+        col("dst").as("nn_id"), col("cos"))
+      .write.mode("overwrite").parquet(s"$indexDir/edges")
     nw.write.mode("append").parquet(s"$indexDir/corpus")
-    Seq(g1, b, scoredNew, all, nw).foreach(_.unpersist(blocking = false))
+    // g1/g2 are checkpointed (non-recomputable) — left to the
+    // ContextCleaner, as in the build.
+    Seq(b, scoredNew, all, nw).foreach(_.unpersist(blocking = false))
   }
 
   /** Serve the stored k-NN graph ([[buildKnnGraphIndex]] layout) — the
