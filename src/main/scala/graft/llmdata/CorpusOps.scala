@@ -811,6 +811,92 @@ object CorpusOps {
   def dedupClusters(documents: DataFrame): DataFrame =
     clusterLabels(DocDedup.minhashLshPairs(documents), iterations = 3)
 
+  /** Dedup clusters by star contraction — the diameter-independent twin of
+    * [[dedupClusters]]: same MinHash-LSH pair graph, labels from
+    * [[graft.core.StarComponents.components]] instead of fixed-round
+    * min-label propagation. Converged labels are identical (min id per
+    * component); the difference is the round budget — O(log² n)
+    * alternations vs O(diameter) propagation rounds, which is the
+    * distinction that matters when near-dup components are CHAINS
+    * (templated page series, crawl-date gradients: A≈B≈C but A≉C) rather
+    * than cliques. At fixture scale both converge; the spec suite pins the
+    * round-count separation on a synthetic chain. */
+  def dedupClustersStar(documents: DataFrame): DataFrame =
+    graft.core.StarComponents.components(DocDedup.minhashLshPairs(documents))
+
+  /** Incremental dedup-cluster maintenance — the append leg of the cluster
+    * lifecycle (the stored-index idiom of `e_ivf_incr`/`e_knn_incr` on the
+    * component axis): cluster the base half of the corpus once, then fold
+    * in only the pairs with ≥ 1 NEW endpoint via
+    * [[graft.core.StarComponents.mergeComponents]] — old×old pairs are
+    * never re-examined, and the contraction the merge runs is bounded by
+    * the new-pair volume, not the corpus.
+    *
+    * Exactness (unlike the ANN appends' recall bands): component merge is
+    * associative, so the merged labels are BIT-IDENTICAL to a full rebuild
+    * over the whole pair graph — which is exactly what the oracle checks
+    * (same closure SQL as `c_cc`, different dataflow). Pair generation
+    * here re-derives the new-pair stream in-plan for the declarative
+    * replay (MinHash pair emission is per-pair local, so subsetting
+    * commutes); a production deployment feeds the same merge from the
+    * stored band index (`storedIndexDedup`'s candidate stream), which
+    * never rescans the old corpus. */
+  def incrementalClusters(documents: DataFrame): DataFrame = {
+    val half = broadcast(documents.agg(expr("(max(doc_id) + 1) div 2").as("__h")))
+    // Pair emission is pair-local (fixed banding config + pair-wise
+    // Jaccard verify), so subsetting commutes with generation:
+    // pairs(base docs) ≡ pairs(all docs) ∩ old×old. One tokenize+sign
+    // pass feeds both lifecycle phases; id_a < id_b on every emitted
+    // pair, so "both old" ⇔ id_b < cut and "≥ 1 new" ⇔ id_b ≥ cut.
+    val allPairs = graft.core.CacheScope.persisted(
+      DocDedup.minhashLshPairs(documents).crossJoin(half))
+    val basePairs = allPairs.filter(col("id_b") < col("__h")).drop("__h")
+    val newPairs = allPairs.filter(col("id_b") >= col("__h")).drop("__h")
+    val labels0 = graft.core.StarComponents.components(basePairs)
+    graft.core.StarComponents.mergeComponents(labels0, newPairs)
+  }
+
+  // ---- Per-source score normalization ------------------------------------
+
+  /** Per-source quantile normalization of quality scores — the cross-source
+    * calibration step that makes one global threshold meaningful: raw
+    * quality scores are only comparable WITHIN a source (each domain has
+    * its own length/punctuation regime), so a single corpus-wide cutoff
+    * (`autoQualityFilter`) systematically over-prunes terse sources and
+    * under-prunes verbose ones. `qnorm` = the score's cumulative fraction
+    * within its source (`cume_dist`: #docs in source with score ≤ mine /
+    * #docs in source) — uniform on (0,1] per source by construction, so
+    * "keep the top 30% of EVERY source" is one global `qnorm >= 0.7`.
+    *
+    * Shape, chosen for 100 TB: NOT a per-source window over documents —
+    * `cume_dist().over(partitionBy(source))` sorts each source on one
+    * executor, and a dominant source is most of the corpus. Instead the
+    * cumulative counts live on the (source, score) HISTOGRAM: one groupBy
+    * shuffle builds it, the running sum runs over histogram rows only, and
+    * a join on (source, score) fans the result back to documents. The
+    * histogram is bounded by the SCORE GRID, not the data — quality_score
+    * is round(·, 6) in [0, 1], so ≤ 1e6+1 distinct scores per source no
+    * matter how many documents — which is what makes the per-source
+    * running sum safe at any corpus size. Ties share one histogram row and
+    * therefore one qnorm value (cume_dist semantics — no arbitrary
+    * tie-break, unlike percent_rank over doc_id). */
+  def sourceQuantileNorm(documents: DataFrame): DataFrame = {
+    val scored = TextAnalysis.withQuality(documents.withColumn("__words", tokens(col("text"))))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .filter(col("quality_score").isNotNull && col("doc_id").isNotNull &&
+        col("source").isNotNull)
+      .transform(graft.core.CacheScope.persisted)
+    val hist = scored.groupBy("source", "quality_score").agg(count(lit(1)).as("__n"))
+    val bySource = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val cum = hist
+      .withColumn("__cum",
+        sum("__n").over(bySource.orderBy("quality_score")))
+      .withColumn("__tot", sum("__n").over(bySource))
+    scored.join(cum, Seq("source", "quality_score"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        round(col("__cum").cast("double") / col("__tot"), 6).as("qnorm"))
+  }
+
   /** Deterministic source-interleaved training order — stride scheduling
     * (the lottery/stride scheduler from OS theory, reborn as the data
     * loader's mixing policy): documents of each source are consumed in a

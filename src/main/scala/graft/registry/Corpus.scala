@@ -54,6 +54,20 @@ object Corpus {
         CorpusOps.fixtureTraining(all), CorpusOps.fixtureBenchmark(all), DecontamK)
     }),
     "c_clusters" -> ((s, d) => CorpusOps.dedupClusters(docs(s, d))),
+    // Star-contraction connected components over the same pair graph —
+    // the diameter-independent labeling (O(log² n) rounds vs label
+    // propagation's O(diameter)); converged labels are identical, and the
+    // oracle checks against the TRUE components (recursive closure), not
+    // an unrolled round count.
+    "c_cc" -> ((s, d) => CorpusOps.dedupClustersStar(docs(s, d))),
+    // Incremental component maintenance: cluster the first id-half, merge
+    // in only the ≥1-new-endpoint pairs. Merge is exact (associative), so
+    // the oracle is the SAME closure over the full pair graph — the
+    // incremental dataflow must land bit-identical to a rebuild.
+    "c_cc_incr" -> ((s, d) => CorpusOps.incrementalClusters(docs(s, d))),
+    // Per-source quantile normalization (cross-source score calibration);
+    // histogram-join shape, no per-source document sort.
+    "c_qnorm" -> ((s, d) => CorpusOps.sourceQuantileNorm(docs(s, d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
@@ -197,6 +211,46 @@ object Corpus {
 
   private val clustersSql =
     s"WITH $clustersCtes\nSELECT doc_id, cluster FROM l3"
+
+  /** TRUE connected components of the near-dup pair graph — recursive
+    * reachability closure, min reachable id per node. Deliberately not an
+    * unrolled-round twin: the star-contraction rows (`c_cc`, `c_cc_incr`)
+    * are checked against the mathematical component labeling, independent
+    * of any round budget on either side. Shared by both rows — the
+    * incremental merge is exact, so append-then-merge must land
+    * bit-identical to this full-graph answer. */
+  private val ccSql =
+    s"""WITH RECURSIVE ${minhashPairCtes("documents", "")},
+       |ccedges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |            UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM ccedges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN ccedges e ON r.dst = e.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |FROM reach GROUP BY src""".stripMargin
+
+  /** DuckDB twin of [[CorpusOps.sourceQuantileNorm]]: same quality formula
+    * as the `t_quality` oracle, then `cume_dist` per source — the window
+    * form IS the spec; the Spark side computes the identical ratio from
+    * the (source, score) histogram so no source ever sorts on one node. */
+  private val qnormSql = {
+    val enList = StopWords.toMap.apply("en").map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH w AS (SELECT doc_id, source, text, ${duckWords("text")} AS words FROM documents),
+       |q1 AS (SELECT doc_id, source, text, words, len(words) AS n_tokens FROM w),
+       |q2 AS (SELECT doc_id, source, n_tokens,
+       |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+       |  round(CAST(len(list_filter(words, x -> lower(x) IN $enList)) AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio
+       |FROM q1),
+       |sc AS (SELECT doc_id, source,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+       |      + least(stop_ratio * 4.0, 1.0) * 0.3
+       |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3, 6) AS quality_score
+       |FROM q2)
+       |SELECT doc_id, source, quality_score,
+       |  round(cume_dist() OVER (PARTITION BY source ORDER BY quality_score), 6) AS qnorm
+       |FROM sc""".stripMargin
+  }
 
   /** End-to-end cleaning CTE chain (language-ID + quality in one pass over
     * the token lists, survivor exact-dedup, minhash pair chain, anti-join),
@@ -603,6 +657,9 @@ object Corpus {
     "c_batches" -> batchesSql,
     "c_decontam" -> decontamSql,
     "c_clusters" -> clustersSql,
+    "c_cc" -> ccSql,
+    "c_cc_incr" -> ccSql,
+    "c_qnorm" -> qnormSql,
     "c_corpus" -> corpusSql,
     "c_e2e" -> e2eSql)
 }

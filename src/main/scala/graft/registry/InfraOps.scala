@@ -164,6 +164,15 @@ object InfraOps {
   def streamNearDupBatch(spark: SparkSession, sfDir: String): DataFrame =
     DocStream.lshNearDupEstBatchTwin(spark.read.parquet(s"$sfDir/documents.parquet"))
 
+  /** Batch twin of the streaming cluster maintenance
+    * ([[DocStream.clusterMaintain]]): component labels of the est-Jaccard
+    * pair graph. The streaming store is spec-checked equal to this frame
+    * under scripted batch splits (DocStreamSpec), and this frame is
+    * oracle-checked against the TRUE components (recursive closure) in
+    * DuckDB — the st_window/st_drift convention on the cluster axis. */
+  def streamClustersBatch(spark: SparkSession, sfDir: String): DataFrame =
+    DocStream.clusterMaintainBatchTwin(spark.read.parquet(s"$sfDir/documents.parquet"))
+
   /** The STREAMING ingest path itself as a correctness row — not a batch
     * twin: the documents corpus is replayed through a real MemoryStream →
     * [[DocStream.ingestToStore]] query in scripted micro-batches, and what
@@ -960,6 +969,7 @@ object InfraOps {
     }),
     "st_dedup" -> (streamDedupBatch _),
     "st_neardup" -> (streamNearDupBatch _),
+    "st_clusters" -> (streamClustersBatch _),
     "st_ingest_store" -> (streamIngestStore _),
     "st_snapshot_lineage" -> (streamIngestSnapshots _),
     "st_joined" -> (streamJoined _),
@@ -1557,5 +1567,36 @@ object InfraOps {
          |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $sigLen AS est_jaccard
          |  FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
          |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+    },
+    "st_clusters" -> {
+      import graft.llmdata.DocDedup
+      import graft.llmdata.TextPrimitives.{duckPolyHashArray, duckShingles, duckWords}
+      val sigLen = DocDedup.MinHashAB.length
+      val bandKey = s"array_to_string(list_slice(sig, band * ${DocDedup.RowsPerBand} + 1, band * ${DocDedup.RowsPerBand} + ${DocDedup.RowsPerBand}), '_')"
+      // st_neardup's pair chain, then the TRUE component labeling
+      // (recursive reachability closure, min reachable id) — the batch
+      // twin's star contraction must land on the mathematical answer, and
+      // with it the streaming store (spec-pinned equal to the twin).
+      s"""WITH RECURSIVE w AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("words", "text", 3)} AS s FROM w),
+         |sig AS (SELECT doc_id, ${DocDedup.duckSignature(duckPolyHashArray("s"))} AS sig FROM sh),
+         |bands AS (SELECT doc_id, band, $bandKey AS band_key
+         |          FROM sig, (SELECT unnest(range(0, ${DocDedup.Bands})) AS band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    CAST(list_sum(list_transform(range(1, ${sigLen + 1}),
+         |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $sigLen AS est_jaccard
+         |  FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |ccedges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |            UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM ccedges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN ccedges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src""".stripMargin
     })
 }

@@ -299,4 +299,58 @@ object DocStream {
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
+
+  /** Streaming dedup-CLUSTER maintenance: the third leg of the component
+    * lifecycle (batch build = `c_cc`, incremental append = `c_cc_incr`,
+    * and this — continuous). [[lshNearDupStream]] emits exactly the
+    * ≥ 1-new-endpoint pairs per micro-batch (bucket state compares each
+    * arrival against retained docs; old×old is never re-compared), which
+    * is precisely [[graft.core.StarComponents.mergeComponents]]'s input
+    * contract — so each batch folds its pairs into the STORED labels and
+    * upserts only the rows whose label changed (plus new nodes). Component
+    * merging is associative, so the store after any prefix of batches
+    * equals a batch rebuild over the pairs seen so far — arrival order and
+    * batch boundaries can never change the final labels (asserted against
+    * the batch twin in the spec; the `st_clusters` oracle row checks the
+    * twin's math against the true recursive closure in DuckDB).
+    *
+    * Scale: per batch, two label-store equi-joins (the store is the big
+    * side, shuffled on doc_id) + star contraction over the batch's
+    * CONTRACTED pair graph — cost follows the batch, not the corpus; the
+    * keyed merge writes only the delta. Clusters can merge as evidence
+    * arrives but never split — monotone refinement, the property that
+    * makes continuous maintenance sound. */
+  def clusterMaintain(docs: DataFrame, sink: graft.sink.Sink,
+                      checkpoint: String, watermark: String = "1 hour") =
+    lshNearDupStream(docs, watermark = watermark)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val pairs = batch.select(col("idA").as("id_a"), col("idB").as("id_b")).distinct()
+        val stored = scala.util.Try(sink.read().select("doc_id", "cluster")).toOption
+        val labels0 = stored.getOrElse(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT")))
+        val merged = graft.core.StarComponents.mergeComponents(labels0, pairs)
+        // Upsert only the delta: new nodes and nodes whose component
+        // minimum changed. Replays after a crash re-merge the same rows —
+        // same labels, so the merge is an idempotent no-op (effectively
+        // once on at-least-once delivery, the ingestToStore argument).
+        val delta = merged
+          .join(labels0.withColumnRenamed("cluster", "__old"), Seq("doc_id"), "left")
+          .filter(col("__old").isNull || col("__old") =!= col("cluster"))
+          .select("doc_id", "cluster")
+        sink.mergeByKey(delta, Seq("doc_id")): Unit
+      }
+      .start()
+
+  /** Batch twin of [[clusterMaintain]]'s end state (`st_clusters` oracle
+    * row): components of the est-Jaccard pair graph the stream would have
+    * emitted over the same bounded corpus. */
+  def clusterMaintainBatchTwin(docs: DataFrame): DataFrame =
+    graft.core.StarComponents.components(
+      lshNearDupEstBatchTwin(docs).select("id_a", "id_b"))
 }

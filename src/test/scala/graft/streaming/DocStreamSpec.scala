@@ -182,6 +182,39 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cluster maintenance: store equals the batch twin across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stclusters").toString
+    val sink = new graft.sink.ParquetSink(spark, s"$root/labels")
+    val t1 = "the quick brown fox jumps over the lazy dog today"
+    val t2 = "completely different content about parquet shuffles and joins"
+    val t3 = "yet another body of text with its own vocabulary entirely"
+    val b1 = Seq((1L, ts(0), t1), (2L, ts(1), t2), (5L, ts(2), t3))
+    val b2 = Seq((3L, ts(3), t1 + " today"), (4L, ts(4), t2)) // 3≈1, 4=2 (cross-batch)
+    val b3 = Seq((6L, ts(5), t1))                             // joins {1,3} later still
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.clusterMaintain(
+      mem.toDF().toDF("doc_id", "ts", "text"), sink, s"$root/ckpt")
+    def stored(): Set[(Long, Long)] = sink.read().select("doc_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val mid = stored()
+      assert(mid == Set((1L, 1L), (3L, 1L), (2L, 2L), (4L, 2L)), s"got $mid")
+      mem.addData(b3: _*); q.processAllAvailable()
+      val fin = stored()
+      val twin = DocStream.clusterMaintainBatchTwin(
+        (b1 ++ b2 ++ b3).map(d => (d._1, d._3)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fin == twin, s"stream $fin vs twin $twin")
+      assert(fin.contains((6L, 1L)))
+      // doc 5 paired with nothing: labels cover pair-graph nodes only
+      assert(!fin.exists(_._1 == 5L))
+    } finally q.stop()
+  }
+
   test("dedup state survives a query restart: cross-restart duplicates stay dropped") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
