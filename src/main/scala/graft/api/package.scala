@@ -140,6 +140,10 @@ package object api {
     def decontaminateAgainst(benchmark: DataFrame, k: Int = 8): DataFrame =
       CorpusOps.decontaminate(docs, benchmark, k)
     def dedupClusters: DataFrame = CorpusOps.dedupClusters(docs)
+    /** Diameter-independent clusters (star contraction; same labels). */
+    def dedupClustersStar: DataFrame = CorpusOps.dedupClustersStar(docs)
+    /** Per-source cume_dist calibration of quality scores. */
+    def sourceQuantileNorm: DataFrame = CorpusOps.sourceQuantileNorm(docs)
     def chunkTokens(maxTokens: Int = 16): DataFrame = CorpusOps.chunk(docs, maxTokens)
     def packChunks(budget: Int = 64, shards: Int = 8): DataFrame =
       CorpusOps.packChunks(docs, budget, shards)

@@ -129,6 +129,24 @@ class KnnGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("no (src,dst) duplicates in either scoring shape (stored-vs-recomputed cosine collapse)") {
+    // The non-grid refinement pool relies on stored cosines being
+    // bit-identical to inline-recomputed ones so duplicate proposals
+    // collapse in distinct(); a codegen/kernel divergence on one path
+    // would surface here as a duplicated edge inside a node's top-k —
+    // a loud failure instead of a silently corrupted graph. Pinned in
+    // BOTH shapes so the light/heavy switch can't hide it.
+    graft.functions.VectorExprs.register(spark)
+    Seq(true, false).foreach { light =>
+      val rows = Similarity.knnGraphShaped(embs, k, planes = 0, bandBits = 0,
+        nHint = 0L, descentRounds = 1, gridScore = false,
+        lightOverride = Some(light)).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(rows.length == rows.distinct.length,
+        s"duplicate (src,dst) edge in ${if (light) "light" else "heavy"} shape")
+    }
+  }
+
   test("edge set is partitioning-invariant") {
     graft.functions.VectorExprs.register(spark)
     val base = edgeSet(Similarity.knnGraph(embs, k))
