@@ -1422,8 +1422,24 @@ object Similarity {
     * attach only to the batch-bounded candidate ids and the k-budgeted
     * affected-pivot pool. Append drift vs rebuild cadence stays a caller
     * policy, exactly as with IVF/PQ retraining (KnnIncrSpec pins the
-    * appended graph's recall against the full rebuild's). */
-  def appendToKnnGraphIndex(newVectors: DataFrame, indexDir: String): Unit = {
+    * appended graph's recall against the full rebuild's).
+    *
+    * Small-N shape: like the build, the append gates its machinery on
+    * corpus size ([[KnnLightMaxN]], post-append count from footer stats +
+    * one batch count) — below the gate both scoring stages take the
+    * build's LIGHT form (broadcast join-form re-attach, no bucket/pivot
+    * caches), whose per-stage costs are right-sized when the whole corpus
+    * is broadcast-sized; at or above it the bucket-/pivot-local shape
+    * below is unchanged. Bit-identity across the gate is spec-pinned
+    * (KnnIncrSpec "append shapes agree bit for bit"). */
+  def appendToKnnGraphIndex(newVectors: DataFrame, indexDir: String): Unit =
+    appendToKnnGraphIndexShaped(newVectors, indexDir, lightOverride = None)
+
+  /** [[appendToKnnGraphIndex]] with the size gate overridable — the
+    * bit-identity spec forces BOTH shapes on one fixture so the gate can
+    * only ever move time, never answers. */
+  private[llmdata] def appendToKnnGraphIndexShaped(newVectors: DataFrame,
+      indexDir: String, lightOverride: Option[Boolean]): Unit = {
     val spark = newVectors.sparkSession
     graft.functions.VectorExprs.register(spark)
     val meta = spark.read.parquet(s"$indexDir/meta").collect()(0)
@@ -1434,6 +1450,12 @@ object Similarity {
     val nw = graft.core.CacheScope.persisted(
       withNorm(newVectors).withColumn("__bands", expr(arr))
         .select("vec_id", "ed", "nrm", "__bands"))
+    // The gate reads the stored corpus size from parquet footers (no
+    // scan) and counts only the BATCH — which also materializes the nw
+    // cache it would fill on first use anyway.
+    val light = lightOverride.getOrElse(
+      graft.sources.ParquetMeta.footerRows(spark, s"$indexDir/corpus")
+        + nw.count() <= KnnLightMaxN)
     val all = graft.core.CacheScope.persisted(
       spark.read.parquet(s"$indexDir/corpus").withColumn("__new", lit(false))
         .unionByName(nw.withColumn("__new", lit(true))))
@@ -1450,18 +1472,38 @@ object Similarity {
     // Θ(batch × occupancy × bands)), but append batch size is CALLER
     // data, and the scoring shape should not have a batch-size cliff the
     // build already solved. Exactly the wall r12 removed from the build.
-    val bv = graft.core.CacheScope.persisted(
-      explodeWithPrefix(all.select(col("vec_id"), col("ed"), col("nrm"),
-          col("__new"), col("__bands")))
-        .repartition(col("band"), col("band_val")))
-    val scoredNew = graft.core.CacheScope.persisted(
-      bv.as("a").join(bv.as("b"),
-          col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
-            && col("a.vec_id") < col("b.vec_id")
-            && noEarlierSharedBand("a.__pre", "b.__pre")
-            && (col("a.__new") || col("b.__new")))
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-          expr(sparkCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")).as("cos")))
+    val (scoredNew, bandCache) =
+      if (light) {
+        // LIGHT: the build's join-form seed with the ≥1-new gate — a
+        // broadcast band self-join on ids proposes the candidates, then
+        // scoreEdges' broadcast re-attach scores them; zero live
+        // exchanges, no bucket cache. Bit-identical to the bucket form
+        // (same predicate, same canonical (lo, hi) cosine).
+        val bandsAll = explodeWithPrefix(
+          all.select(col("vec_id"), col("__new"), col("__bands")))
+        val pairs = bandsAll.as("a").join(broadcast(bandsAll.as("b")),
+            col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+              && col("a.vec_id") < col("b.vec_id")
+              && noEarlierSharedBand("a.__pre", "b.__pre")
+              && (col("a.__new") || col("b.__new")))
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        (graft.core.CacheScope.persisted(scoreEdges(pairs, n, bcast = true)),
+          Option.empty[DataFrame])
+      } else {
+        val bv = graft.core.CacheScope.persisted(
+          explodeWithPrefix(all.select(col("vec_id"), col("ed"), col("nrm"),
+              col("__new"), col("__bands")))
+            .repartition(col("band"), col("band_val")))
+        (graft.core.CacheScope.persisted(
+          bv.as("a").join(bv.as("b"),
+              col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+                && col("a.vec_id") < col("b.vec_id")
+                && noEarlierSharedBand("a.__pre", "b.__pre")
+                && (col("a.__new") || col("b.__new")))
+            .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+              expr(sparkCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")).as("cos"))),
+          Some(bv))
+      }
     // Stored edges are mirrored+ranked; fold back to one canonical row per
     // pair (a pair ranked from only one side still yields its canonical
     // row). Disjoint from scoredNew by construction (stored = old×old,
@@ -1485,7 +1527,7 @@ object Similarity {
       g
     }
     val g1 = rankMirroredK(storedCan.union(scoredNew))
-    bv.unpersist(blocking = false)
+    bandCache.foreach(_.unpersist(blocking = false))
     val bySrc = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
     val revK = g1.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
@@ -1507,17 +1549,33 @@ object Similarity {
     // vector attached), and the per-(src, dst) uniqueness is structural
     // (max-of-group over the pair key, ≡ the former distinct since cos
     // is a pure function of the pair).
-    val bvp = graft.core.CacheScope.persisted(
-      bAff.select("src", "dst")
-        .join(n.select(col("vec_id").as("dst"), col("ed"), col("nrm")), "dst")
-        .repartition(col("src")))
-    val proposals = bvp.as("x").join(bvp.as("y"),
-        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-      .select(col("x.dst").as("src"), col("y.dst").as("dst"),
-        expr(sparkCosPre("x.ed", "y.ed", "x.nrm", "y.nrm")).as("cos"))
-    val g2 = rankMirroredK(
-      bU.union(proposals).groupBy("src", "dst").agg(max("cos").as("cos")))
-    bvp.unpersist(blocking = false)
+    val g2 =
+      if (light) {
+        // LIGHT: the build's light pool — id pairs from a broadcast pivot
+        // self-join, known edges re-entering as ids, one distinct, then
+        // the broadcast re-attach rescore. Rescoring a stored edge is
+        // bit-identical to reusing its stored cosine (pure function of
+        // the pair, canonical operand order, doubles round-trip parquet
+        // exactly), so this equals the heavy merge row for row.
+        val c1 = bAff.as("x").join(broadcast(bAff.as("y")),
+            col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+          .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+        rankMirroredK(scoreEdges(
+          bU.select("src", "dst").union(c1).distinct(), n, bcast = true))
+      } else {
+        val bvp = graft.core.CacheScope.persisted(
+          bAff.select("src", "dst")
+            .join(n.select(col("vec_id").as("dst"), col("ed"), col("nrm")), "dst")
+            .repartition(col("src")))
+        val proposals = bvp.as("x").join(bvp.as("y"),
+            col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+          .select(col("x.dst").as("src"), col("y.dst").as("dst"),
+            expr(sparkCosPre("x.ed", "y.ed", "x.nrm", "y.nrm")).as("cos"))
+        val g2h = rankMirroredK(
+          bU.union(proposals).groupBy("src", "dst").agg(max("cos").as("cos")))
+        bvp.unpersist(blocking = false)
+        g2h
+      }
     // g2 is a checkpointed LEAF (rankMirroredK), so the overwrite below
     // has no dependency on the edges/ files it replaces — the write job
     // reads materialized blocks (N·k ranked rows, the store's own size).

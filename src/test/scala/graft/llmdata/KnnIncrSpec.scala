@@ -68,6 +68,27 @@ class KnnIncrSpec extends AnyFunSuite {
     assert(served == inPlan, "stored-and-served graph diverges from the in-plan build")
   }
 
+  test("append shapes agree bit for bit across the size gate") {
+    // Same build + append on two stores, one append forced LIGHT and one
+    // forced HEAVY: stored edges (ids, ranks, AND cosine bits) must be
+    // identical, so the size gate can only move time, never answers.
+    graft.functions.VectorExprs.register(spark)
+    val half = embs.agg(expr("(max(vec_id) + 1) div 2")).collect()(0).getLong(0)
+    val Seq(a, b) = Seq(true, false).map { light =>
+      val dir = tmpDir(s"shape_$light")
+      graft.core.CacheScope.scoped {
+        Similarity.buildKnnGraphIndex(embs.filter(col("vec_id") < half), dir, k)
+        Similarity.appendToKnnGraphIndexShaped(
+          embs.filter(col("vec_id") >= half), dir, Some(light))
+      }
+      spark.read.parquet(s"$dir/edges").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toSet
+    }
+    assert(a.nonEmpty)
+    assert(a == b, "light and heavy append shapes diverge")
+  }
+
   test("append recall stays within the stated band of the full rebuild") {
     graft.functions.VectorExprs.register(spark)
     val dir = tmpDir("half")
