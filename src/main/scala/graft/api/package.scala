@@ -144,6 +144,8 @@ package object api {
     def dedupClustersStar: DataFrame = CorpusOps.dedupClustersStar(docs)
     /** Per-source cume_dist calibration of quality scores. */
     def sourceQuantileNorm: DataFrame = CorpusOps.sourceQuantileNorm(docs)
+    /** Integer-ppm PageRank over the near-dup graph (redundancy signal). */
+    def docPageRank: DataFrame = CorpusOps.docPageRank(docs)
     def chunkTokens(maxTokens: Int = 16): DataFrame = CorpusOps.chunk(docs, maxTokens)
     def packChunks(budget: Int = 64, shards: Int = 8): DataFrame =
       CorpusOps.packChunks(docs, budget, shards)

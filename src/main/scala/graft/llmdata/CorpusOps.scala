@@ -824,6 +824,15 @@ object CorpusOps {
   def dedupClustersStar(documents: DataFrame): DataFrame =
     graft.core.StarComponents.components(DocDedup.minhashLshPairs(documents))
 
+  /** Structural redundancy rank of the fixture corpus: MinHash-LSH
+    * near-dup pairs → integer-ppm PageRank
+    * ([[graft.core.GraphRank.pageRankPpm]]). High rank = the document
+    * sits in a dense near-dup neighborhood (template farms, boilerplate
+    * families) — a curation signal orthogonal to the per-document quality
+    * scores, usable as a keep-one tiebreaker or a downweight feature. */
+  def docPageRank(documents: DataFrame): DataFrame =
+    graft.core.GraphRank.pageRankPpm(DocDedup.minhashLshPairs(documents))
+
   /** Incremental dedup-cluster maintenance — the append leg of the cluster
     * lifecycle (the stored-index idiom of `e_ivf_incr`/`e_knn_incr` on the
     * component axis): cluster the base half of the corpus once, then fold

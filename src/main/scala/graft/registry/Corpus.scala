@@ -68,6 +68,10 @@ object Corpus {
     // Per-source quantile normalization (cross-source score calibration);
     // histogram-join shape, no per-source document sort.
     "c_qnorm" -> ((s, d) => CorpusOps.sourceQuantileNorm(docs(s, d))),
+    // Integer-ppm PageRank over the near-dup pair graph (structural
+    // redundancy signal) — exact rational damping 17/20, so the DuckDB
+    // twin matches bit for bit; two edge-set shuffles per fixed round.
+    "x_pagerank" -> ((s, d) => CorpusOps.docPageRank(docs(s, d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
@@ -211,6 +215,26 @@ object Corpus {
 
   private val clustersSql =
     s"WITH $clustersCtes\nSELECT doc_id, cluster FROM l3"
+
+  /** Integer-ppm PageRank over the near-dup pair graph, unrolled to the
+    * same fixed round count as [[graft.core.GraphRank.pageRankPpm]] —
+    * `//` in DuckDB and `div` in Spark truncate identically on the
+    * all-positive operands here, so the ranks are cross-engine exact. */
+  private def pagerankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""pc$i AS (SELECT e.dst AS doc_id, sum(((r.rank_ppm // r.deg) * 17) // 20) AS s
+         |         FROM predges e JOIN pr${i - 1} r ON e.src = r.doc_id GROUP BY e.dst),
+         |pr$i AS (SELECT r.doc_id, r.deg, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS rank_ppm
+         |         FROM pr${i - 1} r LEFT JOIN pc$i c USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes("documents", "")},
+       |predges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |            UNION ALL SELECT id_b, id_a FROM pairs),
+       |pr0 AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg,
+       |        CAST(1000000 AS BIGINT) AS rank_ppm FROM predges GROUP BY src),
+       |$rounds
+       |SELECT doc_id, rank_ppm FROM pr$iters""".stripMargin
+  }
 
   /** TRUE connected components of the near-dup pair graph — recursive
     * reachability closure, min reachable id per node. Deliberately not an
@@ -660,6 +684,7 @@ object Corpus {
     "c_cc" -> ccSql,
     "c_cc_incr" -> ccSql,
     "c_qnorm" -> qnormSql,
+    "x_pagerank" -> pagerankSql(5),
     "c_corpus" -> corpusSql,
     "c_e2e" -> e2eSql)
 }

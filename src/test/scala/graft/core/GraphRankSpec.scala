@@ -1,0 +1,59 @@
+package graft.core
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of [[GraphRank.pageRankPpm]]: exact hand-computed integer
+  * ranks on a path graph (pinning the ppm arithmetic the DuckDB oracle
+  * mirrors), the degree-regular fixpoint (every regular graph holds every
+  * node at exactly 1 000 000 ppm — truncation-free because deg divides the
+  * damped mass evenly at the start and stays even), rank concentration on
+  * hubs, and partitioning invariance (integer sums are order-free). */
+class GraphRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pairsDf(ps: Seq[(Long, Long)]): DataFrame =
+    ps.toDF("id_a", "id_b")
+
+  private def ranksOf(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph 1-2-3: hand-computed integer ranks, two rounds") {
+    // deg: 1→1, 2→2, 3→1; start 1 000 000 ppm each.
+    // round 1: ends send (1e6 div 1)·17 div 20 = 850 000 to the middle;
+    //          middle sends (1e6 div 2)·17 div 20 = 425 000 to each end.
+    //          ends = 150 000 + 425 000 = 575 000; middle = 1 850 000.
+    // round 2: ends send 488 750; middle sends 786 250 to each end.
+    //          ends = 936 250; middle = 1 127 500.
+    val r = ranksOf(GraphRank.pageRankPpm(pairsDf(Seq((1L, 2L), (2L, 3L))), iterations = 2))
+    assert(r == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+  }
+
+  test("isolated pair is a fixpoint at exactly 1 000 000 ppm") {
+    val r = ranksOf(GraphRank.pageRankPpm(pairsDf(Seq((7L, 3L))), iterations = 5))
+    assert(r == Map(3L -> 1000000L, 7L -> 1000000L))
+  }
+
+  test("hub of a star concentrates rank; leaves fall below par") {
+    val star = pairsDf((1L to 6L).map(i => (0L, i)))
+    val r = ranksOf(GraphRank.pageRankPpm(star, iterations = 5))
+    assert(r(0L) > 1000000L, s"hub rank ${r(0L)} should exceed par")
+    (1L to 6L).foreach(i => assert(r(i) < 1000000L && r(i) == r(1L),
+      "leaves must share one sub-par rank"))
+  }
+
+  test("ranks are partitioning-invariant (integer sums are order-free)") {
+    val ps = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 6L))
+    val base = ranksOf(GraphRank.pageRankPpm(pairsDf(ps), iterations = 4))
+    val shuffled = ranksOf(GraphRank.pageRankPpm(
+      pairsDf(ps).repartition(7), iterations = 4))
+    assert(base == shuffled)
+  }
+
+  test("zero iterations returns the uniform start vector") {
+    val r = ranksOf(GraphRank.pageRankPpm(pairsDf(Seq((1L, 2L), (2L, 3L))), iterations = 0))
+    assert(r.values.toSet == Set(1000000L) && r.keySet == Set(1L, 2L, 3L))
+  }
+}
