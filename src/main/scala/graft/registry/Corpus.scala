@@ -221,16 +221,21 @@ object Corpus {
     * `//` in DuckDB and `div` in Spark truncate identically on the
     * all-positive operands here, so the ranks are cross-engine exact. */
   private def pagerankSql(iters: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    // reference, and each unrolled round references the previous one
+    // TWICE — 2^iters copies of the whole upstream pair chain without it
+    // (measured: the 5-round knn-axis twin ran >10 min plain, <1 s
+    // materialized at sf0.01).
     val rounds = (1 to iters).map { i =>
-      s"""pc$i AS (SELECT e.dst AS doc_id, sum(((r.rank_ppm // r.deg) * 17) // 20) AS s
+      s"""pc$i AS MATERIALIZED (SELECT e.dst AS doc_id, sum(((r.rank_ppm // r.deg) * 17) // 20) AS s
          |         FROM predges e JOIN pr${i - 1} r ON e.src = r.doc_id GROUP BY e.dst),
-         |pr$i AS (SELECT r.doc_id, r.deg, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS rank_ppm
+         |pr$i AS MATERIALIZED (SELECT r.doc_id, r.deg, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS rank_ppm
          |         FROM pr${i - 1} r LEFT JOIN pc$i c USING (doc_id))""".stripMargin
     }.mkString(",\n")
     s"""WITH ${minhashPairCtes("documents", "")},
-       |predges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |predges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
        |            UNION ALL SELECT id_b, id_a FROM pairs),
-       |pr0 AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg,
+       |pr0 AS MATERIALIZED (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg,
        |        CAST(1000000 AS BIGINT) AS rank_ppm FROM predges GROUP BY src),
        |$rounds
        |SELECT doc_id, rank_ppm FROM pr$iters""".stripMargin

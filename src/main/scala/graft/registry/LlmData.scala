@@ -233,6 +233,28 @@ object LlmData {
       graft.llmdata.CorpusOps.clusterLabels(mutual, iterations = 3)
         .select(col("doc_id").as("vec_id"), col("cluster"))
     }),
+    // PageRank over the same mutual verified k-NN graph — hub detection
+    // on the embedding axis (a vector whose neighborhood is dense
+    // concentrates rank: near-duplicate pile-ups, embedding-space
+    // boilerplate). Same integer-ppm arithmetic as x_pagerank, so the
+    // composed oracle (knn chain + unrolled rounds) is bit-exact.
+    "x_knn_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val g = Similarity.knnGraph(embs(s, d), k = 5,
+        nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))
+      val e = g.select(col("vec_id").as("id_a"), col("nn_id").as("id_b"))
+      val n = Similarity.withNorm(embs(s, d))
+      val mutual = e.intersect(
+          e.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+        .join(n.select(col("vec_id").as("id_a"), col("ed").as("__ea"), col("nrm").as("__na")), "id_a")
+        .join(n.select(col("vec_id").as("id_b"), col("ed").as("__eb"), col("nrm").as("__nb")), "id_b")
+        .filter(expr(Similarity.sparkCosPre("__ea", "__eb", "__na", "__nb")) >= 0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+      graft.core.GraphRank.pageRankPpm(mutual, iterations = 5)
+        .select(col("doc_id").as("vec_id"), col("rank_ppm"))
+    }),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     // Index round trip: build + store the IVF layout (cell-partitioned),
     // then serve the same probe from the stored index — result must equal
@@ -1232,6 +1254,37 @@ object LlmData {
 
   /** x_knn_clusters twin: the knn CTE chain + mutual-kNN sparsifier +
     * the c_clusters-style 3-round min-label propagation unroll. */
+  /** x_knn_pagerank twin: the mutual verified k-NN edge chain of
+    * [[knnClustersSql]] feeding the same unrolled integer-ppm rounds as
+    * the document-axis x_pagerank oracle (damping as exact 17/20, `//` ≡
+    * Spark `div` on the all-positive operands). */
+  private def knnPagerankSql(k: Int, iters: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    // reference and each round references the previous one twice —
+    // 2^iters copies of the whole knn chain without it (measured >10 min
+    // plain vs <1 s materialized at sf0.01).
+    val rounds = (1 to iters).map { i =>
+      s"""pc$i AS MATERIALIZED (SELECT e.dst AS vec_id, sum(((r.rank_ppm // r.deg) * 17) // 20) AS s
+         |         FROM kedges e JOIN pr${i - 1} r ON e.src = r.vec_id GROUP BY e.dst),
+         |pr$i AS MATERIALIZED (SELECT r.vec_id, r.deg, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS rank_ppm
+         |         FROM pr${i - 1} r LEFT JOIN pc$i c USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnGraphCtes(k)},
+       |kg AS (SELECT vec_id AS src, nn_id AS dst FROM knn),
+       |mu AS (SELECT g.src AS id_a, g.dst AS id_b FROM kg g
+       |       JOIN kg r ON g.src = r.dst AND g.dst = r.src
+       |       WHERE g.src < g.dst),
+       |muv AS (SELECT id_a, id_b FROM mu
+       |        JOIN n2 a ON mu.id_a = a.vec_id JOIN n2 b ON mu.id_b = b.vec_id
+       |        WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4),
+       |kedges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM muv
+       |           UNION ALL SELECT id_b, id_a FROM muv),
+       |pr0 AS MATERIALIZED (SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS deg,
+       |        CAST(1000000 AS BIGINT) AS rank_ppm FROM kedges GROUP BY src),
+       |$rounds
+       |SELECT vec_id, rank_ppm FROM pr$iters""".stripMargin
+  }
+
   private def knnClustersSql(k: Int): String = {
     val rounds = (1 to 3).map { i =>
       s"""m$i AS (SELECT e.src AS vec_id, min(x.cluster) AS nbr
@@ -1751,6 +1804,7 @@ object LlmData {
     "e_knn_graph" -> knnGraphSql(5),
     "e_knn_incr" -> knnIncrSql(5),
     "x_knn_clusters" -> knnClustersSql(5),
+    "x_knn_pagerank" -> knnPagerankSql(5, 5),
     "e_lsh_multiprobe" -> lshMultiprobeSql,
     "e_ivf_topk" -> ivfTopkSql,
     "e_ivf_index" -> ivfTopkSql,
