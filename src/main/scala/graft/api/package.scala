@@ -146,6 +146,8 @@ package object api {
     def sourceQuantileNorm: DataFrame = CorpusOps.sourceQuantileNorm(docs)
     /** Integer-ppm PageRank over the near-dup graph (redundancy signal). */
     def docPageRank: DataFrame = CorpusOps.docPageRank(docs)
+    /** Per-document triangle counts (clique vs chain density signal). */
+    def docTriangles: DataFrame = CorpusOps.docTriangles(docs)
     def chunkTokens(maxTokens: Int = 16): DataFrame = CorpusOps.chunk(docs, maxTokens)
     def packChunks(budget: Int = 64, shards: Int = 8): DataFrame =
       CorpusOps.packChunks(docs, budget, shards)

@@ -833,6 +833,14 @@ object CorpusOps {
   def docPageRank(documents: DataFrame): DataFrame =
     graft.core.GraphRank.pageRankPpm(DocDedup.minhashLshPairs(documents))
 
+  /** Per-document triangle participation in the near-dup graph
+    * ([[graft.core.GraphMetrics.triangleCounts]]): clique-like duplicate
+    * families are triangle-dense, chain-like template drift has none —
+    * the density signal that tells "keep one of these" components from
+    * "gradual rewrite" chains the component label alone cannot. */
+  def docTriangles(documents: DataFrame): DataFrame =
+    graft.core.GraphMetrics.triangleCounts(DocDedup.minhashLshPairs(documents))
+
   /** Incremental dedup-cluster maintenance — the append leg of the cluster
     * lifecycle (the stored-index idiom of `e_ivf_incr`/`e_knn_incr` on the
     * component axis): cluster the base half of the corpus once, then fold

@@ -72,6 +72,10 @@ object Corpus {
     // redundancy signal) — exact rational damping 17/20, so the DuckDB
     // twin matches bit for bit; two edge-set shuffles per fixed round.
     "x_pagerank" -> ((s, d) => CorpusOps.docPageRank(docs(s, d))),
+    // Degree-oriented triangle counting over the same graph (local
+    // clustering density: cliques vs chains) — wedge volume bounded
+    // O(m^1.5) by the orientation regardless of hub skew.
+    "x_triangles" -> ((s, d) => CorpusOps.docTriangles(docs(s, d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
@@ -215,6 +219,32 @@ object Corpus {
 
   private val clustersSql =
     s"WITH $clustersCtes\nSELECT doc_id, cluster FROM l3"
+
+  /** DuckDB twin of [[graft.core.GraphMetrics.triangleCounts]] over the
+    * near-dup pair graph: same canonicalization, same (deg, id) total
+    * order and orientation, same pivot-wedge + closing-edge joins —
+    * exact integer counts. Multiply-referenced CTEs are MATERIALIZED
+    * (the pagerank oracle's inlining lesson). */
+  private val trianglesSql =
+    s"""WITH ${minhashPairCtes("documents", "")},
+       |tund AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+       |        FROM pairs WHERE id_a != id_b),
+       |tsym AS (SELECT u, v FROM tund UNION ALL SELECT v, u FROM tund),
+       |tdeg AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM tsym GROUP BY u),
+       |tor AS MATERIALIZED (SELECT s.u, s.v, dv.deg AS dv
+       |       FROM tsym s JOIN tdeg du ON s.u = du.node JOIN tdeg dv ON s.v = dv.node
+       |       WHERE du.deg < dv.deg OR (du.deg = dv.deg AND s.u < s.v)),
+       |tw AS (SELECT a.u AS p, a.v AS x, b.v AS y FROM tor a JOIN tor b ON a.u = b.u
+       |       AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))),
+       |tt AS MATERIALIZED (SELECT p, x, y FROM tw
+       |      JOIN (SELECT u AS x, v AS y FROM tor) e USING (x, y)),
+       |tn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |        SELECT p AS doc_id FROM tt
+       |        UNION ALL SELECT x FROM tt
+       |        UNION ALL SELECT y FROM tt) GROUP BY doc_id)
+       |SELECT d.node AS doc_id, CAST(coalesce(n.n_triangles, 0) AS BIGINT) AS n_triangles
+       |FROM tdeg d LEFT JOIN tn n ON d.node = n.doc_id""".stripMargin
 
   /** Integer-ppm PageRank over the near-dup pair graph, unrolled to the
     * same fixed round count as [[graft.core.GraphRank.pageRankPpm]] —
@@ -690,6 +720,7 @@ object Corpus {
     "c_cc_incr" -> ccSql,
     "c_qnorm" -> qnormSql,
     "x_pagerank" -> pagerankSql(5),
+    "x_triangles" -> trianglesSql,
     "c_corpus" -> corpusSql,
     "c_e2e" -> e2eSql)
 }
