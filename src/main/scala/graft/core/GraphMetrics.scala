@@ -41,12 +41,19 @@ object GraphMetrics {
     // Total order (deg, id): orient each edge small → large. ord packs
     // the order key so the wedge emission can compare endpoints without
     // carrying two columns per side.
+    // Repartitioned ONCE by the pivot key and persisted WITH that
+    // partitioning: the wedge self-join below reads both sides
+    // co-partitioned and plans ZERO exchanges (the
+    // scoreSeedPairsInBuckets discipline) — the naive form shuffles the
+    // oriented edge set twice. The closing join still exchanges the
+    // wedge stream on (x, y); that stream IS the algorithm's volume.
     val oriented = CacheScope.persisted(
       sym.join(deg.select(col("node").as("u"), col("deg").as("__du")), "u")
         .join(deg.select(col("node").as("v"), col("deg").as("__dv")), "v")
         .filter(col("__du") < col("__dv")
           || (col("__du") === col("__dv") && col("u") < col("v")))
         .select(col("u"), col("v"), col("__dv"))
+        .repartition(col("u"))
     )
     // Wedges at pivot u between out-neighbors v < w in the same (deg,
     // id) order; the closing edge, if present, is oriented v → w by

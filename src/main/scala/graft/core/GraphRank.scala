@@ -52,9 +52,17 @@ object GraphRank {
     */
   def pageRankPpm(pairs: DataFrame, iterations: Int = 5): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    // The edge frame is repartitioned ONCE by src and persisted WITH
+    // that partitioning (cached plans keep their outputPartitioning —
+    // the scoreSeedPairsInBuckets discipline): every round's edges⋈rank
+    // join then plans NO exchange on the edge side, and the degree
+    // aggregation below is exchange-free too. Per round the only
+    // m-sized shuffle left is the contribution transpose
+    // (groupBy(dst)), which IS the algorithm; the rank side is N rows.
     val edges = CacheScope.persisted(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .repartition(col("src")))
     // rank carries deg so each round joins ONCE; both start checkpointed
     // so round plans reference a leaf, never the degree aggregation.
     var rank = edges.groupBy(col("src").as("doc_id"))
