@@ -759,8 +759,14 @@ object CorpusOps {
     * near-dup pairs, so the loop runs on a graph orders of magnitude
     * smaller than the input. */
   def clusterLabels(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    // Repartitioned ONCE by the per-round join key and persisted WITH
+    // that partitioning (cached plans keep their outputPartitioning):
+    // every propagation round's edges⋈labels join plans no exchange on
+    // the edge side — only the (smaller) label frame and the per-round
+    // groupBy move.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
       .transform(graft.core.CacheScope.persisted)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
@@ -786,8 +792,10 @@ object CorpusOps {
     * round on the (small) label set. Worst-case rounds = graph diameter;
     * near-dup components are shallow, so this terminates in a handful. */
   def clusterLabelsConverged(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // Same dst-co-partitioned edge cache as [[clusterLabels]].
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
       .transform(graft.core.CacheScope.persisted)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
