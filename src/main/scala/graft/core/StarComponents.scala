@@ -62,7 +62,35 @@ object StarComponents {
     var rounds = 0
     var converged = edges.isEmpty
     while (!converged && rounds < maxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // Each star consumes its input TWICE (a groupBy-min and a join on
+      // the same node key), so both the neighbor frame and the
+      // large-star output are cached CO-PARTITIONED on that key —
+      // without the caches the second reference re-evaluates the whole
+      // prior star (AQE exchange reuse measured NOT to fire across the
+      // groupBy/join pair), and with unpartitioned caches both
+      // references still shuffle. With them the min aggregation and the
+      // join read the cache exchange-free; per round the only m-sized
+      // exchanges left are the two cache builds and the two distincts.
+      val nbr = CacheScope.persisted(
+        edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+          .repartition(col("u")))
+      val lsMins = nbr.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val ls = CacheScope.persisted(
+        nbr.join(lsMins, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct()
+          .repartition(col("u")))
+      val ssMins = ls.groupBy("u").agg(min("v").as("m"))
+      val next = ls.join(ssMins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      nbr.unpersist(blocking = false)
+      ls.unpersist(blocking = false)
       // Both frames are distinct rows; equal count + empty difference ⇔
       // equal sets. Runs over the (shrinking) edge set, never the corpus.
       converged = next.count() == edges.count() &&
@@ -78,33 +106,19 @@ object StarComponents {
     (labels, rounds)
   }
 
-  /** Large-star: every node attaches its STRICTLY LARGER neighbors to the
-    * minimum of its closed neighborhood. Emitted edges (v, m) with
-    * v > u ≥ m keep the high → low orientation and can never be self
-    * loops. Connectivity is preserved because each dropped (u, smaller-v)
-    * edge is re-examined from the smaller endpoint's own group. */
-  private def largeStar(edges: DataFrame): DataFrame = {
-    val nbr = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = nbr.groupBy("u").agg(min("v").as("__mn"))
-      .select(col("u"), least(col("u"), col("__mn")).as("m"))
-    nbr.join(mins, "u")
-      .filter(col("v") > col("u"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
-  }
-
-  /** Small-star: every node attaches its smaller neighbors (and itself) to
-    * the minimum of its closed neighborhood. Input/output both keep the
-    * high → low orientation, so the neighborhood minimum is just
-    * min(v) — the u side of a group is by construction larger than every
-    * neighbor it sees. */
-  private def smallStar(edges: DataFrame): DataFrame = {
-    val mins = edges.groupBy("u").agg(min("v").as("m"))
-    val moved = edges.join(mins, "u")
-      .filter(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"))
-    moved.union(mins.select(col("u"), col("m").as("v"))).distinct()
-  }
+  // Star-step semantics (inlined in the round loop above for the cache
+  // lifecycle):
+  //  - LARGE-STAR (nbr → ls): every node attaches its STRICTLY LARGER
+  //    neighbors to the minimum of its closed neighborhood. Emitted
+  //    edges (v, m) with v > u ≥ m keep the high → low orientation and
+  //    can never be self loops; connectivity is preserved because each
+  //    dropped (u, smaller-v) edge is re-examined from the smaller
+  //    endpoint's own group.
+  //  - SMALL-STAR (ls → next): every node attaches its smaller
+  //    neighbors (and itself) to the minimum of its closed
+  //    neighborhood. Input/output both keep the high → low orientation,
+  //    so the neighborhood minimum is just min(v) — the u side of a
+  //    group is by construction larger than every neighbor it sees.
 
   /** Incremental component maintenance — the append leg of the CC
     * lifecycle (the [[graft.llmdata.Similarity]] index idiom on the
