@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object StarComponents {
 
+  /** Edge-count gate for the per-round co-partitioned caches: at or below
+    * it a round runs plain inline plans (re-evaluating a tiny star twice
+    * beats two persist+repartition floors — the [[graft.llmdata
+    * .Similarity.KnnLightMaxN]] lesson on the component axis); above it
+    * the caches remove the dual-reference recompute and both cache-side
+    * exchanges. The gate reads the convergence probe's own count, so it
+    * costs no extra jobs, and the plans are identical either way. */
+  val StarLightMaxEdges: Long = 1L << 16
+
+
   /** Min-id component label per node of the pair graph: (doc_id, cluster)
     * with `cluster` = the smallest id in the node's connected component —
     * bit-identical to converged min-label propagation, reached in
@@ -60,28 +70,35 @@ object StarComponents {
       .distinct()
       .localCheckpoint()
     var rounds = 0
-    var converged = edges.isEmpty
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
     while (!converged && rounds < maxIterations) {
       // Each star consumes its input TWICE (a groupBy-min and a join on
-      // the same node key), so both the neighbor frame and the
-      // large-star output are cached CO-PARTITIONED on that key —
+      // the same node key). Above the size gate, both the neighbor frame
+      // and the large-star output are cached CO-PARTITIONED on that key:
       // without the caches the second reference re-evaluates the whole
       // prior star (AQE exchange reuse measured NOT to fire across the
-      // groupBy/join pair), and with unpartitioned caches both
-      // references still shuffle. With them the min aggregation and the
-      // join read the cache exchange-free; per round the only m-sized
-      // exchanges left are the two cache builds and the two distincts.
-      val nbr = CacheScope.persisted(
-        edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-          .repartition(col("u")))
+      // groupBy/join pair — chain probe: −22–27% from the caches at 2 M
+      // nodes), and with unpartitioned caches both references still
+      // shuffle. Below the gate the two persists + repartitions per
+      // round are pure scheduling floor (measured +1–3.5 s per fixture
+      // row, the knn small-N lesson), so the round runs the plain inline
+      // plans — a tiny star re-evaluated twice is still tiny. The gate
+      // reuses the convergence probe's count; no extra jobs. Same plans
+      // either way — labels are spec-pinned identical.
+      val light = nEdges <= StarLightMaxEdges
+      val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
+      def staged(df: DataFrame): DataFrame =
+        if (light) df
+        else { val c = CacheScope.persisted(df.repartition(col("u"))); toFree += c; c }
+      val nbr = staged(edges.union(edges.select(col("v").as("u"), col("u").as("v"))))
       val lsMins = nbr.groupBy("u").agg(min("v").as("__mn"))
         .select(col("u"), least(col("u"), col("__mn")).as("m"))
-      val ls = CacheScope.persisted(
+      val ls = staged(
         nbr.join(lsMins, "u")
           .filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v"))
-          .distinct()
-          .repartition(col("u")))
+          .distinct())
       val ssMins = ls.groupBy("u").agg(min("v").as("m"))
       val next = ls.join(ssMins, "u")
         .filter(col("v") =!= col("m"))
@@ -89,13 +106,14 @@ object StarComponents {
         .union(ssMins.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint()
-      nbr.unpersist(blocking = false)
-      ls.unpersist(blocking = false)
+      toFree.foreach(_.unpersist(blocking = false))
       // Both frames are distinct rows; equal count + empty difference ⇔
       // equal sets. Runs over the (shrinking) edge set, never the corpus.
-      converged = next.count() == edges.count() &&
+      val nNext = next.count()
+      converged = nNext == nEdges &&
         next.except(edges).limit(1).count() == 0L
       edges = next
+      nEdges = nNext
       rounds += 1
     }
     // Fixpoint = disjoint stars: every non-root holds exactly one edge to
