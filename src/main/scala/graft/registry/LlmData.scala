@@ -255,6 +255,28 @@ object LlmData {
       graft.core.GraphRank.pageRankPpm(mutual, iterations = 5)
         .select(col("doc_id").as("vec_id"), col("rank_ppm"))
     }),
+    // Triangle counts over the same mutual verified k-NN graph — the
+    // embedding-axis twin of x_triangles, completing the graph-metric ×
+    // axis matrix (clusters, rank, triangles on both the doc and
+    // embedding pair graphs). Dense-neighborhood vectors (semantic
+    // pile-ups) are triangle-rich; drift chains are not.
+    "x_knn_triangles" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val g = Similarity.knnGraph(embs(s, d), k = 5,
+        nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))
+      val e = g.select(col("vec_id").as("id_a"), col("nn_id").as("id_b"))
+      val n = Similarity.withNorm(embs(s, d))
+      val mutual = e.intersect(
+          e.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+        .join(n.select(col("vec_id").as("id_a"), col("ed").as("__ea"), col("nrm").as("__na")), "id_a")
+        .join(n.select(col("vec_id").as("id_b"), col("ed").as("__eb"), col("nrm").as("__nb")), "id_b")
+        .filter(expr(Similarity.sparkCosPre("__ea", "__eb", "__na", "__nb")) >= 0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+      graft.core.GraphMetrics.triangleCounts(mutual)
+        .select(col("doc_id").as("vec_id"), col("n_triangles"))
+    }),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     // Index round trip: build + store the IVF layout (cell-partitioned),
     // then serve the same probe from the stored index — result must equal
@@ -1285,6 +1307,38 @@ object LlmData {
        |SELECT vec_id, rank_ppm FROM pr$iters""".stripMargin
   }
 
+  /** x_knn_triangles twin: the mutual verified k-NN edge chain feeding
+    * the same degree-oriented triangle CTEs as the document-axis
+    * x_triangles oracle (exact integer counts; multiply-referenced CTEs
+    * MATERIALIZED per the inlining lesson). */
+  private def knnTrianglesSql(k: Int): String =
+    s"""WITH ${knnGraphCtes(k)},
+       |kg AS (SELECT vec_id AS src, nn_id AS dst FROM knn),
+       |mu AS (SELECT g.src AS id_a, g.dst AS id_b FROM kg g
+       |       JOIN kg r ON g.src = r.dst AND g.dst = r.src
+       |       WHERE g.src < g.dst),
+       |muv AS (SELECT id_a, id_b FROM mu
+       |        JOIN n2 a ON mu.id_a = a.vec_id JOIN n2 b ON mu.id_b = b.vec_id
+       |        WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4),
+       |tund AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+       |        FROM muv WHERE id_a != id_b),
+       |tsym AS (SELECT u, v FROM tund UNION ALL SELECT v, u FROM tund),
+       |tdeg AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM tsym GROUP BY u),
+       |tor AS MATERIALIZED (SELECT s.u, s.v, dv.deg AS dv
+       |       FROM tsym s JOIN tdeg du ON s.u = du.node JOIN tdeg dv ON s.v = dv.node
+       |       WHERE du.deg < dv.deg OR (du.deg = dv.deg AND s.u < s.v)),
+       |tw AS (SELECT a.u AS p, a.v AS x, b.v AS y FROM tor a JOIN tor b ON a.u = b.u
+       |       AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))),
+       |tt AS MATERIALIZED (SELECT p, x, y FROM tw
+       |      JOIN (SELECT u AS x, v AS y FROM tor) e USING (x, y)),
+       |tn AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |        SELECT p AS vec_id FROM tt
+       |        UNION ALL SELECT x FROM tt
+       |        UNION ALL SELECT y FROM tt) GROUP BY vec_id)
+       |SELECT d.node AS vec_id, CAST(coalesce(n.n_triangles, 0) AS BIGINT) AS n_triangles
+       |FROM tdeg d LEFT JOIN tn n ON d.node = n.vec_id""".stripMargin
+
   private def knnClustersSql(k: Int): String = {
     val rounds = (1 to 3).map { i =>
       s"""m$i AS (SELECT e.src AS vec_id, min(x.cluster) AS nbr
@@ -1805,6 +1859,7 @@ object LlmData {
     "e_knn_incr" -> knnIncrSql(5),
     "x_knn_clusters" -> knnClustersSql(5),
     "x_knn_pagerank" -> knnPagerankSql(5, 5),
+    "x_knn_triangles" -> knnTrianglesSql(5),
     "e_lsh_multiprobe" -> lshMultiprobeSql,
     "e_ivf_topk" -> ivfTopkSql,
     "e_ivf_index" -> ivfTopkSql,
