@@ -48,6 +48,16 @@ object StarComponents {
     * appears in `pairs` (isolated docs are not emitted, matching
     * [[graft.llmdata.CorpusOps.clusterLabels]]).
     *
+    * Cap policy: `maxIterations` is a RUNAWAY GUARD, not a truncation
+    * knob — if the alternation has not reached the disjoint-star fixpoint
+    * when the cap trips, this THROWS (the label extraction below is only
+    * meaningful at the fixpoint; a capped exit would silently emit
+    * non-canonical clusters, and duplicate label rows for nodes still
+    * holding several edges). The default 50 sits ~2× above the measured
+    * growth (~+3.3 rounds per node-count decade: 18/21/25 at 0.2/2/20 M
+    * adversarial chain nodes), i.e. comfortably past 10¹² nodes; a caller
+    * lowering it accepts loud failure, never wrong answers.
+    *
     * @param pairs (id_a, id_b) undirected edges, any orientation, self
     *              loops and duplicates tolerated.
     */
@@ -57,9 +67,15 @@ object StarComponents {
   /** [[components]] plus the number of large+small-star alternations it
     * took to reach the fixpoint — exposed so the spec suite can pin the
     * O(log n) round count on chain graphs (the regime label propagation
-    * cannot close). */
+    * cannot close).
+    *
+    * @param lightMaxEdges per-round cache gate override ([[StarLightMaxEdges]]
+    *                      by default); the spec suite pins the heavy (cached,
+    *                      co-partitioned) rounds on small fixtures by passing 0.
+    */
   def componentsWithRounds(pairs: DataFrame,
-                           maxIterations: Int = 50): (DataFrame, Int) = {
+                           maxIterations: Int = 50,
+                           lightMaxEdges: Long = StarLightMaxEdges): (DataFrame, Int) = {
     val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .filter(col("u") =!= col("v"))
@@ -86,7 +102,7 @@ object StarComponents {
       // plans — a tiny star re-evaluated twice is still tiny. The gate
       // reuses the convergence probe's count; no extra jobs. Same plans
       // either way — labels are spec-pinned identical.
-      val light = nEdges <= StarLightMaxEdges
+      val light = nEdges <= lightMaxEdges
       val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
       def staged(df: DataFrame): DataFrame =
         if (light) df
@@ -116,6 +132,17 @@ object StarComponents {
       nEdges = nNext
       rounds += 1
     }
+    // Loud cap exit (never wrong answers): the extraction below assumes
+    // the disjoint-star fixpoint. On a capped non-converged edge set it
+    // would emit non-canonical clusters — and TWO label rows for a node
+    // still holding two edges — with no signal. See the cap policy on
+    // [[components]]; StarComponentsSpec pins this with maxIterations = 1.
+    if (!converged)
+      throw new IllegalStateException(
+        s"StarComponents did not converge within $maxIterations large/small-star " +
+          s"alternations ($nEdges edges still moving); labels at a capped exit " +
+          "would be silently non-canonical. Raise maxIterations (rounds grow " +
+          "~O(log^2 n); measured 25 at 20M adversarial chain nodes).")
     // Fixpoint = disjoint stars: every non-root holds exactly one edge to
     // its component minimum; roots appear only on the low side.
     val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster"))
@@ -158,7 +185,10 @@ object StarComponents {
     * Scale shape: the stored-label joins are equi-joins keyed on node id
     * (the big side is the label store, shuffled once), and the star
     * contraction runs on the contracted NEW-edge graph only — a 1%
-    * append touches ~1% of edge volume regardless of corpus size. */
+    * append touches ~1% of edge volume regardless of corpus size.
+    *
+    * Inherits [[components]]'s cap policy: a `maxIterations` exhausted
+    * without fixpoint THROWS rather than merging non-canonical labels. */
   def mergeComponents(labels: DataFrame, newPairs: DataFrame,
                       maxIterations: Int = 50): DataFrame = {
     val reps = labels.select(col("doc_id"), col("cluster"))

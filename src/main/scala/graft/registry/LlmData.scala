@@ -23,6 +23,35 @@ object LlmData {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** THE mutual verified k-NN edge frame every x_knn_* composition
+    * consumes — one source of truth for the graph derivation (the SQL
+    * side's single source is [[mutualKnnCtes]]): k-NN edges
+    * ([[Similarity.knnGraph]], k = 5, footer-stat banding) → mutual-kNN
+    * sparsifier (keep an edge only if BOTH endpoints rank each other) →
+    * exact-cosine verify at the dedup family's 0.4 threshold. Emits
+    * (id_a, id_b, cos) with id_a < id_b; `cos` is the exact verified
+    * cosine so weighted consumers (x_knn_pagerank_w) reuse it instead of
+    * re-scoring. Returned frame is localCheckpoint'd: iterative
+    * consumers embed their input plan once per round reference (2^rounds
+    * copies of the knn build's deep lineage blows the DRIVER's plan
+    * strings long before any data moves — the clusterLabelsConverged
+    * lesson). */
+  private def mutualVerifiedKnnEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val g = Similarity.knnGraph(embs(s, d), k = 5,
+      nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))
+    val e = g.select(col("vec_id").as("id_a"), col("nn_id").as("id_b"))
+    val n = Similarity.withNorm(embs(s, d))
+    e.intersect(e.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+      .join(n.select(col("vec_id").as("id_a"), col("ed").as("__ea"), col("nrm").as("__na")), "id_a")
+      .join(n.select(col("vec_id").as("id_b"), col("ed").as("__eb"), col("nrm").as("__nb")), "id_b")
+      .withColumn("cos", expr(Similarity.sparkCosPre("__ea", "__eb", "__na", "__nb")))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b", "cos")
+      .localCheckpoint()
+  }
+
   // ---- Spark side --------------------------------------------------------
 
   /** Deterministic synthetic-PII augmentation for the scrub query: the
@@ -211,26 +240,9 @@ object LlmData {
     // mutual+verify+propagation CTEs to e_knn_graph's own chain, so the
     // composition cannot drift from the axis it consumes.
     "x_knn_clusters" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, expr}
-      val g = Similarity.knnGraph(embs(s, d), k = 5,
-        nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))
-      val e = g.select(col("vec_id").as("id_a"), col("nn_id").as("id_b"))
-      val n = Similarity.withNorm(embs(s, d))
-      // localCheckpoint truncates the graph's lineage before propagation:
-      // each min-label round embeds the previous round's plan TWICE
-      // (labels ⋈ (edges ⋈ labels)), so 3 rounds carry 2³ copies of
-      // whatever sits underneath — on top of the knn build's deep plan
-      // that blows the DRIVER (plan-string OOM), long before any data
-      // does. Same move clusterLabelsConverged documents per-round.
-      val mutual = e.intersect(
-          e.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .filter(col("id_a") < col("id_b"))
-        .join(n.select(col("vec_id").as("id_a"), col("ed").as("__ea"), col("nrm").as("__na")), "id_a")
-        .join(n.select(col("vec_id").as("id_b"), col("ed").as("__eb"), col("nrm").as("__nb")), "id_b")
-        .filter(expr(Similarity.sparkCosPre("__ea", "__eb", "__na", "__nb")) >= 0.4)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-      graft.llmdata.CorpusOps.clusterLabels(mutual, iterations = 3)
+      import org.apache.spark.sql.functions.col
+      graft.llmdata.CorpusOps.clusterLabels(
+          mutualVerifiedKnnEdges(s, d).select("id_a", "id_b"), iterations = 3)
         .select(col("doc_id").as("vec_id"), col("cluster"))
     }),
     // PageRank over the same mutual verified k-NN graph — hub detection
@@ -239,20 +251,25 @@ object LlmData {
     // boilerplate). Same integer-ppm arithmetic as x_pagerank, so the
     // composed oracle (knn chain + unrolled rounds) is bit-exact.
     "x_knn_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.core.GraphRank.pageRankPpm(
+          mutualVerifiedKnnEdges(s, d).select("id_a", "id_b"), iterations = 5)
+        .select(col("doc_id").as("vec_id"), col("rank_ppm"))
+    }),
+    // COSINE-WEIGHTED PageRank over the same graph — the edge frame
+    // already carries exact cosines, so mass flows in proportion to
+    // similarity (rank · w_uv div Σw_u, w = floor(cos · 10⁶) ppm): hub
+    // scores become similarity-aware, which is what redundancy
+    // downweighting actually wants (a node ringed by 0.99-cosine copies
+    // outranks one ringed by 0.4-cosine acquaintances at equal degree).
+    // Same integer-ppm discipline — the quotient-remainder split keeps
+    // every intermediate exact and bounded, so the twin is bit-exact.
+    "x_knn_pagerank_w" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr}
-      val g = Similarity.knnGraph(embs(s, d), k = 5,
-        nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))
-      val e = g.select(col("vec_id").as("id_a"), col("nn_id").as("id_b"))
-      val n = Similarity.withNorm(embs(s, d))
-      val mutual = e.intersect(
-          e.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .filter(col("id_a") < col("id_b"))
-        .join(n.select(col("vec_id").as("id_a"), col("ed").as("__ea"), col("nrm").as("__na")), "id_a")
-        .join(n.select(col("vec_id").as("id_b"), col("ed").as("__eb"), col("nrm").as("__nb")), "id_b")
-        .filter(expr(Similarity.sparkCosPre("__ea", "__eb", "__na", "__nb")) >= 0.4)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-      graft.core.GraphRank.pageRankPpm(mutual, iterations = 5)
+      graft.core.GraphRank.pageRankWeightedPpm(
+          mutualVerifiedKnnEdges(s, d).select(col("id_a"), col("id_b"),
+            expr("CAST(floor(cos * 1000000.0D) AS BIGINT)").as("w_ppm")),
+          iterations = 5)
         .select(col("doc_id").as("vec_id"), col("rank_ppm"))
     }),
     // Triangle counts over the same mutual verified k-NN graph — the
@@ -261,20 +278,9 @@ object LlmData {
     // embedding pair graphs). Dense-neighborhood vectors (semantic
     // pile-ups) are triangle-rich; drift chains are not.
     "x_knn_triangles" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, expr}
-      val g = Similarity.knnGraph(embs(s, d), k = 5,
-        nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))
-      val e = g.select(col("vec_id").as("id_a"), col("nn_id").as("id_b"))
-      val n = Similarity.withNorm(embs(s, d))
-      val mutual = e.intersect(
-          e.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .filter(col("id_a") < col("id_b"))
-        .join(n.select(col("vec_id").as("id_a"), col("ed").as("__ea"), col("nrm").as("__na")), "id_a")
-        .join(n.select(col("vec_id").as("id_b"), col("ed").as("__eb"), col("nrm").as("__nb")), "id_b")
-        .filter(expr(Similarity.sparkCosPre("__ea", "__eb", "__na", "__nb")) >= 0.4)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-      graft.core.GraphMetrics.triangleCounts(mutual)
+      import org.apache.spark.sql.functions.col
+      graft.core.GraphMetrics.triangleCounts(
+          mutualVerifiedKnnEdges(s, d).select("id_a", "id_b"))
         .select(col("doc_id").as("vec_id"), col("n_triangles"))
     }),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
@@ -1274,12 +1280,26 @@ object LlmData {
        |     CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rank FROM s2m)
        |WHERE rank <= $k""".stripMargin
 
-  /** x_knn_clusters twin: the knn CTE chain + mutual-kNN sparsifier +
-    * the c_clusters-style 3-round min-label propagation unroll. */
-  /** x_knn_pagerank twin: the mutual verified k-NN edge chain of
-    * [[knnClustersSql]] feeding the same unrolled integer-ppm rounds as
-    * the document-axis x_pagerank oracle (damping as exact 17/20, `//` ≡
-    * Spark `div` on the all-positive operands). */
+  /** The mutual verified k-NN edge chain as a reusable CTE block ending
+    * in `muv(id_a, id_b, cos)` — the SQL single source of truth mirroring
+    * [[mutualVerifiedKnnEdges]]: every x_knn_* oracle appends its own
+    * CTEs to THIS block, so a threshold or sparsifier change edits one
+    * place on each side and the rows cannot silently diverge. */
+  private def mutualKnnCtes(k: Int): String =
+    s"""${knnGraphCtes(k)},
+       |kg AS (SELECT vec_id AS src, nn_id AS dst FROM knn),
+       |mu AS (SELECT g.src AS id_a, g.dst AS id_b FROM kg g
+       |       JOIN kg r ON g.src = r.dst AND g.dst = r.src
+       |       WHERE g.src < g.dst),
+       |muv AS (SELECT id_a, id_b, cos FROM
+       |          (SELECT mu.id_a, mu.id_b,
+       |             ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} AS cos
+       |           FROM mu JOIN n2 a ON mu.id_a = a.vec_id JOIN n2 b ON mu.id_b = b.vec_id)
+       |        WHERE cos >= 0.4)""".stripMargin
+
+  /** x_knn_pagerank twin: [[mutualKnnCtes]] feeding the same unrolled
+    * integer-ppm rounds as the document-axis x_pagerank oracle (damping
+    * as exact 17/20, `//` ≡ Spark `div` on the all-positive operands). */
   private def knnPagerankSql(k: Int, iters: Int): String = {
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
     // reference and each round references the previous one twice —
@@ -1291,17 +1311,34 @@ object LlmData {
          |pr$i AS MATERIALIZED (SELECT r.vec_id, r.deg, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS rank_ppm
          |         FROM pr${i - 1} r LEFT JOIN pc$i c USING (vec_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${knnGraphCtes(k)},
-       |kg AS (SELECT vec_id AS src, nn_id AS dst FROM knn),
-       |mu AS (SELECT g.src AS id_a, g.dst AS id_b FROM kg g
-       |       JOIN kg r ON g.src = r.dst AND g.dst = r.src
-       |       WHERE g.src < g.dst),
-       |muv AS (SELECT id_a, id_b FROM mu
-       |        JOIN n2 a ON mu.id_a = a.vec_id JOIN n2 b ON mu.id_b = b.vec_id
-       |        WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4),
+    s"""WITH ${mutualKnnCtes(k)},
        |kedges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM muv
        |           UNION ALL SELECT id_b, id_a FROM muv),
        |pr0 AS MATERIALIZED (SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS deg,
+       |        CAST(1000000 AS BIGINT) AS rank_ppm FROM kedges GROUP BY src),
+       |$rounds
+       |SELECT vec_id, rank_ppm FROM pr$iters""".stripMargin
+  }
+
+  /** x_knn_pagerank_w twin: the same chain with edge mass proportional to
+    * the stored cosine — w = floor(cos · 10⁶) ppm, per-edge contribution
+    * via the exact quotient-remainder split
+    * `(q·w + (rem·w) // W)` with `q = rank // W, rem = rank % W` (≡
+    * `(rank·w) // W` without the rank×10⁶ overflow headroom), damped 17/20
+    * after the split. All-positive integer ops, so bit-exact vs Spark. */
+  private def knnPagerankWeightedSql(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""pc$i AS MATERIALIZED (SELECT e.dst AS vec_id,
+         |           sum(((((r.rank_ppm // r.wsum) * e.w + ((r.rank_ppm % r.wsum) * e.w) // r.wsum)) * 17) // 20) AS s
+         |         FROM kedges e JOIN pr${i - 1} r ON e.src = r.vec_id GROUP BY e.dst),
+         |pr$i AS MATERIALIZED (SELECT r.vec_id, r.wsum, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS rank_ppm
+         |         FROM pr${i - 1} r LEFT JOIN pc$i c USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${mutualKnnCtes(k)},
+       |muvw AS (SELECT id_a, id_b, CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM muv),
+       |kedges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst, w FROM muvw
+       |           UNION ALL SELECT id_b, id_a, w FROM muvw),
+       |pr0 AS MATERIALIZED (SELECT src AS vec_id, CAST(sum(w) AS BIGINT) AS wsum,
        |        CAST(1000000 AS BIGINT) AS rank_ppm FROM kedges GROUP BY src),
        |$rounds
        |SELECT vec_id, rank_ppm FROM pr$iters""".stripMargin
@@ -1312,14 +1349,7 @@ object LlmData {
     * x_triangles oracle (exact integer counts; multiply-referenced CTEs
     * MATERIALIZED per the inlining lesson). */
   private def knnTrianglesSql(k: Int): String =
-    s"""WITH ${knnGraphCtes(k)},
-       |kg AS (SELECT vec_id AS src, nn_id AS dst FROM knn),
-       |mu AS (SELECT g.src AS id_a, g.dst AS id_b FROM kg g
-       |       JOIN kg r ON g.src = r.dst AND g.dst = r.src
-       |       WHERE g.src < g.dst),
-       |muv AS (SELECT id_a, id_b FROM mu
-       |        JOIN n2 a ON mu.id_a = a.vec_id JOIN n2 b ON mu.id_b = b.vec_id
-       |        WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4),
+    s"""WITH ${mutualKnnCtes(k)},
        |tund AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
        |        FROM muv WHERE id_a != id_b),
        |tsym AS (SELECT u, v FROM tund UNION ALL SELECT v, u FROM tund),
@@ -1346,14 +1376,7 @@ object LlmData {
          |l$i AS (SELECT l.vec_id, least(l.cluster, coalesce(m.nbr, l.cluster)) AS cluster
          |        FROM l${i - 1} l LEFT JOIN m$i m USING (vec_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${knnGraphCtes(k)},
-       |kg AS (SELECT vec_id AS src, nn_id AS dst FROM knn),
-       |mu AS (SELECT g.src AS id_a, g.dst AS id_b FROM kg g
-       |       JOIN kg r ON g.src = r.dst AND g.dst = r.src
-       |       WHERE g.src < g.dst),
-       |muv AS (SELECT id_a, id_b FROM mu
-       |        JOIN n2 a ON mu.id_a = a.vec_id JOIN n2 b ON mu.id_b = b.vec_id
-       |        WHERE ${Similarity.duckCosPre("a.ed", "b.ed", "a.nrm", "b.nrm")} >= 0.4),
+    s"""WITH ${mutualKnnCtes(k)},
        |kedges AS (SELECT id_a AS src, id_b AS dst FROM muv
        |           UNION ALL SELECT id_b, id_a FROM muv),
        |l0 AS (SELECT DISTINCT src AS vec_id, src AS cluster FROM kedges),
@@ -1859,6 +1882,7 @@ object LlmData {
     "e_knn_incr" -> knnIncrSql(5),
     "x_knn_clusters" -> knnClustersSql(5),
     "x_knn_pagerank" -> knnPagerankSql(5, 5),
+    "x_knn_pagerank_w" -> knnPagerankWeightedSql(5, 5),
     "x_knn_triangles" -> knnTrianglesSql(5),
     "e_lsh_multiprobe" -> lshMultiprobeSql,
     "e_ivf_topk" -> ivfTopkSql,

@@ -56,6 +56,16 @@ trait Sink {
     * store's keys, and an Iceberg implementation reads its table the same
     * way. Throws if the store does not exist yet. */
   def read(): DataFrame
+
+  /** Whether the store exists yet. Part of the trait so streaming merge
+    * compositions can distinguish "first batch, nothing stored" (expected
+    * — start from empty) from a FAILED read of an existing store: folding
+    * a transient/corrupt read into "empty" would merge the batch without
+    * stored context and silently break the store's invariants (e.g. the
+    * cluster store's min-id monotonicity). Callers test `exists`, read
+    * unguarded, and let a real read error fail the micro-batch so the
+    * checkpoint retries it. */
+  def exists: Boolean
 }
 
 private[sink] object SinkChecks {
@@ -139,7 +149,7 @@ final class ParquetSink(spark: SparkSession, path: String) extends Sink {
         s"sink recovery: failed to restore $backup to $p")
   }
 
-  private def exists: Boolean = { recoverIfNeeded(); fs.exists(new Path(path)) }
+  def exists: Boolean = { recoverIfNeeded(); fs.exists(new Path(path)) }
 
   def read(): DataFrame = { recoverIfNeeded(); spark.read.parquet(path) }
 
@@ -237,7 +247,7 @@ final class PartitionedParquetSink(spark: SparkSession, path: String,
                                    val partitionCol: String) extends Sink {
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def exists: Boolean = fs.exists(new Path(path))
+  def exists: Boolean = fs.exists(new Path(path))
 
   def read(): DataFrame = spark.read.parquet(path)
 

@@ -104,8 +104,14 @@ object DocStream {
         // anti-joined away and the merge only ever inserts.
         val once = graft.core.Dedup.top1PerKey(
           batch.toDF(), Seq("fingerprint"), Seq(col("doc_id").asc))
-        val fresh = scala.util.Try(sink.read().select("fingerprint")).toOption
-          .fold(once)(stored => once.join(stored, Seq("fingerprint"), "left_anti"))
+        // `exists` (not a swallowed Try): an absent store is the expected
+        // first batch, but a FAILED read of an existing store must fail the
+        // micro-batch so the checkpoint retries — treating it as empty
+        // would re-insert stored fingerprints and break first-arrival-wins.
+        val fresh =
+          if (sink.exists)
+            once.join(sink.read().select("fingerprint"), Seq("fingerprint"), "left_anti")
+          else once
         sink.mergeByKey(fresh, Seq("fingerprint")): Unit
       }
       .start()
@@ -330,10 +336,16 @@ object DocStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val pairs = batch.select(col("idA").as("id_a"), col("idB").as("id_b")).distinct()
-        val stored = scala.util.Try(sink.read().select("doc_id", "cluster")).toOption
-        val labels0 = stored.getOrElse(
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT")))
+        // `exists` (not a swallowed Try): only a genuinely absent store
+        // starts from empty labels. A transient/corrupt read of an EXISTING
+        // store must fail the micro-batch (the checkpoint retries it) —
+        // merging against empty labels would relabel docs away from their
+        // component minimum and break the store's never-split monotonicity.
+        val labels0 =
+          if (sink.exists) sink.read().select("doc_id", "cluster")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster BIGINT"))
         val merged = graft.core.StarComponents.mergeComponents(labels0, pairs)
         // Upsert only the delta: new nodes and nodes whose component
         // minimum changed. Replays after a crash re-merge the same rows —

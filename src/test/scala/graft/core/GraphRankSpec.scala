@@ -52,6 +52,40 @@ class GraphRankSpec extends AnyFunSuite {
     assert(base == shuffled)
   }
 
+  private def wPairsDf(ps: Seq[(Long, Long, Long)]): DataFrame =
+    ps.toDF("id_a", "id_b", "w_ppm")
+
+  test("weighted path graph 1-2-3 (w(1,2)=2, w(2,3)=1): hand-computed ranks") {
+    // W: 1→2, 2→3, 3→1; start 1 000 000 each; contribution =
+    // ((q·w + (rem·w) div W) · 17) div 20 with q = r div W, rem = r % W.
+    // round 1: 1→2: 850000; 2→1: 566666; 2→3: 283333; 3→2: 850000
+    //          → r1 = (716666, 1850000, 433333)
+    // round 2: 1→2: 609166; 2→1: 1048333; 2→3: 524166; 3→2: 368333
+    //          → r2 = (1198333, 1127499, 674166)
+    val r = ranksOf(GraphRank.pageRankWeightedPpm(
+      wPairsDf(Seq((1L, 2L, 2L), (2L, 3L, 1L))), iterations = 2))
+    assert(r == Map(1L -> 1198333L, 2L -> 1127499L, 3L -> 674166L))
+  }
+
+  test("uniform weights reproduce the unweighted ranks bit for bit") {
+    val ps = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 6L))
+    val unweighted = ranksOf(GraphRank.pageRankPpm(pairsDf(ps), iterations = 4))
+    val uniform = ranksOf(GraphRank.pageRankWeightedPpm(
+      wPairsDf(ps.map { case (a, b) => (a, b, 700000L) }), iterations = 4))
+    assert(uniform == unweighted)
+  }
+
+  test("weights change the ordering: the heavy neighbor outranks the light one") {
+    // Star 2-1-3: unweighted leaves are symmetric (equal rank); with
+    // w(1,2) ≫ w(1,3) node 2 receives most of node 1's mass.
+    val uw = ranksOf(GraphRank.pageRankPpm(
+      pairsDf(Seq((1L, 2L), (1L, 3L))), iterations = 3))
+    assert(uw(2L) == uw(3L))
+    val w = ranksOf(GraphRank.pageRankWeightedPpm(
+      wPairsDf(Seq((1L, 2L, 1000000L), (1L, 3L, 400000L))), iterations = 3))
+    assert(w(2L) > w(3L), s"heavy edge must concentrate rank: ${w(2L)} vs ${w(3L)}")
+  }
+
   test("zero iterations returns the uniform start vector") {
     val r = ranksOf(GraphRank.pageRankPpm(pairsDf(Seq((1L, 2L), (2L, 3L))), iterations = 0))
     assert(r.values.toSet == Set(1000000L) && r.keySet == Set(1L, 2L, 3L))

@@ -78,6 +78,25 @@ class StarComponentsSpec extends AnyFunSuite {
     assert(merged(61L) == 60L && merged(70L) == 30L)
   }
 
+  test("a capped non-converged run fails loudly instead of returning labels") {
+    // An 8-node chain needs more than one large/small-star alternation;
+    // at maxIterations = 1 the old code silently emitted non-canonical
+    // labels (and duplicate rows for multi-edge nodes) — now it throws.
+    val chain = pairsDf((0L until 7L).map(i => (i, i + 1)))
+    val e = intercept[IllegalStateException] {
+      StarComponents.componentsWithRounds(chain, maxIterations = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("mergeComponents inherits the loud non-convergence guard") {
+    val labels0 = StarComponents.components(pairsDf(Seq((100L, 101L))))
+    val chain = pairsDf((0L until 7L).map(i => (i, i + 1)))
+    intercept[IllegalStateException] {
+      StarComponents.mergeComponents(labels0, chain, maxIterations = 1)
+    }
+  }
+
   test("mergeComponents with no new pairs returns the stored labels") {
     val basePairs = pairsDf(Seq((1L, 2L), (3L, 4L)))
     val labels0 = StarComponents.components(basePairs)
