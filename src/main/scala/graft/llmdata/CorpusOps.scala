@@ -849,6 +849,16 @@ object CorpusOps {
   def docTriangles(documents: DataFrame): DataFrame =
     graft.core.GraphMetrics.triangleCounts(DocDedup.minhashLshPairs(documents))
 
+  /** [[docTriangles]]' dense-regime variant: DOULION edge sparsification
+    * (deterministic hash coin, p = 1/2 here) in front of the same exact
+    * counter, estimates unbiased by p⁻³
+    * ([[graft.core.GraphMetrics.triangleCountsApprox]]). The knob that
+    * keeps triangle density measurable where the exact wedge volume
+    * exceeds scratch (measured: the 16 M-node/264 M-edge probe that dies
+    * exact at ~65 GB completes sparsified). */
+  def docTrianglesApprox(documents: DataFrame): DataFrame =
+    graft.core.GraphMetrics.triangleCountsApprox(DocDedup.minhashLshPairs(documents))
+
   /** Incremental dedup-cluster maintenance — the append leg of the cluster
     * lifecycle (the stored-index idiom of `e_ivf_incr`/`e_knn_incr` on the
     * component axis): cluster the base half of the corpus once, then fold
@@ -921,6 +931,24 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("quality_score"),
         round(col("__cum").cast("double") / col("__tot"), 6).as("qnorm"))
   }
+
+  /** CALIBRATED quality gate — the composition [[sourceQuantileNorm]]
+    * exists for, closing the loop it opened: [[autoQualityFilter]] gates
+    * on one corpus-wide raw-score cutoff, which systematically starves
+    * terse sources (their whole score distribution sits below a verbose
+    * source's floor, so the global median keeps none of them — the spec
+    * pins exactly this two-regime failure). Gating on `qnorm >= q`
+    * instead keeps the top (1−q) fraction of EVERY source with one
+    * global constant — per-source survivor counts stay proportional no
+    * matter how the sources' raw regimes differ.
+    *
+    * Same 100 TB shape as qnorm itself (one histogram groupBy + one
+    * fan-back join; no per-source document sort); the gate is a filter
+    * on the already-joined frame, so it adds zero stages. Emits
+    * (doc_id, source, quality_score, qnorm) — qnorm IS the audit column
+    * (the per-row "why kept"), mirroring autoQualityFilter's cutoff. */
+  def normQualityFilter(documents: DataFrame, q: Double = 0.7): DataFrame =
+    sourceQuantileNorm(documents).filter(col("qnorm") >= q)
 
   /** Deterministic source-interleaved training order — stride scheduling
     * (the lottery/stride scheduler from OS theory, reborn as the data

@@ -76,6 +76,12 @@ object Corpus {
     // clustering density: cliques vs chains) — wedge volume bounded
     // O(m^1.5) by the orientation regardless of hub skew.
     "x_triangles" -> ((s, d) => CorpusOps.docTriangles(docs(s, d))),
+    // DOULION-sparsified estimate over the same graph (deterministic
+    // hash coin p=1/2, count exact on the sample, unbias by p⁻³) — the
+    // dense-regime path where exact wedge volume exceeds scratch. The
+    // hash is replayed verbatim in the twin, so the estimate is exact
+    // cross-engine even though it approximates the true count.
+    "x_triangles_approx" -> ((s, d) => CorpusOps.docTrianglesApprox(docs(s, d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
@@ -83,6 +89,11 @@ object Corpus {
     "c_overlap" -> ((s, d) => CorpusOps.sourceOverlap(docs(s, d), OverlapK)),
     "c_overlap_kmv" -> ((s, d) => CorpusOps.kmvSourceOverlap(docs(s, d), OverlapK, OverlapKmvK)),
     "c_autofilter" -> ((s, d) => CorpusOps.autoQualityFilter(docs(s, d))),
+    // Calibrated variant: gate on the per-source quantile (qnorm >= 0.7 =
+    // top 30% of EVERY source) instead of one raw-score cutoff — the
+    // composition c_qnorm exists for (a global raw gate starves terse
+    // sources; spec pins the two-regime fixture).
+    "c_autofilter_norm" -> ((s, d) => CorpusOps.normQualityFilter(docs(s, d))),
     "c_sourcecap" -> ((s, d) => CorpusOps.perSourceCap(docs(s, d))),
     "c_split" -> ((s, d) => CorpusOps.datasetSplit(docs(s, d))),
     "c_epochs" -> ((s, d) => CorpusOps.epochPlan(docs(s, d), EpochWeights)),
@@ -246,6 +257,39 @@ object Corpus {
        |SELECT d.node AS doc_id, CAST(coalesce(n.n_triangles, 0) AS BIGINT) AS n_triangles
        |FROM tdeg d LEFT JOIN tn n ON d.node = n.doc_id""".stripMargin
 
+  /** DuckDB twin of [[graft.core.GraphMetrics.triangleCountsApprox]] at
+    * p = 1/2: the SAME deterministic edge-hash coin (plain `%` on the
+    * non-negative ids — identical semantics both engines), the exact
+    * triangle chain on the kept edges, counts unbiased ×8, and the node
+    * domain taken from the FULL canonical edge set (the sparsifier drops
+    * edges, never feature rows). */
+  private val trianglesApproxSql = {
+    import graft.core.GraphMetrics.{EdgeHashMod, EdgeHashA, EdgeHashB}
+    s"""WITH ${minhashPairCtes("documents", "")},
+       |tund AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+       |        FROM pairs WHERE id_a != id_b),
+       |tkept AS MATERIALIZED (SELECT u, v FROM tund
+       |        WHERE ((((u % $EdgeHashMod) * $EdgeHashA) + ((v % $EdgeHashMod) * $EdgeHashB)) % $EdgeHashMod) % 2 < 1),
+       |tsym AS (SELECT u, v FROM tkept UNION ALL SELECT v, u FROM tkept),
+       |tdeg AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM tsym GROUP BY u),
+       |tor AS MATERIALIZED (SELECT s.u, s.v, dv.deg AS dv
+       |       FROM tsym s JOIN tdeg du ON s.u = du.node JOIN tdeg dv ON s.v = dv.node
+       |       WHERE du.deg < dv.deg OR (du.deg = dv.deg AND s.u < s.v)),
+       |tw AS (SELECT a.u AS p, a.v AS x, b.v AS y FROM tor a JOIN tor b ON a.u = b.u
+       |       AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))),
+       |tt AS MATERIALIZED (SELECT p, x, y FROM tw
+       |      JOIN (SELECT u AS x, v AS y FROM tor) e USING (x, y)),
+       |tn AS (SELECT doc_id, CAST(count(*) * 8 AS BIGINT) AS est_triangles FROM (
+       |        SELECT p AS doc_id FROM tt
+       |        UNION ALL SELECT x FROM tt
+       |        UNION ALL SELECT y FROM tt) GROUP BY doc_id),
+       |tnodes AS (SELECT DISTINCT u AS doc_id FROM
+       |        (SELECT u FROM tund UNION ALL SELECT v AS u FROM tund))
+       |SELECT tnodes.doc_id, CAST(coalesce(n.est_triangles, 0) AS BIGINT) AS est_triangles
+       |FROM tnodes LEFT JOIN tn n USING (doc_id)""".stripMargin
+  }
+
   /** Integer-ppm PageRank over the near-dup pair graph, unrolled to the
     * same fixed round count as [[graft.core.GraphRank.pageRankPpm]] —
     * `//` in DuckDB and `div` in Spark truncate identically on the
@@ -310,6 +354,12 @@ object Corpus {
        |  round(cume_dist() OVER (PARTITION BY source ORDER BY quality_score), 6) AS qnorm
        |FROM sc""".stripMargin
   }
+
+  /** DuckDB twin of [[CorpusOps.normQualityFilter]] at q=0.7: the qnorm
+    * twin gated — both engines round(·, 6) the identical double, so the
+    * boundary compare admits the same rows. */
+  private val autofilterNormSql =
+    s"""SELECT * FROM ($qnormSql) WHERE qnorm >= 0.7""".stripMargin
 
   /** End-to-end cleaning CTE chain (language-ID + quality in one pass over
     * the token lists, survivor exact-dedup, minhash pair chain, anti-join),
@@ -695,6 +745,7 @@ object Corpus {
     "c_dsir" -> dsirSql,
     "c_report" -> reportSql,
     "c_autofilter" -> autofilterSql,
+    "c_autofilter_norm" -> autofilterNormSql,
     "c_sourcecap" -> sourcecapSql,
     "c_split" -> splitSql,
     "c_epochs" -> epochsSql,
@@ -721,6 +772,7 @@ object Corpus {
     "c_qnorm" -> qnormSql,
     "x_pagerank" -> pagerankSql(5),
     "x_triangles" -> trianglesSql,
+    "x_triangles_approx" -> trianglesApproxSql,
     "c_corpus" -> corpusSql,
     "c_e2e" -> e2eSql)
 }

@@ -9,10 +9,18 @@ import org.apache.spark.sql.functions._
   * absorb: the hub sorts last, so its out-degree is 0 and it never pivots
   * a wedge). The triangle count is exact in closed form —
   * blocks · (C(32,3) + C(32,2)) — so each decade verifies the count, not
-  * just survival. Dev tool (SCALING protocol), not part of the bench. */
+  * just survival. Dev tool (SCALING protocol), not part of the bench.
+  *
+  * `approx` as the first arg runs [[GraphMetrics.triangleCountsApprox]]
+  * at p = 1/4 instead — the dense-regime path for the decade the exact
+  * operator honestly cannot fit on one box (16 M nodes / 264 M edges ≈
+  * 65 GB of wedge scratch); the closed form then checks the ESTIMATOR
+  * (require within ±30%), not equality. */
 object TriBench {
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+    val approx = args.headOption.contains("approx")
+    val rest = if (approx) args.drop(1) else args
+    val sizes = if (rest.nonEmpty) rest.map(_.toLong).toSeq
     else Seq(1000000L, 4000000L, 16000000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -28,13 +36,23 @@ object TriBench {
       val hub = spark.range(n).select(col("id").as("id_a"), lit(n).as("id_b"))
       val pairs = clique.unionByName(hub)
       val t0 = System.nanoTime()
-      val tc = graft.core.GraphMetrics.triangleCounts(pairs)
-      val agg = tc.agg(sum("n_triangles").as("s"), count(lit(1)).as("nodes")).collect()(0)
-      val secs = (System.nanoTime() - t0) / 1e9
       val expect = blocks * (4960L + 496L) // C(32,3) + C(32,2) per block
-      val got = agg.getLong(0) / 3
-      println(f"[tri] n=${n + 1}%,d edges=${blocks * 496 + n}%,d: triangles=$got%,d (expect $expect%,d) nodes=${agg.getLong(1)}%,d wall=$secs%.1f s")
-      require(got == expect, s"triangle count off at n=$n: $got vs $expect")
+      val (got, nNodes, secs) = if (approx) {
+        val tc = graft.core.GraphMetrics.triangleCountsApprox(pairs, keepNum = 1, keepDen = 4)
+        val agg = tc.agg(sum("est_triangles").as("s"), count(lit(1)).as("nodes")).collect()(0)
+        (agg.getLong(0) / 3, agg.getLong(1), (System.nanoTime() - t0) / 1e9)
+      } else {
+        val tc = graft.core.GraphMetrics.triangleCounts(pairs)
+        val agg = tc.agg(sum("n_triangles").as("s"), count(lit(1)).as("nodes")).collect()(0)
+        (agg.getLong(0) / 3, agg.getLong(1), (System.nanoTime() - t0) / 1e9)
+      }
+      val mode = if (approx) "tri-approx p=1/4" else "tri"
+      println(f"[$mode] n=${n + 1}%,d edges=${blocks * 496 + n}%,d: triangles=$got%,d (expect $expect%,d, ratio ${got.toDouble / expect}%.4f) nodes=$nNodes%,d wall=$secs%.1f s")
+      if (approx)
+        require(got > expect * 0.7 && got < expect * 1.3,
+          s"estimate outside ±30% at n=$n: $got vs $expect")
+      else
+        require(got == expect, s"triangle count off at n=$n: $got vs $expect")
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

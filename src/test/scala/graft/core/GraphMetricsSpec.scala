@@ -48,6 +48,57 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("approx at p = 1 is bit-identical to the exact operator") {
+    val ps = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L), (6L, 7L))
+    val exact = countsOf(GraphMetrics.triangleCounts(pairsDf(ps)))
+    val approx = countsOf(GraphMetrics.triangleCountsApprox(
+      pairsDf(ps), keepNum = 3, keepDen = 3))
+    assert(approx == exact)
+  }
+
+  test("approx estimate lands in the error band on a closed-form clique fixture") {
+    // 50 blocks of K8: exactly 50·C(8,3) = 2800 triangles; per-corner sum
+    // = 3·2800. The hash coin is deterministic, so the estimate is a
+    // fixed number — the band asserts the estimator's calibration (p³
+    // edge survival, ×8 unbias), not a flaky sample.
+    val k8blocks = for {
+      b <- 0L until 50L
+      i <- 0L until 8L
+      j <- (i + 1) until 8L
+    } yield (b * 8 + i, b * 8 + j)
+    val exactTotal = 3L * 50 * 56
+    val est = GraphMetrics.triangleCountsApprox(pairsDf(k8blocks))
+    val agg = est.agg(org.apache.spark.sql.functions.sum("est_triangles")).collect()(0).getLong(0)
+    assert(agg > (exactTotal * 0.6).toLong && agg < (exactTotal * 1.4).toLong,
+      s"estimate $agg vs exact corner-sum $exactTotal is outside the ±40% band")
+    // Domain totality: every node of the FULL graph is emitted even if
+    // the coin dropped all of its edges.
+    assert(est.count() == 400L)
+  }
+
+  test("the wedge self-join reads both oriented sides exchange-free (plan-shape pin)") {
+    // 8 ENSURE_REQUIREMENTS exchanges in the executed plan, NONE of them
+    // under the wedge self-join: both of its inputs are the
+    // pivot-co-partitioned oriented cache (the −2× measured win). The 8
+    // that remain are the honest ones — the closing join's two (x, y)
+    // re-keys, the degree/per-node aggregations and the final domain
+    // join, with identical repeats deduped by exchange reuse (reused
+    // exchanges move no data and are not counted). A refactor that drops
+    // the oriented cache's partitioning re-keys the wedge join's inputs
+    // and raises this count.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val tri = pairsDf(for {
+        b <- 0L until 40L; i <- 0L until 4L; j <- (i + 1) until 4L
+      } yield (b * 4 + i, b * 4 + j))
+      val tc = GraphMetrics.triangleCounts(tri)
+      tc.collect(): Unit
+      val n = PlanShapes.ensureShuffles(tc.queryExecution.executedPlan)
+      assert(n == 8, s"triangleCounts exchange count moved: $n (was 8)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("counts are partitioning-invariant") {
     val ps = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L), (6L, 7L))
     val base = countsOf(GraphMetrics.triangleCounts(pairsDf(ps)))

@@ -86,6 +86,33 @@ class GraphRankSpec extends AnyFunSuite {
     assert(w(2L) > w(3L), s"heavy edge must concentrate rank: ${w(2L)} vs ${w(3L)}")
   }
 
+  test("round plans never re-shuffle the cached edge side (plan-shape pin)") {
+    // The operator's own exchange discipline, pinned on its EXECUTED
+    // plans (CachePartitioningSpec pins the Spark behavior generically;
+    // this pins pageRankPpm's use of it): the seed rank is a groupBy
+    // OVER the src-partitioned edge cache — 0 exchanges — and each round
+    // checkpoint plans exactly 3 ENSURE_REQUIREMENTS shuffles: the
+    // rank side of the edges⋈rank join, the contribution transpose
+    // (groupBy(dst) — the algorithm's own volume), and the rank side of
+    // the left join (the contribution side reuses the transpose's
+    // partitioning). The EDGE side contributes ZERO in every round; a
+    // refactor that drops the co-partitioned cache shows up here as 4+.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ring = pairsDf((0L until 200L).map(i => (i, (i + 1) % 200)))
+      val cps = PlanShapes.capturePlans(spark) {
+        GraphRank.pageRankPpm(ring, iterations = 2).collect(): Unit
+      }.filter(_._1 == "localCheckpoint").map(p => PlanShapes.ensureShuffles(p._2))
+      assert(cps == Seq(0, 3, 3), s"pagerank round exchanges moved: $cps")
+      val wring = wPairsDf((0L until 200L).map(i => (i, (i + 1) % 200, 500000L)))
+      val wps = PlanShapes.capturePlans(spark) {
+        GraphRank.pageRankWeightedPpm(wring, iterations = 2).collect(): Unit
+      }.filter(_._1 == "localCheckpoint").map(p => PlanShapes.ensureShuffles(p._2))
+      assert(wps == Seq(0, 3, 3), s"weighted round exchanges moved: $wps")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("zero iterations returns the uniform start vector") {
     val r = ranksOf(GraphRank.pageRankPpm(pairsDf(Seq((1L, 2L), (2L, 3L))), iterations = 0))
     assert(r.values.toSet == Set(1000000L) && r.keySet == Set(1L, 2L, 3L))

@@ -78,6 +78,28 @@ class StarComponentsSpec extends AnyFunSuite {
     assert(merged(61L) == 60L && merged(70L) == 30L)
   }
 
+  test("heavy rounds run exchange-free stars over the co-partitioned caches (plan-shape pin)") {
+    // Forcing the heavy (cached) path with lightMaxEdges = 0: each
+    // round's closing localCheckpoint plans exactly ONE
+    // ENSURE_REQUIREMENTS exchange — the output `distinct` — because the
+    // large-star groupBy-min + join and the small-star groupBy-min +
+    // join all read the u-co-partitioned round caches (the −22–27%
+    // measured win at 2 M chain nodes). A refactor that loses the cache
+    // partitioning re-shuffles one of the four star passes and raises
+    // the per-round count. (The initial canonicalization checkpoint is
+    // also 1 — its own distinct.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val chain = pairsDf((0L until 63L).map(i => (i, i + 1)))
+      val cps = PlanShapes.capturePlans(spark) {
+        StarComponents.componentsWithRounds(chain, lightMaxEdges = 0): Unit
+      }.filter(_._1 == "localCheckpoint").map(p => PlanShapes.ensureShuffles(p._2))
+      assert(cps.nonEmpty && cps.forall(_ == 1),
+        s"star round exchange counts moved: $cps (every checkpoint should plan exactly 1)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("a capped non-converged run fails loudly instead of returning labels") {
     // An 8-node chain needs more than one large/small-star alternation;
     // at maxIterations = 1 the old code silently emitted non-canonical

@@ -38,6 +38,37 @@ class QnormSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("two-regime fixture: the raw global gate starves the terse source, the qnorm gate keeps both") {
+    import spark.implicits._
+    // Terse source: 1..10 plain tokens, no stopwords/punctuation →
+    // scores 0.30625..0.3625. Verbose source: 30..57 tokens, ≥ half
+    // stopwords → scores ≥ 0.7875. Every verbose score exceeds every
+    // terse score — the regime split a corpus-wide raw cutoff cannot see.
+    val terse = (1 to 10).map(n =>
+      (n.toLong, "terse", Seq.fill(n)("zylka").mkString(" ")))
+    val verbose = (1 to 10).map { i =>
+      val n = 27 + 3 * i
+      (100L + i, "verbose",
+        Seq.tabulate(n)(j => if (j % 2 == 0) "the" else "zylka").mkString(" "))
+    }
+    val docs2 = (terse ++ verbose).toDF("doc_id", "source", "text")
+    // Raw gate at q=0.7: the corpus-wide cutoff lands inside the verbose
+    // regime, so the terse source keeps NOTHING.
+    val raw = CorpusOps.autoQualityFilter(docs2, q = 0.7)
+      .join(docs2.select("doc_id", "source"), "doc_id")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(raw.getOrElse("terse", 0L) == 0L, s"raw gate should starve terse: $raw")
+    assert(raw("verbose") == 7L, s"raw gate keeps the corpus-wide top 30%+boundary: $raw")
+    // qnorm gate at the SAME q: top 30% of EVERY source (scores are
+    // distinct, so cume_dist is i/10 — qnorm >= 0.7 keeps 4 per source).
+    val norm = CorpusOps.normQualityFilter(docs2, q = 0.7)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(norm == Map("terse" -> 4L, "verbose" -> 4L),
+      s"qnorm gate must keep proportional survivors per source: $norm")
+  }
+
   test("qnorm is monotone in score within every source") {
     val out = CorpusOps.sourceQuantileNorm(docs)
     val w = Window.partitionBy("source").orderBy("quality_score")
