@@ -9,7 +9,12 @@ object Bench {
     // r10 1.47 s record was a low outlier) and s_plan_choice is
     // floor-bound on ~30 tiny stats stages — both read as phantom
     // regressions twice; budgets pinned in BASELINE.md.
-    "x_rrf", "s_plan_choice")
+    "x_rrf", "s_plan_choice",
+    // r14: e_pq_frozen's warm floor spreads 2.0-3.2 s across sessions
+    // (freeze-then-apply = ~10 small stages of floor; r13's only
+    // >0.5 s bench mover, adjudicated spread, not plan change) —
+    // budgets for the whole PQ lifecycle pinned in BASELINE.md.
+    "e_pq_frozen")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

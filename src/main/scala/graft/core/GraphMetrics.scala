@@ -81,11 +81,18 @@ object GraphMetrics {
   }
 
   /** Modulus/multipliers of the deterministic per-edge sampling hash used
-    * by [[triangleCountsApprox]]: h(u,v) = ((u%M)·A + (v%M)·B) % M over
-    * the canonical (u < v) orientation. M prime, A/B < M, so products
-    * stay < 10¹² — BIGINT-safe, and the identical expression runs in the
-    * DuckDB twin (`%` ≡ Spark `%` on the non-negative ids of the near-dup
-    * convention). */
+    * by [[triangleCountsApprox]], over the canonical (u < v) orientation:
+    *
+    *   g = (u'·v' + u'·A + v'·B + 1) % M,  h = (g² + g·A) % M   (u' = u%M)
+    *
+    * The coin MUST be nonlinear in (u, v): a linear hash has
+    * h(a,b) − h(a,c) = B·(b−c) mod M independent of the pivot a, so edge
+    * survivals inside cliques correlate in whole columns — measured
+    * +88% estimator bias on the 32-clique probe fixture; the u'·v' term
+    * plus the squaring round drop it to −0.1%/−0.5% at p = 1/4 / 1/2.
+    * M prime, A/B < M, so every intermediate stays < ~10¹² — BIGINT-safe
+    * in both engines, and `%` ≡ Spark `%` on the non-negative ids of the
+    * near-dup convention, so the DuckDB twin replays it verbatim. */
   val EdgeHashMod: Long = 1000003L
   val EdgeHashA: Long = 912367L
   val EdgeHashB: Long = 340993L
@@ -126,9 +133,12 @@ object GraphMetrics {
           greatest(col("id_a"), col("id_b")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
-    val kept = und.filter(
-      expr(s"((((u % $EdgeHashMod) * $EdgeHashA) + ((v % $EdgeHashMod) * $EdgeHashB)) % $EdgeHashMod) % $keepDen")
+    val kept = und
+      .withColumn("__g", expr(
+        s"(((u % $EdgeHashMod) * (v % $EdgeHashMod)) + ((u % $EdgeHashMod) * $EdgeHashA) + ((v % $EdgeHashMod) * $EdgeHashB) + 1) % $EdgeHashMod"))
+      .filter(expr(s"(((__g * __g) + (__g * $EdgeHashA)) % $EdgeHashMod) % $keepDen")
         < lit(keepNum.toLong))
+      .drop("__g")
     // Exact counting on the sparsified graph, then the p⁻³ unbiasing in
     // one integer expression (den³ ≤ 2⁶³ guarded by the require above
     // for any sane den; num = den short-circuits to ×1 exactly).
@@ -144,5 +154,107 @@ object GraphMetrics {
       .join(est, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("est_triangles"), lit(0L)).as("est_triangles"))
+  }
+
+  /** Local clustering coefficient in exact integer ppm — the NORMALIZED
+    * density signal [[triangleCounts]]'s raw counts feed: a node's
+    * triangles divided by its wedge capacity,
+    *
+    *   coef_ppm = (2 · t · 10⁶) div (deg · (deg − 1)),    deg ≥ 2
+    *
+    * (0 for deg < 2 — no wedge, coefficient conventionally 0). Raw
+    * counts confound density with degree (a hub with 100 triangles over
+    * 10⁶ wedges is SPARSE; a 4-clique corner with 3 triangles over 3
+    * wedges is a perfect duplicate family) — the coefficient is what the
+    * keep-one-of-these / gradual-rewrite separation actually thresholds
+    * on. Integer div on non-negative operands, so the DuckDB twin is
+    * bit-exact; t·2·10⁶ needs t ≤ 4.6·10¹², i.e. a single node in
+    * > 3·10⁶-clique territory before overflow — such a family implies
+    * ~10¹² near-dup PAIRS and has long since broken the pair budget.
+    *
+    * Emits (doc_id, deg, coef_ppm) for every node of the graph — deg
+    * rides along because every consumer thresholding the coefficient
+    * wants the support size next to it (a 1.0 coefficient over deg 2 is
+    * weak evidence; over deg 20 it is a hard duplicate family).
+    *
+    * Scale shape: [[triangleCounts]]'s pipeline (wedge volume O(m^1.5)
+    * via the same orientation) + one degree aggregation over the
+    * canonical edge set + an id equi-join — nothing beyond the edge
+    * budget the raw counts already pay. */
+  def clusteringCoefPpm(pairs: DataFrame): DataFrame = {
+    val und = CacheScope.persisted(
+      pairs.select(least(col("id_a"), col("id_b")).as("u"),
+          greatest(col("id_a"), col("id_b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    val deg = und.select(col("u").as("doc_id")).union(und.select(col("v").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    triangleCounts(und.select(col("u").as("id_a"), col("v").as("id_b")))
+      .join(deg, Seq("doc_id"))
+      .select(col("doc_id"), col("deg"),
+        when(col("deg") >= 2,
+          expr("(n_triangles * 2000000L) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("coef_ppm"))
+  }
+
+  /** k-CORE of the pair graph — iterated shell peeling (Seidman 1983;
+    * the Batagelj–Zaveršnik bulk variant): repeatedly delete every node
+    * of degree < k until the remainder is stable; what survives is the
+    * maximal subgraph where EVERY member keeps ≥ k in-subgraph
+    * neighbors. The robust dense-family detector on the graph axis:
+    * triangles/coefficient score local density but a star of pendant
+    * near-dups still decorates a template hub — the 3-core strips every
+    * tree-like attachment and keeps only mutually-supported families,
+    * which is what "delete all but one of these" wants as evidence.
+    *
+    * Emits (doc_id, deg) for the surviving nodes — deg is the
+    * IN-CORE degree (≥ k by the fixpoint). Empty result = no k-core.
+    *
+    * Round budget: each alternation is one degree aggregation + two
+    * semi-joins over the CURRENT edge set (equi-shuffles on node ids;
+    * peeling only shrinks it). Rounds = the graph's peel depth for this
+    * k (a chain peels one shell per round — the adversarial case, like
+    * [[StarComponents]]' diameter). Per the library's cap policy the
+    * cap is a runaway guard: exhausting `maxRounds` without fixpoint
+    * THROWS (a truncated peel is a superset of the core with < k-degree
+    * members — silently wrong), it never returns a partial peel. The
+    * oracle twin unrolls a fixed budget ≥ the fixture's measured depth;
+    * peeling is monotone, so extra unrolled rounds past the fixpoint are
+    * no-ops and the two sides agree whenever the loop converges. */
+  def kCore(pairs: DataFrame, k: Int = 3, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var n = edges.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val deg = edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val next = edges
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+      // Peeling only deletes edges: equal count ⇔ no node fell below k
+      // this round ⇔ fixpoint (degrees can only have dropped).
+      val nNext = next.count()
+      converged = nNext == n
+      edges = next
+      n = nNext
+      rounds += 1
+    }
+    if (!converged && n > 0)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not reach its peeling fixpoint within $maxRounds rounds " +
+          s"($n edges still peeling); a truncated peel silently includes sub-$k-degree " +
+          "members. Raise maxRounds (rounds = the graph's peel depth).")
+    edges.select(col("u").as("doc_id")).union(edges.select(col("v").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
   }
 }

@@ -859,6 +859,22 @@ object CorpusOps {
   def docTrianglesApprox(documents: DataFrame): DataFrame =
     graft.core.GraphMetrics.triangleCountsApprox(DocDedup.minhashLshPairs(documents))
 
+  /** Per-document local clustering coefficient over the near-dup graph
+    * ([[graft.core.GraphMetrics.clusteringCoefPpm]]): triangles
+    * normalized by wedge capacity — the degree-independent density score
+    * the raw counts confound (a perfect 4-clique corner and a sparse hub
+    * can hold the same raw count). */
+  def docClusteringCoef(documents: DataFrame): DataFrame =
+    graft.core.GraphMetrics.clusteringCoefPpm(DocDedup.minhashLshPairs(documents))
+
+  /** The 2-core of the near-dup graph
+    * ([[graft.core.GraphMetrics.kCore]]): strips every tree-like
+    * attachment (pendant near-dups, isolated pairs) and keeps only
+    * mutually-supported duplicate families — the cheap structural
+    * evidence gate in front of keep-one-per-cluster deletion. */
+  def docKCore(documents: DataFrame): DataFrame =
+    graft.core.GraphMetrics.kCore(DocDedup.minhashLshPairs(documents), k = 2)
+
   /** Incremental dedup-cluster maintenance — the append leg of the cluster
     * lifecycle (the stored-index idiom of `e_ivf_incr`/`e_knn_incr` on the
     * component axis): cluster the base half of the corpus once, then fold

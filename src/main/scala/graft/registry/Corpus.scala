@@ -82,6 +82,15 @@ object Corpus {
     // hash is replayed verbatim in the twin, so the estimate is exact
     // cross-engine even though it approximates the true count.
     "x_triangles_approx" -> ((s, d) => CorpusOps.docTrianglesApprox(docs(s, d))),
+    // Local clustering coefficient (integer ppm): triangles normalized
+    // by wedge capacity — the degree-independent density score raw
+    // counts confound; deg rides along as the support size.
+    "x_clustcoef" -> ((s, d) => CorpusOps.docClusteringCoef(docs(s, d))),
+    // 2-core peel: strips tree-like attachments (pendants, isolated
+    // pairs), keeps mutually-supported families with in-core degrees.
+    // Loop converges or THROWS (never a truncated peel); the twin's
+    // fixed unroll is a no-op past the fixpoint.
+    "x_kcore" -> ((s, d) => CorpusOps.docKCore(docs(s, d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
@@ -231,16 +240,16 @@ object Corpus {
   private val clustersSql =
     s"WITH $clustersCtes\nSELECT doc_id, cluster FROM l3"
 
-  /** DuckDB twin of [[graft.core.GraphMetrics.triangleCounts]] over the
-    * near-dup pair graph: same canonicalization, same (deg, id) total
-    * order and orientation, same pivot-wedge + closing-edge joins —
-    * exact integer counts. Multiply-referenced CTEs are MATERIALIZED
-    * (the pagerank oracle's inlining lesson). */
-  private val trianglesSql =
-    s"""WITH ${minhashPairCtes("documents", "")},
-       |tund AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
-       |        FROM pairs WHERE id_a != id_b),
-       |tsym AS (SELECT u, v FROM tund UNION ALL SELECT v, u FROM tund),
+  /** The degree-oriented triangle CTE chain from a canonical edge CTE
+    * `src(u, v)` to degrees `tdeg(node, deg)` and per-corner counts
+    * `tn(doc_id, n_triangles)` — the SQL single source of truth for
+    * [[graft.core.GraphMetrics]]'s orientation algorithm, shared by the
+    * exact, approximate, coefficient, and knn-axis twins (same
+    * one-edit-place discipline as the mutual-knn chain in LlmData).
+    * Multiply-referenced CTEs are MATERIALIZED (the pagerank oracle's
+    * inlining lesson). */
+  private[registry] def triangleChainCtes(src: String): String =
+    s"""tsym AS (SELECT u, v FROM $src UNION ALL SELECT v, u FROM $src),
        |tdeg AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
        |        FROM tsym GROUP BY u),
        |tor AS MATERIALIZED (SELECT s.u, s.v, dv.deg AS dv
@@ -253,9 +262,56 @@ object Corpus {
        |tn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
        |        SELECT p AS doc_id FROM tt
        |        UNION ALL SELECT x FROM tt
-       |        UNION ALL SELECT y FROM tt) GROUP BY doc_id)
+       |        UNION ALL SELECT y FROM tt) GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB twin of [[graft.core.GraphMetrics.triangleCounts]] over the
+    * near-dup pair graph: same canonicalization, same (deg, id) total
+    * order and orientation, same pivot-wedge + closing-edge joins —
+    * exact integer counts. */
+  private val trianglesSql =
+    s"""WITH ${minhashPairCtes("documents", "")},
+       |tund AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+       |        FROM pairs WHERE id_a != id_b),
+       |${triangleChainCtes("tund")}
        |SELECT d.node AS doc_id, CAST(coalesce(n.n_triangles, 0) AS BIGINT) AS n_triangles
        |FROM tdeg d LEFT JOIN tn n ON d.node = n.doc_id""".stripMargin
+
+  /** DuckDB twin of [[graft.core.GraphMetrics.clusteringCoefPpm]]: the
+    * same chain, counts normalized by wedge capacity in exact integer
+    * ppm — (2·t·10⁶) // (deg·(deg−1)), 0 below deg 2. */
+  private val clustcoefSql =
+    s"""WITH ${minhashPairCtes("documents", "")},
+       |tund AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+       |        FROM pairs WHERE id_a != id_b),
+       |${triangleChainCtes("tund")}
+       |SELECT d.node AS doc_id, d.deg,
+       |  CAST(CASE WHEN d.deg >= 2
+       |    THEN (coalesce(n.n_triangles, 0) * 2000000) // (d.deg * (d.deg - 1))
+       |    ELSE 0 END AS BIGINT) AS coef_ppm
+       |FROM tdeg d LEFT JOIN tn n ON d.node = n.doc_id""".stripMargin
+
+  /** DuckDB twin of [[graft.core.GraphMetrics.kCore]] at k = 2: the peel
+    * unrolled to a fixed budget ≥ the fixture's measured depth — peeling
+    * is monotone, so rounds past the fixpoint are no-ops and the twin
+    * equals the Spark side's converged loop (which THROWS rather than
+    * return a truncated peel, so a budget mismatch fails loudly in the
+    * gate, never silently). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""kd$i AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+         |        (SELECT u AS node FROM ke${i - 1} UNION ALL SELECT v AS node FROM ke${i - 1}) GROUP BY node),
+         |kk$i AS MATERIALIZED (SELECT node FROM kd$i WHERE deg >= $k),
+         |ke$i AS MATERIALIZED (SELECT e.u, e.v FROM ke${i - 1} e
+         |        JOIN kk$i a ON e.u = a.node JOIN kk$i b ON e.v = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes("documents", "")},
+       |ke0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+       |        FROM pairs WHERE id_a != id_b),
+       |$peels
+       |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM
+       |  (SELECT u AS node FROM ke$rounds UNION ALL SELECT v AS node FROM ke$rounds)
+       |GROUP BY node""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.core.GraphMetrics.triangleCountsApprox]] at
     * p = 1/2: the SAME deterministic edge-hash coin (plain `%` on the
@@ -268,25 +324,15 @@ object Corpus {
     s"""WITH ${minhashPairCtes("documents", "")},
        |tund AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
        |        FROM pairs WHERE id_a != id_b),
-       |tkept AS MATERIALIZED (SELECT u, v FROM tund
-       |        WHERE ((((u % $EdgeHashMod) * $EdgeHashA) + ((v % $EdgeHashMod) * $EdgeHashB)) % $EdgeHashMod) % 2 < 1),
-       |tsym AS (SELECT u, v FROM tkept UNION ALL SELECT v, u FROM tkept),
-       |tdeg AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
-       |        FROM tsym GROUP BY u),
-       |tor AS MATERIALIZED (SELECT s.u, s.v, dv.deg AS dv
-       |       FROM tsym s JOIN tdeg du ON s.u = du.node JOIN tdeg dv ON s.v = dv.node
-       |       WHERE du.deg < dv.deg OR (du.deg = dv.deg AND s.u < s.v)),
-       |tw AS (SELECT a.u AS p, a.v AS x, b.v AS y FROM tor a JOIN tor b ON a.u = b.u
-       |       AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))),
-       |tt AS MATERIALIZED (SELECT p, x, y FROM tw
-       |      JOIN (SELECT u AS x, v AS y FROM tor) e USING (x, y)),
-       |tn AS (SELECT doc_id, CAST(count(*) * 8 AS BIGINT) AS est_triangles FROM (
-       |        SELECT p AS doc_id FROM tt
-       |        UNION ALL SELECT x FROM tt
-       |        UNION ALL SELECT y FROM tt) GROUP BY doc_id),
+       |tg AS (SELECT u, v,
+       |        (((u % $EdgeHashMod) * (v % $EdgeHashMod)) + ((u % $EdgeHashMod) * $EdgeHashA) + ((v % $EdgeHashMod) * $EdgeHashB) + 1) % $EdgeHashMod AS g
+       |        FROM tund),
+       |tkept AS MATERIALIZED (SELECT u, v FROM tg
+       |        WHERE (((g * g) + (g * $EdgeHashA)) % $EdgeHashMod) % 2 < 1),
+       |${triangleChainCtes("tkept")},
        |tnodes AS (SELECT DISTINCT u AS doc_id FROM
        |        (SELECT u FROM tund UNION ALL SELECT v AS u FROM tund))
-       |SELECT tnodes.doc_id, CAST(coalesce(n.est_triangles, 0) AS BIGINT) AS est_triangles
+       |SELECT tnodes.doc_id, CAST(coalesce(n.n_triangles, 0) * 8 AS BIGINT) AS est_triangles
        |FROM tnodes LEFT JOIN tn n USING (doc_id)""".stripMargin
   }
 
@@ -773,6 +819,8 @@ object Corpus {
     "x_pagerank" -> pagerankSql(5),
     "x_triangles" -> trianglesSql,
     "x_triangles_approx" -> trianglesApproxSql,
+    "x_clustcoef" -> clustcoefSql,
+    "x_kcore" -> kcoreSql(2, 8),
     "c_corpus" -> corpusSql,
     "c_e2e" -> e2eSql)
 }

@@ -1352,22 +1352,9 @@ object LlmData {
     s"""WITH ${mutualKnnCtes(k)},
        |tund AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
        |        FROM muv WHERE id_a != id_b),
-       |tsym AS (SELECT u, v FROM tund UNION ALL SELECT v, u FROM tund),
-       |tdeg AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
-       |        FROM tsym GROUP BY u),
-       |tor AS MATERIALIZED (SELECT s.u, s.v, dv.deg AS dv
-       |       FROM tsym s JOIN tdeg du ON s.u = du.node JOIN tdeg dv ON s.v = dv.node
-       |       WHERE du.deg < dv.deg OR (du.deg = dv.deg AND s.u < s.v)),
-       |tw AS (SELECT a.u AS p, a.v AS x, b.v AS y FROM tor a JOIN tor b ON a.u = b.u
-       |       AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))),
-       |tt AS MATERIALIZED (SELECT p, x, y FROM tw
-       |      JOIN (SELECT u AS x, v AS y FROM tor) e USING (x, y)),
-       |tn AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
-       |        SELECT p AS vec_id FROM tt
-       |        UNION ALL SELECT x FROM tt
-       |        UNION ALL SELECT y FROM tt) GROUP BY vec_id)
+       |${Corpus.triangleChainCtes("tund")}
        |SELECT d.node AS vec_id, CAST(coalesce(n.n_triangles, 0) AS BIGINT) AS n_triangles
-       |FROM tdeg d LEFT JOIN tn n ON d.node = n.vec_id""".stripMargin
+       |FROM tdeg d LEFT JOIN tn n ON d.node = n.doc_id""".stripMargin
 
   private def knnClustersSql(k: Int): String = {
     val rounds = (1 to 3).map { i =>

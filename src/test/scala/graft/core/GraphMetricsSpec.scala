@@ -69,8 +69,9 @@ class GraphMetricsSpec extends AnyFunSuite {
     val exactTotal = 3L * 50 * 56
     val est = GraphMetrics.triangleCountsApprox(pairsDf(k8blocks))
     val agg = est.agg(org.apache.spark.sql.functions.sum("est_triangles")).collect()(0).getLong(0)
-    assert(agg > (exactTotal * 0.6).toLong && agg < (exactTotal * 1.4).toLong,
-      s"estimate $agg vs exact corner-sum $exactTotal is outside the ±40% band")
+    assert(agg > (exactTotal * 0.75).toLong && agg < (exactTotal * 1.25).toLong,
+      s"estimate $agg vs exact corner-sum $exactTotal is outside the ±25% band " +
+        "(a LINEAR coin biased the 32-clique probe +88% — the band guards the hash's nonlinearity)")
     // Domain totality: every node of the FULL graph is emitted even if
     // the coin dropped all of its edges.
     assert(est.count() == 400L)
@@ -97,6 +98,49 @@ class GraphMetricsSpec extends AnyFunSuite {
       val n = PlanShapes.ensureShuffles(tc.queryExecution.executedPlan)
       assert(n == 8, s"triangleCounts exchange count moved: $n (was 8)")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def coefsOf(df: DataFrame): Map[Long, (Long, Long)] =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("clustering coefficient: hand-computed ppm on canonical shapes") {
+    // K4: every node deg 3, 3 triangles over 3 wedges → exactly 10⁶.
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(coefsOf(GraphMetrics.clusteringCoefPpm(pairsDf(k4))) ==
+      (1L to 4L).map(_ -> (3L, 1000000L)).toMap)
+    // Triangle + pendant: corners 1,2 are perfect (deg 2, 1 triangle /
+    // 1 wedge); node 3 has deg 3 → 2·1·10⁶ div 6 = 333333; pendant 0.
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(coefsOf(GraphMetrics.clusteringCoefPpm(pairsDf(tp))) ==
+      Map(1L -> (2L, 1000000L), 2L -> (2L, 1000000L),
+        3L -> (3L, 333333L), 4L -> (1L, 0L)))
+  }
+
+  test("kCore: K4 survives its own 3-core, attachments peel over rounds") {
+    // K4 (nodes 1-4) with a 3-chain tail hung off node 4: at k = 3 the
+    // whole tail peels (cascading over rounds — 7's removal drops 6,
+    // then 5, then 4 back to in-core degree 3) and exactly K4 remains.
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val core = GraphMetrics.kCore(pairsDf(k4 ++ tail), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == (1L to 4L).map(_ -> 3L).toMap)
+    // k = 1 keeps everything (every node of the pair graph has deg ≥ 1).
+    assert(GraphMetrics.kCore(pairsDf(k4 ++ tail), k = 1).count() == 7L)
+    // A chain's 2-core is EMPTY — it peels one shell per round from the
+    // ends, the adversarial depth case.
+    assert(GraphMetrics.kCore(pairsDf(tail), k = 2).count() == 0L)
+  }
+
+  test("kCore exhausting maxRounds mid-peel fails loudly, never truncates") {
+    // A 12-chain at k = 2 peels from both ends — 6 rounds to empty; at
+    // maxRounds = 2 the peel is mid-flight and a silent return would
+    // include sub-2-degree members.
+    val chain = pairsDf((0L until 12L).map(i => (i, i + 1)))
+    val e = intercept[IllegalStateException] {
+      GraphMetrics.kCore(chain, k = 2, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("peeling fixpoint"))
   }
 
   test("counts are partitioning-invariant") {
