@@ -867,6 +867,22 @@ object CorpusOps {
   def docClusteringCoef(documents: DataFrame): DataFrame =
     graft.core.GraphMetrics.clusteringCoefPpm(DocDedup.minhashLshPairs(documents))
 
+  /** Incremental triangle maintenance over the near-dup graph — the
+    * append leg of the density family
+    * ([[graft.core.GraphMetrics.incrementalTriangles]]), on the same
+    * first-half/append-half lifecycle split as [[incrementalClusters]]:
+    * count the base half once, fold in only the ≥ 1-new-endpoint pairs;
+    * the result must equal a full recount bit for bit (the oracle is
+    * the same full-graph twin x_triangles runs). */
+  def docTrianglesIncr(documents: DataFrame): DataFrame = {
+    val half = broadcast(documents.agg(expr("(max(doc_id) + 1) div 2").as("__h")))
+    val allPairs = graft.core.CacheScope.persisted(
+      DocDedup.minhashLshPairs(documents).crossJoin(half))
+    val basePairs = allPairs.filter(col("id_b") < col("__h")).drop("__h")
+    val newPairs = allPairs.filter(col("id_b") >= col("__h")).drop("__h")
+    graft.core.GraphMetrics.incrementalTriangles(basePairs, newPairs)
+  }
+
   /** The 2-core of the near-dup graph
     * ([[graft.core.GraphMetrics.kCore]]): strips every tree-like
     * attachment (pendant near-dups, isolated pairs) and keeps only

@@ -91,6 +91,11 @@ object Corpus {
     // Loop converges or THROWS (never a truncated peel); the twin's
     // fixed unroll is a no-op past the fixpoint.
     "x_kcore" -> ((s, d) => CorpusOps.docKCore(docs(s, d))),
+    // Incremental triangle maintenance (count base half, fold in the
+    // ≥1-new-endpoint pairs; wedge work batch-bounded) — EXACT, so the
+    // oracle is the SAME full-graph twin as x_triangles: the
+    // incremental dataflow must land bit-identical to a recount.
+    "x_triangles_incr" -> ((s, d) => CorpusOps.docTrianglesIncr(docs(s, d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
@@ -821,6 +826,7 @@ object Corpus {
     "x_triangles_approx" -> trianglesApproxSql,
     "x_clustcoef" -> clustcoefSql,
     "x_kcore" -> kcoreSql(2, 8),
+    "x_triangles_incr" -> trianglesSql,
     "c_corpus" -> corpusSql,
     "c_e2e" -> e2eSql)
 }

@@ -132,6 +132,27 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(GraphMetrics.kCore(pairsDf(tail), k = 2).count() == 0L)
   }
 
+  test("incrementalTriangles equals a full recount over the union graph") {
+    // Old graph: triangle {1,2,3} + pendant edge (3,4) + wedge 6-5-7.
+    val old = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L), (5L, 7L))
+    // New batch exercises every leg: (1,4) closes 1-3-4 with ONE new
+    // edge; (6,7) is a NEW closing edge over the both-OLD wedge at 5
+    // (leg B); {10,11,12} is an all-new triangle; (1,2) is a replayed
+    // duplicate of a stored edge and must contribute nothing.
+    val fresh = Seq((1L, 4L), (6L, 7L), (10L, 11L), (11L, 12L), (10L, 12L), (1L, 2L))
+    val incr = countsOf(GraphMetrics.incrementalTriangles(pairsDf(old), pairsDf(fresh)))
+    val full = countsOf(GraphMetrics.triangleCounts(pairsDf(old ++ fresh)))
+    assert(incr == full)
+    assert(incr(5L) == 1L && incr(10L) == 1L && incr(3L) == 2L && incr(2L) == 1L)
+  }
+
+  test("incrementalTriangles with an empty batch returns the stored counts") {
+    val old = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val incr = countsOf(GraphMetrics.incrementalTriangles(
+      pairsDf(old), pairsDf(Seq.empty)))
+    assert(incr == countsOf(GraphMetrics.triangleCounts(pairsDf(old))))
+  }
+
   test("kCore exhausting maxRounds mid-peel fails loudly, never truncates") {
     // A 12-chain at k = 2 peels from both ends — 6 rounds to empty; at
     // maxRounds = 2 the peel is mid-flight and a silent return would
