@@ -66,11 +66,13 @@ object GraphMetrics {
       .select(col("a.u").as("p"), col("a.v").as("x"), col("b.v").as("y"))
     val tris = wedges.join(
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-    // Each triangle increments all three corners; nodes outside any
-    // triangle keep an explicit 0 so the frame is a total feature.
-    val perNode = tris.select(col("p").as("doc_id"))
-      .union(tris.select(col("x").as("doc_id")))
-      .union(tris.select(col("y").as("doc_id")))
+    // Each triangle increments all three corners — emitted by ONE
+    // explode pass, not a 3-way self-union: union branches are separate
+    // subtrees, so the wedge+closing joins would re-execute once per
+    // corner (measured 3× the row's wedge work before the r14 rewrite).
+    // Nodes outside any triangle keep an explicit 0 (total feature).
+    val perNode = tris
+      .select(explode(array(col("p"), col("x"), col("y"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
     // und/oriented stay persisted for the returned lazy plan's diamonds;
     // release is caller-owned via the CacheScope contract.
@@ -239,14 +241,36 @@ object GraphMetrics {
     *                 replay — is correct).
     */
   def incrementalTriangles(oldPairs: DataFrame, newPairs: DataFrame): DataFrame = {
-    def canon(df: DataFrame) = df
-      .select(least(col("id_a"), col("id_b")).as("u"),
-        greatest(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    val oldU = CacheScope.persisted(canon(oldPairs))
+    val oldU = CacheScope.persisted(canonPairs(oldPairs))
+    // The in-plan declarative-replay form (the registry/oracle idiom,
+    // same as c_cc_incr recomputing its base labels): stored counts are
+    // recomputed here; a production deployment passes the STORE's counts
+    // to [[mergeTriangleCounts]] and pays only the batch-bounded delta.
+    mergeTriangleCounts(
+      triangleCounts(oldU.select(col("u").as("id_a"), col("v").as("id_b"))),
+      oldU, newPairs)
+  }
+
+  private def canonPairs(df: DataFrame): DataFrame = df
+    .select(least(col("id_a"), col("id_b")).as("u"),
+      greatest(col("id_a"), col("id_b")).as("v"))
+    .filter(col("u") =!= col("v"))
+    .distinct()
+
+  /** The delta-merge half of [[incrementalTriangles]]: fold `newPairs`
+    * into the STORED per-node counts of the old graph (`stored` must be
+    * `triangleCounts` of `oldU` — e.g. read back from the count store).
+    * This is the leg a production append pays: the old graph's wedge
+    * enumeration never re-runs.
+    *
+    * @param stored (doc_id, n_triangles) of the old graph.
+    * @param oldU   canonical (u, v) old edges (u < v, distinct) — the
+    *               membership side of the delta joins.
+    */
+  def mergeTriangleCounts(stored: DataFrame, oldU: DataFrame,
+                          newPairs: DataFrame): DataFrame = {
     val newU = CacheScope.persisted(
-      canon(newPairs).join(oldU, Seq("u", "v"), "left_anti"))
+      canonPairs(newPairs).join(oldU, Seq("u", "v"), "left_anti"))
     // Union graph with provenance; orientation by (deg, id) IN THE UNION
     // (degrees change under the append — per-node counts are
     // orientation-independent, so the stored side's own orientation is
@@ -254,7 +278,11 @@ object GraphMetrics {
     val und = oldU.withColumn("__new", lit(false))
       .unionByName(newU.withColumn("__new", lit(true)))
     val sym = und.union(und.select(col("v").as("u"), col("u").as("v"), col("__new")))
-    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    // deg is node-sized and read three times (two orientation joins +
+    // the final domain) — persisted so the symmetric-edge aggregation
+    // runs once, not per reference.
+    val deg = CacheScope.persisted(
+      sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg")))
     val oriented = CacheScope.persisted(
       sym.join(deg.select(col("node").as("u"), col("deg").as("__du")), "u")
         .join(deg.select(col("node").as("v"), col("deg").as("__dv")), "v")
@@ -285,15 +313,15 @@ object GraphMetrics {
       .join(orientedOld.select(col("u").as("p"), col("v").as("x")), Seq("x"))
       .join(orientedOld.select(col("u").as("p"), col("v").as("y")), Seq("p", "y"))
       .select(col("p"), col("x"), col("y"))
-    val delta = closedA.select(col("p").as("doc_id"))
-      .union(closedA.select(col("x").as("doc_id")))
-      .union(closedA.select(col("y").as("doc_id")))
-      .union(closedB.select(col("p").as("doc_id")))
-      .union(closedB.select(col("x").as("doc_id")))
-      .union(closedB.select(col("y").as("doc_id")))
+    // One explode pass per leg (the triangleCounts corner-emission
+    // lesson): a 6-way union would re-execute each leg's join pipeline
+    // three times.
+    val delta = closedA
+      .select(explode(array(col("p"), col("x"), col("y"))).as("doc_id"))
+      .union(closedB
+        .select(explode(array(col("p"), col("x"), col("y"))).as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("__d"))
     // stored + Δ over the union node domain (new nodes enter with 0+Δ).
-    val stored = triangleCounts(oldU.select(col("u").as("id_a"), col("v").as("id_b")))
     deg.select(col("node").as("doc_id"))
       .join(stored.withColumnRenamed("n_triangles", "__s"), Seq("doc_id"), "left")
       .join(delta, Seq("doc_id"), "left")

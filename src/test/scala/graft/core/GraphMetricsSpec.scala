@@ -78,15 +78,15 @@ class GraphMetricsSpec extends AnyFunSuite {
   }
 
   test("the wedge self-join reads both oriented sides exchange-free (plan-shape pin)") {
-    // 8 ENSURE_REQUIREMENTS exchanges in the executed plan, NONE of them
+    // 4 ENSURE_REQUIREMENTS exchanges in the executed plan, NONE of them
     // under the wedge self-join: both of its inputs are the
-    // pivot-co-partitioned oriented cache (the −2× measured win). The 8
+    // pivot-co-partitioned oriented cache (the −2× measured win). The 4
     // that remain are the honest ones — the closing join's two (x, y)
-    // re-keys, the degree/per-node aggregations and the final domain
-    // join, with identical repeats deduped by exchange reuse (reused
-    // exchanges move no data and are not counted). A refactor that drops
-    // the oriented cache's partitioning re-keys the wedge join's inputs
-    // and raises this count.
+    // re-keys, the per-corner aggregation, and the final domain join's
+    // deg side. (Was 8 before the r14 explode rewrite: the 3-way
+    // per-corner union re-executed the closing-join subtree once per
+    // corner.) A refactor that drops the oriented cache's partitioning
+    // re-keys the wedge join's inputs and raises this count.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -96,7 +96,7 @@ class GraphMetricsSpec extends AnyFunSuite {
       val tc = GraphMetrics.triangleCounts(tri)
       tc.collect(): Unit
       val n = PlanShapes.ensureShuffles(tc.queryExecution.executedPlan)
-      assert(n == 8, s"triangleCounts exchange count moved: $n (was 8)")
+      assert(n == 4, s"triangleCounts exchange count moved: $n (pinned 4)")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
