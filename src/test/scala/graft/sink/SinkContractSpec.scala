@@ -42,6 +42,19 @@ abstract class SinkContractSpec extends AnyFunSuite {
     df.collect().map(r =>
       (r.getAs[Int]("ano"), r.getAs[String]("k")) -> r.getAs[Double]("v")).toMap
 
+  test(s"$sinkName: exists distinguishes an absent store from a written one") {
+    // The streaming merges (clusterMaintain, ingestToStore) branch on
+    // `exists` instead of swallowing read failures — an absent store is
+    // the expected first batch; a failed read of an EXISTING store must
+    // propagate so the micro-batch retries.
+    val sink = mkSink(freshPath())
+    assert(!sink.exists, "a never-written sink must report exists = false")
+    intercept[Exception](sink.read().collect())
+    sink.mergeByKey(base, Seq("ano", "k"))
+    assert(sink.exists, "a written sink must report exists = true")
+    assert(readBack(sink).count() == 3L)
+  }
+
   test(s"$sinkName: merge into an empty sink inserts all rows and reports them written") {
     val sink = mkSink(freshPath())
     assert(sink.mergeByKey(base, Seq("ano", "k")) == 3L)
