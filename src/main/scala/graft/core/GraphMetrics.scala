@@ -125,7 +125,12 @@ object GraphMetrics {
     * Per-NODE estimates are unbiased but noisy at small true counts (a
     * node with 1 triangle reads 0 or 8 at p = 1/2); the headline use is
     * aggregate density (per-component, per-source, whole-graph sums),
-    * where the noise cancels. */
+    * where the noise cancels.
+    *
+    * Persists diamond intermediates (the kept-edge frame plus
+    * [[triangleCounts]]' own) whose release is CALLER-owned — run the
+    * consuming action inside [[CacheScope.scoped]] (the registry/stream
+    * call sites all do), or the blocks outlive the query. */
   def triangleCountsApprox(pairs: DataFrame,
                            keepNum: Int = 1, keepDen: Int = 2): DataFrame = {
     require(keepNum >= 1 && keepNum <= keepDen,
@@ -182,7 +187,11 @@ object GraphMetrics {
     * Scale shape: [[triangleCounts]]'s pipeline (wedge volume O(m^1.5)
     * via the same orientation) + one degree aggregation over the
     * canonical edge set + an id equi-join — nothing beyond the edge
-    * budget the raw counts already pay. */
+    * budget the raw counts already pay.
+    *
+    * Persists diamond intermediates (the canonical edge frame plus
+    * [[triangleCounts]]' own) whose release is CALLER-owned — consume the
+    * result inside [[CacheScope.scoped]], as the registry call sites do. */
   def clusteringCoefPpm(pairs: DataFrame): DataFrame = {
     val und = CacheScope.persisted(
       pairs.select(least(col("id_a"), col("id_b")).as("u"),
@@ -234,6 +243,10 @@ object GraphMetrics {
     * so a replayed batch contributes nothing — the at-least-once
     * delivery contract every store merge in the library keeps.
     *
+    * Persists diamond intermediates (the canonical old edges plus
+    * [[mergeTriangleCounts]]' own) whose release is CALLER-owned —
+    * consume the result inside [[CacheScope.scoped]].
+    *
     * @param oldPairs the already-counted graph's pairs (near-dup
     *                 convention; canonicalized and deduped here).
     * @param newPairs the appended pairs (≥ 1 new endpoint in the
@@ -262,6 +275,11 @@ object GraphMetrics {
     * `triangleCounts` of `oldU` — e.g. read back from the count store).
     * This is the leg a production append pays: the old graph's wedge
     * enumeration never re-runs.
+    *
+    * Persists diamond intermediates (admitted new edges, union degrees,
+    * the oriented union) whose release is CALLER-owned — consume the
+    * result inside [[CacheScope.scoped]], as the registry, index, and
+    * streaming call sites do.
     *
     * @param stored (doc_id, n_triangles) of the old graph.
     * @param oldU   canonical (u, v) old edges (u < v, distinct) — the
@@ -353,7 +371,22 @@ object GraphMetrics {
     * oracle twin unrolls a fixed budget ≥ the fixture's measured depth;
     * peeling is monotone, so extra unrolled rounds past the fixpoint are
     * no-ops and the two sides agree whenever the loop converges. */
-  def kCore(pairs: DataFrame, k: Int = 3, maxRounds: Int = 20): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int = 3, maxRounds: Int = 20): DataFrame =
+    kCoreWithDepth(pairs, k, maxRounds)._1
+
+  /** The peel-depth companion of [[kCore]] — rounds the loop ran to reach
+    * its fixpoint (the LAST round is the no-change confirmation, so a
+    * graph whose deepest shell dies in round r reports r + 1; an
+    * already-stable graph reports 1). This is the number the DuckDB
+    * twins' unroll budgets must dominate
+    * ([[graft.registry.Corpus.KCoreTwinRounds]] is derived from the
+    * registered fixtures' measured depths, not guessed) and the number
+    * the decade probe records next to the cap. */
+  def kCorePeelDepth(pairs: DataFrame, k: Int = 3, maxRounds: Int = 20): Int =
+    kCoreWithDepth(pairs, k, maxRounds)._2
+
+  private def kCoreWithDepth(pairs: DataFrame, k: Int,
+                             maxRounds: Int): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     var edges = pairs
       .select(least(col("id_a"), col("id_b")).as("u"),
@@ -386,7 +419,7 @@ object GraphMetrics {
         s"kCore(k=$k) did not reach its peeling fixpoint within $maxRounds rounds " +
           s"($n edges still peeling); a truncated peel silently includes sub-$k-degree " +
           "members. Raise maxRounds (rounds = the graph's peel depth).")
-    edges.select(col("u").as("doc_id")).union(edges.select(col("v").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    (edges.select(col("u").as("doc_id")).union(edges.select(col("v").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg")), rounds)
   }
 }

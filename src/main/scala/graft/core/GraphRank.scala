@@ -116,13 +116,27 @@ object GraphRank {
     *
     * @param pairs (id_a, id_b, w_ppm) undirected weighted edges,
     *              near-dup convention; w_ppm must be ≥ 1 (a zero weight
-    *              would zero a node's weighted degree and divide by it).
+    *              would zero a node's weighted degree and divide by it) —
+    *              ENFORCED per edge below, because the failure mode is
+    *              silent: Spark's non-ANSI integer div/% by a zero wsum
+    *              yields NULL, so contributions would vanish instead of
+    *              erroring (and negative weights corrupt ranks without
+    *              any arithmetic fault at all).
     */
   def pageRankWeightedPpm(pairs: DataFrame, iterations: Int = 5): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    // Loud converge-or-throw policy: validate every edge weight inside the
+    // projection (codegen'd, one comparison per edge — no extra pass); a
+    // bad weight fails the FIRST action instead of silently zeroing mass.
+    val wChecked = when(col("w_ppm") >= 1, col("w_ppm")).otherwise(raise_error(
+      concat(lit("pageRankWeightedPpm: w_ppm must be >= 1 (a zero weight zeroes the "
+          + "node's weighted degree and non-ANSI div by it NULLs contributions "
+          + "silently; negative weights corrupt ranks) — got "),
+        col("w_ppm").cast("string"))))
+    val checked = pairs.select(col("id_a"), col("id_b"), wChecked.as("w_ppm"))
     val edges = CacheScope.persisted(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("w_ppm").as("w"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("w_ppm").as("w")))
+      checked.select(col("id_a").as("src"), col("id_b").as("dst"), col("w_ppm").as("w"))
+        .union(checked.select(col("id_b").as("src"), col("id_a").as("dst"), col("w_ppm").as("w")))
         .repartition(col("src")))
     var rank = edges.groupBy(col("src").as("doc_id"))
       .agg(sum("w").as("wsum"))

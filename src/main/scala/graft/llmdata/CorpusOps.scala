@@ -883,6 +883,29 @@ object CorpusOps {
     graft.core.GraphMetrics.incrementalTriangles(basePairs, newPairs)
   }
 
+  /** The triangle family's STORED lifecycle end to end
+    * ([[graft.core.TriangleIndex]] — build/store/append/serve, the
+    * `e_knn_incr` idiom on the density axis), on the same
+    * first-half/append-half split as [[docTrianglesIncr]]: BUILD the
+    * count store from the base half's pairs (the one full wedge
+    * enumeration), APPEND the ≥ 1-new-endpoint pairs against the STORE
+    * (wedge work batch-bounded; old counts read back, never recomputed —
+    * unlike the incr row's declarative in-plan replay), then SERVE the
+    * per-node counts off the store's latest version. Exactness makes the
+    * oracle free: the served counts must equal a full recount bit for
+    * bit, so the row shares `x_triangles`' full-graph twin. */
+  def docTrianglesIdx(documents: DataFrame, indexDir: String): DataFrame = {
+    val spark = documents.sparkSession
+    val half = broadcast(documents.agg(expr("(max(doc_id) + 1) div 2").as("__h")))
+    val allPairs = graft.core.CacheScope.persisted(
+      DocDedup.minhashLshPairs(documents).crossJoin(half))
+    graft.core.TriangleIndex.build(
+      allPairs.filter(col("id_b") < col("__h")).drop("__h"), indexDir)
+    graft.core.TriangleIndex.append(
+      allPairs.filter(col("id_b") >= col("__h")).drop("__h"), indexDir)
+    graft.core.TriangleIndex.counts(spark, indexDir)
+  }
+
   /** The 2-core of the near-dup graph
     * ([[graft.core.GraphMetrics.kCore]]): strips every tree-like
     * attachment (pendant near-dups, isolated pairs) and keeps only

@@ -96,6 +96,13 @@ object Corpus {
     // oracle is the SAME full-graph twin as x_triangles: the
     // incremental dataflow must land bit-identical to a recount.
     "x_triangles_incr" -> ((s, d) => CorpusOps.docTrianglesIncr(docs(s, d))),
+    // Stored-count lifecycle (build/store/append/serve through the
+    // versioned TriangleIndex): the append folds a real STORE's counts,
+    // never an in-plan recount — the production leg x_triangles_incr
+    // replays declaratively. Served counts must equal a full recount
+    // bit for bit, so the oracle is the same full-graph twin.
+    "x_triangles_idx" -> ((s, d) => CorpusOps.docTrianglesIdx(
+      docs(s, d), graft.core.RunScratch.dir("graft_tri_idx", d))),
     "c_chunks" -> ((s, d) => CorpusOps.chunk(docs(s, d))),
     "c_shuffle" -> ((s, d) => CorpusOps.shuffleOrder(docs(s, d))),
     "c_quantiles" -> ((s, d) => CorpusOps.scoreQuantiles(docs(s, d))),
@@ -295,28 +302,59 @@ object Corpus {
        |    ELSE 0 END AS BIGINT) AS coef_ppm
        |FROM tdeg d LEFT JOIN tn n ON d.node = n.doc_id""".stripMargin
 
-  /** DuckDB twin of [[graft.core.GraphMetrics.kCore]] at k = 2: the peel
-    * unrolled to a fixed budget ≥ the fixture's measured depth — peeling
-    * is monotone, so rounds past the fixpoint are no-ops and the twin
-    * equals the Spark side's converged loop (which THROWS rather than
-    * return a truncated peel, so a budget mismatch fails loudly in the
-    * gate, never silently). */
-  private def kcoreSql(k: Int, rounds: Int): String = {
-    val peels = (1 to rounds).map { i =>
+  /** Unroll budget of the k-core DuckDB twins (doc axis here, knn axis in
+    * [[LlmData]]) — a NAMED constant derived from the registered fixtures'
+    * MEASURED peel depths ([[graft.core.GraphMetrics.kCorePeelDepth]]:
+    * sf0.01 doc graph and sf0.01 mutual-knn graph both converge in ≤ 3
+    * rounds; KcoreTwinBudgetSpec re-measures both and fails if a
+    * regenerated fixture's depth ever crosses half this budget), not a
+    * bare literal. Peeling is monotone, so unrolled rounds past the
+    * fixpoint are no-ops; the sentinel row in [[kcorePeelSelect]] turns a
+    * genuinely exceeded budget into a loud 'raise KCoreTwinRounds' marker
+    * instead of a mystery row-diff. Well below the Spark loop's
+    * `maxRounds = 20` runaway cap by design: the twin budget tracks the
+    * FIXTURE's depth, the cap bounds production graphs. */
+  val KCoreTwinRounds = 8
+
+  /** The unrolled Batagelj–Zaveršnik peel from an edge CTE `ke0(u, v)`
+    * through `ke<rounds>` — shared by the doc-axis and knn-axis k-core
+    * twins (the triangleChainCtes single-source discipline). */
+  private[registry] def kcorePeelCtes(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
       s"""kd$i AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
          |        (SELECT u AS node FROM ke${i - 1} UNION ALL SELECT v AS node FROM ke${i - 1}) GROUP BY node),
          |kk$i AS MATERIALIZED (SELECT node FROM kd$i WHERE deg >= $k),
          |ke$i AS MATERIALIZED (SELECT e.u, e.v FROM ke${i - 1} e
          |        JOIN kk$i a ON e.u = a.node JOIN kk$i b ON e.v = b.node)""".stripMargin
     }.mkString(",\n")
+
+  /** Final select over the peeled edge set, with the BUDGET SENTINEL: if
+    * the last unrolled round still deleted edges (ke<rounds> ≠
+    * ke<rounds−1>) the twin emits one impossible (-1, -1) row, so an
+    * insufficient unroll reads as a loud 'raise KCoreTwinRounds' marker in
+    * the gate diff — never as a silent truncated peel, and never as a
+    * mystery per-node mismatch. */
+  private[registry] def kcorePeelSelect(idCol: String, rounds: Int): String =
+    s"""SELECT node AS $idCol, CAST(count(*) AS BIGINT) AS deg FROM
+       |  (SELECT u AS node FROM ke$rounds UNION ALL SELECT v AS node FROM ke$rounds)
+       |GROUP BY node
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS $idCol, CAST(-1 AS BIGINT) AS deg
+       |WHERE (SELECT count(*) FROM ke$rounds) != (SELECT count(*) FROM ke${rounds - 1})""".stripMargin
+
+  /** DuckDB twin of [[graft.core.GraphMetrics.kCore]] at k = 2 over the
+    * near-dup pair graph: [[kcorePeelCtes]] to the [[KCoreTwinRounds]]
+    * budget (≥ the fixture's measured depth — see the constant's note),
+    * closed by the sentinel-bearing [[kcorePeelSelect]]. The Spark loop
+    * THROWS rather than return a truncated peel, so between the loop's
+    * converge-or-throw and the twin's sentinel, every budget mismatch is
+    * loud on whichever side hits it. */
+  private def kcoreSql(k: Int, rounds: Int): String =
     s"""WITH ${minhashPairCtes("documents", "")},
        |ke0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
        |        FROM pairs WHERE id_a != id_b),
-       |$peels
-       |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM
-       |  (SELECT u AS node FROM ke$rounds UNION ALL SELECT v AS node FROM ke$rounds)
-       |GROUP BY node""".stripMargin
-  }
+       |${kcorePeelCtes(k, rounds)}
+       |${kcorePeelSelect("doc_id", rounds)}""".stripMargin
 
   /** DuckDB twin of [[graft.core.GraphMetrics.triangleCountsApprox]] at
     * p = 1/2: the SAME deterministic edge-hash coin (plain `%` on the
@@ -825,8 +863,9 @@ object Corpus {
     "x_triangles" -> trianglesSql,
     "x_triangles_approx" -> trianglesApproxSql,
     "x_clustcoef" -> clustcoefSql,
-    "x_kcore" -> kcoreSql(2, 8),
+    "x_kcore" -> kcoreSql(2, KCoreTwinRounds),
     "x_triangles_incr" -> trianglesSql,
+    "x_triangles_idx" -> trianglesSql,
     "c_corpus" -> corpusSql,
     "c_e2e" -> e2eSql)
 }

@@ -173,6 +173,16 @@ object InfraOps {
   def streamClustersBatch(spark: SparkSession, sfDir: String): DataFrame =
     DocStream.clusterMaintainBatchTwin(spark.read.parquet(s"$sfDir/documents.parquet"))
 
+  /** Batch twin of the streaming triangle-count maintenance
+    * ([[DocStream.triangleMaintain]]): exact per-node counts over the
+    * est-Jaccard pair graph. The streaming store is spec-pinned equal to
+    * this frame after EVERY batch prefix (DocStreamSpec — exactness, not
+    * just final-state equality), and this frame is oracle-checked against
+    * the same degree-oriented triangle chain in DuckDB — the st_clusters
+    * convention on the density axis. */
+  def streamTrianglesBatch(spark: SparkSession, sfDir: String): DataFrame =
+    DocStream.triangleMaintainBatchTwin(spark.read.parquet(s"$sfDir/documents.parquet"))
+
   /** The STREAMING ingest path itself as a correctness row — not a batch
     * twin: the documents corpus is replayed through a real MemoryStream →
     * [[DocStream.ingestToStore]] query in scripted micro-batches, and what
@@ -970,6 +980,7 @@ object InfraOps {
     "st_dedup" -> (streamDedupBatch _),
     "st_neardup" -> (streamNearDupBatch _),
     "st_clusters" -> (streamClustersBatch _),
+    "st_triangles" -> (streamTrianglesBatch _),
     "st_ingest_store" -> (streamIngestStore _),
     "st_snapshot_lineage" -> (streamIngestSnapshots _),
     "st_joined" -> (streamJoined _),
@@ -1567,6 +1578,36 @@ object InfraOps {
          |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $sigLen AS est_jaccard
          |  FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
          |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+    },
+    "st_triangles" -> {
+      import graft.llmdata.DocDedup
+      import graft.llmdata.TextPrimitives.{duckPolyHashArray, duckShingles, duckWords}
+      val sigLen = DocDedup.MinHashAB.length
+      val bandKey = s"array_to_string(list_slice(sig, band * ${DocDedup.RowsPerBand} + 1, band * ${DocDedup.RowsPerBand} + ${DocDedup.RowsPerBand}), '_')"
+      // st_neardup's est-Jaccard pair chain, then the SAME degree-oriented
+      // triangle CTEs as the x_triangles family (Corpus.triangleChainCtes —
+      // one SQL source of truth for the orientation algorithm): the batch
+      // twin's counts, and with them the streaming count store
+      // (spec-pinned equal after every batch prefix), land on exact
+      // integer triangle counts of the streamed pair graph.
+      s"""WITH w AS (SELECT doc_id, text, ${duckWords("text")} AS words FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("words", "text", 3)} AS s FROM w),
+         |sig AS (SELECT doc_id, ${DocDedup.duckSignature(duckPolyHashArray("s"))} AS sig FROM sh),
+         |bands AS (SELECT doc_id, band, $bandKey AS band_key
+         |          FROM sig, (SELECT unnest(range(0, ${DocDedup.Bands})) AS band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    CAST(list_sum(list_transform(range(1, ${sigLen + 1}),
+         |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $sigLen AS est_jaccard
+         |  FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |tund AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+         |        FROM pairs WHERE id_a != id_b),
+         |${Corpus.triangleChainCtes("tund")}
+         |SELECT d.node AS doc_id, CAST(coalesce(n.n_triangles, 0) AS BIGINT) AS n_triangles
+         |FROM tdeg d LEFT JOIN tn n ON d.node = n.doc_id""".stripMargin
     },
     "st_clusters" -> {
       import graft.llmdata.DocDedup

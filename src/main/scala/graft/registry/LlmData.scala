@@ -36,7 +36,7 @@ object LlmData {
     * copies of the knn build's deep lineage blows the DRIVER's plan
     * strings long before any data moves — the clusterLabelsConverged
     * lesson). */
-  private def mutualVerifiedKnnEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def mutualVerifiedKnnEdges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val g = Similarity.knnGraph(embs(s, d), k = 5,
       nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))
@@ -282,6 +282,30 @@ object LlmData {
       graft.core.GraphMetrics.triangleCounts(
           mutualVerifiedKnnEdges(s, d).select("id_a", "id_b"))
         .select(col("doc_id").as("vec_id"), col("n_triangles"))
+    }),
+    // Clustering coefficient on the embedding axis — with x_knn_kcore
+    // below, this CLOSES the metric × axis matrix (clusters, rank,
+    // triangles, coefficient, core on both the doc and knn pair graphs).
+    // Pure composition of the single-sourced edge chain with the same
+    // integer-ppm normalization as x_clustcoef; the twin appends the
+    // shared triangle CTEs to mutualKnnCtes, so neither the graph nor the
+    // metric math can drift between axes.
+    "x_knn_clustcoef" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.core.GraphMetrics.clusteringCoefPpm(
+          mutualVerifiedKnnEdges(s, d).select("id_a", "id_b"))
+        .select(col("doc_id").as("vec_id"), col("deg"), col("coef_ppm"))
+    }),
+    // 2-core of the mutual verified k-NN graph: strips pendant vectors
+    // and isolated pairs, keeps mutually-supported semantic pile-ups —
+    // the same evidence gate x_kcore applies to the doc graph. Twin =
+    // mutualKnnCtes + the shared unrolled peel (Corpus.kcorePeelCtes at
+    // the same named budget, sentinel included).
+    "x_knn_kcore" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.core.GraphMetrics.kCore(
+          mutualVerifiedKnnEdges(s, d).select("id_a", "id_b"), k = 2)
+        .select(col("doc_id").as("vec_id"), col("deg"))
     }),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
     // Index round trip: build + store the IVF layout (cell-partitioned),
@@ -1356,6 +1380,32 @@ object LlmData {
        |SELECT d.node AS vec_id, CAST(coalesce(n.n_triangles, 0) AS BIGINT) AS n_triangles
        |FROM tdeg d LEFT JOIN tn n ON d.node = n.doc_id""".stripMargin
 
+  /** x_knn_clustcoef twin: the same chain, counts normalized by wedge
+    * capacity in exact integer ppm — identical math to the doc-axis
+    * clustcoef oracle, over the mutual verified k-NN graph. */
+  private def knnClustcoefSql(k: Int): String =
+    s"""WITH ${mutualKnnCtes(k)},
+       |tund AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+       |        FROM muv WHERE id_a != id_b),
+       |${Corpus.triangleChainCtes("tund")}
+       |SELECT d.node AS vec_id, d.deg,
+       |  CAST(CASE WHEN d.deg >= 2
+       |    THEN (coalesce(n.n_triangles, 0) * 2000000) // (d.deg * (d.deg - 1))
+       |    ELSE 0 END AS BIGINT) AS coef_ppm
+       |FROM tdeg d LEFT JOIN tn n ON d.node = n.doc_id""".stripMargin
+
+  /** x_knn_kcore twin: mutualKnnCtes feeding the SHARED unrolled peel
+    * ([[Corpus.kcorePeelCtes]] at the same named
+    * [[Corpus.KCoreTwinRounds]] budget, sentinel row included — an
+    * exceeded budget reads as a loud 'raise KCoreTwinRounds' marker on
+    * this axis too). */
+  private def knnKcoreSql(k: Int, coreK: Int): String =
+    s"""WITH ${mutualKnnCtes(k)},
+       |ke0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+       |        FROM muv WHERE id_a != id_b),
+       |${Corpus.kcorePeelCtes(coreK, Corpus.KCoreTwinRounds)}
+       |${Corpus.kcorePeelSelect("vec_id", Corpus.KCoreTwinRounds)}""".stripMargin
+
   private def knnClustersSql(k: Int): String = {
     val rounds = (1 to 3).map { i =>
       s"""m$i AS (SELECT e.src AS vec_id, min(x.cluster) AS nbr
@@ -1871,6 +1921,8 @@ object LlmData {
     "x_knn_pagerank" -> knnPagerankSql(5, 5),
     "x_knn_pagerank_w" -> knnPagerankWeightedSql(5, 5),
     "x_knn_triangles" -> knnTrianglesSql(5),
+    "x_knn_clustcoef" -> knnClustcoefSql(5),
+    "x_knn_kcore" -> knnKcoreSql(5, 2),
     "e_lsh_multiprobe" -> lshMultiprobeSql,
     "e_ivf_topk" -> ivfTopkSql,
     "e_ivf_index" -> ivfTopkSql,

@@ -365,4 +365,59 @@ object DocStream {
   def clusterMaintainBatchTwin(docs: DataFrame): DataFrame =
     graft.core.StarComponents.components(
       lshNearDupEstBatchTwin(docs).select("id_a", "id_b"))
+
+  /** Streaming TRIANGLE-COUNT maintenance: the streaming leg of the
+    * density family, completing its lifecycle the way `st_clusters`
+    * completed the component family's (batch build = `x_triangles`,
+    * stored-index append = `x_triangles_idx`, and this — continuous).
+    * [[lshNearDupStream]] emits exactly the ≥ 1-new-endpoint pairs per
+    * micro-batch (bucket state compares arrivals against retained docs;
+    * old×old never re-compares) — precisely
+    * [[graft.core.GraphMetrics.mergeTriangleCounts]]'s input contract —
+    * so each batch folds into the stored counts via
+    * [[graft.core.TriangleIndex.append]], paying wedge work proportional
+    * to the batch, never the corpus.
+    *
+    * Exactness, not monotone refinement: unlike cluster labels (which
+    * only ever merge), per-node triangle counts GROW by the exact delta
+    * of triangles the batch closes — `mergeTriangleCounts`' unique-pivot
+    * decomposition makes the store after ANY prefix of batches
+    * bit-identical to a full recount over the pairs seen so far,
+    * regardless of batch boundaries or arrival order (spec-pinned; the
+    * `st_triangles` oracle row checks the batch twin's math in DuckDB).
+    *
+    * Crash safety rides the index's atomic two-frame versioned commit:
+    * counts and edges advance together or not at all, and a replayed
+    * batch's pairs are absorbed by the store's canonical-key anti-join
+    * (effectively-once on at-least-once delivery — the ingestToStore
+    * argument, with the invariant `counts == triangleCounts(edges)` as
+    * the thing the atomicity protects). Empty batches (no near-dup pairs
+    * this trigger) commit nothing — idle stream, no version churn. */
+  def triangleMaintain(docs: DataFrame, indexRoot: String,
+                       checkpoint: String, watermark: String = "1 hour") =
+    lshNearDupStream(docs, watermark = watermark)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val pairs = batch.select(col("idA").as("id_a"), col("idB").as("id_b")).distinct()
+        if (!pairs.isEmpty) {
+          graft.core.TriangleIndex.latestVersion(spark, indexRoot) match {
+            case None => graft.core.TriangleIndex.build(pairs, indexRoot): Unit
+            case Some(_) => graft.core.TriangleIndex.append(pairs, indexRoot): Unit
+          }
+        }
+      }
+      .start()
+
+  /** Batch twin of [[triangleMaintain]]'s end state (`st_triangles`
+    * oracle row): exact per-node triangle counts over the est-Jaccard
+    * pair graph the stream would have emitted over the same bounded
+    * corpus — the same full-recount the store must land on after any
+    * batch decomposition. */
+  def triangleMaintainBatchTwin(docs: DataFrame): DataFrame =
+    graft.core.GraphMetrics.triangleCounts(
+      lshNearDupEstBatchTwin(docs).select("id_a", "id_b"))
 }

@@ -113,6 +113,23 @@ class GraphRankSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a zero or negative edge weight throws loudly, never corrupts silently") {
+    // Non-ANSI div/% by a zero wsum would NULL contributions (mass
+    // silently vanishes) and negative weights corrupt ranks with no
+    // arithmetic fault at all — the per-edge guard must convert both
+    // into a loud first-action failure.
+    Seq(0L, -3L).foreach { bad =>
+      val ex = intercept[Exception] {
+        GraphRank.pageRankWeightedPpm(
+          wPairsDf(Seq((1L, 2L, 1000000L), (2L, 3L, bad))), iterations = 1).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("w_ppm must be >= 1")),
+        s"expected the w_ppm guard to fire for w=$bad, got: $ex")
+    }
+  }
+
   test("zero iterations returns the uniform start vector") {
     val r = ranksOf(GraphRank.pageRankPpm(pairsDf(Seq((1L, 2L), (2L, 3L))), iterations = 0))
     assert(r.values.toSet == Set(1000000L) && r.keySet == Set(1L, 2L, 3L))

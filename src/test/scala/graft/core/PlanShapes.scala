@@ -36,8 +36,16 @@ object PlanShapes {
   /** Run `body` and return (funcName, executedPlan) for every Dataset
     * action it triggered — including the per-round `localCheckpoint`s the
     * iterative graph operators end each round with, which is exactly the
-    * plan whose exchange count the loop specs pin. The listener bus is
-    * async, so the capture polls until the arrival stream goes quiet. */
+    * plan whose exchange count the loop specs pin.
+    *
+    * QueryExecutionListener events ride the shared async LiveListenerBus,
+    * so after `body` the capture DRAINS the bus deterministically
+    * (`SparkContext.listenerBus.waitUntilEmpty()`, via reflection — the
+    * accessor is private[spark]): once it returns, every event posted by
+    * the body's actions has been delivered, so the exchange-count pins
+    * can't be flaked by a loaded machine delaying delivery. Wall-clock
+    * quiescence polling remains only as the fallback if the reflective
+    * path ever breaks on a Spark upgrade. */
   def capturePlans(spark: SparkSession)(body: => Unit): Seq[(String, SparkPlan)] = {
     val buf = mutable.Buffer.empty[(String, SparkPlan)]
     val listener = new QueryExecutionListener {
@@ -48,15 +56,29 @@ object PlanShapes {
     spark.listenerManager.register(listener)
     try {
       body
-      var last = -1
-      var stable = 0
-      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (stable < 3 && System.nanoTime() < deadline) {
-        Thread.sleep(200)
-        val n = buf.synchronized(buf.size)
-        if (n == last) stable += 1 else { stable = 0; last = n }
+      if (!drainListenerBus(spark)) {
+        var last = -1
+        var stable = 0
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (stable < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          val n = buf.synchronized(buf.size)
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
       }
     } finally spark.listenerManager.unregister(listener)
     buf.synchronized(buf.toSeq)
   }
+
+  /** Block until the shared listener bus has delivered every queued event
+    * (reflective access to the private[spark] `listenerBus`); true on
+    * success, false if the reflective path failed (caller falls back to
+    * quiescence polling). */
+  private def drainListenerBus(spark: SparkSession): Boolean =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
 }

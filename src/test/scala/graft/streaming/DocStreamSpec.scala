@@ -215,6 +215,51 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming triangle maintenance: store equals the batch-twin recount after every prefix; replays are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sttriangles").toString
+    // Three texts that are mutual near-dups (shared shingles, high
+    // signature agreement) form a triangle in the est-pair graph; t2 is
+    // unrelated. Batches split the triangle's edges across triggers, so
+    // the fold must close a wedge whose sides arrived in EARLIER batches.
+    val t1 = "the quick brown fox jumps over the lazy dog today"
+    val t2 = "completely different content about parquet shuffles and joins"
+    val b1 = Seq((1L, ts(0), t1), (2L, ts(1), t2))
+    val b2 = Seq((3L, ts(2), t1 + " today"))          // pairs with 1
+    val b3 = Seq((4L, ts(3), t1), (5L, ts(4), t2))    // closes {1,3,4}; 5 pairs with 2
+    val fed = scala.collection.mutable.Buffer.empty[(Long, Timestamp, String)]
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.triangleMaintain(
+      mem.toDF().toDF("doc_id", "ts", "text"), s"$root/index", s"$root/ckpt")
+    def stored(): Map[Long, Long] =
+      // No committed version = no pairs seen yet (b1 has no near-dups and
+      // an empty batch commits nothing — the no-version-churn contract).
+      if (graft.core.TriangleIndex.latestVersion(spark, s"$root/index").isEmpty) Map.empty
+      else graft.core.TriangleIndex.counts(spark, s"$root/index")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def twin(): Map[Long, Long] = DocStream.triangleMaintainBatchTwin(
+      fed.toSeq.map(d => (d._1, d._3)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      // Store-after-any-prefix ≡ recount over the pairs seen so far: the
+      // exactness contract, checked after EVERY batch, not just at close.
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+        fed ++= b
+        assert(stored() == twin(), s"store diverged from recount after feeding ${fed.map(_._1)}")
+      }
+      assert(stored().get(1L).contains(1L) && stored().get(4L).contains(1L),
+        s"expected the cross-batch triangle {1,3,4}: ${stored()}")
+      // Replay idempotence under streaming delivery: the same documents
+      // re-arrive (same ids — a checkpoint replay's view); every re-emitted
+      // pair hits the store's canonical-key anti-join and folds nothing.
+      val before = stored()
+      mem.addData(b3: _*); q.processAllAvailable()
+      assert(stored() == before, "replayed batch changed the count store")
+    } finally q.stop()
+  }
+
   test("dedup state survives a query restart: cross-restart duplicates stay dropped") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
