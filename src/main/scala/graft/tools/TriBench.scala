@@ -21,13 +21,32 @@ import org.apache.spark.sql.functions._
   * the first 99% of blocks are built untimed (production reads them
   * from the count store), then [[GraphMetrics.mergeTriangleCounts]]
   * folds the last 1% of blocks in — the timed delta — and the merged
-  * totals must equal the closed form exactly. */
+  * totals must equal the closed form exactly.
+  *
+  * `sweep` as the first arg sweeps the DOULION coin p ∈ {1/2, 1/4, 1/8,
+  * 1/16} on the closed-form fixture at each size, reporting estimate
+  * error AND the per-node zero-rate (fraction of nodes — every one of
+  * which truly participates in triangles here — whose estimate reads 0):
+  * the spread a curator choosing p actually needs next to the mean the
+  * decade rows validate.
+  *
+  * `kcore` as the first arg probes [[GraphMetrics.kCore]] (k = 2) on a
+  * clique + pendant-path mix — per 40-node block, a 32-clique with an
+  * 8-node path hung off its first node. The path is the peel-depth
+  * adversary (one pendant dies per round, so depth = path length + the
+  * confirm round = 9, independent of n), and the closed form is exact:
+  * the 2-core is the cliques alone, every member at in-core degree 31.
+  * Each decade verifies core size, in-core degree sum, AND the measured
+  * depth — the number the twin budgets are derived from
+  * ([[graft.registry.Corpus.KCoreTwinRounds]]). */
 object TriBench {
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("approx", "incr")).getOrElse("exact")
+    val mode = args.headOption.filter(Set("approx", "incr", "sweep", "kcore")).getOrElse("exact")
     val rest = if (mode == "exact") args else args.drop(1)
     val approx = mode == "approx"
     val sizes = if (rest.nonEmpty) rest.map(_.toLong).toSeq
+    else if (mode == "sweep") Seq(1000000L)
+    else if (mode == "kcore") Seq(1000000L, 4000000L)
     else Seq(1000000L, 4000000L, 16000000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,6 +54,54 @@ object TriBench {
     graft.core.GraftSession.applyDefaults(spark)
     spark.sparkContext.setLogLevel("ERROR")
     sizes.foreach { n =>
+      if (mode == "kcore") {
+        // 40-node blocks: ids b·40+0..31 form a K32; b·40+32..39 a pendant
+        // path hung off the clique's first node. 2-core = the cliques.
+        val blocks = n / 40
+        val nodes = spark.range(blocks * 40)
+          .select(col("id"), (col("id") / 40).cast("long").as("b"), (col("id") % 40).as("i"))
+        val clique = nodes.filter(col("i") < 32).as("a")
+          .join(nodes.filter(col("i") < 32).as("b"),
+            col("a.b") === col("b.b") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val path = nodes.filter(col("i") >= 32)
+          .select(when(col("i") === 32, col("b") * 40).otherwise(col("id") - 1).as("id_a"),
+            col("id").as("id_b"))
+        val pairs = clique.unionByName(path)
+        val t0 = System.nanoTime()
+        val depth = graft.core.GraphMetrics.kCorePeelDepth(pairs, k = 2)
+        val core = graft.core.GraphMetrics.kCore(pairs, k = 2)
+        val agg = core.agg(count(lit(1)).as("nodes"), sum("deg").as("degsum")).collect()(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        // kCorePeelDepth + kCore run the loop twice; halve for per-run wall.
+        println(f"[kcore k=2] n=${blocks * 40}%,d edges=${blocks * 504}%,d: core=${agg.getLong(0)}%,d (expect ${blocks * 32}%,d) degsum=${agg.getLong(1)}%,d (expect ${blocks * 32 * 31}%,d) peel-depth=$depth rounds wall=${secs / 2}%.1f s/run")
+        require(agg.getLong(0) == blocks * 32 && agg.getLong(1) == blocks * 32 * 31,
+          s"2-core closed form violated at n=$n")
+        require(depth == 9, s"peel depth should be path-length 8 + confirm = 9, got $depth")
+      } else if (mode == "sweep") {
+        val blocks = n / 32
+        val nodes = spark.range(n).select(col("id"), (col("id") / 32).cast("long").as("b"))
+        val clique = nodes.as("a").join(nodes.as("b"),
+            col("a.b") === col("b.b") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val hub = spark.range(n).select(col("id").as("id_a"), lit(n).as("id_b"))
+        val pairs = clique.unionByName(hub).persist()
+        pairs.count(): Unit
+        val expect = blocks * (4960L + 496L)
+        Seq(2, 4, 8, 16).foreach { den =>
+          val t0 = System.nanoTime()
+          val est = graft.core.GraphMetrics.triangleCountsApprox(pairs, 1, den)
+          val agg = est.agg(sum("est_triangles").as("s"), count(lit(1)).as("nodes"),
+            sum(when(col("est_triangles") === 0, 1L).otherwise(0L)).as("zeros")).collect()(0)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val got = agg.getLong(0) / 3
+          // every node of this fixture truly participates in triangles, so
+          // zeros/nodes IS the per-node miss rate at this p.
+          println(f"[tri-sweep p=1/$den] n=${n + 1}%,d: est=$got%,d (expect $expect%,d, err ${(got.toDouble / expect - 1) * 100}%+.2f%%) node-zero-rate=${agg.getLong(2).toDouble / agg.getLong(1) * 100}%.1f%% wall=$secs%.1f s")
+          spark.sharedState.cacheManager.clearCache()
+        }
+        pairs.unpersist(blocking = false): Unit
+      } else {
       val blocks = n / 32
       val nodes = spark.range(n).select(col("id"), (col("id") / 32).cast("long").as("b"))
       val clique = nodes.as("a").join(nodes.as("b"),
@@ -86,6 +153,7 @@ object TriBench {
             s"estimate outside ±30% at n=$n: $got vs $expect")
         else
           require(got == expect, s"triangle count off at n=$n: $got vs $expect")
+      }
       }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -77,6 +77,34 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(est.count() == 400L)
   }
 
+  test("approx at p = 1/16: whole-graph estimate holds while per-node estimates go sparse") {
+    // The variance story behind the dense-regime knob (TriBench `sweep`
+    // measures it at 64k nodes: whole-graph error −0.45% → −1.05% from
+    // p = 1/2 to 1/16 while per-node zero-rate climbs 0% → 89.6%): the
+    // AGGREGATE stays usable at deep sparsification because survivors
+    // scale with triangles-per-edge, but per-NODE estimates become
+    // lottery tickets — a curator thresholding nodes must stay at mild p,
+    // a curator comparing sources can go deep. This pins the aggregate
+    // bar at the deepest registered p on a spec-sized closed-form
+    // fixture (20 K32 blocks, 99 200 triangles; the deterministic coin
+    // makes the estimate a constant, so the band tests calibration, not
+    // flakiness) AND the per-node sparsity it buys.
+    val k32blocks = pairsDf(for {
+      b <- 0L until 20L; i <- 0L until 32L; j <- (i + 1) until 32L
+    } yield (b * 32 + i, b * 32 + j))
+    val est = GraphMetrics.triangleCountsApprox(k32blocks, keepNum = 1, keepDen = 16)
+    import org.apache.spark.sql.functions.{sum, when, lit, col}
+    val agg = est.agg(sum("est_triangles").as("s"),
+      sum(when(col("est_triangles") === 0, 1L).otherwise(0L)).as("zeros")).collect()(0)
+    val cornerSum = 3L * 20 * 4960
+    assert(agg.getLong(0) > cornerSum / 2 && agg.getLong(0) < cornerSum * 3 / 2,
+      s"p=1/16 whole-graph estimate ${agg.getLong(0)} is outside ±50% of $cornerSum")
+    // Every node truly sits in C(31,2) = 465 triangles, yet most read 0 at
+    // p = 1/16 — the documented per-node noise, asserted so the scaladoc's
+    // "headline use is aggregate density" claim stays measured.
+    assert(agg.getLong(1) > 320, s"expected most of the 640 nodes to read 0, got ${agg.getLong(1)}")
+  }
+
   test("the wedge self-join reads both oriented sides exchange-free (plan-shape pin)") {
     // 4 ENSURE_REQUIREMENTS exchanges in the executed plan, NONE of them
     // under the wedge self-join: both of its inputs are the
