@@ -301,10 +301,22 @@ object LlmData {
     // the same evidence gate x_kcore applies to the doc graph. Twin =
     // mutualKnnCtes + the shared unrolled peel (Corpus.kcorePeelCtes at
     // the same named budget, sentinel included).
+    //
+    // maxRounds = 200, NOT the 20-round default: unlike the doc near-dup
+    // graph (peel depth bound by duplicate-family structure — measured 9
+    // flat across TriBench decades), the knn graph's depth follows its
+    // longest semantic DRIFT CHAIN, which grows with the corpus (measured
+    // 7 at sf0.1 → 23 at sf1 — the default cap threw loudly at the first
+    // decade that crossed it, which is the cap doing its job). Each round
+    // is two cheap semi-joins on the sparse (≤ k·N) edge set, so a
+    // hundred-round peel is still edge-pass-bounded; if depth ever grows
+    // past this cap the loud throw names the knob again, and the
+    // algorithmic escape (contract degree-2 chains before peeling) is the
+    // documented fork — not built until a corpus needs it.
     "x_knn_kcore" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       graft.core.GraphMetrics.kCore(
-          mutualVerifiedKnnEdges(s, d).select("id_a", "id_b"), k = 2)
+          mutualVerifiedKnnEdges(s, d).select("id_a", "id_b"), k = 2, maxRounds = 200)
         .select(col("doc_id").as("vec_id"), col("deg"))
     }),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),
