@@ -422,4 +422,158 @@ object GraphMetrics {
     (edges.select(col("u").as("doc_id")).union(edges.select(col("v").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("deg")), rounds)
   }
+
+  /** 2-CORE via peel + degree-2 chain CONTRACTION — the log-depth form of
+    * [[kCore]] at k = 2, for graphs whose peel depth GROWS with the
+    * corpus. [[kCore]]'s bulk peel runs one round per shell wave, so a
+    * pendant drift chain of length L costs L driver-sequenced rounds;
+    * the mutual-kNN graph's measured depth law (7 at sf0.1 → 23 at sf1 —
+    * depth follows the longest semantic drift chain, not structure)
+    * crosses any fixed cap at the 100 TB target, and rounds are
+    * driver-sequential wall no cluster width can buy back. This variant
+    * SMOOTHS an independent set of degree-2 nodes each round (replace
+    * x–v–y by x–y, remember (v, x, y)), so chains shrink geometrically:
+    * rounds = O(log L), deterministic coin (xxhash64 local-minimum — no
+    * `rand()`, per the library's replay-stable policy).
+    *
+    * Correctness: smoothing preserves the 2-core. A degree-2 node v on
+    * the path x…v…y is in the 2-core iff its replacement edge (x, y)
+    * survives in the contracted graph's 2-core, i.e. iff BOTH x and y
+    * end in-core (edges are only dropped when an endpoint peels) — so
+    * covered nodes resolve by replaying the smoothing records in
+    * REVERSE round order against the growing core set. Contraction
+    * makes the working graph a MULTIgraph (parallel edges from
+    * contracted cycles, self-loops from fully-collapsed ones), so edges
+    * carry a multiplicity and a self-loop counts 2 toward its node's
+    * degree — collapsing that to a simple graph would peel genuine
+    * cycle nodes (a C4 contracts to a doubled edge whose endpoints must
+    * still read degree 2). Self-loop nodes are terminal contracted
+    * cycles: always in-core, never smoothed.
+    *
+    * Output is identical to `kCore(pairs, k = 2)` — (doc_id, deg) with
+    * deg the IN-CORE degree, recomputed from the ORIGINAL simple edge
+    * set restricted to the resolved core (the k-core is an induced
+    * subgraph, so the restriction IS the core subgraph); equivalence is
+    * spec-pinned on cliques+chains, cycles, lollipops and hash-random
+    * graphs. k is fixed at 2: smoothing is a 2-core-specific identity
+    * (for k ≥ 3 a degree-2 node can never be in-core and the bulk peel
+    * removes it in its first wave; deep k ≥ 3 cascades have no
+    * comparable contraction). Same converge-or-throw cap policy as
+    * [[kCore]]; the default cap 48 is log-scale (a 2⁴⁰-node chain is
+    * not a real corpus), not a tuning knob. Caller-owned release: like
+    * [[triangleCounts]], intermediate frames are localCheckpoint-backed
+    * and freed with the session, not a [[CacheScope]]. */
+  def kCore2Contracted(pairs: DataFrame, maxRounds: Int = 48): DataFrame =
+    kCore2ContractedWithRounds(pairs, maxRounds)._1
+
+  /** Rounds companion of [[kCore2Contracted]] — the number the decade
+    * probe records against [[kCorePeelDepth]]'s linear depth law. */
+  def kCore2ContractedRounds(pairs: DataFrame, maxRounds: Int = 48): Int =
+    kCore2ContractedWithRounds(pairs, maxRounds)._2
+
+  private def kCore2ContractedWithRounds(pairs: DataFrame,
+                                         maxRounds: Int): (DataFrame, Int) = {
+    // Canonical simple edges — kept for the final in-core degree pass.
+    val und = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // Working multigraph: (u, v, cnt) with u <= v; u == v is a self-loop
+    // counting 2·cnt toward u's degree.
+    var edges = und.withColumn("cnt", lit(1L)).localCheckpoint()
+    var n = edges.count()
+    var rounds = 0
+    var converged = false
+    val records = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def degrees(e: DataFrame): DataFrame = e
+      .select(col("u").as("node"),
+        when(col("u") === col("v"), col("cnt") * 2).otherwise(col("cnt")).as("w"))
+      .union(e.filter(col("u") =!= col("v"))
+        .select(col("v").as("node"), col("cnt").as("w")))
+      .groupBy("node").agg(sum(col("w")).as("deg"))
+    while (!converged && rounds < maxRounds) {
+      // Peel wave: drop every node of degree < 2 (bulk, as in kCore).
+      val keep = degrees(edges).filter(col("deg") >= 2).select("node")
+      val peeled = edges
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val nPeeled = peeled.count()
+      rounds += 1
+      if (nPeeled == n) {
+        // No node fell below 2: every remaining live node is in-core.
+        // Contraction exists only to ACCELERATE active peels (a pure
+        // cycle converges here in round 1 without ever contracting).
+        converged = true
+        edges = peeled
+      } else {
+        // Smooth an independent set of degree-2 chain nodes. Eligible:
+        // degree exactly 2, no self-loop (terminal cycles stay), and a
+        // deterministic local minimum among eligible neighbors so
+        // adjacent candidates never smooth together (their shared edge
+        // would be rewritten twice).
+        val loops = peeled.filter(col("u") === col("v"))
+          .select(col("u").as("node")).distinct()
+        val eligible = degrees(peeled).filter(col("deg") === 2).select("node")
+          .join(loops, Seq("node"), "left_anti")
+          .withColumn("h", xxhash64(lit("kcore2"), col("node")))
+        val inc = peeled.filter(col("u") =!= col("v"))
+        val incident = inc
+          .select(col("u").as("node"), col("v").as("nbr"), col("cnt"))
+          .union(inc.select(col("v").as("node"), col("u").as("nbr"), col("cnt")))
+          .join(eligible, Seq("node"))
+          .join(eligible.select(col("node").as("nbr"), col("h").as("nh")),
+            Seq("nbr"), "left")
+        // nrows == 1 means a doubled edge (neighbor multiset {x, x}):
+        // the replacement is a self-loop at x. Otherwise {min, max}.
+        val sm = incident.groupBy("node", "h")
+          .agg(sum(when(col("nh").isNotNull && (col("nh") < col("h")
+              || (col("nh") === col("h") && col("nbr") < col("node"))), 1)
+            .otherwise(0)).as("losses"),
+            min(col("nbr")).as("x"), max(col("nbr")).as("y"),
+            count(lit(1)).as("nrows"))
+          .filter(col("losses") === 0)
+          .select(col("node"), col("x"),
+            when(col("nrows") === 1, col("x")).otherwise(col("y")).as("y"))
+          .localCheckpoint()
+        records += sm
+        val smNodes = sm.select("node")
+        val next = peeled
+          .join(smNodes.select(col("node").as("u")), Seq("u"), "left_anti")
+          .join(smNodes.select(col("node").as("v")), Seq("v"), "left_anti")
+          .select("u", "v", "cnt")
+          .union(sm.select(least(col("x"), col("y")).as("u"),
+            greatest(col("x"), col("y")).as("v"), lit(1L).as("cnt")))
+          .groupBy("u", "v").agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint()
+        n = next.count()
+        edges = next
+      }
+    }
+    if (!converged && n > 0)
+      throw new IllegalStateException(
+        s"kCore2Contracted did not reach its fixpoint within $maxRounds rounds " +
+          s"($n multi-edges still active); a truncated peel silently includes " +
+          "sub-2-degree members. Raise maxRounds (rounds are O(log chain length)).")
+    // Resolve covered nodes newest-first: a node smoothed in round r
+    // references endpoints that are either final survivors or covered in
+    // a LATER round — already resolved by the time round r replays.
+    var core = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct().localCheckpoint()
+    for (rec <- records.reverse) {
+      val resolved = rec
+        .join(core.select(col("node").as("x")), Seq("x"), "left_semi")
+        .join(core.select(col("node").as("y")), Seq("y"), "left_semi")
+        .select("node")
+      core = core.union(resolved).localCheckpoint()
+    }
+    val coreEdges = und
+      .join(core.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(core.select(col("node").as("v")), Seq("v"), "left_semi")
+    (coreEdges.select(col("u").as("doc_id"))
+      .union(coreEdges.select(col("v").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg")), rounds)
+  }
 }

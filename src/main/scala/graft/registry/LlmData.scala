@@ -302,21 +302,25 @@ object LlmData {
     // mutualKnnCtes + the shared unrolled peel (Corpus.kcorePeelCtes at
     // the same named budget, sentinel included).
     //
-    // maxRounds = 200, NOT the 20-round default: unlike the doc near-dup
-    // graph (peel depth bound by duplicate-family structure — measured 9
-    // flat across TriBench decades), the knn graph's depth follows its
-    // longest semantic DRIFT CHAIN, which grows with the corpus (measured
-    // 7 at sf0.1 → 23 at sf1 — the default cap threw loudly at the first
-    // decade that crossed it, which is the cap doing its job). Each round
-    // is two cheap semi-joins on the sparse (≤ k·N) edge set, so a
-    // hundred-round peel is still edge-pass-bounded; if depth ever grows
-    // past this cap the loud throw names the knob again, and the
-    // algorithmic escape (contract degree-2 chains before peeling) is the
-    // documented fork — not built until a corpus needs it.
+    // CONTRACTED form, not the plain peel the doc axis uses: unlike the
+    // doc near-dup graph (peel depth bound by duplicate-family
+    // structure — measured 9 flat across TriBench decades), the knn
+    // graph's depth follows its longest semantic DRIFT CHAIN, which
+    // grows with the corpus (measured 7 at sf0.1 → 23 at sf1 — the
+    // 20-round cap threw loudly at the first decade that crossed it,
+    // which is the cap doing its job). A cap raise only re-arms that
+    // throw one decade later, and peel rounds are driver-SEQUENTIAL
+    // wall no cluster width buys back — so this axis runs
+    // [[graft.core.GraphMetrics.kCore2Contracted]]: degree-2 chain
+    // smoothing makes rounds O(log chain), flattening the depth law
+    // instead of chasing it. Same output bit for bit (spec-pinned
+    // against the plain peel), so the twin is unchanged; x_kcore keeps
+    // the plain form where structure bounds depth and the simpler
+    // algorithm wins.
     "x_knn_kcore" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      graft.core.GraphMetrics.kCore(
-          mutualVerifiedKnnEdges(s, d).select("id_a", "id_b"), k = 2, maxRounds = 200)
+      graft.core.GraphMetrics.kCore2Contracted(
+          mutualVerifiedKnnEdges(s, d).select("id_a", "id_b"))
         .select(col("doc_id").as("vec_id"), col("deg"))
     }),
     "e_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d))),

@@ -38,15 +38,34 @@ import org.apache.spark.sql.functions._
   * the 2-core is the cliques alone, every member at in-core degree 31.
   * Each decade verifies core size, in-core degree sum, AND the measured
   * depth — the number the twin budgets are derived from
-  * ([[graft.registry.Corpus.KCoreTwinRounds]]). */
+  * ([[graft.registry.Corpus.KCoreTwinRounds]]).
+  *
+  * `kcore2` as the first arg probes [[GraphMetrics.kCore2Contracted]] on
+  * the DEEP variant of that fixture — per 160-node block a 32-clique
+  * with a 128-node pendant path — where the plain peel's depth law
+  * (path length + confirm = 129 driver-sequenced rounds) is the
+  * adversary the contraction exists to kill. Verifies the same closed
+  * form (2-core = the cliques at degree 31) and reports contracted
+  * rounds vs the plain form's depth; plain wall is measured alongside at
+  * the smallest size only (129 rounds of it at 4 M nodes is the point).
+  *
+  * `kcore2knn <sfDir>...` measures BOTH forms on the real mutual-kNN
+  * graph of each given scale dir — the graph whose drift-chain depth
+  * law (7 at sf0.1 → 23 at sf1) motivated the contracted form. */
 object TriBench {
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("approx", "incr", "sweep", "kcore")).getOrElse("exact")
+    val mode = args.headOption
+      .filter(Set("approx", "incr", "sweep", "kcore", "kcore2", "kcore2knn"))
+      .getOrElse("exact")
     val rest = if (mode == "exact") args else args.drop(1)
     val approx = mode == "approx"
-    val sizes = if (rest.nonEmpty) rest.map(_.toLong).toSeq
+    val knnDirs = if (mode == "kcore2knn") {
+      if (rest.nonEmpty) rest.toSeq else Seq("/root/testdata/sf0.1")
+    } else Seq.empty
+    val sizes = if (mode == "kcore2knn") Seq.empty[Long]
+    else if (rest.nonEmpty) rest.map(_.toLong).toSeq
     else if (mode == "sweep") Seq(1000000L)
-    else if (mode == "kcore") Seq(1000000L, 4000000L)
+    else if (mode == "kcore" || mode == "kcore2") Seq(1000000L, 4000000L)
     else Seq(1000000L, 4000000L, 16000000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -78,6 +97,38 @@ object TriBench {
         require(agg.getLong(0) == blocks * 32 && agg.getLong(1) == blocks * 32 * 31,
           s"2-core closed form violated at n=$n")
         require(depth == 9, s"peel depth should be path-length 8 + confirm = 9, got $depth")
+      } else if (mode == "kcore2") {
+        // 160-node blocks: K32 + a 128-node pendant path — the deep-chain
+        // adversary. Plain depth = 129 (one pendant per round + confirm);
+        // contracted rounds must be O(log 128).
+        val blocks = n / 160
+        val nodes = spark.range(blocks * 160)
+          .select(col("id"), (col("id") / 160).cast("long").as("b"), (col("id") % 160).as("i"))
+        val clique = nodes.filter(col("i") < 32).as("a")
+          .join(nodes.filter(col("i") < 32).as("b"),
+            col("a.b") === col("b.b") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val path = nodes.filter(col("i") >= 32)
+          .select(when(col("i") === 32, col("b") * 160).otherwise(col("id") - 1).as("id_a"),
+            col("id").as("id_b"))
+        val pairs = clique.unionByName(path).persist()
+        pairs.count(): Unit
+        val t0 = System.nanoTime()
+        val rounds = graft.core.GraphMetrics.kCore2ContractedRounds(pairs)
+        val core = graft.core.GraphMetrics.kCore2Contracted(pairs)
+        val agg = core.agg(count(lit(1)).as("nodes"), sum("deg").as("degsum")).collect()(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        // Rounds + core run the loop twice; halve for per-run wall.
+        val plainNote = if (n <= 1000000L) {
+          val p0 = System.nanoTime()
+          val depth = graft.core.GraphMetrics.kCorePeelDepth(pairs, k = 2, maxRounds = 200)
+          f" plain: depth=$depth wall=${(System.nanoTime() - p0) / 1e9}%.1f s"
+        } else " plain: skipped (129 driver-sequenced rounds is the point)"
+        println(f"[kcore2 k=2] n=${blocks * 160}%,d edges=${blocks * 624}%,d: core=${agg.getLong(0)}%,d (expect ${blocks * 32}%,d) degsum=${agg.getLong(1)}%,d (expect ${blocks * 32 * 31}%,d) contracted-rounds=$rounds wall=${secs / 2}%.1f s/run$plainNote")
+        require(agg.getLong(0) == blocks * 32 && agg.getLong(1) == blocks * 32 * 31,
+          s"contracted 2-core closed form violated at n=$n")
+        require(rounds <= 20, s"contracted rounds not logarithmic: $rounds for a 128-path")
+        pairs.unpersist(blocking = false): Unit
       } else if (mode == "sweep") {
         val blocks = n / 32
         val nodes = spark.range(n).select(col("id"), (col("id") / 32).cast("long").as("b"))
@@ -157,6 +208,28 @@ object TriBench {
       }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    knnDirs.foreach { dir =>
+      // The REAL graph behind the depth law: mutual verified k-NN edges.
+      // Build once (untimed), then measure plain peel vs contracted.
+      graft.core.CacheScope.scoped {
+        val edges = graft.registry.LlmData.mutualVerifiedKnnEdges(spark, dir)
+          .select("id_a", "id_b").persist()
+        val m = edges.count()
+        val t0 = System.nanoTime()
+        val depth = graft.core.GraphMetrics.kCorePeelDepth(edges, k = 2, maxRounds = 200)
+        val plainS = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val rounds = graft.core.GraphMetrics.kCore2ContractedRounds(edges)
+        val contrS = (System.nanoTime() - t1) / 1e9
+        val same = graft.core.GraphMetrics.kCore2Contracted(edges)
+          .union(graft.core.GraphMetrics.kCore(edges, k = 2, maxRounds = 200))
+          .groupBy("doc_id", "deg").agg(count(lit(1)).as("c"))
+          .filter(col("c") =!= 2).count()
+        println(f"[kcore2knn] $dir edges=$m%,d: plain depth=$depth wall=$plainS%.1f s | contracted rounds=$rounds wall=$contrS%.1f s | result-diff-rows=$same (must be 0)")
+        require(same == 0, s"contracted != plain on the knn graph at $dir")
+        edges.unpersist(blocking = false): Unit
+      }
     }
     spark.stop()
   }

@@ -198,4 +198,87 @@ class GraphMetricsSpec extends AnyFunSuite {
     val shuffled = countsOf(GraphMetrics.triangleCounts(pairsDf(ps).repartition(5)))
     assert(base == shuffled && base(3L) == 2L && base(6L) == 0L)
   }
+
+  // ---- kCore2Contracted: the log-depth 2-core ----
+
+  private def coreMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def assertSameAsPlain(ps: Seq[(Long, Long)], label: String): Unit = {
+    val plain = coreMap(GraphMetrics.kCore(pairsDf(ps), k = 2, maxRounds = 100))
+    val contracted = coreMap(GraphMetrics.kCore2Contracted(pairsDf(ps)))
+    assert(contracted == plain, s"$label: contracted $contracted != plain $plain")
+  }
+
+  test("kCore2Contracted equals the plain 2-core on every canonical shape") {
+    // Clique with a pendant chain: chain peels, K4 stays.
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assertSameAsPlain(k4 ++ Seq((4L, 10L), (10L, 11L), (11L, 12L)), "K4+chain")
+    // Pure cycle: ALL in-core at degree 2 (the plain peel converges in one
+    // round; the contracted form must not smooth any of it away).
+    assertSameAsPlain((0L until 9L).map(i => (i, (i + 1) % 9)), "C9")
+    // Lollipop: C5 with a 6-chain tail — core is exactly the cycle, the
+    // covered cycle nodes must resolve back IN through the records.
+    val c5 = (0L until 5L).map(i => (i, (i + 1) % 5))
+    val tail6 = (0L until 6L).map(i => (100L + i, 100L + i + 1)) :+ (0L, 100L)
+    assertSameAsPlain(c5 ++ tail6, "lollipop")
+    // Two K4s joined by a LONG path: the path's interior is degree 2 yet
+    // genuinely in-core (min-degree-2 subgraph includes it) — the case
+    // where smoothing must keep, not peel, the chain.
+    val k4b = for (i <- 20L to 23L; j <- (i + 1) to 23L) yield (i, j)
+    val bridge = Seq((4L, 40L)) ++ (0L until 8L).map(i => (40L + i, 41L + i)) :+ (48L, 20L)
+    assertSameAsPlain(k4 ++ k4b ++ bridge, "two-cliques-bridge")
+    // Pure trees and isolated edges: empty core on both sides.
+    assertSameAsPlain(Seq((1L, 2L), (2L, 3L), (2L, 4L), (4L, 5L), (7L, 8L)), "tree")
+    // Figure-eight: two cycles sharing a node.
+    val f8 = (0L until 4L).map(i => (i, (i + 1) % 4)) ++
+      Seq((0L, 50L), (50L, 51L), (51L, 0L))
+    assertSameAsPlain(f8, "figure-eight")
+  }
+
+  test("kCore2Contracted equals the plain 2-core on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val ps = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    assertSameAsPlain(ps, "G(120, 400)")
+    // Sparser regime — long pendant structures + small cycles.
+    val rnd2 = new scala.util.Random(7)
+    val sparse = Seq.fill(130)((rnd2.nextInt(150).toLong, rnd2.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+    assertSameAsPlain(sparse, "G(150, 130)")
+  }
+
+  test("kCore2Contracted rounds are logarithmic where the plain peel is linear") {
+    // A 96-edge pendant chain off a triangle: the plain peel burns one
+    // round per chain node from the free end (~96 rounds + confirm); the
+    // contracted loop must finish in O(log 96) — the entire reason the
+    // variant exists (the kNN graph's drift-chain depth law: 7 at sf0.1
+    // → 23 at sf1, growing past any fixed cap at the 100 TB target).
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val chain = (0L until 96L).map(i => (1000L + i, 1001L + i)) :+ (0L, 1000L)
+    val ps = pairsDf(tri ++ chain)
+    val plainDepth = GraphMetrics.kCorePeelDepth(ps, k = 2, maxRounds = 200)
+    val contractedRounds = GraphMetrics.kCore2ContractedRounds(ps)
+    assert(plainDepth > 90, s"fixture lost its depth adversary: plain depth $plainDepth")
+    assert(contractedRounds <= 16,
+      s"contracted rounds $contractedRounds not logarithmic vs plain depth $plainDepth")
+    assert(coreMap(GraphMetrics.kCore2Contracted(ps)) ==
+      Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("kCore2Contracted exhausting maxRounds fails loudly, never truncates") {
+    val chain = pairsDf((0L until 40L).map(i => (i, i + 1)))
+    val e = intercept[IllegalStateException] {
+      GraphMetrics.kCore2Contracted(chain, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
+  test("kCore2Contracted is partitioning-invariant and input-convention tolerant") {
+    val c6 = (0L until 6L).map(i => (i, (i + 1) % 6))
+    val messy = c6 ++ c6.map(_.swap) ++ Seq((3L, 3L), (0L, 1L), (6L, 7L))
+    val base = coreMap(GraphMetrics.kCore2Contracted(pairsDf(messy)))
+    val shuffled = coreMap(GraphMetrics.kCore2Contracted(pairsDf(messy).repartition(7)))
+    assert(base == shuffled && base == (0L until 6L).map(_ -> 2L).toMap)
+  }
 }
