@@ -427,9 +427,11 @@ object GraphMetrics {
     * [[kCore]] at k = 2, for graphs whose peel depth GROWS with the
     * corpus. [[kCore]]'s bulk peel runs one round per shell wave, so a
     * pendant drift chain of length L costs L driver-sequenced rounds;
-    * the mutual-kNN graph's measured depth law (7 at sf0.1 → 23 at sf1 —
-    * depth follows the longest semantic drift chain, not structure)
-    * crosses any fixed cap at the 100 TB target, and rounds are
+    * the mutual-kNN graph's measured depth (7 → 23 → 10 across the
+    * sf0.1/sf1/sf10 decades — it follows the longest drift chain the
+    * approximate pipeline happens to realize, non-monotone, predicted
+    * by no scale law) can spike past any fixed cap on exactly the
+    * corpora a curator cannot screen in advance, and rounds are
     * driver-sequential wall no cluster width can buy back. This variant
     * SMOOTHS an independent set of degree-2 nodes each round (replace
     * x–v–y by x–y, remember (v, x, y)), so chains shrink geometrically:

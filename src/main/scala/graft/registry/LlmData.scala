@@ -305,12 +305,14 @@ object LlmData {
     // CONTRACTED form, not the plain peel the doc axis uses: unlike the
     // doc near-dup graph (peel depth bound by duplicate-family
     // structure — measured 9 flat across TriBench decades), the knn
-    // graph's depth follows its longest semantic DRIFT CHAIN, which
-    // grows with the corpus (measured 7 at sf0.1 → 23 at sf1 — the
-    // 20-round cap threw loudly at the first decade that crossed it,
-    // which is the cap doing its job). A cap raise only re-arms that
-    // throw one decade later, and peel rounds are driver-SEQUENTIAL
-    // wall no cluster width buys back — so this axis runs
+    // graph's depth follows its longest semantic DRIFT CHAIN through
+    // the APPROXIMATE pipeline's realized edges — measured 7 → 23 → 10
+    // across the sf0.1/sf1/sf10 decades, non-monotone and predicted by
+    // no scale law (the 20-round cap threw loudly at the first decade
+    // that crossed it, which is the cap doing its job). A cap raise
+    // only re-arms that throw for the next unpredictable corpus, and
+    // peel rounds are driver-SEQUENTIAL wall no cluster width buys
+    // back — so this axis runs
     // [[graft.core.GraphMetrics.kCore2Contracted]]: degree-2 chain
     // smoothing makes rounds O(log chain), flattening the depth law
     // instead of chasing it. Same output bit for bit (spec-pinned
