@@ -1114,6 +1114,22 @@ object Similarity {
     knnGraphShaped(embeddings, k, planes, bandBits, nHint, descentRounds,
       gridScore, lightOverride = None)
 
+  /** [[knnGraph]] keeping each edge's exact cosine — the public form of
+    * [[knnGraphRankedShaped]] for consumers that VERIFY or WEIGHT the
+    * graph's edges (the mutual-kNN chain behind every x_knn_* row). The
+    * ranking already scored every edge with the exact [[sparkCosPre]]
+    * fold in canonical (lo, hi) operand order, so downstream
+    * threshold/weight logic can reuse the stored double instead of
+    * re-attaching vectors and recomputing it — bit-identical by the same
+    * contract the stored-graph lifecycle relies on
+    * ([[buildKnnGraphIndex]] persists exactly these cosines). Emits
+    * (vec_id, nn_id, cos). */
+  def knnGraphWithCos(embeddings: DataFrame, k: Int = 5,
+                      nHint: Long = 0L, descentRounds: Int = 1): DataFrame =
+    knnGraphRankedShaped(embeddings, k, 0, 0, nHint, descentRounds,
+      gridScore = false, lightOverride = None)
+      .select(col("vec_id"), col("nn_id"), col("cos"))
+
   /** Corpus-size gate for [[knnGraph]]'s scoring machinery. At or below
     * this many vectors the bucket-local persist-and-materialize shape's
     * FIXED costs — the band repartition into the co-partitioned cache,

@@ -37,16 +37,26 @@ object LlmData {
     * strings long before any data moves — the clusterLabelsConverged
     * lesson). */
   private[graft] def mutualVerifiedKnnEdges(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    val g = Similarity.knnGraph(embs(s, d), k = 5,
+    import org.apache.spark.sql.functions.col
+    // r15 optimization (guide §2.3/§2.4 — don't recompute what the build
+    // already holds): the ranked graph's cos IS the exact verified cosine
+    // (scored once per pair in canonical (lo, hi) operand order and
+    // mirrored — the bit-identity contract the stored-graph lifecycle
+    // already persists), so the former shape's intersect (planned as
+    // semi-join + a distinct HashAggregate exchange) + TWO embedding
+    // re-scans re-attaching vectors + cosine recompute collapse to one
+    // semi-join over the checkpointed 3-column graph and a threshold
+    // filter. Plan diff pinned in plans/r15/x_knn_mutual_verify_*.txt
+    // (8 Exchange/Broadcast nodes + 2 parquet re-scans → 1 broadcast
+    // semi-join, no re-scan); result bit-identical (MutualKnnFusionSpec
+    // pins equality against the explicit re-attach form).
+    val g = Similarity.knnGraphWithCos(embs(s, d), k = 5,
       nHint = graft.sources.ParquetMeta.footerRows(s, s"$d/embeddings.parquet"))
-    val e = g.select(col("vec_id").as("id_a"), col("nn_id").as("id_b"))
-    val n = Similarity.withNorm(embs(s, d))
-    e.intersect(e.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .filter(col("id_a") < col("id_b"))
-      .join(n.select(col("vec_id").as("id_a"), col("ed").as("__ea"), col("nrm").as("__na")), "id_a")
-      .join(n.select(col("vec_id").as("id_b"), col("ed").as("__eb"), col("nrm").as("__nb")), "id_b")
-      .withColumn("cos", expr(Similarity.sparkCosPre("__ea", "__eb", "__na", "__nb")))
+    val fwd = g.filter(col("vec_id") < col("nn_id"))
+      .select(col("vec_id").as("id_a"), col("nn_id").as("id_b"), col("cos"))
+    val rev = g.filter(col("vec_id") > col("nn_id"))
+      .select(col("nn_id").as("id_a"), col("vec_id").as("id_b"))
+    fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
       .filter(col("cos") >= 0.4)
       .select("id_a", "id_b", "cos")
       .localCheckpoint()
