@@ -74,20 +74,21 @@ object DocStream {
       .select("doc_id", "fingerprint", "fingerprint2", "n_copies")
 
   /** End-to-end streaming ingest INTO the corpus store: watermarked exact
-    * dedup ([[dedupedIngest]]) composed with the crash-safe keyed merge of
-    * [[graft.sink.Sink.mergeByKey]] via `foreachBatch` — the streaming twin
-    * of the reference's daily MERGE INTO job (`etl_job.py:78-85`), with the
-    * store itself as the durable dedup authority:
-    * `dropDuplicatesWithinWatermark` bounds in-flight state to the horizon,
-    * and the merge (match on fingerprint pair) makes duplicates that
-    * re-arrive AFTER the horizon idempotent no-ops instead of re-inserts.
-    * Micro-batch replays after a crash re-merge the same rows — also
-    * no-ops, so the store sees effectively-once ingest on at-least-once
-    * delivery.
+    * dedup ([[dedupedIngest]]) composed with an anti-join-gated APPEND via
+    * `foreachBatch` — the streaming twin of the reference's daily MERGE
+    * INTO job (`etl_job.py:78-85`), with the store itself as the durable
+    * dedup authority: `dropDuplicatesWithinWatermark` bounds in-flight
+    * state to the horizon, and the admission anti-join (on the
+    * fingerprint pair) makes duplicates that re-arrive AFTER the horizon
+    * idempotent no-ops instead of re-inserts. Micro-batch replays after a
+    * crash re-admit nothing — no-ops, so the store sees effectively-once
+    * ingest on at-least-once delivery.
     *
     * Returns the started query; the caller owns `awaitTermination`/`stop`.
-    * Scale: each micro-batch's merge is one anti-join against the store —
-    * the same per-refresh cost profile the batch pipelines already pay. */
+    * Scale: each micro-batch is one anti-join against the store's keys
+    * plus an O(batch) parquet append — per-batch write cost tracks the
+    * BATCH, never the store (the former keyed-merge shape re-read and
+    * rewrote the whole store per trigger). */
   def ingestToStore(docs: DataFrame, sink: graft.sink.Sink,
                     checkpoint: String, watermark: String = "1 hour") =
     dedupedIngest(docs, watermark)
@@ -112,7 +113,22 @@ object DocStream {
           if (sink.exists)
             once.join(sink.read().select("fingerprint"), Seq("fingerprint"), "left_anti")
           else once
-        sink.mergeByKey(fresh, Seq("fingerprint")): Unit
+        // APPEND, not mergeByKey (r15 optimization, guide §1.2 "remove
+        // passes"): the anti-join above already guarantees fresh's keys are
+        // disjoint from the store's, so the keyed merge degenerates to
+        // store ∪ fresh — but mergeByKey pays a SECOND store read, a
+        // key-uniqueness probe job (top1PerKey already constructs
+        // uniqueness), and an O(store) rewrite-and-swap EVERY micro-batch
+        // (even an all-duplicates replay batch rewrote the whole store for
+        // zero admissions). A parquet append moves O(batch) bytes instead —
+        // the difference between per-batch cost tracking the STORE and
+        // tracking the BATCH, which is what makes the shape deployable on a
+        // continuously-growing corpus. Replay safety is unchanged (the
+        // guarantee was always the anti-join, never the merge): a
+        // checkpoint-replayed batch re-admits nothing, and a crash that
+        // half-commits an append self-heals — the visible rows' keys filter
+        // out on replay, the lost ones re-admit and re-append.
+        sink.write(fresh, graft.sink.WriteMode.Append): Unit
       }
       .start()
 
@@ -144,11 +160,26 @@ object DocStream {
         // isEmpty probe, the merge's key check, AND the commit write —
         // three head-snapshot rescans per trigger on the streaming hot
         // path, growing with every version.
-        val fresh = store.latestVersion
+        val head = store.latestVersion
+        val fresh = head
           .map(v => once.join(store.read(v).select("fingerprint"), Seq("fingerprint"), "left_anti"))
           .getOrElse(once)
           .persist()
-        try { if (!fresh.isEmpty) store.commitMerge(fresh, Seq("fingerprint")): Unit }
+        // commit(head ∪ fresh), not commitMerge (r15 optimization): the
+        // admission anti-join above already made fresh's keys disjoint from
+        // the head, so commitMerge's own head re-read + anti-join is a
+        // no-op replay and its key-uniqueness probe job re-checks what
+        // top1PerKey constructed. The new version's CONTENT is identical;
+        // the snapshot full-copy itself stays — materialized per-version
+        // history is this store's documented time-travel contract.
+        try {
+          if (!fresh.isEmpty) {
+            head match {
+              case None    => store.commit(fresh): Unit
+              case Some(v) => store.commit(store.read(v).unionByName(fresh)): Unit
+            }
+          }
+        }
         finally { fresh.unpersist(blocking = false): Unit }
       }
       .start()
