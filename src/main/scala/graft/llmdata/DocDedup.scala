@@ -35,20 +35,26 @@ object DocDedup {
   def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Long = 0L): DataFrame = {
     graft.functions.VectorExprs.register(documents.sparkSession)
-    // Persisted: consumed by both the posting explode and the sizes side —
-    // Catalyst has no cross-join subplan reuse, so without this the corpus
-    // is scanned and shingled twice (see SCALING.md on diamond plans).
-    val sh = documents
-      .withColumn("__words", tokens(col("text")))
-      .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
-      .select(col("doc_id"), col("__sh"))
-      .transform(graft.core.CacheScope.persisted)
+    // Persisted: consumed by both sides of the posting self-join and the
+    // sizes side — Catalyst has no cross-join subplan reuse, so without
+    // this the corpus is scanned and shingled twice (see SCALING.md on
+    // diamond plans). The cache holds the HASH array, not the shingle
+    // strings (r15): every consumer needs only hashes (posting explodes
+    // them) or the count (`size` is 1:1 through poly_hash_array), so
+    // hashing lands in the one-time cache build instead of running per
+    // consumer — and the cached bytes shrink to 8 B per shingle.
     // Join on the shingle's polynomial hash (BIGINT) instead of the string:
     // far less shuffle volume at corpus scale. A cross-doc hash collision
     // would overcount `common` by 1 — probability ~(shingles²/2)/1e9, and
     // the oracle hashes identically so parity always holds.
+    val sh = documents
+      .withColumn("__words", tokens(col("text")))
+      .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
+      .select(col("doc_id"), sparkPolyHashArray("__sh").as("__h"),
+        size(col("__sh")).as("n_sh"))
+      .transform(graft.core.CacheScope.persisted)
     val postingAll = sh
-      .select(col("doc_id"), explode(sparkPolyHashArray("__sh")).as("shingle"))
+      .select(col("doc_id"), explode(col("__h")).as("shingle"))
     val posting =
       if (maxDocFreq <= 0L) postingAll
       else {
@@ -60,7 +66,7 @@ object DocDedup {
           .select("shingle")
         postingAll.join(frequent, Seq("shingle"), "left_anti")
       }
-    val sizes = sh.select(col("doc_id"), size(col("__sh")).as("n_sh"))
+    val sizes = sh.select(col("doc_id"), col("n_sh"))
     val common = posting.as("a")
       .join(posting.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -230,6 +236,14 @@ object DocDedup {
            |        i -> aggregate(slice(__th, i + 1, $window), 0L, (h, c) -> (h * 31 + c) % $P))
            | ELSE array(aggregate(__th, 0L, (h, c) -> (h * 31 + c) % $P)) END"""
           .stripMargin.replace("\n", " "))).as("whash"))
+      // Persisted (r15): both sides of the self-join consume `wins`, and a
+      // broadcast build side defeats Catalyst's subplan reuse — unpersisted,
+      // the tokenize + poly-hash + O(n·window) rolling-fold ran over the
+      // whole corpus TWICE (plan-verified: two full Scan→Project→Generate
+      // legs). 16 B/window cached vs one corpus-sized recompute; the
+      // release is the caller's via CacheScope.scoped, like every other
+      // pair generator here.
+      .transform(graft.core.CacheScope.persisted)
     wins.as("a")
       .join(wins.as("b"),
         col("a.whash") === col("b.whash") && col("a.doc_id") < col("b.doc_id"))
@@ -273,17 +287,21 @@ object DocDedup {
     * cheap; the heavy data (shingle arrays) is never exploded twice. */
   def minhashLshPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     graft.functions.VectorExprs.register(documents.sparkSession)
-    // Persisted: consumed three times (signatures + both verification
-    // joins); unpersisted the corpus would be re-shingled per consumer.
+    // Persisted: consumed four times (both sides of the band self-join +
+    // both verification joins); unpersisted the corpus would be
+    // re-shingled per consumer. The MinHash SIGNATURE is computed INTO
+    // the cache (r15): the band self-join consumes the cache on both
+    // sides, and a broadcast build side defeats Catalyst's subplan reuse,
+    // so a signature derived downstream was poly-hashed + min-folded over
+    // the whole corpus TWICE — one 16-long column per doc makes it
+    // once-per-corpus. Same expressions, bit-identical values.
     val sh = documents
       .withColumn("__words", tokens(col("text")))
       .withColumn("__sh", expr(sparkShingles("__words", "text", k)))
-      .select(col("doc_id"), col("__sh"))
-      .transform(graft.core.CacheScope.persisted)
-    val sig = sh
       .withColumn("__h", sparkPolyHashArray("__sh"))
-      .withColumn("__sig", expr(sparkSignature("__h")))
-    val bands = sig.select(
+      .select(col("doc_id"), col("__sh"), expr(sparkSignature("__h")).as("__sig"))
+      .transform(graft.core.CacheScope.persisted)
+    val bands = sh.select(
       col("doc_id"),
       posexplode(expr(bandExplodeSql("__sig"))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
